@@ -1,0 +1,117 @@
+"""Scalar computation kernels.
+
+The reference deploys four warehouse UDFs (SURVEY.md §2.8); here each is a
+**native Column expression** (JVM-side, whole-stage-codegen friendly — UDFs are
+the slow path) plus an optional SQL-callable registration for API parity.
+
+Exact NULL/zero edge semantics (the likeliest oracle-mismatch sites):
+
+- ``pct_change(prev, curr)`` -> ``(curr-prev)/prev*100``; any NULL input, an
+  uncastable input, or ``prev == 0`` yields ``0.0`` (NOT NULL).
+  Reference: ``udfs_and_spoc/daily_co2_changes/daily_changes/function.py:2-24``
+  and ``weekly_co2_changes/weekly_changes/function.py:1-23`` (identical math).
+- ``volatility(curr, prev)`` -> ``round(abs(c-p)/((c+p)/2)*100, 4)``; NULL or
+  non-positive input on either side yields NULL.
+  Reference: ``udfs_and_spoc/python_udf/co2_volatility/function.py:10-50``.
+- ``normalize_value(x, mn, mx)`` -> ``round((x-mn)/(mx-mn), 3)``; degenerate
+  range (``mx == mn``) yields ``0.5``; NULL x propagates NULL.
+  Reference: ``udfs_and_spoc/normalize_co2.sql:1-13``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def pct_change(prev: Column | str, curr: Column | str) -> Column:
+    """Percent change from ``prev`` to ``curr``; defensive edges -> 0.0."""
+    p, c = _col(prev).cast("double"), _col(curr).cast("double")
+    return (
+        F.when(p.isNull() | c.isNull() | (p == F.lit(0.0)), F.lit(0.0))
+        .otherwise((c - p) / p * F.lit(100.0))
+        .cast("double")
+    )
+
+
+def volatility(curr: Column | str, prev: Column | str) -> Column:
+    """Symmetric relative-difference volatility; invalid input -> NULL."""
+    c, p = _col(curr).cast("double"), _col(prev).cast("double")
+    invalid = c.isNull() | p.isNull() | (c <= F.lit(0.0)) | (p <= F.lit(0.0))
+    return (
+        F.when(invalid, F.lit(None).cast("double"))
+        .otherwise(F.round(F.abs(c - p) / ((c + p) / F.lit(2.0)) * F.lit(100.0), 4))
+        .cast("double")
+    )
+
+
+def normalize_value(x: Column | str, mn: Column | str, mx: Column | str) -> Column:
+    """Min-max normalization rounded to 3 dp; degenerate range -> 0.5."""
+    xx, lo, hi = _col(x).cast("double"), _col(mn).cast("double"), _col(mx).cast("double")
+    return (
+        F.when(hi == lo, F.lit(0.5))
+        .otherwise(F.round((xx - lo) / (hi - lo), 3))
+        .cast("double")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-callable surface parity.
+#
+# The reference registers these as warehouse functions callable by name from
+# SQL (``ANALYTICS_CO2.CO2_DAILY_PERCENT_CHANGE`` etc.). We mirror that with
+# plain-Python UDF registrations — used only for the SQL-name surface; the
+# pipeline hot path uses the native expressions above.
+# ---------------------------------------------------------------------------
+
+
+def _py_pct_change(prev, curr):  # noqa: ANN001 - UDF signature
+    try:
+        p = float(prev)
+        c = float(curr)
+    except (TypeError, ValueError):
+        return 0.0
+    if p == 0.0:
+        return 0.0
+    return (c - p) / p * 100.0
+
+
+def _py_volatility(curr, prev):  # noqa: ANN001
+    try:
+        c = float(curr)
+        p = float(prev)
+    except (TypeError, ValueError):
+        return None
+    if c <= 0.0 or p <= 0.0:
+        return None
+    return round(abs(c - p) / ((c + p) / 2.0) * 100.0, 4)
+
+
+def _py_normalize(x, mn, mx):  # noqa: ANN001
+    if mn is None or mx is None:
+        return None
+    if mx == mn:
+        return 0.5
+    if x is None:
+        return None
+    return round((float(x) - float(mn)) / (float(mx) - float(mn)), 3)
+
+
+def register_all_udfs(spark: SparkSession) -> None:
+    """Register the reference's four UDF names as SQL-callable functions.
+
+    Mirrors (reference names, SURVEY.md §2.8):
+    - ``CO2_DAILY_PERCENT_CHANGE(prev, curr)``
+    - ``CO2_WEEKLY_PERCENT_CHANGE(prev, curr)``  (same math; deployed twin)
+    - ``CALCULATE_CO2_VOLATILITY(curr, prev)``
+    - ``NORMALIZE_CO2_UDF(x, min, max)``
+    """
+    spark.udf.register("CO2_DAILY_PERCENT_CHANGE", _py_pct_change, T.DoubleType())
+    spark.udf.register("CO2_WEEKLY_PERCENT_CHANGE", _py_pct_change, T.DoubleType())
+    spark.udf.register("CALCULATE_CO2_VOLATILITY", _py_volatility, T.DoubleType())
+    spark.udf.register("NORMALIZE_CO2_UDF", _py_normalize, T.DoubleType())

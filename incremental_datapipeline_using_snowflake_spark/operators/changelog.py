@@ -1,0 +1,112 @@
+"""CDC changelog — Spark-native emulation of a Snowflake table stream.
+
+Reference: ``CREATE STREAM CO2_DATA_STREAM ON TABLE CO2_DATA`` with metadata
+columns ``METADATA$ACTION`` / ``METADATA$ROW_ID``
+(``02_create_rawco2data_stream.py:50-56,71-76``), consumed in the harmonize SP
+(``co2_harmonized_sp/function.py:119-130``) with the offset advancing
+transactionally with the consuming MERGE.
+
+Engine design:
+- every ingested batch is appended to ``<table>__changelog`` with engine
+  metadata columns ``_action`` ('INSERT' | 'DELETE') and ``_row_id``
+  (monotonically increasing across batches);
+- ``_row_id`` = persisted base + ``monotonically_increasing_id()`` — unique
+  and batch-monotonic WITHOUT a global sort (a ``row_number`` over a global
+  window would single-partition 100 TB; mii is per-partition parallel). Ids
+  are materialized immediately on append, so their instability across
+  recomputation never matters;
+- consumers track a named offset (high-water ``_row_id``) in a JSON side file,
+  committed AFTER the downstream merge lands. Replay between merge and
+  commit is safe because every downstream merge keys on a natural key
+  (idempotent — SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .table_store import TableStore
+
+MII_SPAN = 1 << 40  # > max monotonically_increasing_id within one batch's partitions
+
+
+@dataclass
+class Changelog:
+    store: TableStore
+    table: str  # base table name, e.g. "raw_co2.co2_data"
+
+    @property
+    def log_table(self) -> str:
+        return f"{self.table}__changelog"
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.store.table_dir(self.log_table), "_META.json")
+
+    def _read_meta(self) -> dict:
+        p = self._meta_path()
+        if not os.path.exists(p):
+            return {"next_base": 0, "offsets": {}}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict) -> None:
+        p = self._meta_path()
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, p)
+
+    # -- producer ----------------------------------------------------------
+    def append(self, df: DataFrame, action: str = "INSERT") -> int:
+        """Record a change batch; returns the number of rows logged."""
+        meta = self._read_meta()
+        base = int(meta["next_base"])
+        batch = df.withColumn("_action", F.lit(action)).withColumn(
+            "_row_id", F.lit(base) + F.monotonically_increasing_id()
+        )
+        self.store.append(batch, self.log_table)
+        n = self.store.read(df.sparkSession, self.log_table).filter(
+            F.col("_row_id") >= base
+        ).count()
+        meta["next_base"] = base + MII_SPAN
+        self._write_meta(meta)
+        return n
+
+    # -- consumer ----------------------------------------------------------
+    def pending(self, spark: SparkSession, consumer: str = "default") -> DataFrame:
+        """Unconsumed changes (``_row_id`` above the consumer's offset).
+
+        The offset predicate is a plain comparison on a parquet column, so it
+        pushes down to the scan (min/max row-group skipping prunes already-
+        consumed batches — the at-scale analogue of stream offset seek).
+        """
+        if not self.store.exists(self.log_table):
+            return None  # no changes ever recorded
+        off = int(self._read_meta()["offsets"].get(consumer, -1))
+        return self.store.read(spark, self.log_table).filter(F.col("_row_id") > off)
+
+    def has_data(self, spark: SparkSession, consumer: str = "default") -> bool:
+        """``SYSTEM$STREAM_HAS_DATA`` equivalent (reference
+        ``orchestrate_tasks.sql.j2:38``) — gate for downstream stages."""
+        p = self.pending(spark, consumer)
+        return p is not None and bool(p.limit(1).count())
+
+    def max_pending_id(self, spark: SparkSession, consumer: str = "default") -> int | None:
+        p = self.pending(spark, consumer)
+        if p is None:
+            return None
+        row = p.agg(F.max("_row_id").alias("m")).first()
+        return None if row["m"] is None else int(row["m"])
+
+    def commit(self, consumer: str, up_to_row_id: int) -> None:
+        """Advance the consumer offset (call after the downstream merge)."""
+        meta = self._read_meta()
+        cur = int(meta["offsets"].get(consumer, -1))
+        meta["offsets"][consumer] = max(cur, int(up_to_row_id))
+        self._write_meta(meta)

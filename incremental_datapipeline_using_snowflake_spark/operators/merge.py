@@ -1,0 +1,125 @@
+"""MERGE (upsert) as a DataFrame rewrite.
+
+The reference's only join-shaped operator is Snowflake ``MERGE`` (SURVEY.md
+§2.3 J1-J3, e.g. ``co2_harmonized_sp/function.py:135-153``): match on a key,
+UPDATE matched rows, INSERT unmatched source rows. Vanilla parquet has no
+transactional MERGE, so we decompose it —
+
+    result =   target ⟕anti source        (rows untouched by the merge)
+             ∪ (target ⋈ source)          (matched -> updated column values)
+             ∪ (source ⟕anti target)      (brand-new rows -> inserted)
+
+— and commit with the store's atomic stage-and-swap.
+
+Scale notes (100 TB): the incremental source batch is orders of magnitude
+smaller than the target, so the source side is broadcast (no shuffle of the
+target for the anti-join or the inner join; the target is scanned once and
+streamed through two broadcast joins). For a huge source, pass
+``broadcast_source=False`` and AQE picks sort-merge with skew handling.
+The rewrite is idempotent on replay: re-merging the same source against the
+merged target yields the identical table (C4 semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .table_store import TableStore
+
+
+def merge_upsert(
+    spark: SparkSession,
+    store: TableStore,
+    target_table: str,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+    insert_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Upsert ``source`` into ``target_table`` on ``keys``.
+
+    - ``update_cols``: non-key columns taken from the source for matched rows
+      (default: every target column present in the source). Mirrors the
+      reference's update dict that excludes helper columns
+      (``co2_analytical_sp/function.py:127-141``).
+    - ``insert_cols``: columns populated for inserted rows (default: same as
+      update set + keys); target columns absent from the source become NULL.
+
+    Returns ``{"updated": n, "inserted": n}`` row counts.
+    """
+    if not store.exists(target_table):
+        init_cols = insert_cols or source.columns
+        out = source.select(*[F.col(c) for c in init_cols]).dropDuplicates(keys)
+        store.overwrite(out, target_table, partition_by=partition_by)
+        return {"updated": 0, "inserted": out.count()}
+
+    target = store.read(spark, target_table)
+    target_cols = target.columns
+    src = source.dropDuplicates(keys)
+    upd = update_cols or [c for c in target_cols if c not in keys and c in src.columns]
+    ins = insert_cols or list(dict.fromkeys(keys + upd))
+
+    bsrc = F.broadcast(src)
+
+    untouched = target.join(bsrc.select(*keys), on=keys, how="left_anti")
+
+    matched = target.alias("t").join(bsrc.alias("s"), on=keys, how="inner").select(
+        *[F.col(f"t.{k}").alias(k) for k in keys],
+        *[
+            (F.col(f"s.{c}") if c in upd else F.col(f"t.{c}")).alias(c)
+            for c in target_cols
+            if c not in keys
+        ],
+    )
+
+    inserted = src.join(F.broadcast(target.select(*keys)), on=keys, how="left_anti").select(
+        *[
+            (F.col(c) if c in ins and c in src.columns else F.lit(None)).alias(c)
+            for c in target_cols
+        ]
+    )
+
+    result = untouched.select(*target_cols).unionByName(
+        matched.select(*target_cols)
+    ).unionByName(inserted)
+
+    n_upd = matched.count()
+    n_ins = inserted.count()
+    store.overwrite(result, target_table, partition_by=partition_by)
+    return {"updated": n_upd, "inserted": n_ins}
+
+
+def upsert_dataframe(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+) -> DataFrame:
+    """Pure (side-effect-free) upsert of two DataFrames; same semantics as
+    :func:`merge_upsert` but returns the merged DataFrame. Used by the
+    oracle-checked ``merge_upsert`` query and by tests."""
+    target_cols = target.columns
+    src = source.dropDuplicates(keys)
+    upd = update_cols or [c for c in target_cols if c not in keys and c in src.columns]
+    untouched = target.join(src.select(*keys), on=keys, how="left_anti")
+    matched = target.alias("t").join(src.alias("s"), on=keys, how="inner").select(
+        *[F.col(f"t.{k}").alias(k) for k in keys],
+        *[
+            (F.col(f"s.{c}") if c in upd else F.col(f"t.{c}")).alias(c)
+            for c in target_cols
+            if c not in keys
+        ],
+    )
+    inserted = src.join(target.select(*keys), on=keys, how="left_anti").select(
+        *[
+            (F.col(c) if c in src.columns else F.lit(None)).alias(c)
+            for c in target_cols
+        ]
+    )
+    return (
+        untouched.select(*target_cols)
+        .unionByName(matched.select(*target_cols))
+        .unionByName(inserted)
+    )

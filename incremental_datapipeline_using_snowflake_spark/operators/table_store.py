@@ -1,0 +1,120 @@
+"""Versioned parquet table store — the engine's multi-layer catalog.
+
+Replaces the reference's Snowflake database/schema/table catalog
+(``config/dev.yml:9-14``, ``templates/setup.sql.j2:49-53``) with a
+path-per-layer parquet warehouse:
+
+    <root>/<namespace>/<table>/v=<NNNNNN>/part-*.parquet
+    <root>/<namespace>/<table>/_VERSION        (text file: current version)
+
+**Atomic overwrite protocol** (stage-and-swap): a new version directory is
+fully written, then the ``_VERSION`` pointer is flipped with ``os.replace``
+(atomic on POSIX). Readers resolve the pointer once at plan time, so an
+in-flight overwrite never exposes partial files — this stands in for
+Snowflake's ACID ``MERGE`` / ``CREATE OR REPLACE TABLE`` semantics
+(reference ``co2_harmonized_sp/function.py:82-87,146-153``).
+Single-writer-per-table semantics; at cluster scale the same protocol works
+on any object store with atomic pointer writes (or swap in Delta/Iceberg).
+
+Appends write additional parquet files *into* the current version directory
+(standard Spark append); partitioned tables use Hive-style ``COL=value``
+subdirectories so partition pruning applies (reference's year-foldered
+layout, SURVEY.md §2.1 S6).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class TableStore:
+    root: str
+
+    # -- paths ------------------------------------------------------------
+    def table_dir(self, name: str) -> str:
+        """``namespace.table`` -> ``<root>/namespace/table``."""
+        return os.path.join(self.root, *name.lower().split("."))
+
+    def _version_file(self, name: str) -> str:
+        return os.path.join(self.table_dir(name), "_VERSION")
+
+    def current_version(self, name: str) -> int | None:
+        vf = self._version_file(name)
+        if not os.path.exists(vf):
+            return None
+        with open(vf) as f:
+            return int(f.read().strip())
+
+    def data_path(self, name: str) -> str:
+        v = self.current_version(name)
+        if v is None:
+            raise FileNotFoundError(f"table {name!r} does not exist in {self.root}")
+        return os.path.join(self.table_dir(name), f"v={v:06d}")
+
+    def exists(self, name: str) -> bool:
+        return self.current_version(name) is not None
+
+    def create_namespace(self, namespace: str) -> None:
+        os.makedirs(os.path.join(self.root, namespace.lower()), exist_ok=True)
+
+    def list_tables(self, namespace: str) -> list[str]:
+        ns_dir = os.path.join(self.root, namespace.lower())
+        if not os.path.isdir(ns_dir):
+            return []
+        return sorted(
+            d for d in os.listdir(ns_dir)
+            if os.path.exists(os.path.join(ns_dir, d, "_VERSION"))
+        )
+
+    # -- reads ------------------------------------------------------------
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self.data_path(name))
+
+    # -- writes -----------------------------------------------------------
+    def _commit_version(self, name: str, version: int) -> None:
+        vf = self._version_file(name)
+        tmp = vf + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, vf)  # atomic pointer flip
+
+    def overwrite(
+        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+    ) -> None:
+        """Full-table replace via stage-and-swap; keeps one previous version."""
+        tdir = self.table_dir(name)
+        os.makedirs(tdir, exist_ok=True)
+        prev = self.current_version(name)
+        new = (prev or 0) + 1
+        target = os.path.join(tdir, f"v={new:06d}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target)
+        self._commit_version(name, new)
+        # GC versions older than the immediately previous one (kept so a
+        # reader planned against the old pointer can still finish).
+        for entry in os.listdir(tdir):
+            if entry.startswith("v="):
+                v = int(entry.split("=")[1])
+                if v < (prev or new):
+                    shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+
+    def append(
+        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+    ) -> None:
+        if not self.exists(name):
+            self.overwrite(df, name, partition_by=partition_by)
+            return
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.data_path(name))
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self.table_dir(name), ignore_errors=True)

@@ -1,0 +1,99 @@
+"""Driver-side orchestrator — the reference's 3-node task DAG re-expressed.
+
+Reference: root task on ``USING CRON 0 10 * * * UTC`` with ``AFTER`` edges
+RAW -> HARMONIZED -> ANALYTICS and a ``SYSTEM$STREAM_HAS_DATA`` gate
+(``templates/orchestrate_tasks.sql.j2:18-75``). Here the DAG is sequential
+Python with the same gating; scheduling stays external (cron / Airflow), and
+``TASK_HISTORY`` becomes a per-stage run-log table.
+"""
+
+from __future__ import annotations
+
+import time
+import traceback
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from ..operators.changelog import Changelog
+from ..operators.table_store import TableStore
+from . import pipeline as P
+
+RUN_LOG_TABLE = "analytics_co2._run_log"
+
+
+@dataclass
+class Orchestrator:
+    spark: SparkSession
+    store: TableStore
+    suspended: bool = False  # task suspend/resume lifecycle
+    _history: list[dict] = field(default_factory=list)
+
+    def suspend(self) -> None:
+        self.suspended = True
+
+    def resume(self) -> None:
+        self.suspended = False
+
+    def _log(self, stage: str, status: str, message: str, seconds: float) -> None:
+        rec = {
+            "stage": stage,
+            "status": status,
+            "message": message,
+            "seconds": round(seconds, 3),
+            "run_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        self._history.append(rec)
+        df = self.spark.createDataFrame(
+            [rec], schema="stage string, status string, message string, seconds double, run_at string"
+        )
+        self.store.append(df, RUN_LOG_TABLE)
+
+    def _run_stage(self, name: str, fn: Callable[[], str]) -> tuple[bool, str]:
+        t0 = time.time()
+        try:
+            msg = fn()
+            self._log(name, "SUCCEEDED", msg, time.time() - t0)
+            return True, msg
+        except Exception as exc:  # log-and-halt like a failed task node
+            self._log(name, "FAILED", f"{exc}\n{traceback.format_exc()[-1500:]}", time.time() - t0)
+            return False, str(exc)
+
+    def run(self, feed_text: str | None = None, fetcher=None) -> dict[str, str]:
+        """One DAG execution (``EXECUTE TASK`` equivalent)."""
+        if self.suspended:
+            return {"status": "suspended"}
+        results: dict[str, str] = {}
+
+        ok, msg = self._run_stage(
+            "co2_raw_data_task",
+            lambda: P.load_raw(self.spark, self.store, feed_text=feed_text, fetcher=fetcher),
+        )
+        results["raw"] = msg
+        if not ok:
+            return results
+
+        # Stream gate: WHEN SYSTEM$STREAM_HAS_DATA(...) — skip downstream if empty.
+        log = Changelog(self.store, P.RAW_TABLE)
+        if not log.has_data(self.spark, consumer="harmonize"):
+            results["harmonized"] = "skipped (stream empty)"
+            results["analytics"] = "skipped (stream empty)"
+            return results
+
+        ok, msg = self._run_stage(
+            "co2_harmonized_task", lambda: P.harmonize(self.spark, self.store)
+        )
+        results["harmonized"] = msg
+        if not ok:
+            return results
+
+        ok, msg = self._run_stage(
+            "co2_analytics_task", lambda: P.analytics(self.spark, self.store)
+        )
+        results["analytics"] = msg
+        return results
+
+    def task_history(self) -> list[dict]:
+        """INFORMATION_SCHEMA.TASK_HISTORY equivalent for this orchestrator."""
+        return list(self._history)

@@ -1,0 +1,230 @@
+"""Pipeline stages — the engine's equivalent of the reference's three stored
+procedures (SURVEY.md §2.8 SP1-SP3, §3.1).
+
+RAW -> (changelog) -> HARMONIZED -> ANALYTICS, each stage a plain function
+over DataFrames; the orchestrator sequences them with stream-gating.
+
+Layer mapping (reference ``config/dev.yml:9-14``):
+    RAW_CO2.CO2_DATA            -> raw_co2.co2_data            (+__changelog)
+    HARMONIZED_CO2.HARMONIZED_CO2 -> harmonized_co2.harmonized_co2
+    ANALYTICS_CO2.DAILY_CO2_STATS -> analytics_co2.daily_co2_stats
+    ANALYTICS_CO2.WEEKLY_CO2_STATS -> analytics_co2.weekly_co2_stats
+    ANALYTICS_CO2._CO2_MINMAX     -> analytics_co2._co2_minmax
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions.kernels import normalize_value, pct_change, volatility
+from ..operators.changelog import Changelog
+from ..operators.merge import merge_upsert
+from ..operators.table_store import TableStore
+from ..sources.noaa_feed import fetch_feed, parse_feed_text
+
+RAW_TABLE = "raw_co2.co2_data"
+HARMONIZED_TABLE = "harmonized_co2.harmonized_co2"
+DAILY_TABLE = "analytics_co2.daily_co2_stats"
+WEEKLY_TABLE = "analytics_co2.weekly_co2_stats"
+MINMAX_TABLE = "analytics_co2._co2_minmax"
+
+NAMESPACES = ["external", "raw_co2", "harmonized_co2", "analytics_co2"]
+
+
+def bootstrap(store: TableStore) -> None:
+    """Create the 4-layer namespace layout (reference ``setup.sql.j2:49-53``)."""
+    for ns in NAMESPACES:
+        store.create_namespace(ns)
+
+
+# ---------------------------------------------------------------------------
+# SP1: LOADING_CO2_DATA_SP — watermark-incremental fetch & load
+# reference: udfs_and_spoc/loading_co2_data_sp/loading_data_sp/function.py:8-398
+# ---------------------------------------------------------------------------
+def current_watermark(spark: SparkSession, store: TableStore) -> object | None:
+    """A1: MAX(make_date(YEAR,MONTH,DAY)) over RAW — the high-watermark date
+    (reference ``loading_data_sp/function.py:41-51``)."""
+    if not store.exists(RAW_TABLE):
+        return None
+    raw = store.read(spark, RAW_TABLE)
+    return raw.agg(
+        F.max(F.make_date("YEAR", "MONTH", "DAY")).alias("wm")
+    ).first()["wm"]
+
+
+def load_raw(
+    spark: SparkSession,
+    store: TableStore,
+    feed_text: str | None = None,
+    fetcher: Callable[[str], str] | None = None,
+) -> str:
+    """Fetch feed -> parse -> keep rows strictly newer than the watermark ->
+    append to RAW + record changelog INSERTs (C4 semantics: late/duplicate
+    rows for dates <= watermark are dropped at ingest; downstream merges are
+    idempotent on the DATE key anyway)."""
+    text = feed_text if feed_text is not None else fetch_feed(fetcher=fetcher)
+    parsed = parse_feed_text(spark, text)
+
+    wm = current_watermark(spark, store)
+    if wm is not None:
+        parsed = parsed.filter(F.make_date("YEAR", "MONTH", "DAY") > F.lit(wm))
+
+    parsed = parsed.cache()
+    n = parsed.count()
+    if n == 0:
+        return "No new data to load"
+
+    # Year-partitioned RAW layout (S6) — partition pruning for per-year reads.
+    store.append(parsed, RAW_TABLE, partition_by=["YEAR"])
+    Changelog(store, RAW_TABLE).append(parsed, action="INSERT")
+    parsed.unpersist()
+    return f"Loaded {n} new rows"
+
+
+# ---------------------------------------------------------------------------
+# SP2: CO2_HARMONIZED_SP — consume stream, MERGE into HARMONIZED, refresh
+# the min/max scalar cache.
+# reference: udfs_and_spoc/co2_harmonized_sp/co2_harmonized_sp/function.py
+# ---------------------------------------------------------------------------
+def harmonize(spark: SparkSession, store: TableStore, consumer: str = "harmonize") -> str:
+    log = Changelog(store, RAW_TABLE)
+    if not log.has_data(spark, consumer):
+        return "No data in stream to process"  # empty-stream short-circuit (:119-124)
+
+    pending = log.pending(spark, consumer).cache()
+    hi = pending.agg(F.max("_row_id").alias("m")).first()["m"]
+
+    src = (
+        pending.filter(F.col("_action") == "INSERT")  # P8 metadata filter
+        .withColumn("DATE", F.make_date("YEAR", "MONTH", "DAY"))  # P2/P3
+        .select(
+            "DATE",
+            "YEAR",
+            "MONTH",
+            "DAY",
+            "CO2_PPM",
+            F.current_timestamp().alias("META_UPDATED_AT"),  # P6 audit column
+        )
+    )
+
+    merge_upsert(  # J1: MERGE on DATE (update all cols / insert)
+        spark, store, HARMONIZED_TABLE, src, keys=["DATE"]
+    )
+
+    # A2: CTAS _CO2_MINMAX scalar cache (:81-87)
+    harmonized = store.read(spark, HARMONIZED_TABLE)
+    minmax = harmonized.agg(
+        F.min("CO2_PPM").alias("MIN_CO2"), F.max("CO2_PPM").alias("MAX_CO2")
+    )
+    store.overwrite(minmax, MINMAX_TABLE)
+
+    log.commit(consumer, int(hi))  # offset advances with the consuming merge
+    pending.unpersist()
+    return "CO2 data harmonization complete"
+
+
+# ---------------------------------------------------------------------------
+# SP3: CO2_ANALYTICS_SP — daily (lag window + UDF kernels) and weekly
+# (date_trunc rollup + kernels) statistics, both MERGEd on their keys.
+# reference: udfs_and_spoc/co2_analytical_sp/co2_analytical_sp/function.py
+# ---------------------------------------------------------------------------
+def _minmax_lits(spark: SparkSession, store: TableStore) -> tuple[float, float]:
+    """Scalar-cache read with the reference's inline-aggregate fallback
+    (``co2_analytical_sp/function.py:95-102,162-175``)."""
+    if store.exists(MINMAX_TABLE):
+        row = store.read(spark, MINMAX_TABLE).first()
+        if row is not None and row["MIN_CO2"] is not None:
+            return float(row["MIN_CO2"]), float(row["MAX_CO2"])
+    row = (
+        store.read(spark, HARMONIZED_TABLE)
+        .agg(F.min("CO2_PPM").alias("mn"), F.max("CO2_PPM").alias("mx"))
+        .first()
+    )
+    return float(row["mn"]), float(row["mx"])
+
+
+def daily_stats_df(harmonized: DataFrame, min_co2: float, max_co2: float) -> DataFrame:
+    """W1 lag + U1/U3/U4 kernels -> daily stats projection
+    (reference ``co2_analytical_sp/function.py:105-125``).
+
+    The unpartitioned orderBy window matches the reference exactly; at 100 TB
+    a single time series this shape would be range-partitioned by year with
+    boundary stitching — for a daily series (~18k rows/50 years) the single
+    partition is small by construction.
+    """
+    w = W.orderBy("DATE")
+    with_lag = harmonized.select(
+        "DATE",
+        "CO2_PPM",
+        F.lag("CO2_PPM", 1).over(w).alias("PREV_DAY_CO2"),
+    )
+    return with_lag.select(
+        "DATE",
+        "CO2_PPM",
+        "PREV_DAY_CO2",
+        pct_change("PREV_DAY_CO2", "CO2_PPM").alias("DAILY_CHANGE"),
+        volatility("CO2_PPM", "PREV_DAY_CO2").alias("DAILY_VOLATILITY"),
+        normalize_value(F.col("CO2_PPM"), F.lit(min_co2), F.lit(max_co2)).alias(
+            "NORMALIZED_CO2"
+        ),
+        F.current_timestamp().alias("META_UPDATED_AT"),
+    )
+
+
+def weekly_stats_df(harmonized: DataFrame, min_co2: float, max_co2: float) -> DataFrame:
+    """A4 weekly rollup + kernels (reference ``co2_analytical_sp/function.py:178-199``).
+
+    Kept verbatim from the reference, including its (mis)naming of
+    min->WEEK_START_CO2 / max->WEEK_END_CO2. ``date_trunc('week')`` is
+    ISO-Monday in both Spark and Snowflake (and the DuckDB oracle).
+    """
+    weekly = harmonized.groupBy(
+        F.date_trunc("week", F.col("DATE")).cast("date").alias("WEEK_START")
+    ).agg(
+        F.avg("CO2_PPM").alias("AVG_WEEKLY_CO2"),
+        F.min("CO2_PPM").alias("WEEK_START_CO2"),
+        F.max("CO2_PPM").alias("WEEK_END_CO2"),
+    )
+    return weekly.select(
+        "WEEK_START",
+        "AVG_WEEKLY_CO2",
+        "WEEK_START_CO2",
+        "WEEK_END_CO2",
+        pct_change("WEEK_START_CO2", "WEEK_END_CO2").alias("WEEKLY_CHANGE"),
+        volatility("WEEK_END_CO2", "WEEK_START_CO2").alias("WEEKLY_VOLATILITY"),
+        normalize_value(F.col("AVG_WEEKLY_CO2"), F.lit(min_co2), F.lit(max_co2)).alias(
+            "NORMALIZED_WEEKLY_CO2"
+        ),
+        F.current_timestamp().alias("META_UPDATED_AT"),
+    )
+
+
+def analytics_daily(spark: SparkSession, store: TableStore) -> str:
+    harmonized = store.read(spark, HARMONIZED_TABLE)
+    mn, mx = _minmax_lits(spark, store)
+    result = daily_stats_df(harmonized, mn, mx)
+    merge_upsert(  # J2: MERGE on DATE (helper cols excluded by projection)
+        spark, store, DAILY_TABLE, result, keys=["DATE"]
+    )
+    return "Daily analytics complete"
+
+
+def analytics_weekly(spark: SparkSession, store: TableStore) -> str:
+    harmonized = store.read(spark, HARMONIZED_TABLE)
+    mn, mx = _minmax_lits(spark, store)
+    result = weekly_stats_df(harmonized, mn, mx)
+    merge_upsert(  # J3: MERGE on WEEK_START
+        spark, store, WEEKLY_TABLE, result, keys=["WEEK_START"]
+    )
+    return "Weekly analytics complete"
+
+
+def analytics(spark: SparkSession, store: TableStore) -> str:
+    """SP3 whole: daily then weekly (reference ``function.py:227-255``)."""
+    d = analytics_daily(spark, store)
+    wk = analytics_weekly(spark, store)
+    return f"{d}; {wk}"

@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+Deterministic, oracle-stable defaults:
+- session timezone pinned to UTC (keeps DATE/TIMESTAMP values identical to the
+  DuckDB oracle),
+- ANSI mode off so ``cast`` coerces bad values to NULL — matching the
+  reference's tolerant pandas coercion (``pd.to_numeric(errors="coerce")``,
+  reference ``loading_data_sp/function.py:171-178``),
+- AQE on (runtime coalescing + skew-join handling matters at the 100 TB
+  target scale),
+- Arrow enabled for the pandas bridge and Pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
+
+
+def get_session(
+    app_name: str = "incremental_datapipeline_spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``shuffle_partitions`` defaults to the local core count — right for local
+    test scale; on a real cluster AQE coalescing makes the initial number a
+    ceiling rather than a fixed cost.
+    """
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,98 @@
+"""NOAA daily-CO2 text-feed ingestion, Spark-side.
+
+The reference fetches the feed over HTTP (driver-side) and parses it with
+pandas inside a stored procedure (``loading_data_sp/function.py:60-185``,
+SURVEY.md §2.1 S1-S4). Here the parse is a **distributed DataFrame job**:
+
+- comment-aware whitespace parsing (S2): drop ``#`` lines and blanks, split on
+  runs of whitespace, keep the first 5 fields;
+- regex-extraction fallback (S3): if the line parse yields < 10 rows, re-scan
+  with the reference's tuple regex
+  ``(\\d{4})\\s+(\\d{1,2})\\s+(\\d{1,2})\\s+(\\d{4}\\.\\d+)\\s+(\\d+\\.\\d+)``;
+- tolerant typed coercion (S4): ANSI-off ``cast`` coerces bad values to NULL,
+  matching ``pd.to_numeric(errors="coerce")``.
+
+The HTTP GET itself stays a driver-side utility behind an injectable
+interface so tests use canned fixtures (reference fixture:
+``tests/test_loading_co2_data_sp.py:28-33``). At real scale the fetch step
+lands files in an object-store landing zone and this parser reads them with
+``spark.read.text`` — identical plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FEED_URL = "https://gml.noaa.gov/webdata/ccgg/trends/co2/co2_daily_mlo.txt"
+
+_ROW_RE = r"(\d{4})\s+(\d{1,2})\s+(\d{1,2})\s+(\d{4}\.\d+)\s+(\d+\.\d+)"
+
+RAW_COLUMNS = ["YEAR", "MONTH", "DAY", "DECIMAL_DATE", "CO2_PPM"]
+
+
+def fetch_feed(url: str = FEED_URL, fetcher: Callable[[str], str] | None = None) -> str:
+    """Driver-side HTTP fetch (S1). ``fetcher`` injectable for tests."""
+    if fetcher is not None:
+        return fetcher(url)
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=60) as resp:  # pragma: no cover
+        return resp.read().decode("utf-8", errors="replace")
+
+
+def _typed(df: DataFrame) -> DataFrame:
+    """S4: tolerant coercion — bad values -> NULL (ANSI off)."""
+    return df.select(
+        F.col("f0").cast("int").alias("YEAR"),
+        F.col("f1").cast("int").alias("MONTH"),
+        F.col("f2").cast("int").alias("DAY"),
+        F.col("f3").cast("double").alias("DECIMAL_DATE"),
+        F.col("f4").cast("double").alias("CO2_PPM"),
+    ).filter(F.col("YEAR").isNotNull() & F.col("MONTH").isNotNull() & F.col("DAY").isNotNull())
+
+
+def parse_feed_lines(lines: DataFrame) -> DataFrame:
+    """S2 on a one-column (``value: string``) DataFrame of feed lines."""
+    cleaned = (
+        lines.select(F.trim(F.col("value")).alias("value"))
+        .filter((F.col("value") != "") & ~F.col("value").startswith("#"))
+        .select(F.split(F.regexp_replace("value", r"\s+", " "), " ").alias("parts"))
+        .filter(F.size("parts") >= 5)
+        .select(*[F.element_at("parts", i + 1).alias(f"f{i}") for i in range(5)])
+    )
+    return _typed(cleaned)
+
+
+def parse_feed_regex(lines: DataFrame) -> DataFrame:
+    """S3 fallback: regex tuple extraction per line."""
+    hit = lines.filter(F.col("value").rlike(_ROW_RE))
+    return _typed(
+        hit.select(
+            *[F.regexp_extract("value", _ROW_RE, g + 1).alias(f"f{g}") for g in range(5)]
+        )
+    )
+
+
+def parse_feed_text(spark: SparkSession, text: str) -> DataFrame:
+    """Parse a full feed document into the RAW schema (YEAR..CO2_PPM).
+
+    Falls back to regex extraction when the line parser yields < 10 rows,
+    mirroring ``loading_data_sp/function.py:124-145``.
+    """
+    lines = spark.createDataFrame(
+        [(ln,) for ln in text.splitlines()], schema="value string"
+    )
+    parsed = parse_feed_lines(lines)
+    if parsed.count() < 10:
+        fallback = parse_feed_regex(lines)
+        if fallback.count() > parsed.count():
+            return fallback
+    return parsed
+
+
+def parse_feed_path(spark: SparkSession, path: str) -> DataFrame:
+    """Same parse over landed feed files (the at-scale path)."""
+    return parse_feed_lines(spark.read.text(path))

@@ -1,0 +1,102 @@
+"""TableStore atomic swap, merge_upsert semantics, changelog offsets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incremental_datapipeline_using_snowflake_spark.operators import (
+    Changelog,
+    TableStore,
+    merge_upsert,
+)
+from incremental_datapipeline_using_snowflake_spark.operators.merge import upsert_dataframe
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def test_table_store_roundtrip_and_overwrite(spark, store):
+    df = _df(spark, [(1, "a"), (2, "b")], "id long, v string")
+    store.overwrite(df, "ns.t1")
+    assert store.exists("ns.t1")
+    assert store.read(spark, "ns.t1").count() == 2
+    store.overwrite(_df(spark, [(3, "c")], "id long, v string"), "ns.t1")
+    out = store.read(spark, "ns.t1").collect()
+    assert [(r["id"], r["v"]) for r in out] == [(3, "c")]
+    assert store.current_version("ns.t1") == 2
+
+
+def test_table_store_append_and_partitioning(spark, store):
+    df = _df(spark, [(2020, 1.0), (2021, 2.0)], "YEAR int, v double")
+    store.append(df, "ns.part", partition_by=["YEAR"])
+    store.append(_df(spark, [(2022, 3.0)], "YEAR int, v double"), "ns.part", partition_by=["YEAR"])
+    got = store.read(spark, "ns.part")
+    assert got.count() == 3
+    # partition pruning applies: filter on the partition column reads one dir
+    assert got.filter(F.col("YEAR") == 2021).count() == 1
+
+
+def test_merge_upsert_update_insert(spark, store):
+    target = _df(spark, [(1, 10.0, "x"), (2, 20.0, "y")], "k long, v double, tag string")
+    store.overwrite(target, "ns.m")
+    source = _df(spark, [(2, 99.0, "y2"), (3, 30.0, "z")], "k long, v double, tag string")
+    stats = merge_upsert(spark, store, "ns.m", source, keys=["k"])
+    assert stats == {"updated": 1, "inserted": 1}
+    rows = {r["k"]: (r["v"], r["tag"]) for r in store.read(spark, "ns.m").collect()}
+    assert rows == {1: (10.0, "x"), 2: (99.0, "y2"), 3: (30.0, "z")}
+
+
+def test_merge_upsert_partial_update_cols(spark, store):
+    """J2 pattern: update dict excludes helper columns."""
+    target = _df(spark, [(1, 10.0, "keep")], "k long, v double, tag string")
+    store.overwrite(target, "ns.m2")
+    source = _df(spark, [(1, 77.0, "clobber")], "k long, v double, tag string")
+    merge_upsert(spark, store, "ns.m2", source, keys=["k"], update_cols=["v"])
+    row = store.read(spark, "ns.m2").first()
+    assert (row["v"], row["tag"]) == (77.0, "keep")
+
+
+def test_merge_upsert_idempotent(spark, store):
+    target = _df(spark, [(1, 1.0)], "k long, v double")
+    store.overwrite(target, "ns.m3")
+    src = _df(spark, [(1, 5.0), (2, 6.0)], "k long, v double")
+    merge_upsert(spark, store, "ns.m3", src, keys=["k"])
+    first = sorted((r["k"], r["v"]) for r in store.read(spark, "ns.m3").collect())
+    merge_upsert(spark, store, "ns.m3", src, keys=["k"])  # replay
+    second = sorted((r["k"], r["v"]) for r in store.read(spark, "ns.m3").collect())
+    assert first == second == [(1, 5.0), (2, 6.0)]
+
+
+def test_upsert_dataframe_pure(spark):
+    t = _df(spark, [(1, 1.0), (2, 2.0)], "k long, v double")
+    s = _df(spark, [(2, 9.0), (3, 3.0)], "k long, v double")
+    out = sorted((r["k"], r["v"]) for r in upsert_dataframe(t, s, ["k"]).collect())
+    assert out == [(1, 1.0), (2, 9.0), (3, 3.0)]
+
+
+def test_changelog_append_consume_commit(spark, store):
+    log = Changelog(store, "ns.base")
+    b1 = _df(spark, [(1,), (2,)], "id long")
+    b2 = _df(spark, [(3,)], "id long")
+    assert log.append(b1) == 2
+    assert log.append(b2) == 1
+
+    assert log.has_data(spark, "c1")
+    pend = log.pending(spark, "c1")
+    assert pend.count() == 3
+    assert set(pend.columns) == {"id", "_action", "_row_id"}
+    # ids strictly increase across batches
+    ids = [r["_row_id"] for r in pend.orderBy("_row_id").collect()]
+    assert ids == sorted(ids) and len(set(ids)) == 3
+
+    hi = log.max_pending_id(spark, "c1")
+    log.commit("c1", hi)
+    assert not log.has_data(spark, "c1")
+
+    # an independent consumer still sees everything
+    assert log.pending(spark, "c2").count() == 3
+
+    # new batch arrives -> only it is pending for c1
+    log.append(_df(spark, [(4,)], "id long"))
+    assert log.pending(spark, "c1").count() == 1
