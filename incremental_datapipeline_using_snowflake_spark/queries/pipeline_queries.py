@@ -1,0 +1,211 @@
+"""Pipeline-shaped queries over the driver's ``events`` table.
+
+These are the reference pipeline's analytics semantics (SURVEY.md §2.5 W1,
+§2.4 A4, §2.8 U1-U4, §2.2 P3/P8) applied to the synthetic ``events`` time
+series (ts, value) so the DuckDB oracle can hash-check them: the `events`
+daily series plays the role of the harmonized CO2 series.
+
+- ``daily_stats``: per-day mean -> lag window -> pct-change / volatility /
+  min-max normalize — exactly ``daily_co2_stats``
+  (reference ``co2_analytical_sp/function.py:105-125``).
+- ``weekly_stats``: ISO-week rollup with the reference's min/max naming —
+  exactly ``weekly_co2_stats`` (``:178-199``).
+- ``date_construction``: P3's two date-building idioms.
+- ``stream_sample``: P8 metadata-filter + O1 ordered sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.kernels import normalize_value, pct_change, volatility
+from .util import davg, load
+
+
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.col("ts").cast("date").alias("DATE")).agg(
+        davg("value").alias("VALUE")
+    )
+
+
+_DAILY_SERIES_SQL = """
+  SELECT CAST(ts AS DATE) AS DATE,
+         CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / COUNT(value) AS VALUE
+  FROM events GROUP BY CAST(ts AS DATE)
+"""
+
+# SQL twins of the scalar kernels (same NULL/zero edges as functions/kernels.py)
+_PCT_SQL = (
+    "CASE WHEN {p} IS NULL OR {c} IS NULL OR {p} = 0 THEN 0.0"
+    " ELSE ({c} - {p}) / {p} * 100.0 END"
+)
+_VOL_SQL = (
+    "CASE WHEN {c} IS NULL OR {p} IS NULL OR {c} <= 0 OR {p} <= 0 THEN NULL"
+    " ELSE round(abs({c} - {p}) / (({c} + {p}) / 2.0) * 100.0, 4) END"
+)
+_NORM_SQL = (
+    "CASE WHEN {mx} = {mn} THEN 0.5 ELSE round(({x} - {mn}) / ({mx} - {mn}), 3) END"
+)
+
+
+def daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_series(spark, sf_dir)
+    w = W.orderBy("DATE")
+    glob = W.partitionBy()  # global min/max — the _co2_minmax scalar cache (A2)
+    withlag = daily.select(
+        "DATE",
+        "VALUE",
+        F.lag("VALUE", 1).over(w).alias("PREV_VALUE"),
+        F.min("VALUE").over(glob).alias("_mn"),
+        F.max("VALUE").over(glob).alias("_mx"),
+    )
+    return withlag.select(
+        "DATE",
+        "VALUE",
+        "PREV_VALUE",
+        pct_change("PREV_VALUE", "VALUE").alias("DAILY_CHANGE"),
+        volatility("VALUE", "PREV_VALUE").alias("DAILY_VOLATILITY"),
+        normalize_value("VALUE", "_mn", "_mx").alias("NORMALIZED_VALUE"),
+    ).orderBy("DATE")
+
+
+DAILY_STATS_SQL = f"""
+WITH daily AS ({_DAILY_SERIES_SQL}),
+withlag AS (
+  SELECT DATE, VALUE,
+         lag(VALUE, 1) OVER (ORDER BY DATE) AS PREV_VALUE,
+         min(VALUE) OVER () AS _mn,
+         max(VALUE) OVER () AS _mx
+  FROM daily
+)
+SELECT DATE, VALUE, PREV_VALUE,
+       {_PCT_SQL.format(p="PREV_VALUE", c="VALUE")} AS DAILY_CHANGE,
+       {_VOL_SQL.format(c="VALUE", p="PREV_VALUE")} AS DAILY_VOLATILITY,
+       {_NORM_SQL.format(x="VALUE", mn="_mn", mx="_mx")} AS NORMALIZED_VALUE
+FROM withlag ORDER BY DATE
+"""
+
+
+def weekly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("WEEK_START")
+    ).agg(
+        davg("value").alias("AVG_WEEKLY_VALUE"),
+        F.min("value").alias("WEEK_START_VALUE"),  # reference naming: min
+        F.max("value").alias("WEEK_END_VALUE"),    # reference naming: max
+    )
+    glob = W.partitionBy()
+    weekly = weekly.withColumn("_mn", F.min("AVG_WEEKLY_VALUE").over(glob)).withColumn(
+        "_mx", F.max("AVG_WEEKLY_VALUE").over(glob)
+    )
+    return weekly.select(
+        "WEEK_START",
+        "AVG_WEEKLY_VALUE",
+        "WEEK_START_VALUE",
+        "WEEK_END_VALUE",
+        pct_change("WEEK_START_VALUE", "WEEK_END_VALUE").alias("WEEKLY_CHANGE"),
+        volatility("WEEK_END_VALUE", "WEEK_START_VALUE").alias("WEEKLY_VOLATILITY"),
+        normalize_value("AVG_WEEKLY_VALUE", "_mn", "_mx").alias("NORMALIZED_WEEKLY_VALUE"),
+    ).orderBy("WEEK_START")
+
+
+WEEKLY_STATS_SQL = f"""
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS WEEK_START,
+         CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / COUNT(value) AS AVG_WEEKLY_VALUE,
+         min(value) AS WEEK_START_VALUE,
+         max(value) AS WEEK_END_VALUE
+  FROM events GROUP BY CAST(date_trunc('week', ts) AS DATE)
+),
+g AS (
+  SELECT *, min(AVG_WEEKLY_VALUE) OVER () AS _mn, max(AVG_WEEKLY_VALUE) OVER () AS _mx
+  FROM weekly
+)
+SELECT WEEK_START, AVG_WEEKLY_VALUE, WEEK_START_VALUE, WEEK_END_VALUE,
+       {_PCT_SQL.format(p="WEEK_START_VALUE", c="WEEK_END_VALUE")} AS WEEKLY_CHANGE,
+       {_VOL_SQL.format(c="WEEK_END_VALUE", p="WEEK_START_VALUE")} AS WEEKLY_VOLATILITY,
+       {_NORM_SQL.format(x="AVG_WEEKLY_VALUE", mn="_mn", mx="_mx")} AS NORMALIZED_WEEKLY_VALUE
+FROM g ORDER BY WEEK_START
+"""
+
+
+def date_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: ``make_date(Y,M,D)`` and ``to_date(concat(lpad(...)))`` — the
+    reference's two date-building idioms (``co2_harmonized_sp/function.py:128-130``,
+    ``loading_data_sp/function.py:41-49``) must agree."""
+    orders = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    y, m, dd = F.year(d), F.month(d), F.dayofmonth(d)
+    rebuilt = F.make_date(y, m, dd)
+    via_concat = F.to_date(
+        F.concat_ws(
+            "-",
+            F.lpad(y.cast("string"), 4, "0"),
+            F.lpad(m.cast("string"), 2, "0"),
+            F.lpad(dd.cast("string"), 2, "0"),
+        )
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            y.alias("y"),
+            m.alias("m"),
+            dd.alias("d"),
+            rebuilt.alias("rebuilt_date"),
+            via_concat.alias("concat_date"),
+            (rebuilt == d).alias("dates_agree"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+DATE_CONSTRUCTION_SQL = """
+SELECT o_orderkey,
+       year(CAST(o_orderdate AS DATE)) AS y,
+       month(CAST(o_orderdate AS DATE)) AS m,
+       day(CAST(o_orderdate AS DATE)) AS d,
+       make_date(year(CAST(o_orderdate AS DATE)), month(CAST(o_orderdate AS DATE)), day(CAST(o_orderdate AS DATE))) AS rebuilt_date,
+       CAST(concat_ws('-',
+            lpad(CAST(year(CAST(o_orderdate AS DATE)) AS VARCHAR), 4, '0'),
+            lpad(CAST(month(CAST(o_orderdate AS DATE)) AS VARCHAR), 2, '0'),
+            lpad(CAST(day(CAST(o_orderdate AS DATE)) AS VARCHAR), 2, '0')) AS DATE) AS concat_date,
+       make_date(year(CAST(o_orderdate AS DATE)), month(CAST(o_orderdate AS DATE)), day(CAST(o_orderdate AS DATE))) = CAST(o_orderdate AS DATE) AS dates_agree
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 + O1: metadata-action filter, then ordered sample by row id —
+    the reference's stream-inspection query
+    (``02_create_rawco2data_stream.py:71-76``)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.col("ts").cast("date").alias("event_date"),
+        )
+        .orderBy("event_id")
+        .limit(50)
+    )
+
+
+STREAM_SAMPLE_SQL = """
+SELECT event_id, user_id, value, CAST(ts AS DATE) AS event_date
+FROM events WHERE event_type = 'purchase'
+ORDER BY event_id LIMIT 50
+"""
+
+
+QUERIES: dict = {
+    "daily_stats": (daily_stats, DAILY_STATS_SQL),
+    "weekly_stats": (weekly_stats, WEEKLY_STATS_SQL),
+    "date_construction": (date_construction, DATE_CONSTRUCTION_SQL),
+    "stream_sample": (stream_sample, STREAM_SAMPLE_SQL),
+}

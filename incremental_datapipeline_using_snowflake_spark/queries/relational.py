@@ -1,0 +1,479 @@
+"""Relational-core query inventory (SURVEY.md §2.1-2.6).
+
+Covers: tolerant scans + projections/filters/scalar expressions (P1-P11),
+the join family incl. broadcast + semi/anti (§2.3), aggregations with time
+bucketing (A1-A4), window functions (W1 + the Spark-native family), sorts &
+limits (O1-O2), set operators, watermark-incremental filtering (C4), and the
+MERGE rewrite as a pure query (J1-J3).
+
+Every entry returns (spark_fn, oracle_sql) with identical column aliases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators.merge import upsert_dataframe
+from .util import davg, dsum, load
+
+
+# ---------------------------------------------------------------------------
+# q1_pricing_summary — flagship. Scan+filter+group agg (TPC-H Q1 shape).
+# Exercises S5-scan semantics, P1 projection, A-family aggregates.
+# ---------------------------------------------------------------------------
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q3_top_revenue — 3-way join + group + topN (TPC-H Q3 shape). Broadcast of
+# the filtered customer dim is the scale-correct plan.
+# ---------------------------------------------------------------------------
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# region_revenue — 5-way star join rolled up per region; all dims broadcast.
+# ---------------------------------------------------------------------------
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name")
+    )
+
+
+REGION_REVENUE_SQL = """
+SELECT r_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# join_left_outer — NULL-extension semantics; customers with zero orders kept.
+# ---------------------------------------------------------------------------
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice").alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_LEFT_SQL = """
+SELECT c_custkey,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# join_semi / join_anti — EXISTS / NOT EXISTS (the upsert building blocks, §2.3).
+# ---------------------------------------------------------------------------
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+ORDER BY c_custkey
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# set_ops — UNION / INTERSECT / EXCEPT (engine extensions beyond reference §2.6).
+# ---------------------------------------------------------------------------
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = cust.filter(F.col("c_acctbal") > 5000).select("c_nationkey")
+    u = a.union(b).distinct().select(F.lit("union").alias("op"), "c_nationkey")
+    i = a.intersect(b).select(F.lit("intersect").alias("op"), "c_nationkey")
+    e = a.exceptAll(b).distinct().select(F.lit("except").alias("op"), "c_nationkey")
+    return u.unionByName(i).unionByName(e).orderBy("op", "c_nationkey")
+
+
+SET_OPS_SQL = """
+WITH a AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     b AS (SELECT c_nationkey FROM customer WHERE c_acctbal > 5000)
+SELECT 'union' AS op, c_nationkey FROM (SELECT DISTINCT c_nationkey FROM (SELECT * FROM a UNION ALL SELECT * FROM b))
+UNION ALL
+SELECT 'intersect' AS op, c_nationkey FROM (SELECT c_nationkey FROM a INTERSECT SELECT c_nationkey FROM b)
+UNION ALL
+SELECT 'except' AS op, c_nationkey FROM (SELECT DISTINCT c_nationkey FROM (SELECT c_nationkey FROM a EXCEPT ALL SELECT c_nationkey FROM b))
+ORDER BY op, c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# order_limit — O1/O2: total order + LIMIT (deterministic tiebreak on key).
+# ---------------------------------------------------------------------------
+def order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )
+
+
+ORDER_LIMIT_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# agg_global_minmax — A1/A2: global scalar aggregate (the watermark / minmax
+# cache shape).
+# ---------------------------------------------------------------------------
+def agg_global_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.max(F.col("l_shipdate").cast("date")).alias("max_shipdate"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+AGG_MINMAX_SQL = """
+SELECT min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price,
+       max(CAST(l_shipdate AS DATE)) AS max_shipdate,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# watermark_filter — C4: rows strictly newer than (max date - 30 days).
+# ---------------------------------------------------------------------------
+def watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    wm = orders.agg(
+        F.date_sub(F.max(F.col("o_orderdate").cast("date")), 30).alias("wm")
+    ).first()["wm"]
+    return (
+        orders.filter(F.col("o_orderdate").cast("date") > F.lit(wm))
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+WATERMARK_SQL = """
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >
+      (SELECT max(CAST(o_orderdate AS DATE)) - INTERVAL 30 DAY FROM orders)
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# case_string_funcs — P10/P11: CASE WHEN + CONCAT/LPAD/LOWER/CONCAT_WS.
+# ---------------------------------------------------------------------------
+def case_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") < 0, "negative")
+            .when(F.col("c_acctbal") < 5000, "standard")
+            .otherwise("premium")
+            .alias("balance_tier"),
+            F.concat_ws(
+                "-", F.lower("c_mktsegment"), F.lpad(F.col("c_custkey").cast("string"), 8, "0")
+            ).alias("cust_code"),
+            F.round(F.col("c_acctbal") / 100.0, 2).alias("bal_hundreds"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+CASE_STRING_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 5000 THEN 'standard'
+            ELSE 'premium' END AS balance_tier,
+       concat_ws('-', lower(c_mktsegment), lpad(CAST(c_custkey AS VARCHAR), 8, '0')) AS cust_code,
+       round(c_acctbal / 100.0, 2) AS bal_hundreds
+FROM customer ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# cast_coercion — S4: tolerant cast + regex extraction from semi-structured
+# strings (events.props JSON-ish payload).
+# ---------------------------------------------------------------------------
+def cast_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CAST_COERCION_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+FROM (SELECT event_type,
+             TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k
+      FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# window_family — W1 lag + the standard window family (row_number / rank /
+# running sum with explicit frame).
+# ---------------------------------------------------------------------------
+def window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .cast("double")
+            .alias("running_total"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+WINDOW_FAMILY_SQL = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+         row_number() OVER w AS rn,
+         rank() OVER w AS rnk,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+              OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+)
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# rollup_agg — grouping-set aggregation (Spark-native extension, SURVEY §2.4).
+# ---------------------------------------------------------------------------
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert_rewrite — J1-J3 as a pure query: the MERGE decomposition
+# (anti-join ∪ matched-update ∪ insert) versus its SQL specification.
+# ---------------------------------------------------------------------------
+def merge_upsert_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    source = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    merged = upsert_dataframe(target, source, keys=["o_orderkey"])
+    return merged.select(
+        "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"), "o_orderstatus"
+    ).orderBy("o_orderkey")
+
+
+MERGE_UPSERT_SQL = """
+WITH target AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+),
+source AS (
+  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice, 'U' AS o_orderstatus
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice, o_orderstatus FROM (
+  SELECT t.* FROM target t WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT s.* FROM source s WHERE EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)
+  UNION ALL
+  SELECT s.* FROM source s WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)
+)
+ORDER BY o_orderkey
+"""
+
+
+QUERIES: dict = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_revenue": (q3_top_revenue, Q3_SQL),
+    "region_revenue": (region_revenue, REGION_REVENUE_SQL),
+    "join_left_outer": (join_left_outer, JOIN_LEFT_SQL),
+    "join_semi": (join_semi, JOIN_SEMI_SQL),
+    "join_anti": (join_anti, JOIN_ANTI_SQL),
+    "set_ops": (set_ops, SET_OPS_SQL),
+    "order_limit": (order_limit, ORDER_LIMIT_SQL),
+    "agg_global_minmax": (agg_global_minmax, AGG_MINMAX_SQL),
+    "watermark_filter": (watermark_filter, WATERMARK_SQL),
+    "case_string_funcs": (case_string_funcs, CASE_STRING_SQL),
+    "cast_coercion": (cast_coercion, CAST_COERCION_SQL),
+    "window_family": (window_family, WINDOW_FAMILY_SQL),
+    "rollup_agg": (rollup_agg, ROLLUP_SQL),
+    "merge_upsert_rewrite": (merge_upsert_rewrite, MERGE_UPSERT_SQL),
+}

@@ -48,6 +48,10 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # testdata events.parquet carries TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert (util.load) — DuckDB-parity
+        # is ns -> us truncation.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
