@@ -1,0 +1,225 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all shuffle-conscious for the 100 TB target:
+
+- **exact**: hash-groupBy on the normalized-text md5 — one shuffle on a
+  16-byte key, the cheapest possible grouping.
+- **n-gram Jaccard**: 3-word shingle sets; candidate pairs via *anchor
+  shingles* (a deterministic ~5% hash-sample of shingles) so the pair space
+  is bounded — never the quadratic cross join.
+- **MinHash + LSH**: k=8 signatures computed with 8 aggregate-mins over ONE
+  explode (not k explodes); 4 bands of 2 rows; candidates = band-bucket
+  collisions; verified with true Jaccard.
+- **SimHash**: 16-bit sign-of-weighted-sum signature; equal-signature
+  buckets as candidates.
+- **embedding cosine**: near-dup vectors by cosine >= threshold (bucketed by
+  LSH in ops.similarity for scale; brute-force across a candidate set here).
+
+Everything is built from Column expressions (no Python UDFs); every hash is
+the portable md5-based 60-bit hash so the DuckDB oracle replays it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..queries.util import md5_long
+from .text import words_col
+
+NORM = lambda t: F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")  # noqa: E731
+
+
+def shingles_col(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles of the text (empty array when < n words)."""
+    w = words_col(text)
+    return F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate groups under normalized-md5 equality: canonical id + count."""
+    return (
+        df.select(F.col(id_col), F.md5(NORM(F.col(text_col))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    return F.round(inter / (F.size(a) + F.size(b) - inter), 4)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    anchor_mod: int = 20,
+) -> DataFrame:
+    """Near-dup pairs by shingle-set Jaccard, candidates via anchor shingles.
+
+    An anchor is a shingle whose 60-bit hash ≡ 0 (mod ``anchor_mod``) — a
+    deterministic ~1/anchor_mod sample. Two docs become a candidate pair iff
+    they share an anchor; near-identical docs share many shingles, hence
+    almost surely an anchor. This bounds the join to (docs per anchor)² per
+    bucket instead of |corpus|².
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    anchors = docs.select(
+        "id", "sh", F.explode(F.filter("sh", lambda s: md5_long(s) % anchor_mod == 0)).alias("anchor")
+    )
+    a, b = anchors.alias("a"), anchors.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.anchor") == F.col("b.anchor")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+N_MINHASH = 8  # signature length; 4 bands × 2 rows
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """k MinHash values per doc — one explode, k aggregate-mins (m0..m7)."""
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col))).alias("s")
+    )
+    aggs = [
+        F.min(md5_long(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"m{i}")
+        for i in range(N_MINHASH)
+    ]
+    return exploded.groupBy("id").agg(*aggs)
+
+
+def minhash_band_pairs(sigs: DataFrame) -> DataFrame:
+    """Candidate pairs sharing any of the 4 (2-row) LSH bands."""
+    bands = None
+    for b in range(N_MINHASH // 2):
+        part = sigs.select(
+            "id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("_", F.col(f"m{2*b}"), F.col(f"m{2*b+1}"))).alias("bh"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """MinHash-LSH candidates verified with true shingle Jaccard."""
+    docs = df.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    pairs = minhash_band_pairs(minhash_signatures(df, text_col, id_col))
+    return (
+        pairs.join(docs.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(docs.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash_col(text: Column | str) -> Column:
+    """16-bit SimHash from per-token 60-bit hashes (sign of weighted bit sums).
+
+    Expressed as a fold over the token array — no explode, no shuffle.
+    """
+    hashes = F.transform(words_col(text), lambda w: md5_long(w))
+    # per-token ±1 bit vector (bit indices are Python literals — shiftright
+    # requires a constant shift), then an elementwise-sum fold
+    bit_vecs = F.transform(
+        hashes,
+        lambda h: F.array(
+            *[
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for j in range(SIMHASH_BITS)
+            ]
+        ),
+    )
+    bit_sums = F.aggregate(
+        bit_vecs,
+        F.array(*[F.lit(0)] * SIMHASH_BITS),
+        lambda acc, bv: F.zip_with(acc, bv, lambda a, b: a + b),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_sums,
+            F.array(*[F.lit(1 << j) for j in range(SIMHASH_BITS)]),
+            lambda s, w: F.when(s > 0, w).otherwise(0),
+        ),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+
+
+def simhash_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Docs bucketed by equal SimHash — near-dup candidate groups."""
+    return (
+        df.select(F.col(id_col), simhash_col(F.col(text_col)).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.999,
+) -> DataFrame:
+    """Near-dup vector pairs by cosine similarity (brute-force over the
+    given candidate set; for corpus-scale use ops.similarity's LSH buckets
+    first)."""
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, t: s + t)
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # norms once per vector, not per pair — 1 fold per pair instead of 3
+    docs = df.select(F.col(id_col).alias("id"), v.alias("v")).withColumn(
+        "n", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

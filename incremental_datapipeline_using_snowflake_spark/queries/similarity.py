@@ -1,3 +1,170 @@
-"""Similarity-search query inventory (filled in the similarity milestone)."""
+"""Similarity-search & multimodal query inventory over ``embeddings`` /
+``documents``.
 
-QUERIES: dict = {}
+- ``ann_bruteforce_topk``: exact cosine top-k baseline.
+- ``ann_lsh_bucketed``: random-hyperplane-LSH bucketed variant (the scale
+  path) — planes derived from md5 so the oracle reproduces them.
+- ``dedup_embedding_cosine``: near-dup vectors (augmented with deterministic
+  ×1.001 variants, cosine ≈ 1) detected by threshold.
+- ``multimodal_meta``: the Arrow-batched ``mapInPandas`` decode pipeline
+  (ops.multimodal) checked against a pure-SQL twin of its md5-derived
+  metadata — a Pandas-UDF plan verified by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ops import multimodal as M
+from ..ops import similarity as S
+from ..ops.dedup import embedding_near_pairs
+from .util import ORACLE_MD5_LONG, load
+
+_H = ORACLE_MD5_LONG
+EMB_DIM = 64
+N_QUERIES = 5
+TOP_K = 5
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.bruteforce_topk(emb, queries, k=TOP_K).orderBy("query_id", "rank")
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT query_id, vec_id AS nbr_id,
+         round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
+  FROM embeddings CROSS JOIN q WHERE vec_id != query_id
+)
+SELECT query_id, rank, nbr_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.lsh_bucketed_topk(
+        emb, query_ids=list(range(N_QUERIES)), dim=EMB_DIM, k=TOP_K
+    ).orderBy("query_id", "rank")
+
+
+ANN_LSH_SQL = f"""
+WITH planes AS (
+  SELECT p, d, (({_H.format(x="p || '_' || d")} % 2001) - 1000) / 1000.0 AS w
+  FROM (SELECT unnest(range(0, {S.N_PLANES})) AS p),
+       (SELECT unnest(range(1, {EMB_DIM + 1})) AS d)
+),
+flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, p, sum(x * w) AS s
+  FROM flat JOIN planes USING (d) GROUP BY vec_id, p
+),
+sig AS (
+  SELECT vec_id, sum(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id
+),
+q AS (
+  SELECT s.vec_id AS query_id, e.embedding::DOUBLE[] AS qv, s.bucket
+  FROM sig s JOIN embeddings e ON e.vec_id = s.vec_id
+  WHERE s.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, s.vec_id AS nbr_id, s.bucket,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+  FROM sig s
+  JOIN q ON q.bucket = s.bucket AND s.vec_id != q.query_id
+  JOIN embeddings e ON e.vec_id = s.vec_id
+)
+SELECT query_id, rank, nbr_id, bucket, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    variants = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * 1.001).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    ).unionByName(variants)
+    return embedding_near_pairs(corpus, threshold=0.999).orderBy("id_a", "id_b")
+
+
+DEDUP_EMB_SQL = """
+WITH corpus AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS id, list_transform(embedding::DOUBLE[], x -> x * 1.001) AS v
+  FROM embeddings WHERE vec_id % 5 = 0
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+  FROM corpus a JOIN corpus b ON a.id < b.id
+) WHERE cosine >= 0.999
+ORDER BY id_a, id_b
+"""
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real mapInPandas decode plumbing; output matches the SQL twin."""
+    docs = load(spark, sf_dir, "documents")
+    media = M.attach_payload(docs)
+    return (
+        M.decode_media(media)
+        .select("doc_id", "media_type", "byte_len", "fp", "width", "height", "n_frames")
+        .orderBy("doc_id")
+    )
+
+
+MULTIMODAL_SQL = f"""
+WITH typed AS (
+  SELECT doc_id, text,
+         CASE (try_cast(regexp_extract(source, '(\\d+)', 1) AS INT) % 4)
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' WHEN 2 THEN 'text'
+           ELSE 'video' END AS media_type
+  FROM documents
+)
+SELECT doc_id, media_type,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       md5(text) AS fp,
+       CASE WHEN media_type IN ('image', 'video')
+            THEN CAST(64 + {_H.format(x='text')} % 1024 AS INT) END AS width,
+       CASE WHEN media_type IN ('image', 'video')
+            THEN CAST(64 + {_H.format(x='text')} % 768 AS INT) END AS height,
+       CASE WHEN media_type = 'video'
+            THEN CAST(1 + {_H.format(x='text')} % 30 AS INT) END AS n_frames
+FROM typed ORDER BY doc_id
+"""
+
+
+QUERIES: dict = {
+    "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
+    "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
+    "multimodal_meta": (multimodal_meta, MULTIMODAL_SQL),
+}

@@ -1,3 +1,272 @@
-"""Text-analysis and dedup query inventory (filled in the textops milestone)."""
+"""Text-analysis & dedup query inventory over the ``documents`` table.
 
-QUERIES: dict = {}
+The corpus has no natural duplicates (verified at sf0.01), so the dedup
+queries build a deterministic augmented corpus inside the query:
+
+    corpus = documents
+           ∪ exact copies   (doc_id % 5 == 0 -> id + 100000, same text)
+           ∪ near-dups      (doc_id % 7 == 0 -> id + 200000, first 2 words dropped)
+
+giving every strategy real positives to find, in both engines identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ops import dedup as D
+from ..ops import text as X
+from ..ops.text import LANG_PRIORITY, STOPWORDS
+from .util import ORACLE_MD5_LONG, load
+
+
+# ---------------------------------------------------------------------------
+# augmented corpus (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    w = X.words_col("text")
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(F.slice(w, 3, F.greatest(F.size(w) - 2, F.lit(0))), " ").alias("text"),
+    )
+    return docs.unionByName(copies).unionByName(near)
+
+
+CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 3,
+                          len(string_split_regex(trim(text), '\\s+'))), ' ') AS text
+  FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+_H = ORACLE_MD5_LONG  # portable 60-bit md5 hash, oracle side
+
+_SHINGLES_SQL = f"""
+docs AS (
+  SELECT id,
+         list_distinct(CASE WHEN len(sp) >= 3
+           THEN list_transform(range(1, len(sp) - 1),
+                               i -> array_to_string(list_slice(sp, i, i + 2), ' '))
+           ELSE [] END) AS sh
+  FROM (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS sp FROM corpus)
+),
+docs2 AS (SELECT * FROM docs WHERE len(sh) > 0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_profile — token stats + quality + lang-id + fingerprints (one pass).
+# ---------------------------------------------------------------------------
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return (
+        X.text_profile(docs)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "n_bpe_tokens",
+            "avg_token_len",
+            "quality",
+            "quality_tier",
+            "pred_lang",
+            "fp_md5",
+            "fp_rolling",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sw_sql(lg: str) -> str:
+    lst = ", ".join(f"'{s}'" for s in STOPWORDS[lg])
+    return (
+        f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+        f" w -> list_contains([{lst}], w)))"
+    )
+
+
+def _text_profile_sql() -> str:
+    hits = {lg: f"h_{lg}" for lg in LANG_PRIORITY}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    lang_case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN {hits[lg]} = {best} THEN '{lg}'" for lg in LANG_PRIORITY
+    ) + " END"
+    tok_hash = _H.format(x="w") + " % 1000000007"
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         string_split_regex(trim(text), '\\s+') AS sp,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_bpe_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         {_sw_sql('en')} AS h_en, {_sw_sql('de')} AS h_de,
+         {_sw_sql('es')} AS h_es, {_sw_sql('fr')} AS h_fr
+  FROM documents
+),
+scored AS (
+  SELECT *,
+         round(list_aggregate(list_transform(sp, w -> length(w)), 'sum')
+               / greatest(n_tokens, 1), 4) AS avg_token_len,
+         round(0.4 * least(n_tokens / 50.0, 1.0)
+             + 0.3 * (1.0 - least(n_punct / greatest(length(text), 1) * 4, 1.0))
+             + 0.3 * least(h_en / greatest(n_tokens, 1) * 6, 1.0), 4) AS quality
+  FROM base
+)
+SELECT doc_id, lang, n_tokens, n_bpe_tokens, avg_token_len, quality,
+       CASE WHEN quality >= 0.8 THEN 'high' WHEN quality >= 0.5 THEN 'medium'
+            ELSE 'low' END AS quality_tier,
+       {lang_case} AS pred_lang,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5,
+       list_reduce(
+         list_prepend(0::BIGINT, list_transform(sp, w -> ({tok_hash}))),
+         (a, b) -> (a * 31 + b) % 1099511627776) AS fp_rolling
+FROM scored ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — hash-groupBy duplicate groups on the augmented corpus.
+# ---------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        D.exact_dedup_groups(corpus_df(spark, sf_dir))
+        .select("canonical_id", "n_copies")
+        .orderBy("canonical_id")
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+WITH {CORPUS_SQL.strip()}
+SELECT canonical_id, n_copies FROM (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         min(doc_id) AS canonical_id, count(*) AS n_copies
+  FROM corpus GROUP BY 1
+) WHERE n_copies > 1 ORDER BY canonical_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_jaccard — anchor-bucketed shingle-Jaccard near-dup pairs.
+# ---------------------------------------------------------------------------
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        D.ngram_jaccard_pairs(corpus_df(spark, sf_dir))
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH {CORPUS_SQL.strip()},
+{_SHINGLES_SQL.strip()},
+anchors AS (
+  SELECT id, unnest(list_filter(sh, s -> ({_H.format(x='s')} % 20 = 0))) AS anchor
+  FROM docs2
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM anchors a JOIN anchors b ON a.anchor = b.anchor AND a.id < b.id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(da.sh, db.sh))
+             / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 4) AS jaccard
+FROM cand
+JOIN docs2 da ON da.id = id_a
+JOIN docs2 db ON db.id = id_b
+WHERE round(len(list_intersect(da.sh, db.sh))
+            / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 4) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh — MinHash banding candidates + true-Jaccard verify.
+# ---------------------------------------------------------------------------
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_dedup_pairs(corpus_df(spark, sf_dir)).orderBy("id_a", "id_b")
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"min({_H.format(x=chr(39) + f'{i}:' + chr(39) + ' || s')}) AS m{i}"
+        for i in range(D.N_MINHASH)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(m{2*b} || '_' || m{2*b+1}) AS bh FROM sigs"
+        for b in range(D.N_MINHASH // 2)
+    )
+    return f"""
+WITH {CORPUS_SQL.strip()},
+{_SHINGLES_SQL.strip()},
+sigs AS (
+  SELECT id, {mins}
+  FROM (SELECT id, unnest(sh) AS s FROM docs2) GROUP BY id
+),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.id < y.id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(da.sh, db.sh))
+             / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 4) AS jaccard
+FROM cand
+JOIN docs2 da ON da.id = id_a
+JOIN docs2 db ON db.id = id_b
+WHERE round(len(list_intersect(da.sh, db.sh))
+            / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 4) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash — equal-16-bit-SimHash candidate groups.
+# ---------------------------------------------------------------------------
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        D.simhash_groups(corpus_df(spark, sf_dir))
+        .select("simhash", "canonical_id", "n_docs")
+        .orderBy("canonical_id")
+    )
+
+
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(D.SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(D.SIMHASH_BITS)
+    )
+    return f"""
+WITH {CORPUS_SQL.strip()},
+tok AS (
+  SELECT doc_id AS id, {_H.format(x="w")} AS h
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM corpus)
+),
+bits AS (SELECT id, {bit_sums} FROM tok GROUP BY id),
+sh AS (SELECT id, {combine} AS simhash FROM bits)
+SELECT simhash, canonical_id, n_docs FROM (
+  SELECT simhash, min(id) AS canonical_id, count(*) AS n_docs
+  FROM sh GROUP BY simhash
+) WHERE n_docs > 1 ORDER BY canonical_id
+"""
+
+
+QUERIES: dict = {
+    "text_profile": (text_profile, _text_profile_sql()),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
+    "dedup_simhash": (dedup_simhash, _simhash_sql()),
+}

@@ -1,0 +1,139 @@
+"""Ops-layer tests: text analysis, dedup strategies, similarity search,
+multimodal plumbing — on small canned corpora plus the sf0.001 testdata."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from incremental_datapipeline_using_snowflake_spark.ops import (
+    dedup as D,
+    multimodal as M,
+    similarity as S,
+    text as X,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "brown fox jumps over the lazy dog near the river bank today"),  # near dup (2 words off)
+    (4, "der hund ist nicht mit der katze und dem vogel auf dem dach"),
+    (5, "completely different content about spark query engines and shuffles"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, schema="doc_id long, text string")
+
+
+def test_token_counts_and_quality(spark, docs):
+    out = {r["doc_id"]: r for r in X.text_profile(docs).collect()}
+    assert out[1]["n_tokens"] == 14
+    assert out[1]["n_bpe_tokens"] == 14  # no punctuation
+    assert 0.0 <= out[5]["quality"] <= 1.0
+    assert out[1]["quality_tier"] in ("low", "medium", "high")
+    # exact dup docs get identical fingerprints
+    assert out[1]["fp_md5"] == out[2]["fp_md5"]
+    assert out[1]["fp_rolling"] == out[2]["fp_rolling"]
+    # rolling hash is order-sensitive: near-dup differs
+    assert out[1]["fp_rolling"] != out[3]["fp_rolling"]
+
+
+def test_lang_id(spark, docs):
+    out = {r["doc_id"]: r["pred_lang"] for r in X.text_profile(docs).collect()}
+    assert out[1] == "en"
+    assert out[4] == "de"
+
+
+def test_exact_dedup(spark, docs):
+    groups = D.exact_dedup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["canonical_id"] == 1
+    assert groups[0]["n_copies"] == 2
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.3, anchor_mod=2).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0  # near dup
+    assert (1, 5) not in pairs
+
+
+def test_minhash_lsh_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_dedup_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 5) not in pairs
+
+
+def test_simhash_groups(spark, docs):
+    groups = D.simhash_groups(docs).collect()
+    # at minimum the exact dups collide on all 16 bits
+    assert any(g["canonical_id"] == 1 and g["n_docs"] >= 2 for g in groups)
+
+
+def test_embedding_near_pairs_and_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+    near = D.embedding_near_pairs(emb, threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"]) for r in near] == [(0, 1)]
+
+    topk = S.bruteforce_topk(emb, emb.filter(F.col("vec_id") == 0), k=3)
+    got = [(r["rank"], r["nbr_id"]) for r in topk.orderBy("rank").collect()]
+    assert got[0] == (1, 1)       # most similar
+    assert got[-1] == (3, 3)      # opposite vector last
+
+
+def test_lsh_bucket_contains_self_neighbors(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sigs = S.lsh_signatures(emb, dim=64)
+    assert sigs.select("bucket").distinct().count() > 1
+    buckets = sigs.agg(F.min("bucket"), F.max("bucket")).first()
+    assert 0 <= buckets[0] and buckets[1] < 256  # 8-bit signatures
+
+
+def test_plane_weights_deterministic():
+    w1 = S.plane_weight(3, 17)
+    h = int(hashlib.md5(b"3_17").hexdigest()[:15], 16)
+    assert w1 == (h % 2001 - 1000) / 1000.0
+    assert -1.0 <= w1 <= 1.0
+
+
+def test_multimodal_decode_pipeline(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    media = M.attach_payload(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    out = M.decode_media(media).collect()
+    assert len(out) == 40
+    by_type = {r["media_type"] for r in out}
+    assert by_type <= {"image", "audio", "text", "video"}
+    for r in out:
+        # metadata arithmetic matches the deterministic fake decoder
+        h60 = int(r["fp"][:15], 16)
+        if r["media_type"] in ("image", "video"):
+            assert r["width"] == 64 + h60 % 1024
+            assert r["height"] == 64 + h60 % 768
+        else:
+            assert r["width"] is None
+        if r["media_type"] == "video":
+            assert r["n_frames"] == 1 + h60 % 30
+
+
+def test_multimodal_strict_raises(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2)
+    media = M.attach_payload(docs)
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
+        M.decode_media(media, strict=True).collect()
