@@ -1,0 +1,90 @@
+"""Benchmark harness: runs the declared query inventory + the CO2 pipeline
+end-to-end at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ...}
+
+Each query is timed as plan-build + full execution (count + a cheap
+checksum collect), warm JVM, cold per-query plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_pipeline_bench(spark) -> float:
+    """Full incremental pipeline wall-clock (load -> harmonize -> analytics)
+    on a synthetic 3-year daily feed + one incremental batch."""
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.plans import Orchestrator, bootstrap
+
+    lines = ["# synthetic feed"]
+    day = 0
+    for y in range(2022, 2025):
+        for d in range(1, 366):
+            day += 1
+            lines.append(f"{y} {(d - 1) // 31 + 1} {(d - 1) % 31 + 1} {y}.{d:03d} {400 + day * 0.01:.2f}")
+    feed_v1 = "\n".join(lines)
+    feed_v2 = feed_v1 + "\n" + "\n".join(
+        f"2025 1 {d} 2025.{d:03d} {415 + d * 0.01:.2f}" for d in range(1, 29)
+    )
+
+    t0 = time.time()
+    with tempfile.TemporaryDirectory(prefix="bench_wh_") as wh:
+        store = TableStore(root=wh)
+        bootstrap(store)
+        orch = Orchestrator(spark, store)
+        orch.run(feed_text=feed_v1)
+        orch.run(feed_text=feed_v2)  # incremental batch
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    from incremental_datapipeline_using_snowflake_spark.queries import all_queries
+    from incremental_datapipeline_using_snowflake_spark.session import get_session
+
+    spark = get_session("bench", shuffle_partitions=int(cpus))
+
+    # warm the JVM/reader path once (excluded from timings)
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, (fn, _sql) in all_queries().items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        _ = df.limit(1).collect()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    timings["co2_pipeline_e2e"] = round(run_pipeline_bench(spark), 3)
+    print(f"  co2_pipeline_e2e: {timings['co2_pipeline_e2e']}s", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_inventory_plus_pipeline_wallclock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,34 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.round(inter / (F.size(a) + F.size(b) - inter), 4)
 
 
+def _shingle_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, sh) with the shingle pass materialized ONCE.
+
+    The candidate self-join would otherwise recompute the shingle transform
+    for both sides (and shuffle the arrays); caching keeps the pass single
+    and lets candidates travel as bare id pairs. At cluster scale this is a
+    persist-to-parquet checkpoint instead of an in-memory cache.
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), shingles_col(F.col(text_col)).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .cache()
+    )
+
+
+def _verified_pairs(cand: DataFrame, docs: DataFrame, threshold: float) -> DataFrame:
+    """Attach shingle sets to bare (id_a, id_b) candidates and keep pairs
+    with true Jaccard >= threshold. ``docs`` is the cached shingle table —
+    small relative to the corpus text, so both attaches broadcast."""
+    bdocs = F.broadcast(docs)
+    return (
+        cand.join(bdocs.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(bdocs.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -72,29 +100,19 @@ def ngram_jaccard_pairs(
     deterministic ~1/anchor_mod sample. Two docs become a candidate pair iff
     they share an anchor; near-identical docs share many shingles, hence
     almost surely an anchor. This bounds the join to (docs per anchor)² per
-    bucket instead of |corpus|².
+    bucket instead of |corpus|², and candidates travel as bare id pairs.
     """
-    docs = df.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col)).alias("sh")
-    ).filter(F.size("sh") > 0)
+    docs = _shingle_docs(df, text_col, id_col)
     anchors = docs.select(
-        "id", "sh", F.explode(F.filter("sh", lambda s: md5_long(s) % anchor_mod == 0)).alias("anchor")
+        "id", F.explode(F.filter("sh", lambda s: md5_long(s) % anchor_mod == 0)).alias("anchor")
     )
     a, b = anchors.alias("a"), anchors.alias("b")
-    pairs = (
+    cand = (
         a.join(b, (F.col("a.anchor") == F.col("b.anchor")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    return (
-        pairs.select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verified_pairs(cand, docs, threshold)
 
 
 N_MINHASH = 8  # signature length; 4 bands × 2 rows
@@ -104,9 +122,14 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """k MinHash values per doc — one explode, k aggregate-mins (m0..m7)."""
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col))).alias("s")
+    docs = df.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col)).alias("sh")
     )
+    return _signatures_from_shingles(docs)
+
+
+def _signatures_from_shingles(docs: DataFrame) -> DataFrame:
+    exploded = docs.select("id", F.explode("sh").alias("s"))
     aggs = [
         F.min(md5_long(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"m{i}")
         for i in range(N_MINHASH)
@@ -140,17 +163,11 @@ def minhash_band_pairs(sigs: DataFrame) -> DataFrame:
 def minhash_dedup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.5
 ) -> DataFrame:
-    """MinHash-LSH candidates verified with true shingle Jaccard."""
-    docs = df.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col)).alias("sh")
-    ).filter(F.size("sh") > 0)
-    pairs = minhash_band_pairs(minhash_signatures(df, text_col, id_col))
-    return (
-        pairs.join(docs.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(docs.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
-        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    """MinHash-LSH candidates verified with true shingle Jaccard (shingle
+    pass computed once and shared between signatures and verification)."""
+    docs = _shingle_docs(df, text_col, id_col)
+    cand = minhash_band_pairs(_signatures_from_shingles(docs))
+    return _verified_pairs(cand, docs, threshold)
 
 
 SIMHASH_BITS = 16
