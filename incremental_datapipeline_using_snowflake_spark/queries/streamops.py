@@ -1,0 +1,148 @@
+"""Event-time window queries over the ``events`` table — the streaming
+extension surface (streaming/windows.py) exercised in batch form so the
+DuckDB oracle can hash-check the semantics.
+
+The reference has no event-time windows (SURVEY.md §2.7); these extend it
+with the standard streaming-analytics family. Spark's ``F.window`` aligns
+tumbling/sliding buckets to the Unix epoch, which the oracle reproduces with
+epoch arithmetic; sessions use the gaps-and-islands rewrite on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.windows import session_stats_batch, sliding_window_agg, tumbling_window_agg
+from .util import dsum, load
+
+
+def event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour windows × event_type: count + exact value sum."""
+    ev = load(spark, sf_dir, "events")
+    out = tumbling_window_agg(
+        ev,
+        "ts",
+        "6 hours",
+        [F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value")],
+        group_cols=["event_type"],
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+EVENT_WINDOW_AGG_SQL = """
+SELECT to_timestamp(floor(epoch(ts) / 21600) * 21600)::TIMESTAMP AS window_start,
+       to_timestamp(floor(epoch(ts) / 21600) * 21600 + 21600)::TIMESTAMP AS window_end,
+       event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+def event_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour windows advancing hourly (each event in 2 windows)."""
+    ev = load(spark, sf_dir, "events")
+    out = sliding_window_agg(
+        ev,
+        "ts",
+        "2 hours",
+        "1 hour",
+        [F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value")],
+    )
+    return out.orderBy("window_start")
+
+
+EVENT_SLIDING_WINDOW_SQL = """
+WITH assigned AS (
+  SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600 - off.i * 3600)::TIMESTAMP AS window_start,
+         value
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) AS off
+)
+SELECT window_start,
+       window_start + INTERVAL 2 HOUR AS window_end,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+FROM assigned
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap-based sessions (30-min gap): bounds, counts, value sum.
+
+    Gaps-and-islands rewrite (streaming/windows.py:sessionize_batch) —
+    shuffles once on user_id; identical SQL shape runs on the oracle.
+    """
+    ev = load(spark, sf_dir, "events")
+    out = session_stats_batch(ev, "ts", "user_id", 1800, value_col="value")
+    return out.orderBy("user_id", "session_id")
+
+
+EVENT_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS _new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessioned AS (
+  SELECT user_id, ts, value,
+         sum(_new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+FROM sessioned
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def event_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: extract ``props.k`` (JSON) per event and
+    aggregate — the engine's VARIANT-ish surface (SURVEY.md §1.3 notes the
+    reference only gestures at VARIANT; JSON columns are the Spark-native
+    equivalent). ``get_json_object`` stays JVM-side (no UDF)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_JSON_PROPS_SQL = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES: dict = {
+    "event_window_agg": (event_window_agg, EVENT_WINDOW_AGG_SQL),
+    "event_sliding_window": (event_sliding_window, EVENT_SLIDING_WINDOW_SQL),
+    "event_sessions": (event_sessions, EVENT_SESSIONS_SQL),
+    "event_json_props": (event_json_props, EVENT_JSON_PROPS_SQL),
+}

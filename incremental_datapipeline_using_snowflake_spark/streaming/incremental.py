@@ -1,0 +1,115 @@
+"""Structured Streaming form of the CDC stream (SURVEY.md §2.7 C1-C2).
+
+The batch path (``operators/changelog.py``) emulates a Snowflake stream with
+a changelog table + named offsets. This module is the *idiomatic Spark*
+alternative: a file-source ``readStream`` over the changelog directory, where
+the streaming checkpoint IS the stream offset — Spark tracks which parquet
+files each query has consumed, exactly-once per micro-batch, for free.
+
+Reference semantics reproduced:
+- ``CREATE STREAM ... ON TABLE CO2_DATA`` + consume-and-advance
+  (``02_create_rawco2data_stream.py:50-56``,
+  ``co2_harmonized_sp/function.py:119-130``): the file source sees only files
+  appended since the last committed batch; offsets advance transactionally
+  with the checkpoint commit, replay after a mid-merge crash is idempotent
+  because every downstream merge keys on a natural key.
+- Task-style scheduled drain: ``Trigger.AvailableNow`` processes everything
+  pending and stops — the streaming analogue of the reference's daily task
+  run (``orchestrate_tasks.sql.j2:28-47``); empty backlogs are skipped
+  automatically (C3's ``SYSTEM$STREAM_HAS_DATA`` gate for free).
+
+Scale notes: the file source scales to object-store listings with
+``maxFilesPerTrigger`` bounding micro-batch size; each micro-batch flows
+through the same broadcast-merge as the batch path, so a 100 TB target table
+is never shuffled — scanned once per batch and streamed through the upsert.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.changelog import Changelog
+from ..operators.merge import merge_upsert
+from ..operators.table_store import TableStore
+
+
+def changelog_stream(
+    spark: SparkSession,
+    store: TableStore,
+    table: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``readStream`` over ``<table>__changelog`` — the stream-as-DataFrame.
+
+    The file source requires an explicit schema; we take it from a one-off
+    batch read of the same directory (cheap: footer metadata only).
+    """
+    log = Changelog(store, table)
+    path = store.data_path(log.log_table)
+    schema = store.read(spark, log.log_table).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    batch_fn: Callable[[DataFrame, int], None],
+    query_name: str = "incremental_drain",
+) -> int:
+    """Drain all pending input through ``batch_fn`` and stop (one scheduled
+    run). Returns the number of micro-batches executed."""
+    n_batches = 0
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        batch_fn(batch_df, batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_fn)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches
+
+
+def stream_harmonize(
+    spark: SparkSession,
+    store: TableStore,
+    checkpoint_dir: str,
+    raw_table: str = "raw_co2.co2_data",
+    harmonized_table: str = "harmonized_co2.harmonized_co2",
+) -> str:
+    """SP2 (``co2_harmonized_sp/function.py:171-192``) as a streaming drain:
+    every pending changelog batch is projected to the harmonized schema and
+    MERGEd on DATE. The checkpoint replaces the named consumer offset."""
+    stream = changelog_stream(spark, store, raw_table)
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        src = (
+            batch_df.filter(F.col("_action") == "INSERT")
+            .withColumn("DATE", F.make_date("YEAR", "MONTH", "DAY"))
+            .select(
+                "DATE",
+                "YEAR",
+                "MONTH",
+                "DAY",
+                "CO2_PPM",
+                F.current_timestamp().alias("META_UPDATED_AT"),
+            )
+        )
+        merge_upsert(spark, store, harmonized_table, src, keys=["DATE"])
+
+    n = run_available_now(stream, checkpoint_dir, _merge_batch, "stream_harmonize")
+    if n == 0:
+        return "No data in stream to process"
+    return f"CO2 data harmonization complete ({n} micro-batch(es))"

@@ -1,0 +1,98 @@
+"""Structured Streaming surface: changelog readStream drain (checkpoint =
+stream offset), and event-time window operators cross-checked between the
+gaps-and-islands rewrite and Spark's native session_window."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incremental_datapipeline_using_snowflake_spark.operators import Changelog
+from incremental_datapipeline_using_snowflake_spark.plans import bootstrap, load_raw
+from incremental_datapipeline_using_snowflake_spark.streaming import (
+    session_stats_batch,
+    session_window_streaming,
+    stream_harmonize,
+    tumbling_window_agg,
+)
+
+FEED_V1 = """# header
+2025 1 1 2025.000 418.50
+2025 1 2 2025.003 418.65
+2025 1 3 2025.005 418.75
+"""
+
+FEED_V2 = FEED_V1 + """2025 1 4 2025.008 419.10
+2025 1 5 2025.011 419.25
+"""
+
+
+def test_stream_harmonize_incremental(spark, store, tmp_path):
+    """Two scheduled drains: the checkpoint must carry the offset so the
+    second run only merges the incremental batch; an empty backlog is a
+    no-op (C3 gate)."""
+    ckpt = str(tmp_path / "ckpt")
+    bootstrap(store)
+
+    load_raw(spark, store, feed_text=FEED_V1)
+    msg = stream_harmonize(spark, store, ckpt)
+    assert "complete" in msg
+    harm = store.read(spark, "harmonized_co2.harmonized_co2")
+    assert harm.count() == 3
+
+    # incremental batch -> only 2 new rows flow; total 5, no duplicates
+    load_raw(spark, store, feed_text=FEED_V2)
+    msg = stream_harmonize(spark, store, ckpt)
+    assert "complete" in msg
+    harm = store.read(spark, "harmonized_co2.harmonized_co2")
+    assert harm.count() == 5
+    assert harm.select("DATE").distinct().count() == 5
+
+    # nothing pending: the file source sees no new files
+    msg = stream_harmonize(spark, store, ckpt)
+    assert msg == "No data in stream to process"
+    assert store.read(spark, "harmonized_co2.harmonized_co2").count() == 5
+
+
+def test_session_rewrite_matches_native_session_window(spark, sf_dir):
+    """The batch gaps-and-islands sessionization must produce the same
+    session bounds/counts as Spark's native F.session_window."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    ours = (
+        session_stats_batch(ev, "ts", "user_id", 1800)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+    native = (
+        session_window_streaming(
+            ev, "ts", "user_id", "30 minutes", [F.count(F.lit(1)).alias("n_events")]
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+    a, b = ours.collect(), native.collect()
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert ra["user_id"] == rb["user_id"]
+        assert ra["session_start"] == rb["session_start"]
+        assert ra["n_events"] == rb["n_events"]
+        # native session_window's end = last_event + gap; ours = last event
+        assert rb["session_end"] >= ra["session_end"]
+
+
+def test_tumbling_window_covers_all_events(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = tumbling_window_agg(
+        ev, "ts", "6 hours", [F.count(F.lit(1)).alias("n_events")]
+    )
+    total = out.agg(F.sum("n_events")).first()[0]
+    assert total == ev.count()
+    # windows are exactly 6h wide
+    bad = out.filter(
+        (F.col("window_end").cast("long") - F.col("window_start").cast("long")) != 21600
+    ).count()
+    assert bad == 0
