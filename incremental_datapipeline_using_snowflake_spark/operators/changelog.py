@@ -71,9 +71,9 @@ class Changelog:
             "_row_id", F.lit(base) + F.monotonically_increasing_id()
         )
         self.store.append(batch, self.log_table)
-        n = self.store.read(df.sparkSession, self.log_table).filter(
-            F.col("_row_id") >= base
-        ).count()
+        # the batch count == input count (mii adds no rows); counting the
+        # input avoids re-scanning the whole log table
+        n = df.count()
         meta["next_base"] = base + MII_SPAN
         self._write_meta(meta)
         return n

@@ -37,6 +37,7 @@ def merge_upsert(
     update_cols: list[str] | None = None,
     insert_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
+    count_rows: bool = True,
 ) -> dict[str, int]:
     """Upsert ``source`` into ``target_table`` on ``keys``.
 
@@ -46,14 +47,17 @@ def merge_upsert(
       (``co2_analytical_sp/function.py:127-141``).
     - ``insert_cols``: columns populated for inserted rows (default: same as
       update set + keys); target columns absent from the source become NULL.
+    - ``count_rows``: when False, skip the updated/inserted count jobs (two
+      extra actions over the join branches) — the hot path for pipeline
+      stages that only need the merge side effect.
 
-    Returns ``{"updated": n, "inserted": n}`` row counts.
+    Returns ``{"updated": n, "inserted": n}`` row counts (-1 when skipped).
     """
     if not store.exists(target_table):
         init_cols = insert_cols or source.columns
         out = source.select(*[F.col(c) for c in init_cols]).dropDuplicates(keys)
         store.overwrite(out, target_table, partition_by=partition_by)
-        return {"updated": 0, "inserted": out.count()}
+        return {"updated": 0, "inserted": out.count() if count_rows else -1}
 
     target = store.read(spark, target_table)
     target_cols = target.columns
@@ -85,8 +89,8 @@ def merge_upsert(
         matched.select(*target_cols)
     ).unionByName(inserted)
 
-    n_upd = matched.count()
-    n_ins = inserted.count()
+    n_upd = matched.count() if count_rows else -1
+    n_ins = inserted.count() if count_rows else -1
     store.overwrite(result, target_table, partition_by=partition_by)
     return {"updated": n_upd, "inserted": n_ins}
 

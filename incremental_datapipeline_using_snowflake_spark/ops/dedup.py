@@ -240,3 +240,37 @@ def embedding_near_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_near_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.999,
+) -> DataFrame:
+    """Near-dup vector pairs via hyperplane-LSH bucketing — the scale path.
+
+    Vectors at cosine >= 0.999 project to (near-)identical values on every
+    hyperplane, so their 8-bit sign signatures collide with near-certainty;
+    only same-bucket pairs are scored. The self-join is keyed on the bucket
+    (shuffle on an int key, pair space = sum of per-bucket sizes squared)
+    instead of the |corpus|^2 cross join of :func:`embedding_near_pairs`.
+    """
+    from .similarity import lsh_signatures
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, t: s + t)
+
+    sigs = lsh_signatures(df, dim, vec_col=vec_col, id_col=id_col)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    docs = sigs.select(
+        F.col(id_col).alias("id"), v.alias("v"), "bucket"
+    ).withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a, b = docs.alias("a"), docs.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -112,7 +112,7 @@ def harmonize(spark: SparkSession, store: TableStore, consumer: str = "harmonize
     )
 
     merge_upsert(  # J1: MERGE on DATE (update all cols / insert)
-        spark, store, HARMONIZED_TABLE, src, keys=["DATE"]
+        spark, store, HARMONIZED_TABLE, src, keys=["DATE"], count_rows=False
     )
 
     # A2: CTAS _CO2_MINMAX scalar cache (:81-87)
@@ -203,28 +203,48 @@ def weekly_stats_df(harmonized: DataFrame, min_co2: float, max_co2: float) -> Da
     )
 
 
-def analytics_daily(spark: SparkSession, store: TableStore) -> str:
-    harmonized = store.read(spark, HARMONIZED_TABLE)
-    mn, mx = _minmax_lits(spark, store)
+def analytics_daily(
+    spark: SparkSession,
+    store: TableStore,
+    harmonized: DataFrame | None = None,
+    minmax: tuple[float, float] | None = None,
+) -> str:
+    harmonized = harmonized if harmonized is not None else store.read(spark, HARMONIZED_TABLE)
+    mn, mx = minmax if minmax is not None else _minmax_lits(spark, store)
     result = daily_stats_df(harmonized, mn, mx)
     merge_upsert(  # J2: MERGE on DATE (helper cols excluded by projection)
-        spark, store, DAILY_TABLE, result, keys=["DATE"]
+        spark, store, DAILY_TABLE, result, keys=["DATE"], count_rows=False
     )
     return "Daily analytics complete"
 
 
-def analytics_weekly(spark: SparkSession, store: TableStore) -> str:
-    harmonized = store.read(spark, HARMONIZED_TABLE)
-    mn, mx = _minmax_lits(spark, store)
+def analytics_weekly(
+    spark: SparkSession,
+    store: TableStore,
+    harmonized: DataFrame | None = None,
+    minmax: tuple[float, float] | None = None,
+) -> str:
+    harmonized = harmonized if harmonized is not None else store.read(spark, HARMONIZED_TABLE)
+    mn, mx = minmax if minmax is not None else _minmax_lits(spark, store)
     result = weekly_stats_df(harmonized, mn, mx)
     merge_upsert(  # J3: MERGE on WEEK_START
-        spark, store, WEEKLY_TABLE, result, keys=["WEEK_START"]
+        spark, store, WEEKLY_TABLE, result, keys=["WEEK_START"], count_rows=False
     )
     return "Weekly analytics complete"
 
 
 def analytics(spark: SparkSession, store: TableStore) -> str:
-    """SP3 whole: daily then weekly (reference ``function.py:227-255``)."""
-    d = analytics_daily(spark, store)
-    wk = analytics_weekly(spark, store)
+    """SP3 whole: daily then weekly (reference ``function.py:227-255``).
+
+    The harmonized scan and the min/max scalar cache are resolved once and
+    shared by both stages (the reference reads ``_CO2_MINMAX`` once per SP
+    call for the same reason, ``co2_analytical_sp/function.py:95-102``).
+    """
+    harmonized = store.read(spark, HARMONIZED_TABLE).cache()
+    minmax = _minmax_lits(spark, store)
+    try:
+        d = analytics_daily(spark, store, harmonized, minmax)
+        wk = analytics_weekly(spark, store, harmonized, minmax)
+    finally:
+        harmonized.unpersist()
     return f"{d}; {wk}"

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..ops import multimodal as M
 from ..ops import similarity as S
-from ..ops.dedup import embedding_near_pairs
+from ..ops.dedup import embedding_near_pairs_lsh
 from .util import ORACLE_MD5_LONG, load
 
 _H = ORACLE_MD5_LONG
@@ -111,20 +111,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
         "label",
     ).unionByName(variants)
-    return embedding_near_pairs(corpus, threshold=0.999).orderBy("id_a", "id_b")
+    # LSH-bucketed (scale path): vectors at cosine>=0.999 share every
+    # hyperplane sign, so the planted near-dups always collide; the pair
+    # space is per-bucket, never |corpus|^2.
+    return embedding_near_pairs_lsh(corpus, dim=EMB_DIM, threshold=0.999).orderBy(
+        "id_a", "id_b"
+    )
 
 
-DEDUP_EMB_SQL = """
+DEDUP_EMB_SQL = f"""
 WITH corpus AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
   UNION ALL
   SELECT vec_id + 100000 AS id, list_transform(embedding::DOUBLE[], x -> x * 1.001) AS v
   FROM embeddings WHERE vec_id % 5 = 0
+),
+planes AS (
+  SELECT p, d, (({_H.format(x="p || '_' || d")} % 2001) - 1000) / 1000.0 AS w
+  FROM (SELECT unnest(range(0, {S.N_PLANES})) AS p),
+       (SELECT unnest(range(1, {EMB_DIM + 1})) AS d)
+),
+flat AS (
+  SELECT id, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM corpus
+),
+proj AS (
+  SELECT id, p, sum(x * w) AS s FROM flat JOIN planes USING (d) GROUP BY id, p
+),
+sig AS (
+  SELECT id, sum(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS bucket
+  FROM proj GROUP BY id
+),
+bucketed AS (
+  SELECT c.id, c.v, s.bucket FROM corpus c JOIN sig s USING (id)
 )
 SELECT id_a, id_b, cosine FROM (
   SELECT a.id AS id_a, b.id AS id_b,
          round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-  FROM corpus a JOIN corpus b ON a.id < b.id
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.id < b.id
 ) WHERE cosine >= 0.999
 ORDER BY id_a, id_b
 """

@@ -82,9 +82,14 @@ def parse_feed_text(spark: SparkSession, text: str) -> DataFrame:
     Falls back to regex extraction when the line parser yields < 10 rows,
     mirroring ``loading_data_sp/function.py:124-145``.
     """
-    lines = spark.createDataFrame(
-        [(ln,) for ln in text.splitlines()], schema="value string"
-    )
+    # One slice from the start: the feed is a single driver-side document
+    # (~18k rows for 50 years of daily data) — spreading it over default
+    # parallelism multiplies task-launch and small-file commit overhead, and
+    # coalesce(1) after the fact would serialize 32 Python-worker roundtrips
+    # into one task. The at-scale path (parse_feed_path over landed files)
+    # keeps natural partitioning.
+    rdd = spark.sparkContext.parallelize([(ln,) for ln in text.splitlines()], 1)
+    lines = spark.createDataFrame(rdd, schema="value string")
     parsed = parse_feed_lines(lines)
     if parsed.count() < 10:
         fallback = parse_feed_regex(lines)

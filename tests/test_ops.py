@@ -96,6 +96,11 @@ def test_embedding_near_pairs_and_topk(spark):
     assert got[0] == (1, 1)       # most similar
     assert got[-1] == (3, 3)      # opposite vector last
 
+    # LSH-bucketed variant finds the same near-dup pair (near-identical
+    # vectors share every hyperplane sign) and nothing spurious
+    near_lsh = D.embedding_near_pairs_lsh(emb, dim=3, threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"]) for r in near_lsh] == [(0, 1)]
+
 
 def test_lsh_bucket_contains_self_neighbors(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
