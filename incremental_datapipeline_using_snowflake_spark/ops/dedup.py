@@ -62,16 +62,21 @@ def jaccard(a: Column, b: Column) -> Column:
 def _shingle_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, sh) with the shingle pass materialized ONCE.
 
-    The candidate self-join would otherwise recompute the shingle transform
-    for both sides (and shuffle the arrays); caching keeps the pass single
-    and lets candidates travel as bare id pairs. At cluster scale this is a
-    persist-to-parquet checkpoint instead of an in-memory cache.
+    The downstream plan references this subtree several times (anchor/band
+    extraction, and one broadcast per pair side in the verify join).
+    Broadcast exchanges build eagerly and in parallel, so a lazily-cached
+    subtree would be recomputed by each racing build — the count() forces
+    the cache to be populated before the consumers plan against it. At
+    cluster scale this is a persist-to-parquet checkpoint instead of an
+    in-memory cache.
     """
-    return (
+    docs = (
         df.select(F.col(id_col).alias("id"), shingles_col(F.col(text_col)).alias("sh"))
         .filter(F.size("sh") > 0)
         .cache()
     )
+    docs.count()  # eager fill — one shingle pass total
+    return docs
 
 
 def _verified_pairs(cand: DataFrame, docs: DataFrame, threshold: float) -> DataFrame:
@@ -87,25 +92,39 @@ def _verified_pairs(cand: DataFrame, docs: DataFrame, threshold: float) -> DataF
     )
 
 
+MAX_ANCHOR_DF = 100  # drop anchors shared by more than this many docs
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
     anchor_mod: int = 20,
+    max_anchor_df: int = MAX_ANCHOR_DF,
 ) -> DataFrame:
     """Near-dup pairs by shingle-set Jaccard, candidates via anchor shingles.
 
     An anchor is a shingle whose 60-bit hash ≡ 0 (mod ``anchor_mod``) — a
-    deterministic ~1/anchor_mod sample. Two docs become a candidate pair iff
-    they share an anchor; near-identical docs share many shingles, hence
-    almost surely an anchor. This bounds the join to (docs per anchor)² per
-    bucket instead of |corpus|², and candidates travel as bare id pairs.
+    deterministic ~1/anchor_mod sample — that appears in at most
+    ``max_anchor_df`` documents. Two docs become a candidate pair iff they
+    share an anchor; near-identical docs share many shingles, hence almost
+    surely an anchor. The document-frequency cap drops corpus-wide common
+    phrases (which signal shared vocabulary, not duplication) and bounds
+    every bucket's pair count to max_anchor_df² — without it one viral
+    shingle makes the self-join quadratic in corpus size.
     """
     docs = _shingle_docs(df, text_col, id_col)
     anchors = docs.select(
         "id", F.explode(F.filter("sh", lambda s: md5_long(s) % anchor_mod == 0)).alias("anchor")
     )
+    rare = (
+        anchors.groupBy("anchor")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_anchor_df)
+        .select("anchor")
+    )
+    anchors = anchors.join(F.broadcast(rare), "anchor")
     a, b = anchors.alias("a"), anchors.alias("b")
     cand = (
         a.join(b, (F.col("a.anchor") == F.col("b.anchor")) & (F.col("a.id") < F.col("b.id")))

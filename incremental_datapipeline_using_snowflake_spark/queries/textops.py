@@ -169,9 +169,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_NGRAM_SQL = f"""
 WITH {CORPUS_SQL.strip()},
 {_SHINGLES_SQL.strip()},
-anchors AS (
+anchors0 AS (
   SELECT id, unnest(list_filter(sh, s -> ({_H.format(x='s')} % 20 = 0))) AS anchor
   FROM docs2
+),
+rare AS (
+  SELECT anchor FROM anchors0 GROUP BY anchor HAVING count(*) <= {D.MAX_ANCHOR_DF}
+),
+anchors AS (
+  SELECT a.id, a.anchor FROM anchors0 a JOIN rare USING (anchor)
 ),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
