@@ -17,9 +17,9 @@ from __future__ import annotations
 
 
 def all_queries() -> dict:
-    from . import relational, textops, similarity, pipeline_queries, streamops
+    from . import relational, relational2, textops, similarity, pipeline_queries, streamops
 
     out: dict = {}
-    for mod in (relational, pipeline_queries, streamops, textops, similarity):
+    for mod in (relational, relational2, pipeline_queries, streamops, textops, similarity):
         out.update(mod.QUERIES)
     return out

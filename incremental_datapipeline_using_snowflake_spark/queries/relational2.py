@@ -1,0 +1,189 @@
+"""Extended relational coverage: pivot, cube/grouping sets, the subquery
+family (scalar / IN / correlated-EXISTS via the ``spark.sql`` entry point),
+exact percentiles, and distinct aggregation.
+
+The reference's SQL entry point (``session.sql`` — SURVEY.md §3.3) maps to
+``spark.sql`` over registered views; ``subquery_family`` exercises that path
+end-to-end so Catalyst's subquery decorrelation is part of the tested
+surface. Everything else stays in the DataFrame API.
+
+Determinism: every output is totally ordered, every computed column aliased
+identically in both engines, double sums routed through DECIMAL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .util import dsum, load
+
+_DEC = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# pivot_agg — groupBy().pivot(): order-status revenue per year, statuses as
+# columns. Spark evaluates the pivot as a single hash-agg over (year, status)
+# then transposes; the explicit value list avoids the extra distinct scan.
+# ---------------------------------------------------------------------------
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    year = F.year(F.col("o_orderdate").cast("date")).alias("order_year")
+    return (
+        orders.select(year, "o_orderstatus", "o_totalprice")
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast("double"))
+        .withColumnsRenamed({"F": "sum_f", "O": "sum_o", "P": "sum_p"})
+        .orderBy("order_year")
+    )
+
+
+PIVOT_AGG_SQL = """
+SELECT year(CAST(o_orderdate AS DATE)) AS order_year,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS sum_f,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS sum_o,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS sum_p
+FROM orders
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# cube_agg — full CUBE over (returnflag, linestatus): all 4 grouping
+# combinations in one pass (partial-agg friendly; Spark expands grouping
+# sets map-side, so the shuffle carries one record per (set, key)).
+# ---------------------------------------------------------------------------
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+CUBE_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows,
+       GROUPING(l_returnflag, l_linestatus) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# subquery_family — scalar subquery + IN-subquery + correlated EXISTS through
+# spark.sql (entry point C): customers with above-average balance, in a
+# nation that has suppliers, who placed at least one urgent order.
+# Catalyst decorrelates the EXISTS into a left-semi join.
+# ---------------------------------------------------------------------------
+_SUBQUERY_SQL = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM {customer} c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM {customer})
+  AND c_nationkey IN (SELECT s_nationkey FROM {supplier})
+  AND EXISTS (
+        SELECT 1 FROM {orders} o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+ORDER BY c_custkey
+"""
+
+
+def subquery_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "supplier", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"sq_{t}")
+    return spark.sql(
+        _SUBQUERY_SQL.format(
+            customer="sq_customer", supplier="sq_supplier", orders="sq_orders"
+        )
+    )
+
+
+SUBQUERY_FAMILY_SQL = _SUBQUERY_SQL.format(
+    customer="customer", supplier="supplier", orders="orders"
+)
+
+
+# ---------------------------------------------------------------------------
+# percentile_stats — exact percentiles (linear interpolation): Spark
+# percentile() and DuckDB quantile_cont share the definition; outputs
+# rounded to 4 dp to absorb last-ULP float noise.
+# ---------------------------------------------------------------------------
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)"), 4).alias("p50_qty"),
+            F.round(F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.9)"), 4).alias("p90_qty"),
+            F.round(F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.99)"), 4).alias("p99_qty"),
+            F.round(F.min(qty), 4).alias("min_qty"),
+            F.round(F.max(qty), 4).alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PERCENTILE_STATS_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4) AS p50_qty,
+       round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 4) AS p90_qty,
+       round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.99), 4) AS p99_qty,
+       round(min(CAST(l_quantity AS DOUBLE)), 4) AS min_qty,
+       round(max(CAST(l_quantity AS DOUBLE)), 4) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct_agg — COUNT(DISTINCT), SUM(DISTINCT), and a sorted distinct list.
+# Spark plans two-phase distinct aggregation (expand + partial) — no
+# driver-side distinct.
+# ---------------------------------------------------------------------------
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.sum_distinct(F.col("o_totalprice").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("sum_dist_price"),
+            F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DISTINCT_AGG_SQL = """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       CAST(sum(DISTINCT CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_dist_price,
+       list_sort(list(DISTINCT o_orderpriority)) AS priorities
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES: dict = {
+    "pivot_agg": (pivot_agg, PIVOT_AGG_SQL),
+    "cube_agg": (cube_agg, CUBE_AGG_SQL),
+    "subquery_family": (subquery_family, SUBQUERY_FAMILY_SQL),
+    "percentile_stats": (percentile_stats, PERCENTILE_STATS_SQL),
+    "distinct_agg": (distinct_agg, DISTINCT_AGG_SQL),
+}
