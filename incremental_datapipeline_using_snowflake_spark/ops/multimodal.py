@@ -109,3 +109,153 @@ def decode_media(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame,
+    target_width: int,
+    target_height: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Resize image/video payloads to (target_width, target_height); other
+    media types pass through untouched.
+
+    Plumbing is real (Arrow batches, payload stays partition-local, typed
+    output schema); the pixel work is STUBBED — the fake resizer returns the
+    payload unchanged and only the metadata reflects the target size. Plug a
+    real codec via ``resizer`` (or ``strict=True`` to fail loudly).
+    """
+    if strict and resizer is None:
+        raise NotImplementedError(
+            "no image library available in this container; pass resizer="
+        )
+    fn = resizer or (lambda payload, w, h: payload)
+
+    def resize_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                visual = mt in ("image", "video")
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "media_type": mt,
+                        "payload": fn(bytes(payload), target_width, target_height)
+                        if visual
+                        else bytes(payload),
+                        "width": target_width if visual else None,
+                        "height": target_height if visual else None,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_nth: int = 10,
+    extractor: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Explode video payloads into sampled frames (one row per kept frame) —
+    a 1->N ``mapInPandas`` (the Spark shape for frame extraction: output
+    cardinality is decided inside the batch, no pre-explode needed).
+
+    The fake extractor derives a deterministic frame count from the payload
+    md5 (same arithmetic as ``fake_decode``) and emits byte-slices as frame
+    stand-ins; a real ffmpeg-backed extractor plugs in via ``extractor``.
+    """
+
+    def fake_extract(payload: bytes, nth: int) -> list[bytes]:
+        n_frames = 1 + int(hashlib.md5(payload).hexdigest()[:15], 16) % 30
+        kept = range(0, n_frames, nth)
+        return [payload[i::n_frames] or b"\x00" for i in kept]
+
+    fn = extractor or fake_extract
+
+    def frame_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                if mt != "video":
+                    continue
+                for idx, frame in enumerate(fn(bytes(payload), every_nth)):
+                    out.append({"doc_id": doc_id, "frame_idx": idx, "frame": frame})
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame"])
+
+    return media.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_features(
+    media: DataFrame,
+    featurizer: Callable[[bytes, str], list[float]] | None = None,
+    dim: int = FEATURE_DIM,
+) -> DataFrame:
+    """Per-payload feature vector (``array<float>``) via Arrow batches — the
+    embedding-extraction shape feeding ops.similarity. Fake featurizer:
+    md5-seeded deterministic values in [-1, 1]; a real model (CLIP/wav2vec)
+    plugs in via ``featurizer``.
+    """
+
+    def fake_features(payload: bytes, media_type: str) -> list[float]:
+        h = hashlib.md5(payload).digest()
+        return [
+            ((int.from_bytes(h[(2 * i) % 16 : (2 * i) % 16 + 2], "big") % 2001) - 1000)
+            / 1000.0
+            for i in range(dim)
+        ]
+
+    fn = featurizer or fake_features
+
+    def feature_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "features": [
+                        fn(bytes(p), mt)
+                        for p, mt in zip(pdf["payload"], pdf["media_type"])
+                    ],
+                }
+            )
+
+    return media.mapInPandas(feature_batches, schema=FEATURES_SCHEMA)

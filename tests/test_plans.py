@@ -1,0 +1,92 @@
+"""Physical-plan audits — the 100 TB discipline checks (SURVEY.md §4).
+
+Asserts the properties that make these plans survive scale-up: dimension
+joins broadcast (no shuffle of the fact table), filters and projections
+reach the parquet scan (PushedFilters / ReadSchema pruning), and hot
+expressions stay inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from incremental_datapipeline_using_snowflake_spark.queries import all_queries
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    fn, _ = all_queries()[name]
+    return fn(spark, sf_dir)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """region_revenue: all three dimension joins must be broadcast — the
+    lineitem fact table is never shuffled for them."""
+    plan = plan_of(spark, sf_dir, "region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the only shuffles allowed: the fact-side join with orders + final agg
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_scan_prunes_columns_and_pushes_filter(spark, sf_dir):
+    """q1: the parquet scan must read only the referenced columns and push
+    the shipdate predicate down to the reader."""
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "PushedFilters: [" in plan
+    # ReadSchema must not contain unreferenced wide columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_comment" not in read_schema
+    assert "l_partkey" not in read_schema
+
+
+def test_q1_stays_in_codegen(spark, sf_dir):
+    fn, _ = all_queries()["q1_pricing_summary"]
+    df = fn(spark, sf_dir)
+    df.collect()  # execute THIS plan so AQE finalizes it (count() would
+    # spawn a separate query execution and leave this one unfinalized)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # codegen'd stages carry the *(n) marker; scan+filter+partial-agg and
+    # the final agg must each be inside one
+    assert "*(1)" in plan and "*(2)" in plan
+    # no Python UDF in the relational hot path
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_watermark_filter_pushes_down(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "watermark_filter")
+    assert "PushedFilters: [" in plan and "GreaterThan" in plan
+
+
+def test_merge_upsert_broadcasts_source(spark, store):
+    """The merge rewrite must broadcast the (small) source side so the
+    target is scanned once and never shuffled."""
+    from pyspark.sql import functions as F
+
+    from incremental_datapipeline_using_snowflake_spark.operators import merge_upsert
+
+    target = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    store.overwrite(target, "ns.big")
+    src = spark.range(0, 10).select(F.col("id").alias("k"), F.lit(9.9).alias("v"))
+    merge_upsert(spark, store, "ns.big", src, keys=["k"], count_rows=False)
+
+    from incremental_datapipeline_using_snowflake_spark.operators.merge import upsert_dataframe
+
+    merged = upsert_dataframe(store.read(spark, "ns.big"), src, keys=["k"])
+    plan = merged._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # anti + inner joins against the source present; no sort-merge of target
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_no_driver_side_loops_in_inventory(spark, sf_dir):
+    """Every declared query returns a lazy DataFrame (distributed plan), not
+    a driver-collected result."""
+    from pyspark.sql import DataFrame
+
+    for name, (fn, _sql) in all_queries().items():
+        df = fn(spark, sf_dir)
+        assert isinstance(df, DataFrame), name
