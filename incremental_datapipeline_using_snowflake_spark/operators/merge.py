@@ -95,6 +95,52 @@ def merge_upsert(
     return {"updated": n_upd, "inserted": n_ins}
 
 
+def apply_changes(
+    spark: SparkSession,
+    store: TableStore,
+    target_table: str,
+    changes: DataFrame,
+    keys: list[str],
+    action_col: str = "_action",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Apply a full CDC batch (INSERT + DELETE rows, changelog order by
+    ``_row_id``) to the target — the ``APPEND_ONLY=false`` stream shape
+    (reference ``02_create_rawco2data_stream.py:50-56``; the reference's own
+    merges only consume INSERTs, this completes the operator family).
+
+    Per key, only the LAST action in the batch wins (a key deleted then
+    re-inserted ends present). Single pass: the target is scanned once,
+    anti-joined against ALL touched keys (broadcast), and the surviving
+    rows are unioned with the batch's final INSERT images — one atomic
+    overwrite, no separate delete rewrite.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(F.desc("_row_id"))
+    last = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    ).cache()
+    upserts = last.filter(F.col(action_col) == "INSERT").drop(action_col, "_row_id")
+
+    if not store.exists(target_table):
+        store.overwrite(upserts, target_table, partition_by=partition_by)
+        last.unpersist()
+        return
+
+    target = store.read(spark, target_table)
+    untouched = target.join(
+        F.broadcast(last.select(*keys)), on=keys, how="left_anti"
+    )
+    result = untouched.unionByName(
+        upserts.select(*target.columns), allowMissingColumns=False
+    )
+    store.overwrite(result, target_table, partition_by=partition_by)
+    last.unpersist()
+
+
 def upsert_dataframe(
     target: DataFrame,
     source: DataFrame,

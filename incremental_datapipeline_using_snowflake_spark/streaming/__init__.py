@@ -2,6 +2,7 @@
 window operators (tumbling / sliding / session)."""
 
 from .incremental import changelog_stream, run_available_now, stream_harmonize
+from .stateful import dedup_with_state, running_stats, running_stats_batch
 from .windows import (
     session_stats_batch,
     session_window_streaming,
@@ -13,6 +14,9 @@ from .windows import (
 
 __all__ = [
     "changelog_stream",
+    "dedup_with_state",
+    "running_stats",
+    "running_stats_batch",
     "run_available_now",
     "stream_harmonize",
     "sessionize_batch",

@@ -1,0 +1,115 @@
+"""Stateful streaming (applyInPandasWithState) driven through a real
+multi-batch file stream, cross-checked against batch twins; and full-CDC
+apply_changes (INSERT+DELETE) semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incremental_datapipeline_using_snowflake_spark.operators.merge import apply_changes
+from incremental_datapipeline_using_snowflake_spark.streaming import (
+    dedup_with_state,
+    running_stats,
+    running_stats_batch,
+)
+
+
+def _write_batches(spark, path: str) -> list[list[tuple]]:
+    """Two parquet files -> two micro-batches (maxFilesPerTrigger=1)."""
+    batches = [
+        [(1, 10.0, "a"), (1, 20.0, "b"), (2, 5.0, "a")],
+        [(1, 30.0, "a"), (2, 7.0, "c"), (3, 1.0, "a")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, schema="key long, value double, fp string"
+        ).coalesce(1).write.parquet(os.path.join(path, f"b{i}"))
+    return batches
+
+
+def _drain(stream_df, ckpt: str, sink: list, mode: str = "append") -> None:
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .foreachBatch(lambda bdf, bid: sink.append((bid, bdf.collect())))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_running_stats_accumulates_across_batches(spark, tmp_path):
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    _write_batches(spark, data_dir)
+
+    src = (
+        spark.readStream.schema("key long, value double, fp string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(data_dir)
+    )
+    sink: list = []
+    _drain(running_stats(src, "key", "value"), str(tmp_path / "ck1"), sink, mode="update")
+
+    # final state must equal the batch aggregation over everything
+    final: dict = {}
+    for _bid, rows in sink:
+        for r in rows:
+            final[r["key"]] = (r["n_events"], r["sum_value"], r["max_value"])
+    all_df = spark.read.option("recursiveFileLookup", "true").parquet(data_dir)
+    expected = {
+        r["key"]: (r["n_events"], r["sum_value"], r["max_value"])
+        for r in running_stats_batch(all_df, "key", "value").collect()
+    }
+    assert final == expected
+    # state really crossed batches: key 1 ended with 3 events over 2 batches
+    assert final[1] == (3, 60.0, 30.0)
+
+
+def test_dedup_with_state_emits_first_seen_only(spark, tmp_path):
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    _write_batches(spark, data_dir)
+
+    src = (
+        spark.readStream.schema("key long, value double, fp string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(data_dir)
+    )
+    sink: list = []
+    _drain(dedup_with_state(src, "key", "fp"), str(tmp_path / "ck2"), sink)
+
+    emitted = [(r["key"], r["fp"]) for _bid, rows in sink for r in rows]
+    # each (key, fp) exactly once, despite (1,'a') appearing in both batches
+    assert len(emitted) == len(set(emitted))
+    assert emitted.count((1, "a")) == 1
+    assert set(emitted) == {(1, "a"), (1, "b"), (2, "a"), (2, "c"), (3, "a")}
+
+
+def test_apply_changes_insert_delete(spark, store):
+    base = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], schema="k long, v string"
+    )
+    store.overwrite(base, "ns.cdc")
+
+    changes = spark.createDataFrame(
+        [
+            (2, "y2", "INSERT", 10),   # update key 2
+            (3, None, "DELETE", 11),   # delete key 3
+            (4, "w", "INSERT", 12),    # new key 4
+            (5, "t", "INSERT", 13),    # insert then delete -> absent
+            (5, None, "DELETE", 14),
+            (6, None, "DELETE", 15),   # delete then re-insert -> present
+            (6, "u", "INSERT", 16),
+        ],
+        schema="k long, v string, _action string, _row_id long",
+    )
+    apply_changes(spark, store, "ns.cdc", changes, keys=["k"])
+
+    got = {r["k"]: r["v"] for r in store.read(spark, "ns.cdc").collect()}
+    assert got == {1: "x", 2: "y2", 4: "w", 6: "u"}
