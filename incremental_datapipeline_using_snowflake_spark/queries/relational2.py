@@ -180,8 +180,43 @@ ORDER BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# q6_forecast_revenue — TPC-H Q6 shape: tight multi-predicate filter + global
+# sum. Every predicate must push to the parquet scan (PushedFilters); the
+# aggregate is a single map-side-combined global sum.
+# ---------------------------------------------------------------------------
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return (
+        li.filter(
+            (d >= F.lit("1995-01-01"))
+            & (d < F.lit("1996-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1996-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 QUERIES: dict = {
     "pivot_agg": (pivot_agg, PIVOT_AGG_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "cube_agg": (cube_agg, CUBE_AGG_SQL),
     "subquery_family": (subquery_family, SUBQUERY_FAMILY_SQL),
     "percentile_stats": (percentile_stats, PERCENTILE_STATS_SQL),
