@@ -106,6 +106,102 @@ def lsh_signatures(
     return df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
 
 
+N_IVF_CELLS = 16
+N_PROBE = 4
+
+
+def ivf_assignments(
+    corpus: DataFrame,
+    n_cells: int = N_IVF_CELLS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: centroids = the ``n_cells`` lowest-id vectors
+    (deterministic, oracle-replayable — no iterative Lloyd refinement, the
+    'seed-IVF' scheme); every vector is assigned to its nearest centroid by
+    cosine.
+
+    Returns (centroids, assignments(id, vec, cell)). At scale the
+    assignment is one broadcast join (centroid table is tiny) + a
+    per-cell-keyed shuffle for the probe join — never an all-pairs scan.
+    """
+    c = corpus.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
+    cents = (
+        c.orderBy("id")
+        .limit(n_cells)
+        .select(F.col("id").alias("cell"), F.col("v").alias("cv"))
+        .withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    )
+    vecs = c.withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"))))
+    scored = vecs.join(F.broadcast(cents)).select(
+        "id",
+        "v",
+        "cell",
+        (dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))).alias("_sim"),
+    )
+    w = W.partitionBy("id").orderBy(F.desc("_sim"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("id", "v", "cell")
+    )
+    return cents, assigned
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = N_IVF_CELLS,
+    n_probe: int = N_PROBE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors in the query's ``n_probe``
+    nearest cells. Probe-list join is keyed on the cell id, so the pair
+    space is (corpus / n_cells) × n_probe per query instead of |corpus|."""
+    cents, assigned = ivf_assignments(corpus, n_cells, vec_col, id_col)
+    # referenced twice (probe list + candidate side): materialize once
+    assigned = assigned.cache()
+    assigned.count()
+
+    q = assigned.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    ).withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    # n_probe nearest centroids per query
+    qprobe = q.join(F.broadcast(cents)).select(
+        "query_id",
+        "qv",
+        "qn",
+        "cell",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("_sim"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    probes = (
+        qprobe.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+
+    cand = assigned.withColumnsRenamed({"id": "nbr_id", "v": "cv"})
+    scored = (
+        cand.join(F.broadcast(probes), "cell")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            "cell",
+            F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "cell", "cosine")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     query_ids: list[int],

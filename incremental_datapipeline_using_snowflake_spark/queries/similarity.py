@@ -97,6 +97,59 @@ ORDER BY query_id, rank
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic seed centroids (lowest-id vectors),
+    nearest-centroid assignment, n_probe-cell search. The scale path when
+    hyperplane buckets skew: cell population is balanced by the data itself."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, query_ids=list(range(N_QUERIES)), k=TOP_K).orderBy(
+        "query_id", "rank"
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cents AS (
+  SELECT id AS cell, v AS cv FROM c ORDER BY id LIMIT {S.N_IVF_CELLS}
+),
+assigned AS (
+  SELECT id, v, cell FROM (
+    SELECT c.id, c.v, cents.cell,
+           row_number() OVER (
+             PARTITION BY c.id
+             ORDER BY list_cosine_similarity(c.v, cents.cv) DESC, cents.cell
+           ) AS rk
+    FROM c CROSS JOIN cents
+  ) WHERE rk = 1
+),
+q AS (
+  SELECT id AS query_id, v AS qv FROM c WHERE id < {N_QUERIES}
+),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cents.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, cents.cv) DESC, cents.cell
+           ) AS rk
+    FROM q CROSS JOIN cents
+  ) WHERE rk <= {S.N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.id AS nbr_id, a.cell,
+         round(list_cosine_similarity(a.v, p.qv), 6) AS cosine
+  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.id != p.query_id
+)
+SELECT query_id, rank, nbr_id, cell, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     variants = emb.filter(F.col("vec_id") % 5 == 0).select(
@@ -188,6 +241,7 @@ FROM typed ORDER BY doc_id
 QUERIES: dict = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_SQL),
 }

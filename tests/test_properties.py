@@ -1,0 +1,64 @@
+"""Property-based tests (hypothesis) for the merge/upsert rewrite — the one
+genuinely custom relational operator (SURVEY.md §7.2 phase 1), so it gets
+the strongest correctness treatment: randomized target/source pairs checked
+against a dict-model oracle, plus the idempotency and key-uniqueness laws.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from incremental_datapipeline_using_snowflake_spark.operators.merge import upsert_dataframe
+
+KEYS = st.integers(min_value=0, max_value=20)
+VALS = st.integers(min_value=-1000, max_value=1000)
+
+rows = st.lists(st.tuples(KEYS, VALS), max_size=25)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(
+        [(int(k), int(v)) for k, v in data] or [(0, 0)], schema="k long, v long"
+    ).limit(len(data))
+
+
+def _model(target, source):
+    """Dict-model semantics: last source row per key wins over target."""
+    out = {k: v for k, v in target}
+    # upsert_dataframe dropDuplicates(keys) keeps an arbitrary source row per
+    # key; to keep the model deterministic we feed sources with unique keys.
+    for k, v in source:
+        out[k] = v
+    return out
+
+
+@pytest.fixture(scope="module")
+def sp(spark):
+    return spark
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(target=rows, source=rows)
+def test_upsert_matches_dict_model(sp, target, source):
+    # unique keys per side (the operator's contract: key-deduped inputs)
+    target = list({k: (k, v) for k, v in target}.values())
+    source = list({k: (k, v) for k, v in source}.values())
+    t, s = _df(sp, target), _df(sp, source)
+    got = {r["k"]: r["v"] for r in upsert_dataframe(t, s, keys=["k"]).collect()}
+    assert got == _model(target, source)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(target=rows, source=rows)
+def test_upsert_idempotent_and_unique_keys(sp, target, source):
+    target = list({k: (k, v) for k, v in target}.values())
+    source = list({k: (k, v) for k, v in source}.values())
+    t, s = _df(sp, target), _df(sp, source)
+    once = upsert_dataframe(t, s, keys=["k"])
+    twice = upsert_dataframe(once, s, keys=["k"])
+    a = {r["k"]: r["v"] for r in once.collect()}
+    b = {r["k"]: r["v"] for r in twice.collect()}
+    assert a == b  # replay-safe (C4 semantics)
+    assert len(a) == once.count()  # keys unique in the result
