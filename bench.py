@@ -68,6 +68,9 @@ def main() -> None:
         _ = df.limit(1).collect()
         timings[name] = round(time.time() - t0, 3)
         print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # caches an operator materialized (shingle sets, IVF assignments)
+        # must not leak into the next query's timing or heap
+        spark.catalog.clearCache()
 
     timings["co2_pipeline_e2e"] = round(run_pipeline_bench(spark), 3)
     print(f"  co2_pipeline_e2e: {timings['co2_pipeline_e2e']}s", file=sys.stderr)
