@@ -28,6 +28,8 @@ class Orchestrator:
     spark: SparkSession
     store: TableStore
     suspended: bool = False  # task suspend/resume lifecycle
+    streaming_harmonize: bool = False  # SP2 via Structured Streaming drain
+    checkpoint_dir: str | None = None  # required when streaming_harmonize
     _history: list[dict] = field(default_factory=list)
 
     def suspend(self) -> None:
@@ -74,19 +76,38 @@ class Orchestrator:
         if not ok:
             return results
 
-        # Stream gate: WHEN SYSTEM$STREAM_HAS_DATA(...) — skip downstream if empty.
-        log = Changelog(self.store, P.RAW_TABLE)
-        if not log.has_data(self.spark, consumer="harmonize"):
-            results["harmonized"] = "skipped (stream empty)"
-            results["analytics"] = "skipped (stream empty)"
-            return results
+        if self.streaming_harmonize:
+            # Streaming mode: the checkpoint IS the offset, so the drain
+            # itself is the gate — an empty backlog runs zero micro-batches.
+            from ..streaming.incremental import stream_harmonize
 
-        ok, msg = self._run_stage(
-            "co2_harmonized_task", lambda: P.harmonize(self.spark, self.store)
-        )
-        results["harmonized"] = msg
-        if not ok:
-            return results
+            if not self.checkpoint_dir:
+                raise ValueError("streaming_harmonize requires checkpoint_dir")
+            ok, msg = self._run_stage(
+                "co2_harmonized_task",
+                lambda: stream_harmonize(self.spark, self.store, self.checkpoint_dir),
+            )
+            results["harmonized"] = msg
+            if not ok:
+                return results
+            if msg == "No data in stream to process":
+                results["analytics"] = "skipped (stream empty)"
+                return results
+        else:
+            # Batch mode: WHEN SYSTEM$STREAM_HAS_DATA(...) gate on the named
+            # consumer offset — skip downstream if empty.
+            log = Changelog(self.store, P.RAW_TABLE)
+            if not log.has_data(self.spark, consumer="harmonize"):
+                results["harmonized"] = "skipped (stream empty)"
+                results["analytics"] = "skipped (stream empty)"
+                return results
+
+            ok, msg = self._run_stage(
+                "co2_harmonized_task", lambda: P.harmonize(self.spark, self.store)
+            )
+            results["harmonized"] = msg
+            if not ok:
+                return results
 
         ok, msg = self._run_stage(
             "co2_analytics_task", lambda: P.analytics(self.spark, self.store)

@@ -92,6 +92,9 @@ def stream_harmonize(
     """SP2 (``co2_harmonized_sp/function.py:171-192``) as a streaming drain:
     every pending changelog batch is projected to the harmonized schema and
     MERGEd on DATE. The checkpoint replaces the named consumer offset."""
+    log = Changelog(store, raw_table)
+    if not store.exists(log.log_table):
+        return "No data in stream to process"
     stream = changelog_stream(spark, store, raw_table)
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:

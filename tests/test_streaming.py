@@ -53,6 +53,49 @@ def test_stream_harmonize_incremental(spark, store, tmp_path):
     assert store.read(spark, "harmonized_co2.harmonized_co2").count() == 5
 
 
+def test_orchestrator_streaming_mode(spark, store, tmp_path):
+    """The full DAG with SP2 as a streaming drain: incremental runs,
+    empty-feed run skips analytics via the drain's zero-batch gate."""
+    from incremental_datapipeline_using_snowflake_spark.plans import Orchestrator, bootstrap
+
+    bootstrap(store)
+    orch = Orchestrator(
+        spark, store, streaming_harmonize=True, checkpoint_dir=str(tmp_path / "ck")
+    )
+    r1 = orch.run(feed_text=FEED_V1)
+    assert "complete" in r1["harmonized"] and "complete" in r1["analytics"]
+    assert store.read(spark, "analytics_co2.daily_co2_stats").count() == 3
+
+    r2 = orch.run(feed_text=FEED_V2)  # incremental
+    assert store.read(spark, "analytics_co2.daily_co2_stats").count() == 5
+
+    r3 = orch.run(feed_text=FEED_V2)  # nothing new
+    assert r3["raw"] == "No new data to load"
+    assert r3["harmonized"] == "No data in stream to process"
+    assert r3["analytics"] == "skipped (stream empty)"
+
+
+def test_parse_feed_path_landing_zone(spark, tmp_path):
+    """S1 at-scale path: feed files landed in an object-store directory,
+    parsed with the same distributed plan as the in-memory parse."""
+    from incremental_datapipeline_using_snowflake_spark.sources.noaa_feed import (
+        parse_feed_path,
+        parse_feed_text,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "feed1.txt").write_text(FEED_V1)
+    (landing / "feed2.txt").write_text("2025 1 4 2025.008 419.10\n")
+
+    got = parse_feed_path(spark, str(landing))
+    assert got.count() == 4
+    mem = parse_feed_text(spark, FEED_V1)
+    assert sorted(r["CO2_PPM"] for r in got.collect() if r["DAY"] <= 3) == sorted(
+        r["CO2_PPM"] for r in mem.collect()
+    )
+
+
 def test_session_rewrite_matches_native_session_window(spark, sf_dir):
     """The batch gaps-and-islands sessionization must produce the same
     session bounds/counts as Spark's native F.session_window."""
