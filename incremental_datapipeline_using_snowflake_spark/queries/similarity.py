@@ -238,10 +238,25 @@ FROM typed ORDER BY doc_id
 """
 
 
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1->N frame sampling inside mapInPandas (video payloads only) — not
+    SQL-expressible (output cardinality decided per-row inside the Python
+    batch), so declared without an oracle twin: the driver records a
+    rows-only check. Deterministic across runs (md5-derived frame counts)."""
+    docs = load(spark, sf_dir, "documents")
+    media = M.attach_payload(docs)
+    return (
+        M.sample_frames(media, every_nth=5)
+        .select("doc_id", "frame_idx", F.length("frame").alias("frame_bytes"))
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
 QUERIES: dict = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_SQL),
+    "multimodal_frames": (multimodal_frames, None),
 }

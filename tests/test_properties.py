@@ -50,6 +50,42 @@ def test_upsert_matches_dict_model(sp, target, source):
     assert got == _model(target, source)
 
 
+actions = st.lists(
+    st.tuples(KEYS, VALS, st.sampled_from(["INSERT", "DELETE"])), max_size=20
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(target=rows, changes=actions)
+def test_apply_changes_matches_dict_model(sp, store, target, changes):
+    # the target table is fully overwritten per example, so reusing one
+    # store across hypothesis examples is sound
+    from incremental_datapipeline_using_snowflake_spark.operators import apply_changes
+
+    target = list({k: (k, v) for k, v in target}.values())
+    t = sp.createDataFrame(
+        [(int(k), int(v)) for k, v in target] or [(0, 0)], schema="k long, v long"
+    ).limit(len(target))
+    store.overwrite(t, "ns.prop")
+
+    rows_ = [
+        (int(k), int(v), a, i) for i, (k, v, a) in enumerate(changes)
+    ] or [(0, 0, "INSERT", 0)]
+    ch = sp.createDataFrame(
+        rows_, schema="k long, v long, _action string, _row_id long"
+    ).limit(len(changes))
+    apply_changes(sp, store, "ns.prop", ch, keys=["k"])
+
+    model = {k: v for k, v in target}
+    for k, v, a, _i in rows_[: len(changes)]:
+        if a == "DELETE":
+            model.pop(k, None)
+        else:
+            model[k] = v
+    got = {r["k"]: r["v"] for r in store.read(sp, "ns.prop").collect()}
+    assert got == model
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(target=rows, source=rows)
 def test_upsert_idempotent_and_unique_keys(sp, target, source):
