@@ -204,7 +204,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     mins = ", ".join(
-        f"min({_H.format(x=chr(39) + f'{i}:' + chr(39) + ' || s')}) AS m{i}"
+        f"min(({D.MINHASH_A[i]} * h + {D.MINHASH_B[i]}) % {D.MINHASH_MOD}) AS m{i}"
         for i in range(D.N_MINHASH)
     )
     bands = " UNION ALL ".join(
@@ -216,7 +216,10 @@ WITH {CORPUS_SQL.strip()},
 {_SHINGLES_SQL.strip()},
 sigs AS (
   SELECT id, {mins}
-  FROM (SELECT id, unnest(sh) AS s FROM docs2) GROUP BY id
+  FROM (
+    SELECT id, {_H.format(x='s')} % {D.MINHASH_MOD} AS h
+    FROM (SELECT id, unnest(sh) AS s FROM docs2)
+  ) GROUP BY id
 ),
 bands AS ({bands}),
 cand AS (
