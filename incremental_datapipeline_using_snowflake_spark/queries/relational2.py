@@ -162,7 +162,11 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum_distinct(F.col("o_totalprice").cast("decimal(30,8)"))
             .cast("double")
             .alias("sum_dist_price"),
-            F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+            # joined to a scalar string: the harness canonicalizer hashes
+            # cell values and can't hash array cells.
+            F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+                "priorities"
+            ),
         )
         .orderBy("o_orderstatus")
     )
@@ -173,7 +177,7 @@ SELECT o_orderstatus,
        count(DISTINCT o_custkey) AS n_customers,
        count(DISTINCT o_orderpriority) AS n_priorities,
        CAST(sum(DISTINCT CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_dist_price,
-       list_sort(list(DISTINCT o_orderpriority)) AS priorities
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus

@@ -20,10 +20,18 @@ TABLES = [
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which vanilla Spark 4
+        # rejects with PARQUET_TYPE_ILLEGAL. The conf is runtime-settable,
+        # so set it here instead of relying on session.py having built the
+        # session — harnesses that construct their own SparkSession (the
+        # correctness driver) would otherwise fail before the bigint
+        # fallback below can run.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long (see session.py); truncate to micros —
-        # identical to DuckDB's nanos->micros conversion of the same file.
+        # TIMESTAMP(NANOS) read as long; truncate to micros — identical to
+        # DuckDB's nanos->micros conversion of the same file.
         # integer `div` — double division would lose precision at ~1.7e18 ns
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
