@@ -77,11 +77,16 @@ def bruteforce_topk(
     )
 
 
-def plane_weight(p: int, d: int) -> float:
-    """Deterministic pseudo-random hyperplane component in [-1, 1] — identical
-    to the oracle's md5 expression."""
+def plane_weight_int(p: int, d: int) -> int:
+    """Deterministic pseudo-random integer hyperplane component in
+    [-1000, 1000] — identical to the oracle's md5 expression."""
     h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
-    return (h % 2001 - 1000) / 1000.0
+    return h % 2001 - 1000
+
+
+def plane_weight(p: int, d: int) -> float:
+    """``plane_weight_int`` scaled into [-1, 1] (float form, for scoring)."""
+    return plane_weight_int(p, d) / 1000.0
 
 
 def planes_df(spark: SparkSession, dim: int, n_planes: int = N_PLANES) -> DataFrame:
@@ -96,12 +101,27 @@ def lsh_signatures(
 
     Computed as a fold over per-vector expressions (planes inlined as
     literals) — zero joins, zero shuffles for the signature itself.
+
+    The projection is INTEGER-EXACT: components are quantized to 1e-6
+    (``floor(x*1e6 + 0.5)`` — a bit-identical double→int64 step in any
+    engine) and the plane weights stay integers, so each projection is an
+    exact int64 sum — associative, order-independent, reproducible
+    bit-for-bit by the DuckDB oracle's parallel aggregate. A floating
+    ``sum(x*w)`` here was fragile: a projection within float noise of 0
+    flipped a sign bit depending on summation order (observed as an
+    environment-sensitive hash mismatch in round 1).
     """
-    v = _dvec(vec_col)
+    xq = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5))
+    )
     sig = F.lit(0)
     for p in range(N_PLANES):
-        w = F.array(*[F.lit(plane_weight(p, d + 1)) for d in range(dim)])
-        proj = dot(v, w)
+        w = F.array(*[F.lit(plane_weight_int(p, d + 1)) for d in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(xq, w, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
         sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
     return df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
 

@@ -58,19 +58,21 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+# Signature projections are integer-exact (quantized components × integer
+# weights summed in int64), so bucket bits cannot flip with summation order.
 ANN_LSH_SQL = f"""
 WITH planes AS (
-  SELECT p, d, (({_H.format(x="p || '_' || d")} % 2001) - 1000) / 1000.0 AS w
+  SELECT p, d, ({_H.format(x="p || '_' || d")} % 2001) - 1000 AS w
   FROM (SELECT unnest(range(0, {S.N_PLANES})) AS p),
        (SELECT unnest(range(1, {EMB_DIM + 1})) AS d)
 ),
 flat AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS d,
-         unnest(embedding::DOUBLE[]) AS x
+         CAST(floor(unnest(embedding::DOUBLE[]) * 1000000 + 0.5) AS BIGINT) AS xq
   FROM embeddings
 ),
 proj AS (
-  SELECT vec_id, p, sum(x * w) AS s
+  SELECT vec_id, p, sum(xq * w) AS s
   FROM flat JOIN planes USING (d) GROUP BY vec_id, p
 ),
 sig AS (
@@ -180,15 +182,17 @@ WITH corpus AS (
   FROM embeddings WHERE vec_id % 5 = 0
 ),
 planes AS (
-  SELECT p, d, (({_H.format(x="p || '_' || d")} % 2001) - 1000) / 1000.0 AS w
+  SELECT p, d, ({_H.format(x="p || '_' || d")} % 2001) - 1000 AS w
   FROM (SELECT unnest(range(0, {S.N_PLANES})) AS p),
        (SELECT unnest(range(1, {EMB_DIM + 1})) AS d)
 ),
 flat AS (
-  SELECT id, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM corpus
+  SELECT id, generate_subscripts(v, 1) AS d,
+         CAST(floor(unnest(v) * 1000000 + 0.5) AS BIGINT) AS xq
+  FROM corpus
 ),
 proj AS (
-  SELECT id, p, sum(x * w) AS s FROM flat JOIN planes USING (d) GROUP BY id, p
+  SELECT id, p, sum(xq * w) AS s FROM flat JOIN planes USING (d) GROUP BY id, p
 ),
 sig AS (
   SELECT id, sum(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS bucket
