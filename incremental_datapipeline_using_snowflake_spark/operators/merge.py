@@ -38,6 +38,7 @@ def merge_upsert(
     insert_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
     count_rows: bool = True,
+    broadcast_source: bool = True,
 ) -> dict[str, int]:
     """Upsert ``source`` into ``target_table`` on ``keys``.
 
@@ -60,12 +61,42 @@ def merge_upsert(
         return {"updated": 0, "inserted": out.count() if count_rows else -1}
 
     target = store.read(spark, target_table)
+    matched, inserted, result = merge_branches(
+        target,
+        source,
+        keys,
+        update_cols=update_cols,
+        insert_cols=insert_cols,
+        broadcast_source=broadcast_source,
+    )
+    n_upd = matched.count() if count_rows else -1
+    n_ins = inserted.count() if count_rows else -1
+    store.overwrite(result, target_table, partition_by=partition_by)
+    return {"updated": n_upd, "inserted": n_ins}
+
+
+def merge_branches(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+    insert_cols: list[str] | None = None,
+    broadcast_source: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The broadcast-hinted merge plan as pure DataFrames:
+    ``(matched, inserted, result)``. The target side is scanned (up to three
+    column-pruned times) but never shuffled and never broadcast.
+
+    ``broadcast_source=False`` drops every hint (a source batch too big to
+    broadcast): AQE then plans shuffle joins keyed on ``keys``, with skew
+    splitting if a key is hot.
+    """
     target_cols = target.columns
     src = source.dropDuplicates(keys)
     upd = update_cols or [c for c in target_cols if c not in keys and c in src.columns]
     ins = insert_cols or list(dict.fromkeys(keys + upd))
 
-    bsrc = F.broadcast(src)
+    bsrc = F.broadcast(src) if broadcast_source else src
 
     untouched = target.join(bsrc.select(*keys), on=keys, how="left_anti")
 
@@ -78,7 +109,18 @@ def merge_upsert(
         ],
     )
 
-    inserted = src.join(F.broadcast(target.select(*keys)), on=keys, how="left_anti").select(
+    # Inserted rows = source keys absent from the target. Anti-joining src
+    # against the full target keyset would need either a broadcast of the
+    # target's keys (billions of rows at scale — driver/executor OOM) or a
+    # full shuffle of them (sort-merge). Instead anti-join against the
+    # MATCHED keys — computed from the same source-broadcast inner join as
+    # the `matched` branch, so it is ≤|src| rows and broadcastable. The
+    # target is scanned once more (pruned to key columns) but never
+    # shuffled or broadcast.
+    matched_keys = target.select(*keys).join(bsrc.select(*keys), on=keys, how="inner")
+    if broadcast_source:
+        matched_keys = F.broadcast(matched_keys)
+    inserted = src.join(matched_keys, on=keys, how="left_anti").select(
         *[
             (F.col(c) if c in ins and c in src.columns else F.lit(None)).alias(c)
             for c in target_cols
@@ -88,11 +130,7 @@ def merge_upsert(
     result = untouched.select(*target_cols).unionByName(
         matched.select(*target_cols)
     ).unionByName(inserted)
-
-    n_upd = matched.count() if count_rows else -1
-    n_ins = inserted.count() if count_rows else -1
-    store.overwrite(result, target_table, partition_by=partition_by)
-    return {"updated": n_upd, "inserted": n_ins}
+    return matched, inserted, result
 
 
 def apply_changes(

@@ -82,6 +82,62 @@ def test_merge_upsert_broadcasts_source(spark, store):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def _broadcast_subtrees(simple_plan: str) -> list[list[str]]:
+    """Each BroadcastExchange node's subtree lines (by indentation depth)."""
+    lines = simple_plan.splitlines()
+    depth = lambda ln: len(ln) - len(ln.lstrip(" :+-*"))  # noqa: E731
+    out = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" in ln:
+            d = depth(ln)
+            sub = [ln]
+            for nxt in lines[i + 1 :]:
+                if nxt.strip() and depth(nxt) <= d:
+                    break
+                sub.append(nxt)
+            out.append(sub)
+    return out
+
+
+def test_merge_never_broadcasts_or_shuffles_target(spark, store):
+    """100 TB discipline: every broadcast exchange in the merge plan must
+    build from the (small) source side — never from the target table's
+    parquet scan — and nothing may fall back to sort-merge."""
+    from pyspark.sql import functions as F
+
+    from incremental_datapipeline_using_snowflake_spark.operators.merge import merge_branches
+
+    target = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    store.overwrite(target, "ns.audit_big")
+    src = spark.createDataFrame(
+        [(5, 9.9), (10_500, 1.1)], schema="k long, v double"
+    )
+    _, _, result = merge_branches(store.read(spark, "ns.audit_big"), src, keys=["k"])
+    plan = result._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "SortMergeJoin" not in plan
+    subtrees = _broadcast_subtrees(plan)
+    assert subtrees, "expected broadcast joins in the merge plan"
+    for sub in subtrees:
+        # a parquet scan of the target under a BroadcastExchange is the
+        # round-1 scale-killer this guards against; the matched-keys
+        # broadcast joins target rows to broadcast-src first, so any scan
+        # under an exchange must itself sit under a nested (source-built)
+        # broadcast join
+        scans = [ln for ln in sub if "FileScan parquet" in ln or "Scan parquet" in ln]
+        if scans:
+            assert any("BroadcastHashJoin" in ln for ln in sub[1:]), (
+                "target parquet scan broadcast directly:\n" + "\n".join(sub)
+            )
+
+    # semantics unchanged: 1 update + 1 insert
+    rows = {r["k"]: r["v"] for r in result.collect()}
+    assert len(rows) == 10001 and rows[5] == 9.9 and rows[10_500] == 1.1
+
+
 def test_no_driver_side_loops_in_inventory(spark, sf_dir):
     """Every declared query returns a lazy DataFrame (distributed plan), not
     a driver-collected result."""
