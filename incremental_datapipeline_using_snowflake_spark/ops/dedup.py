@@ -69,10 +69,9 @@ def _shingle_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, sh) with the shingle pass materialized ONCE.
 
     The downstream plan references this subtree several times (anchor/band
-    extraction, and one broadcast per pair side in the verify join).
-    Broadcast exchanges build eagerly and in parallel, so a lazily-cached
-    subtree would be recomputed by each racing build — the count() forces
-    the cache to be populated before the consumers plan against it. At
+    extraction, and both pair sides of the verify join); the eager
+    cache-fill (count()) guarantees exactly one shingle-computation pass
+    regardless of how many consumers race to build their exchanges. At
     cluster scale this is a persist-to-parquet checkpoint instead of an
     in-memory cache.
     """
@@ -87,12 +86,20 @@ def _shingle_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def _verified_pairs(cand: DataFrame, docs: DataFrame, threshold: float) -> DataFrame:
     """Attach shingle sets to bare (id_a, id_b) candidates and keep pairs
-    with true Jaccard >= threshold. ``docs`` is the cached shingle table —
-    small relative to the corpus text, so both attaches broadcast."""
-    bdocs = F.broadcast(docs)
+    with true Jaccard >= threshold.
+
+    No broadcast hint on ``docs``: the shingle table is the same order of
+    magnitude as the corpus text, so forcing it into a broadcast (as round
+    1 did) is an OOM at warehouse scale. Both attaches are left as plain
+    equi-joins on the id — a hash-partition shuffle whose memory is bounded
+    per-partition — and AQE's runtime size stats convert them to broadcast
+    joins automatically whenever a side (usually the blocked candidate-pair
+    table) really is small. Scale-safe by default, broadcast-fast when the
+    data allows it.
+    """
     return (
-        cand.join(bdocs.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(bdocs.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        cand.join(docs.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(docs.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
