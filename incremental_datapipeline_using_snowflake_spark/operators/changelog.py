@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 
 from .table_store import TableStore
 
-MII_SPAN = 1 << 40  # > max monotonically_increasing_id within one batch's partitions
 
 
 @dataclass
@@ -64,19 +63,51 @@ class Changelog:
 
     # -- producer ----------------------------------------------------------
     def append(self, df: DataFrame, action: str = "INSERT") -> int:
-        """Record a change batch; returns the number of rows logged."""
+        """Record a change batch; returns the number of rows logged.
+
+        Id allocation is exact, not span-based: a fixed per-batch span over
+        ``monotonically_increasing_id`` (round 1 used ``1 << 40``) breaks as
+        soon as a batch has >=128 partitions, because mii = pid*2^33 + idx
+        — ids from one batch then collide with the next batch's base. After
+        the write we read BACK the landed rows (``_row_id >= base`` pushes
+        down, so row-group stats prune the scan to just the new files) and
+        advance ``next_base`` from the actual max id — correct under any
+        partition count, including AQE-coalesced plans whose runtime
+        partitioning differs from ``df.rdd``'s. The same read-back supplies
+        the logged-row count, so the input lineage is not recomputed.
+
+        Crash safety (single writer): rows become visible before
+        ``_META.json`` commits, so a crash in between would leave
+        ``next_base`` stale and a retried append would mint duplicate ids.
+        Guard: start from the log's actual ``max(_row_id) >= base`` if one
+        exists (a metadata-pruned scan in the no-crash case). Consumers may
+        see the orphaned rows of the crashed append once — downstream
+        merges key on natural keys and are idempotent (SURVEY.md §7.3), the
+        same replay contract as commit-after-merge.
+        """
+        spark = df.sparkSession
         meta = self._read_meta()
         base = int(meta["next_base"])
+        if self.store.exists(self.log_table):
+            crashed = (
+                self.store.read(spark, self.log_table)
+                .filter(F.col("_row_id") >= base)
+                .agg(F.max("_row_id"))
+                .first()[0]
+            )
+            if crashed is not None:
+                base = int(crashed) + 1
         batch = df.withColumn("_action", F.lit(action)).withColumn(
             "_row_id", F.lit(base) + F.monotonically_increasing_id()
         )
         self.store.append(batch, self.log_table)
-        # the batch count == input count (mii adds no rows); counting the
-        # input avoids re-scanning the whole log table
-        n = df.count()
-        meta["next_base"] = base + MII_SPAN
+        written = self.store.read(spark, self.log_table).filter(
+            F.col("_row_id") >= base
+        )
+        n, max_id = written.agg(F.count(F.lit(1)), F.max("_row_id")).first()
+        meta["next_base"] = int(max_id) + 1 if max_id is not None else base
         self._write_meta(meta)
-        return n
+        return int(n)
 
     # -- consumer ----------------------------------------------------------
     def pending(self, spark: SparkSession, consumer: str = "default") -> DataFrame:

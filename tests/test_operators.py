@@ -100,3 +100,37 @@ def test_changelog_append_consume_commit(spark, store):
     # new batch arrives -> only it is pending for c1
     log.append(_df(spark, [(4,)], "id long"))
     assert log.pending(spark, "c1").count() == 1
+
+
+def test_changelog_ids_unique_across_wide_batches(spark, store):
+    """mii = partitionId*2^33 + idx; a fixed per-batch span overflows at
+    >=128 partitions. next_base now advances from the actual written max,
+    so ids from a 200-partition batch never collide with the next batch."""
+    log = Changelog(store, "ns.wide")
+    wide = spark.range(0, 400).repartition(200).selectExpr("id")
+    assert log.append(wide) == 400
+    assert log.append(_df(spark, [(9001,), (9002,)], "id long")) == 2
+
+    rows = log.pending(spark, "u").select("_row_id", "id").collect()
+    ids = [r["_row_id"] for r in rows]
+    assert len(ids) == 402 and len(set(ids)) == 402
+    # batch 2's ids all sort after batch 1's (consumer-offset monotonicity)
+    second = {r["_row_id"] for r in rows if r["id"] >= 9001}
+    first = set(ids) - second
+    assert min(second) > max(first)
+
+
+def test_changelog_append_crash_guard(spark, store):
+    """Rows landing without a _META.json commit (crash window) must not
+    cause the next append to reuse their id range."""
+    log = Changelog(store, "ns.crashy")
+    assert log.append(_df(spark, [(1,), (2,)], "id long")) == 2
+    # simulate the crash: data from a second append is on disk, but meta
+    # still holds the pre-append next_base
+    meta_before = log._read_meta()
+    assert log.append(_df(spark, [(3,), (4,)], "id long")) == 2
+    log._write_meta(meta_before)
+
+    assert log.append(_df(spark, [(5,)], "id long")) == 1
+    ids = [r["_row_id"] for r in log.pending(spark, "u").collect()]
+    assert len(ids) == 5 and len(set(ids)) == 5
