@@ -115,4 +115,17 @@ def stream_harmonize(
     n = run_available_now(stream, checkpoint_dir, _merge_batch, "stream_harmonize")
     if n == 0:
         return "No data in stream to process"
+
+    # A2 parity with the batch path (plans/pipeline.py harmonize) and the
+    # reference's CTAS _CO2_MINMAX (co2_harmonized_sp/function.py:81-87):
+    # refresh the scalar min/max cache after the drain, otherwise analytics'
+    # NORMALIZED_CO2 would normalize against a cache left stale by an
+    # earlier run.
+    from ..plans.pipeline import MINMAX_TABLE
+
+    harmonized = store.read(spark, harmonized_table)
+    minmax = harmonized.agg(
+        F.min("CO2_PPM").alias("MIN_CO2"), F.max("CO2_PPM").alias("MAX_CO2")
+    )
+    store.overwrite(minmax, MINMAX_TABLE)
     return f"CO2 data harmonization complete ({n} micro-batch(es))"

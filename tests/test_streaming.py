@@ -39,6 +39,12 @@ def test_stream_harmonize_incremental(spark, store, tmp_path):
     harm = store.read(spark, "harmonized_co2.harmonized_co2")
     assert harm.count() == 3
 
+    # A2 parity: the drain refreshes the scalar min/max cache like batch SP2
+    from incremental_datapipeline_using_snowflake_spark.plans.pipeline import MINMAX_TABLE
+
+    mm = store.read(spark, MINMAX_TABLE).first()
+    assert (mm["MIN_CO2"], mm["MAX_CO2"]) == (418.50, 418.75)
+
     # incremental batch -> only 2 new rows flow; total 5, no duplicates
     load_raw(spark, store, feed_text=FEED_V2)
     msg = stream_harmonize(spark, store, ckpt)
@@ -46,6 +52,8 @@ def test_stream_harmonize_incremental(spark, store, tmp_path):
     harm = store.read(spark, "harmonized_co2.harmonized_co2")
     assert harm.count() == 5
     assert harm.select("DATE").distinct().count() == 5
+    mm = store.read(spark, MINMAX_TABLE).first()
+    assert (mm["MIN_CO2"], mm["MAX_CO2"]) == (418.50, 419.25)
 
     # nothing pending: the file source sees no new files
     msg = stream_harmonize(spark, store, ckpt)
