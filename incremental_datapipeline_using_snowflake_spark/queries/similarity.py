@@ -243,10 +243,13 @@ FROM typed ORDER BY doc_id
 
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1->N frame sampling inside mapInPandas (video payloads only) — not
-    SQL-expressible (output cardinality decided per-row inside the Python
-    batch), so declared without an oracle twin: the driver records a
-    rows-only check. Deterministic across runs (md5-derived frame counts)."""
+    """1->N frame sampling inside mapInPandas (video payloads only). The
+    Spark side decides output cardinality per-row inside the Python batch,
+    but the fake extractor's arithmetic is SQL-expressible — n_frames =
+    1 + md5_60(payload) % 30, kept frames = range(0, n_frames, nth), and a
+    Python step-slice ``payload[i::n]`` has ceil((len-i)/n) bytes (min 1
+    for the empty-slice sentinel) — so the mapInPandas plumbing is
+    hash-checked against a full DuckDB twin."""
     docs = load(spark, sf_dir, "documents")
     media = M.attach_payload(docs)
     return (
@@ -256,11 +259,35 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MULTIMODAL_FRAMES_SQL = rf"""
+WITH typed AS (
+  SELECT doc_id, text,
+         CASE (try_cast(regexp_extract(source, '(\d+)', 1) AS INT) % 4)
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' WHEN 2 THEN 'text'
+           ELSE 'video' END AS media_type
+  FROM documents
+),
+video AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+         CAST(1 + {_H.format(x='text')} % 30 AS BIGINT) AS n_frames
+  FROM typed WHERE media_type = 'video'
+),
+frames AS (
+  SELECT doc_id, CAST(i // 5 AS INT) AS frame_idx,
+         CAST(CASE WHEN blen > i THEN (blen - i + n_frames - 1) // n_frames
+                   ELSE 1 END AS INT) AS frame_bytes
+  FROM video, UNNEST(range(0, n_frames, 5)) AS t(i)
+)
+SELECT doc_id, frame_idx, frame_bytes FROM frames ORDER BY doc_id, frame_idx
+"""
+
+
 QUERIES: dict = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_SQL),
-    "multimodal_frames": (multimodal_frames, None),
+    "multimodal_frames": (multimodal_frames, MULTIMODAL_FRAMES_SQL),
 }
