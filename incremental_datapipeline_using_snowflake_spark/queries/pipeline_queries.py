@@ -52,15 +52,19 @@ _NORM_SQL = (
 
 
 def daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily_series(spark, sf_dir)
+    # A2 scalar-cache pattern for the global min/max: one agg + literals,
+    # instead of min()/max() over an empty window — the window form forces a
+    # single-partition exchange of the whole series. The lag window stays
+    # globally ordered by design (the daily series is bounded, one row per
+    # day); the cache keeps the aggregated series to one computation across
+    # the scalar read and the main plan.
+    daily = _daily_series(spark, sf_dir).cache()
+    mn, mx = daily.agg(F.min("VALUE"), F.max("VALUE")).first()
     w = W.orderBy("DATE")
-    glob = W.partitionBy()  # global min/max — the _co2_minmax scalar cache (A2)
     withlag = daily.select(
         "DATE",
         "VALUE",
         F.lag("VALUE", 1).over(w).alias("PREV_VALUE"),
-        F.min("VALUE").over(glob).alias("_mn"),
-        F.max("VALUE").over(glob).alias("_mx"),
     )
     return withlag.select(
         "DATE",
@@ -68,7 +72,7 @@ def daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "PREV_VALUE",
         pct_change("PREV_VALUE", "VALUE").alias("DAILY_CHANGE"),
         volatility("VALUE", "PREV_VALUE").alias("DAILY_VOLATILITY"),
-        normalize_value("VALUE", "_mn", "_mx").alias("NORMALIZED_VALUE"),
+        normalize_value("VALUE", F.lit(mn), F.lit(mx)).alias("NORMALIZED_VALUE"),
     ).orderBy("DATE")
 
 
@@ -89,6 +93,43 @@ FROM withlag ORDER BY DATE
 """
 
 
+def daily_stats_sql_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U3/U4 *name-surface* parity: the same daily stats, but computed by
+    a ``spark.sql`` statement that calls the registered warehouse-UDF names
+    — ``CO2_DAILY_PERCENT_CHANGE`` / ``CALCULATE_CO2_VOLATILITY`` /
+    ``NORMALIZE_CO2_UDF`` — exactly as the reference's analytics SP does
+    (``co2_analytical_sp/function.py:119-123``). The oracle twin uses the
+    inline CASE expressions, proving the registered Python UDFs agree with
+    the native kernels on every edge (NULL, zero-prev, degenerate range).
+
+    Python's round() is half-even vs SQL's HALF_UP, but no double is
+    exactly representable at an x.xxx5 boundary (5^k denominators are not
+    dyadic), so the two rounding modes agree on all reachable inputs.
+    """
+    from ..functions.kernels import register_all_udfs
+
+    register_all_udfs(spark)
+    _daily_series(spark, sf_dir).createOrReplaceTempView("_daily_series_for_udfs")
+    return spark.sql(
+        """
+        WITH withlag AS (
+          SELECT DATE, VALUE,
+                 lag(VALUE, 1) OVER (ORDER BY DATE) AS PREV_VALUE
+          FROM _daily_series_for_udfs
+        ),
+        mm AS (  -- 1-row aggregate, broadcast by the join: no global window
+          SELECT min(VALUE) AS _mn, max(VALUE) AS _mx
+          FROM _daily_series_for_udfs
+        )
+        SELECT DATE, VALUE, PREV_VALUE,
+               CO2_DAILY_PERCENT_CHANGE(PREV_VALUE, VALUE) AS DAILY_CHANGE,
+               CALCULATE_CO2_VOLATILITY(VALUE, PREV_VALUE) AS DAILY_VOLATILITY,
+               NORMALIZE_CO2_UDF(VALUE, _mn, _mx) AS NORMALIZED_VALUE
+        FROM withlag CROSS JOIN mm ORDER BY DATE
+        """
+    )
+
+
 def weekly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     weekly = ev.groupBy(
@@ -98,10 +139,8 @@ def weekly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("WEEK_START_VALUE"),  # reference naming: min
         F.max("value").alias("WEEK_END_VALUE"),    # reference naming: max
     )
-    glob = W.partitionBy()
-    weekly = weekly.withColumn("_mn", F.min("AVG_WEEKLY_VALUE").over(glob)).withColumn(
-        "_mx", F.max("AVG_WEEKLY_VALUE").over(glob)
-    )
+    weekly = weekly.cache()  # A2 scalar-cache: agg + lit, no global window
+    mn, mx = weekly.agg(F.min("AVG_WEEKLY_VALUE"), F.max("AVG_WEEKLY_VALUE")).first()
     return weekly.select(
         "WEEK_START",
         "AVG_WEEKLY_VALUE",
@@ -109,7 +148,9 @@ def weekly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WEEK_END_VALUE",
         pct_change("WEEK_START_VALUE", "WEEK_END_VALUE").alias("WEEKLY_CHANGE"),
         volatility("WEEK_END_VALUE", "WEEK_START_VALUE").alias("WEEKLY_VOLATILITY"),
-        normalize_value("AVG_WEEKLY_VALUE", "_mn", "_mx").alias("NORMALIZED_WEEKLY_VALUE"),
+        normalize_value("AVG_WEEKLY_VALUE", F.lit(mn), F.lit(mx)).alias(
+            "NORMALIZED_WEEKLY_VALUE"
+        ),
     ).orderBy("WEEK_START")
 
 
@@ -205,6 +246,7 @@ ORDER BY event_id LIMIT 50
 
 QUERIES: dict = {
     "daily_stats": (daily_stats, DAILY_STATS_SQL),
+    "daily_stats_sql_udfs": (daily_stats_sql_udfs, DAILY_STATS_SQL),
     "weekly_stats": (weekly_stats, WEEKLY_STATS_SQL),
     "date_construction": (date_construction, DATE_CONSTRUCTION_SQL),
     "stream_sample": (stream_sample, STREAM_SAMPLE_SQL),
