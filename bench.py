@@ -57,11 +57,18 @@ def main() -> None:
 
     spark = get_session("bench", shuffle_partitions=int(cpus))
 
-    # warm the JVM/reader path once (excluded from timings)
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm the JVM/reader/codegen path once (excluded from timings): an
+    # aggregation shape and a broadcast-join shape, so the first timed
+    # query doesn't pay the multi-second JIT/codegen warmup (round 1's q1
+    # read 6.3s vs 0.9s for the same shape later in the loop)
+    qs = all_queries()
+    for warm in ("q6_forecast_revenue", "region_revenue"):
+        if warm in qs:
+            qs[warm][0](spark, sf_dir).count()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
-    for name, (fn, _sql) in all_queries().items():
+    for name, (fn, _sql) in qs.items():
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()

@@ -75,6 +75,37 @@ class TableStore:
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self.data_path(name))
 
+    def describe(self, spark: SparkSession, name: str) -> DataFrame:
+        """``DESC TABLE`` parity (reference ``loading_data_sp/function.py:30``):
+        one row per column — (col_name, data_type, nullable). Schema comes
+        from parquet footer metadata only; no data scan."""
+        fields = self.read(spark, name).schema.fields
+        return spark.createDataFrame(
+            [(f.name, f.dataType.simpleString(), f.nullable) for f in fields],
+            schema="col_name string, data_type string, nullable boolean",
+        )
+
+    # -- table comments ----------------------------------------------------
+    def _comment_file(self, name: str) -> str:
+        return os.path.join(self.table_dir(name), "_COMMENT")
+
+    def set_comment(self, name: str, comment: str) -> None:
+        """``COMMENT ON TABLE`` parity (reference ``raw_co2_data.py:103-105``)."""
+        if not self.exists(name):
+            raise FileNotFoundError(f"table {name!r} does not exist in {self.root}")
+        cf = self._comment_file(name)
+        tmp = cf + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(comment)
+        os.replace(tmp, cf)
+
+    def get_comment(self, name: str) -> str | None:
+        cf = self._comment_file(name)
+        if not os.path.exists(cf):
+            return None
+        with open(cf) as f:
+            return f.read()
+
     # -- writes -----------------------------------------------------------
     def _commit_version(self, name: str, version: int) -> None:
         vf = self._version_file(name)

@@ -37,6 +37,27 @@ def test_table_store_append_and_partitioning(spark, store):
     assert got.filter(F.col("YEAR") == 2021).count() == 1
 
 
+def test_table_store_describe_and_comment(spark, store):
+    """DESC TABLE / COMMENT ON TABLE parity (reference
+    loading_data_sp/function.py:30, raw_co2_data.py:103-105)."""
+    df = _df(spark, [(1, "a")], "id long, name string")
+    store.overwrite(df, "ns.desc_t")
+    desc = {r["col_name"]: r["data_type"] for r in store.describe(spark, "ns.desc_t").collect()}
+    assert desc == {"id": "bigint", "name": "string"}
+
+    assert store.get_comment("ns.desc_t") is None
+    store.set_comment("ns.desc_t", "Raw CO2 readings")
+    assert store.get_comment("ns.desc_t") == "Raw CO2 readings"
+    # comment survives an overwrite (new version, same table)
+    store.overwrite(df, "ns.desc_t")
+    assert store.get_comment("ns.desc_t") == "Raw CO2 readings"
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        store.set_comment("ns.nope", "x")
+
+
 def test_merge_upsert_update_insert(spark, store):
     target = _df(spark, [(1, 10.0, "x"), (2, 20.0, "y")], "k long, v double, tag string")
     store.overwrite(target, "ns.m")
