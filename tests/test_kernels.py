@@ -98,3 +98,43 @@ def test_sql_udf_uncastable_returns_zero(spark):
     register_all_udfs(spark)
     row = spark.sql("SELECT CO2_DAILY_PERCENT_CHANGE('abc', '100') AS r").first()
     assert row["r"] == 0.0
+
+
+def test_split_sql_statements():
+    from incremental_datapipeline_using_snowflake_spark.functions import split_sql_statements
+
+    script = """
+    -- a comment; with a semicolon
+    CREATE TEMPORARY VIEW _s1 AS SELECT 'a;b' AS v;
+    /* block; comment */
+    SELECT v, 'it''s;fine' AS w FROM _s1;
+    SELECT 1
+    """
+    stmts = split_sql_statements(script)
+    assert len(stmts) == 3
+    assert "'a;b'" in stmts[0]
+    assert "'it''s;fine'" in stmts[1]
+    assert stmts[2] == "SELECT 1"
+
+
+def test_run_sql_script(spark, tmp_path):
+    from incremental_datapipeline_using_snowflake_spark.functions import (
+        run_sql_directory,
+        run_sql_file,
+        run_sql_script,
+    )
+
+    out = run_sql_script(
+        spark,
+        """
+        CREATE OR REPLACE TEMPORARY VIEW _script_v AS
+        SELECT id, id * 2 AS dbl FROM range(5);
+        SELECT sum(dbl) AS s FROM _script_v;
+        """,
+    )
+    assert out.first()["s"] == 20
+
+    f = tmp_path / "01_setup.sql"
+    f.write_text("SELECT count(*) AS n FROM _script_v;")
+    assert run_sql_file(spark, str(f)).first()["n"] == 5
+    assert run_sql_directory(spark, str(tmp_path)) == 1
