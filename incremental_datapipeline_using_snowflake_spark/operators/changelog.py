@@ -79,24 +79,31 @@ class Changelog:
         Crash safety (single writer): rows become visible before
         ``_META.json`` commits, so a crash in between would leave
         ``next_base`` stale and a retried append would mint duplicate ids.
-        Guard: start from the log's actual ``max(_row_id) >= base`` if one
-        exists (a metadata-pruned scan in the no-crash case). Consumers may
-        see the orphaned rows of the crashed append once — downstream
-        merges key on natural keys and are idempotent (SURVEY.md §7.3), the
-        same replay contract as commit-after-merge.
+        Guard: a write-ahead ``in_flight`` marker is committed to the meta
+        file BEFORE any rows land. In the steady state the marker is clear
+        and no recovery scan runs at all; only an append that finds a stale
+        marker (i.e. the previous append crashed mid-write) pays one
+        metadata-pruned ``max(_row_id)`` scan to re-find the high-water
+        mark. Consumers may see the orphaned rows of the crashed append
+        once — downstream merges key on natural keys and are idempotent
+        (SURVEY.md §7.3), the same replay contract as commit-after-merge.
         """
         spark = df.sparkSession
         meta = self._read_meta()
         base = int(meta["next_base"])
-        if self.store.exists(self.log_table):
+        if meta.get("in_flight") is not None and self.store.exists(self.log_table):
+            # previous append crashed after (possibly) landing rows: recover
+            # the true high-water mark (>= pushes down -> row-group pruning)
             crashed = (
                 self.store.read(spark, self.log_table)
-                .filter(F.col("_row_id") >= base)
+                .filter(F.col("_row_id") >= int(meta["in_flight"]))
                 .agg(F.max("_row_id"))
                 .first()[0]
             )
             if crashed is not None:
-                base = int(crashed) + 1
+                base = max(base, int(crashed) + 1)
+        meta["in_flight"] = base
+        self._write_meta(meta)  # intent marker durable before rows land
         batch = df.withColumn("_action", F.lit(action)).withColumn(
             "_row_id", F.lit(base) + F.monotonically_increasing_id()
         )
@@ -106,6 +113,7 @@ class Changelog:
         )
         n, max_id = written.agg(F.count(F.lit(1)), F.max("_row_id")).first()
         meta["next_base"] = int(max_id) + 1 if max_id is not None else base
+        meta["in_flight"] = None
         self._write_meta(meta)
         return int(n)
 

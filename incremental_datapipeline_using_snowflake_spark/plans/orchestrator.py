@@ -16,7 +16,6 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 
-from ..operators.changelog import Changelog
 from ..operators.table_store import TableStore
 from . import pipeline as P
 
@@ -31,6 +30,7 @@ class Orchestrator:
     streaming_harmonize: bool = False  # SP2 via Structured Streaming drain
     checkpoint_dir: str | None = None  # required when streaming_harmonize
     _history: list[dict] = field(default_factory=list)
+    _pending_log: list[dict] = field(default_factory=list)
 
     def suspend(self) -> None:
         self.suspended = True
@@ -47,10 +47,20 @@ class Orchestrator:
             "run_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         self._history.append(rec)
+        self._pending_log.append(rec)
+
+    def _flush_log(self) -> None:
+        """Persist buffered stage records in ONE append per DAG run — a
+        1-row Spark write job per stage (round 1) tripled the fixed job
+        overhead of every run for pure metadata."""
+        if not self._pending_log:
+            return
         df = self.spark.createDataFrame(
-            [rec], schema="stage string, status string, message string, seconds double, run_at string"
+            self._pending_log,
+            schema="stage string, status string, message string, seconds double, run_at string",
         )
         self.store.append(df, RUN_LOG_TABLE)
+        self._pending_log = []
 
     def _run_stage(self, name: str, fn: Callable[[], str]) -> tuple[bool, str]:
         t0 = time.time()
@@ -66,6 +76,12 @@ class Orchestrator:
         """One DAG execution (``EXECUTE TASK`` equivalent)."""
         if self.suspended:
             return {"status": "suspended"}
+        try:
+            return self._run_dag(feed_text=feed_text, fetcher=fetcher)
+        finally:
+            self._flush_log()
+
+    def _run_dag(self, feed_text: str | None = None, fetcher=None) -> dict[str, str]:
         results: dict[str, str] = {}
 
         ok, msg = self._run_stage(
@@ -87,27 +103,19 @@ class Orchestrator:
                 "co2_harmonized_task",
                 lambda: stream_harmonize(self.spark, self.store, self.checkpoint_dir),
             )
-            results["harmonized"] = msg
-            if not ok:
-                return results
-            if msg == "No data in stream to process":
-                results["analytics"] = "skipped (stream empty)"
-                return results
         else:
-            # Batch mode: WHEN SYSTEM$STREAM_HAS_DATA(...) gate on the named
-            # consumer offset — skip downstream if empty.
-            log = Changelog(self.store, P.RAW_TABLE)
-            if not log.has_data(self.spark, consumer="harmonize"):
-                results["harmonized"] = "skipped (stream empty)"
-                results["analytics"] = "skipped (stream empty)"
-                return results
-
+            # Batch mode: the WHEN SYSTEM$STREAM_HAS_DATA(...) gate lives
+            # inside harmonize's single pending-count action — probing it
+            # here too would double the gate's job cost for no information.
             ok, msg = self._run_stage(
                 "co2_harmonized_task", lambda: P.harmonize(self.spark, self.store)
             )
-            results["harmonized"] = msg
-            if not ok:
-                return results
+        results["harmonized"] = msg
+        if not ok:
+            return results
+        if msg == "No data in stream to process":
+            results["analytics"] = "skipped (stream empty)"
+            return results
 
         ok, msg = self._run_stage(
             "co2_analytics_task", lambda: P.analytics(self.spark, self.store)

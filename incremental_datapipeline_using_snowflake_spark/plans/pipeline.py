@@ -92,11 +92,17 @@ def load_raw(
 # ---------------------------------------------------------------------------
 def harmonize(spark: SparkSession, store: TableStore, consumer: str = "harmonize") -> str:
     log = Changelog(store, RAW_TABLE)
-    if not log.has_data(spark, consumer):
+    pending = log.pending(spark, consumer)
+    if pending is None:
         return "No data in stream to process"  # empty-stream short-circuit (:119-124)
 
-    pending = log.pending(spark, consumer).cache()
-    hi = pending.agg(F.max("_row_id").alias("m")).first()["m"]
+    # one action covers both the SYSTEM$STREAM_HAS_DATA gate and the offset
+    # high-water mark (round 1 paid two: a limit(1).count probe + a max agg)
+    pending = pending.cache()
+    n_pending, hi = pending.agg(F.count(F.lit(1)), F.max("_row_id")).first()
+    if not n_pending:
+        pending.unpersist()
+        return "No data in stream to process"
 
     src = (
         pending.filter(F.col("_action") == "INSERT")  # P8 metadata filter

@@ -146,10 +146,13 @@ def test_changelog_append_crash_guard(spark, store):
     cause the next append to reuse their id range."""
     log = Changelog(store, "ns.crashy")
     assert log.append(_df(spark, [(1,), (2,)], "id long")) == 2
-    # simulate the crash: data from a second append is on disk, but meta
-    # still holds the pre-append next_base
+    # simulate the crash window: data from a second append is on disk, but
+    # meta still holds the pre-append next_base with the write-ahead
+    # in_flight marker set — exactly what a crash between the parquet write
+    # and the final meta commit leaves behind
     meta_before = log._read_meta()
     assert log.append(_df(spark, [(3,), (4,)], "id long")) == 2
+    meta_before["in_flight"] = meta_before["next_base"]
     log._write_meta(meta_before)
 
     assert log.append(_df(spark, [(5,)], "id long")) == 1

@@ -139,13 +139,15 @@ def test_orchestrator_gating_and_history(spark, store):
     orch = Orchestrator(spark, store)
     res = orch.run(feed_text=FEED_V1)
     assert "complete" in res["analytics"]
-    # second run with identical feed: loader reports no data, downstream skipped
+    # second run with identical feed: loader reports no data; harmonize's
+    # own single-action gate reports the empty stream; analytics skipped
     res2 = orch.run(feed_text=FEED_V1)
-    assert res2["harmonized"] == "skipped (stream empty)"
+    assert res2["harmonized"] == "No data in stream to process"
+    assert res2["analytics"] == "skipped (stream empty)"
     hist = orch.task_history()
-    assert [h["status"] for h in hist] == ["SUCCEEDED"] * 4
-    # run log persisted as a table
-    assert store.read(spark, "analytics_co2._run_log").count() == 4
+    assert [h["status"] for h in hist] == ["SUCCEEDED"] * 5
+    # run log persisted as a table (one buffered append per DAG run)
+    assert store.read(spark, "analytics_co2._run_log").count() == 5
 
     orch.suspend()
     assert orch.run(feed_text=FEED_V1) == {"status": "suspended"}
