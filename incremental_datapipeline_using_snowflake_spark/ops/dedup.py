@@ -180,15 +180,21 @@ def _signatures_from_shingles(docs: DataFrame) -> DataFrame:
 
 
 def minhash_band_pairs(sigs: DataFrame) -> DataFrame:
-    """Candidate pairs sharing any of the 4 (2-row) LSH bands."""
-    bands = None
-    for b in range(N_MINHASH // 2):
-        part = sigs.select(
-            "id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("_", F.col(f"m{2*b}"), F.col(f"m{2*b+1}"))).alias("bh"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    """Candidate pairs sharing any of the 4 (2-row) LSH bands.
+
+    Bands come from ONE ``posexplode`` of a per-row band-hash array. The
+    round-1 form unioned 4 per-band projections of ``sigs``, which planned
+    the signature aggregation (explode + groupBy over every shingle) once
+    per band per self-join side — 8 full passes; this shape plans it once
+    per side.
+    """
+    band_hashes = F.array(
+        *[
+            F.md5(F.concat_ws("_", F.col(f"m{2*b}"), F.col(f"m{2*b+1}")))
+            for b in range(N_MINHASH // 2)
+        ]
+    )
+    bands = sigs.select("id", F.posexplode(band_hashes).alias("band", "bh"))
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(
