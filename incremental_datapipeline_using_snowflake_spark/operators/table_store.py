@@ -147,5 +147,52 @@ class TableStore:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self.data_path(name))
 
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        target_file_bytes: int = 128 << 20,
+        sort_by: list[str] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> dict[str, int]:
+        """Rewrite a table into right-sized files (small-file compaction).
+
+        Append-heavy tables (the CDC changelog above all) accumulate one
+        file per micro-batch; at warehouse scale thousands of KB-sized
+        files make every scan listing-bound and defeat row-group pruning.
+        Compaction reads the current version, repartitions to
+        ``ceil(total_bytes / target_file_bytes)`` output files, and commits
+        through the same stage-and-swap protocol as :meth:`overwrite` — so
+        readers planned against the old version still finish, and a crash
+        mid-compaction leaves the table untouched.
+
+        ``sort_by`` range-partitions and sorts the rewrite on those columns
+        so min/max row-group stats stay selective for predicates on them
+        (e.g. ``_row_id`` offset seeks, event-time filters). File sizing
+        uses driver-side file metadata only — no data scan before the
+        rewrite. Returns ``{"files_before", "files_after"}``.
+        """
+        from math import ceil
+
+        src = self.data_path(name)
+        sizes = [
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(src)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        n_out = max(1, ceil(sum(sizes) / target_file_bytes))
+        df = self.read(spark, name)
+        if sort_by:
+            df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+        else:
+            df = df.repartition(n_out)
+        self.overwrite(df, name, partition_by=partition_by)
+        out = self.data_path(name)
+        files_after = sum(
+            1 for r, _, fs in os.walk(out) for f in fs if f.endswith(".parquet")
+        )
+        return {"files_before": len(sizes), "files_after": files_after}
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self.table_dir(name), ignore_errors=True)

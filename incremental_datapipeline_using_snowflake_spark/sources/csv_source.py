@@ -27,6 +27,31 @@ CO2_CSV_SCHEMA = T.StructType(
 )
 
 
+def write_co2_csv(
+    df: DataFrame,
+    path: str,
+    single_file: bool = False,
+    header: bool = True,
+) -> None:
+    """CSV serialization sink — the reference's pandas ``to_csv`` →
+    object-store upload step (S7, ``scrape_co2data/data_extraction.py:62-76``,
+    ``loading_data_sp/function.py:222-238``).
+
+    ``single_file=True`` reproduces the reference's one-file-per-upload
+    layout via ``coalesce(1)`` — correct for its ~365-row yearly batches,
+    an anti-pattern for large data (use the default many-part layout, one
+    file per partition, written in parallel).
+    """
+    out = df.coalesce(1) if single_file else df
+    (
+        out.write.mode("overwrite")
+        .option("header", header)
+        .option("quote", '"')
+        .option("nullValue", "NULL")
+        .csv(path)
+    )
+
+
 def read_co2_csv(
     spark: SparkSession,
     path: str,

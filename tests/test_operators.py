@@ -158,3 +158,69 @@ def test_changelog_append_crash_guard(spark, store):
     assert log.append(_df(spark, [(5,)], "id long")) == 1
     ids = [r["_row_id"] for r in log.pending(spark, "u").collect()]
     assert len(ids) == 5 and len(set(ids)) == 5
+
+
+def test_compact_changelog_preserves_offsets(spark, store):
+    """S12-adjacent maintenance: many micro-batch appends -> many small
+    files; compaction must shrink the file count without disturbing ids,
+    consumer offsets, or pending() semantics."""
+    log = Changelog(store, "ns.compactme")
+    for i in range(6):
+        log.append(_df(spark, [(i * 10 + j,) for j in range(5)], "id long"))
+    # consume half, then compact
+    first_ids = sorted(
+        r["_row_id"] for r in log.pending(spark, "c").select("_row_id").collect()
+    )
+    log.commit("c", first_ids[14])
+
+    stats = store.compact(spark, log.log_table, sort_by=["_row_id"])
+    assert stats["files_before"] >= 6
+    assert stats["files_after"] < stats["files_before"]
+
+    remaining = log.pending(spark, "c")
+    assert remaining.count() == 15
+    assert sorted(r["_row_id"] for r in remaining.collect()) == first_ids[15:]
+    # ids still unique and appends continue from the compacted state
+    assert log.append(_df(spark, [(999,)], "id long")) == 1
+    all_ids = [r["_row_id"] for r in log.pending(spark, "never").collect()]
+    assert len(all_ids) == len(set(all_ids)) == 31
+
+
+def test_compact_partitioned_table(spark, store):
+    df = _df(spark, [(2020 + i % 3, float(i)) for i in range(30)], "YEAR int, v double")
+    store.append(df.repartition(10), "ns.frag", partition_by=["YEAR"])
+    stats = store.compact(spark, "ns.frag", partition_by=["YEAR"])
+    assert stats["files_after"] < stats["files_before"]
+    got = store.read(spark, "ns.frag")
+    assert got.count() == 30
+    assert got.filter(F.col("YEAR") == 2021).count() == 10
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    """S7: CSV serialization sink — single-file parity mode and the
+    parallel many-part default both round-trip through the S5 reader."""
+    import os
+
+    from incremental_datapipeline_using_snowflake_spark.sources.csv_source import (
+        read_co2_csv,
+        write_co2_csv,
+    )
+
+    df = _df(
+        spark,
+        [(2024, 1, d, 2024.0 + d / 365.0, 420.0 + d) for d in range(1, 11)],
+        "YEAR int, MONTH int, DAY int, DECIMAL_DATE double, CO2_PPM double",
+    )
+    single = str(tmp_path / "single")
+    write_co2_csv(df, single, single_file=True)
+    csv_files = [f for f in os.listdir(single) if f.endswith(".csv")]
+    assert len(csv_files) == 1  # reference's one-file-per-upload layout
+
+    back = read_co2_csv(spark, single, pattern="*.csv")
+    assert back.count() == 10
+    assert sorted(r["DAY"] for r in back.collect()) == list(range(1, 11))
+    assert back.schema == df.schema
+
+    many = str(tmp_path / "many")
+    write_co2_csv(df.repartition(4), many, single_file=False)
+    assert read_co2_csv(spark, many, pattern="*.csv").count() == 10
