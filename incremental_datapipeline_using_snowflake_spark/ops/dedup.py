@@ -218,6 +218,49 @@ def minhash_dedup_pairs(
     return _verified_pairs(cand, docs, threshold)
 
 
+def cross_corpus_overlap(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    min_shared: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: corpus documents sharing at least
+    ``min_shared`` distinct 3-word shingles with any benchmark document.
+
+    The standard pre-training hygiene step (decontaminating the training
+    corpus against eval sets). Shape for 100 TB: the corpus side is
+    exploded to (id, shingle) and joined on the shingle against the
+    exploded benchmark side — the benchmark (an eval suite, thousands of
+    docs, not billions) is genuinely small, so its broadcast is justified
+    and the corpus is never shuffled; the per-pair distinct-shingle count
+    then aggregates on (corpus_id, bench_id).
+    """
+    c = (
+        corpus.select(F.col(id_col).alias("_cid"), shingles_col(F.col(text_col)).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("_cid", F.explode("sh").alias("s"))
+    )
+    b = (
+        bench.select(F.col(id_col).alias("_bid"), shingles_col(F.col(text_col)).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("_bid", F.explode("sh").alias("s"))
+    )
+    return (
+        c.join(F.broadcast(b), "s")
+        .filter(F.col("_cid") != F.col("_bid"))
+        .groupBy("_cid", "_bid")
+        .agg(F.count_distinct("s").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select(
+            F.col("_cid").alias(id_col),
+            F.col("_bid").alias(bench_id_col),
+            "n_shared",
+        )
+    )
+
+
 SIMHASH_BITS = 16
 
 

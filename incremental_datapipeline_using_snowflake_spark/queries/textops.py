@@ -272,8 +272,78 @@ SELECT simhash, canonical_id, n_docs FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# dataset_split — deterministic hash-based train/val/test assignment with
+# per-(lang, split) counts; the last step of a training-data pipeline.
+# ---------------------------------------------------------------------------
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.sampling import split_column
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", split_column("doc_id"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(30,8)")).cast("double").alias("sum_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+def _dataset_split_sql() -> str:
+    from ..ops.sampling import split_column_sql
+
+    return f"""
+SELECT lang,
+       {split_column_sql("doc_id")} AS split,
+       count(*) AS n_docs,
+       CAST(sum(CAST(n_chars AS DECIMAL(30,8))) AS DOUBLE) AS sum_chars
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, split
+"""
+
+
+# ---------------------------------------------------------------------------
+# contamination_check — corpus docs sharing >= 3 distinct shingles with a
+# held-out "benchmark" set (documents with doc_id % 15 == 0); the augmented
+# corpus guarantees real hits (exact copies of every doc_id % 5 == 0).
+# ---------------------------------------------------------------------------
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bench = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 15 == 0)
+    return D.cross_corpus_overlap(
+        corpus_df(spark, sf_dir), bench, min_shared=3
+    ).orderBy("doc_id", "bench_id")
+
+
+CONTAMINATION_SQL = f"""
+WITH {CORPUS_SQL.strip()},
+{_SHINGLES_SQL.strip()},
+bsh AS (
+  SELECT id AS bench_id,
+         list_distinct(CASE WHEN len(sp) >= 3
+           THEN list_transform(range(1, len(sp) - 1),
+                               i -> array_to_string(list_slice(sp, i, i + 2), ' '))
+           ELSE [] END) AS sh
+  FROM (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS sp
+        FROM documents WHERE doc_id % 15 = 0)
+),
+ce AS (SELECT id, unnest(sh) AS s FROM docs2),
+be AS (SELECT bench_id, unnest(sh) AS s FROM bsh WHERE len(sh) > 0)
+SELECT id AS doc_id, bench_id, count(DISTINCT s) AS n_shared
+FROM ce JOIN be USING (s)
+WHERE id != bench_id
+GROUP BY 1, 2
+HAVING count(DISTINCT s) >= 3
+ORDER BY doc_id, bench_id
+"""
+
+
 QUERIES: dict = {
     "text_profile": (text_profile, _text_profile_sql()),
+    "dataset_split": (dataset_split, _dataset_split_sql()),
+    "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),

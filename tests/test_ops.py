@@ -142,3 +142,60 @@ def test_multimodal_strict_raises(spark, sf_dir):
     media = M.attach_payload(docs)
     with pytest.raises(Exception, match="NotImplementedError|no codec"):
         M.decode_media(media, strict=True).collect()
+
+
+def test_split_deterministic_and_complete(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.sampling import (
+        split_column,
+        stratified_sample,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = df.withColumn("split", split_column("doc_id"))
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # ~90/5/5 within generous tolerance at n=2000
+    assert counts["train"] > 1600 and counts["val"] > 40 and counts["test"] > 40
+
+    # determinism: same assignment on recompute and under repartitioning
+    again = {
+        r["doc_id"]: r["split"]
+        for r in df.repartition(13).withColumn("split", split_column("doc_id")).collect()
+    }
+    for r in out.collect():
+        assert again[r["doc_id"]] == r["split"]
+
+    # an appended row never moves existing rows between splits
+    bigger = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    grown = {r["doc_id"]: r["split"] for r in bigger.withColumn("split", split_column("doc_id")).collect()}
+    for k, v in again.items():
+        assert grown[k] == v
+
+    sample = stratified_sample(df, 0.1, id_col="doc_id")
+    n = sample.count()
+    assert 120 < n < 280  # ~200 expected
+    assert sample.count() == n  # stable
+
+
+def test_cross_corpus_overlap_finds_planted_contamination(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.dedup import cross_corpus_overlap
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different text with no shared phrases at all"),
+            (3, "the quick brown fox jumps over a sleeping cat"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    hits = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"]
+        for r in cross_corpus_overlap(corpus, bench, min_shared=3).collect()
+    }
+    assert (1, 100) in hits and hits[(1, 100)] >= 6  # full overlap
+    assert (3, 100) in hits                          # prefix overlap
+    assert (2, 100) not in hits                      # disjoint text
