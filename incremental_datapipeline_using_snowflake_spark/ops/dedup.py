@@ -50,6 +50,28 @@ def shingles_col(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.filter(sh, lambda x: x.isNotNull()))
 
 
+def hashed_shingles_col(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles as 60-bit md5 hashes (``array<long>``).
+
+    Every consumer of shingle sets (anchor blocking, MinHash permutations,
+    Jaccard verification, contamination joins) only needs equality — never
+    the shingle text — so hashing at construction turns all downstream
+    array intersects, group-bys, and joins into int64 operations instead
+    of variable-length string operations: smaller cache, cheaper shuffle
+    keys, ~2x faster verify. One md5 per shingle total, reused everywhere.
+    """
+    w = words_col(text)
+    sh = w
+    for j in range(1, n):
+        sh = F.zip_with(
+            sh,
+            F.slice(w, j + 1, F.size(w)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    hashed = F.transform(F.filter(sh, lambda x: x.isNotNull()), lambda s: md5_long(s))
+    return F.array_distinct(hashed)
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Duplicate groups under normalized-md5 equality: canonical id + count."""
     return (
@@ -76,7 +98,9 @@ def _shingle_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     in-memory cache.
     """
     docs = (
-        df.select(F.col(id_col).alias("id"), shingles_col(F.col(text_col)).alias("sh"))
+        df.select(
+            F.col(id_col).alias("id"), hashed_shingles_col(F.col(text_col)).alias("sh")
+        )
         .filter(F.size("sh") > 0)
         .cache()
     )
@@ -129,19 +153,31 @@ def ngram_jaccard_pairs(
     """
     docs = _shingle_docs(df, text_col, id_col)
     anchors = docs.select(
-        "id", F.explode(F.filter("sh", lambda s: md5_long(s) % anchor_mod == 0)).alias("anchor")
+        "id", F.explode(F.filter("sh", lambda h: h % anchor_mod == 0)).alias("anchor")
     )
-    rare = (
-        anchors.groupBy("anchor")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= max_anchor_df)
-        .select("anchor")
+    # One aggregation does everything the round-1 plan spread over a
+    # doc-frequency aggregate + broadcast join + self-join (computing the
+    # anchor explode three times): collect the ids per anchor, apply the
+    # DF cap as a size filter, and emit the sorted upper-triangle of each
+    # bucket with array expressions. Safe ONLY because max_anchor_df
+    # bounds every bucket (<= 100 ids per collected array) — for uncapped
+    # buckets (MinHash bands) the self-join form remains the right plan.
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
     )
-    anchors = anchors.join(F.broadcast(rare), "anchor")
-    a, b = anchors.alias("a"), anchors.alias("b")
     cand = (
-        a.join(b, (F.col("a.anchor") == F.col("b.anchor")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        anchors.groupBy("anchor")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_anchor_df))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     return _verified_pairs(cand, docs, threshold)
@@ -159,19 +195,21 @@ MINHASH_B = [17, 131, 1009, 8191, 131071, 524287, 6700417, 2147483647]
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """k MinHash values per doc — one explode, ONE md5 per shingle, k
-    aggregate-mins over arithmetic permutations of that hash (the classic
-    linear-perm MinHash; ~k× less hashing than per-perm md5)."""
+    """k MinHash values per doc — one explode, ONE md5 per shingle (done at
+    shingle construction), k aggregate-mins over arithmetic permutations of
+    that hash (the classic linear-perm MinHash; ~k× less hashing than
+    per-perm md5)."""
     docs = df.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col)).alias("sh")
+        F.col(id_col).alias("id"), hashed_shingles_col(F.col(text_col)).alias("sh")
     )
     return _signatures_from_shingles(docs)
 
 
 def _signatures_from_shingles(docs: DataFrame) -> DataFrame:
+    """``docs.sh`` holds 60-bit shingle hashes already — fold them into the
+    permutation domain with a plain modulus, no rehashing."""
     exploded = docs.select("id", F.explode("sh").alias("s"))
-    h = md5_long(F.col("s")) % MINHASH_MOD
-    hashed = exploded.select("id", h.alias("h"))
+    hashed = exploded.select("id", (F.col("s") % MINHASH_MOD).alias("h"))
     aggs = [
         F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MINHASH_MOD).alias(f"m{i}")
         for i in range(N_MINHASH)
@@ -238,12 +276,16 @@ def cross_corpus_overlap(
     then aggregates on (corpus_id, bench_id).
     """
     c = (
-        corpus.select(F.col(id_col).alias("_cid"), shingles_col(F.col(text_col)).alias("sh"))
+        corpus.select(
+            F.col(id_col).alias("_cid"), hashed_shingles_col(F.col(text_col)).alias("sh")
+        )
         .filter(F.size("sh") > 0)
         .select("_cid", F.explode("sh").alias("s"))
     )
     b = (
-        bench.select(F.col(id_col).alias("_bid"), shingles_col(F.col(text_col)).alias("sh"))
+        bench.select(
+            F.col(id_col).alias("_bid"), hashed_shingles_col(F.col(text_col)).alias("sh")
+        )
         .filter(F.size("sh") > 0)
         .select("_bid", F.explode("sh").alias("s"))
     )

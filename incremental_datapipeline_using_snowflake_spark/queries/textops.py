@@ -52,12 +52,14 @@ corpus AS (
 
 _H = ORACLE_MD5_LONG  # portable 60-bit md5 hash, oracle side
 
+# shingle sets as 60-bit md5 hashes (array<long>) — mirrors
+# ops.dedup.hashed_shingles_col so intersects/joins are int64 on both sides
 _SHINGLES_SQL = f"""
 docs AS (
   SELECT id,
          list_distinct(CASE WHEN len(sp) >= 3
            THEN list_transform(range(1, len(sp) - 1),
-                               i -> array_to_string(list_slice(sp, i, i + 2), ' '))
+                               i -> {_H.format(x="array_to_string(list_slice(sp, i, i + 2), ' ')")})
            ELSE [] END) AS sh
   FROM (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS sp FROM corpus)
 ),
@@ -170,7 +172,7 @@ DEDUP_NGRAM_SQL = f"""
 WITH {CORPUS_SQL.strip()},
 {_SHINGLES_SQL.strip()},
 anchors0 AS (
-  SELECT id, unnest(list_filter(sh, s -> ({_H.format(x='s')} % 20 = 0))) AS anchor
+  SELECT id, unnest(list_filter(sh, s -> (s % 20 = 0))) AS anchor
   FROM docs2
 ),
 rare AS (
@@ -217,7 +219,7 @@ WITH {CORPUS_SQL.strip()},
 sigs AS (
   SELECT id, {mins}
   FROM (
-    SELECT id, {_H.format(x='s')} % {D.MINHASH_MOD} AS h
+    SELECT id, s % {D.MINHASH_MOD} AS h
     FROM (SELECT id, unnest(sh) AS s FROM docs2)
   ) GROUP BY id
 ),
@@ -324,7 +326,7 @@ bsh AS (
   SELECT id AS bench_id,
          list_distinct(CASE WHEN len(sp) >= 3
            THEN list_transform(range(1, len(sp) - 1),
-                               i -> array_to_string(list_slice(sp, i, i + 2), ' '))
+                               i -> {_H.format(x="array_to_string(list_slice(sp, i, i + 2), ' ')")})
            ELSE [] END) AS sh
   FROM (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS sp
         FROM documents WHERE doc_id % 15 = 0)
