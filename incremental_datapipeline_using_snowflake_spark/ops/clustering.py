@@ -1,0 +1,124 @@
+"""Distributed k-means (Lloyd's iterations) over embedding columns.
+
+The canonical *iterative* algorithm of a training-data pipeline (corpus
+organization, IVF centroid training, diversity sampling). Designed for the
+100 TB shape AND cross-engine exactness:
+
+- **per iteration**: one broadcast-free assignment pass (centroids are
+  inlined as literal arrays — k×dim integers — so assignment is a narrow
+  map) + one groupBy(cell) shuffle for the per-dimension sums. The corpus
+  is never collected; only the k×(dim+2) aggregate rows come to the driver
+  (the same scalar-cache pattern as the pipeline's min/max, A2).
+- **integer-exact, oracle-replayable**: components are quantized to 1e-6
+  (``floor(x*1e6 + 0.5)``, the same bit-identical step as the LSH
+  signatures), distances are exact int64 sums of squared diffs, and
+  centroid updates floor to the integer grid (``floor(sum/n)`` — exact for
+  |sum| < 2^53 since int64 doubles are exact there). Every iteration is
+  therefore bit-for-bit reproducible in any engine, including the DuckDB
+  oracle — an iterative algorithm with a hash-checked correctness gate
+  instead of the usual rows-only waiver.
+- **deterministic**: seeds = the k lowest-id vectors (cell label = seed
+  vec_id); distance ties break to the smallest cell label; empty cells
+  keep their previous centroid.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000  # 1e-6 component grid
+
+
+def quantized_vec(vec_col: Column | str) -> Column:
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(c, lambda x: F.floor(x.cast("double") * QUANT + F.lit(0.5)).cast("long"))
+
+
+def _dist_to(xq: Column, centroid: list[int]) -> Column:
+    """Exact int64 squared L2 distance to a literal centroid."""
+    cl = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    return F.aggregate(
+        F.zip_with(xq, cl, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
+
+
+def _assign_cols(xq: Column, centroids: dict[int, list[int]]) -> tuple[Column, Column]:
+    """(cell, dist) columns for the argmin assignment; ties -> smallest
+    cell label (the ``when`` chain runs in ascending label order)."""
+    cells = sorted(centroids)
+    dists = {c: _dist_to(xq, centroids[c]) for c in cells}
+    best = F.least(*dists.values()) if len(cells) > 1 else dists[cells[0]]
+    expr = None
+    for c in cells:
+        cond = dists[c] == best
+        expr = F.when(cond, c) if expr is None else expr.when(cond, c)
+    return expr.cast("long"), best
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[dict[int, list[int]], DataFrame]:
+    """Run ``iters`` Lloyd updates; returns (centroids, assignments).
+
+    ``centroids`` maps cell label (seed vec_id) -> quantized component
+    list; ``assignments`` is (id, cell, dist) under the FINAL centroids.
+    Driver traffic per iteration is k×(dim+2) values — independent of
+    corpus size.
+    """
+    q = corpus.select(F.col(id_col).alias("id"), quantized_vec(vec_col).alias("xq"))
+    seeds = q.orderBy("id").limit(k).collect()
+    dim = len(seeds[0]["xq"])
+    centroids = {int(r["id"]): [int(v) for v in r["xq"]] for r in seeds}
+
+    sum_aggs = [
+        F.sum(F.element_at("xq", d + 1)).alias(f"s{d}") for d in range(dim)
+    ]
+    for _ in range(iters):
+        cell, _dist = _assign_cols(F.col("xq"), centroids)
+        grouped = (
+            q.withColumn("cell", cell)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"), *sum_aggs)
+            .collect()
+        )
+        new = dict(centroids)  # empty cells keep their previous centroid
+        for r in grouped:
+            n = int(r["n"])
+            new[int(r["cell"])] = [
+                int(math.floor(int(r[f"s{d}"]) / n)) for d in range(dim)
+            ]
+        centroids = new
+
+    cell, dist = _assign_cols(F.col("xq"), centroids)
+    return centroids, q.select("id", cell.alias("cell"), dist.alias("dist"))
+
+
+def kmeans_cluster_stats(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-cluster summary under the final model: member count, smallest
+    member id, and exact integer inertia (sum of squared distances —
+    decimal-routed so the sum never overflows at corpus scale)."""
+    _, assigned = kmeans_fit(corpus, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("id").alias("min_vec_id"),
+            F.sum(F.col("dist").cast("decimal(38,0)")).alias("inertia"),
+        )
+        .orderBy("cell")
+    )

@@ -283,8 +283,75 @@ SELECT doc_id, frame_idx, frame_bytes FROM frames ORDER BY doc_id, frame_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# kmeans_clusters — 2 Lloyd iterations over the embeddings, integer-exact so
+# even the iterative refinement hash-matches the oracle (ops.clustering).
+# ---------------------------------------------------------------------------
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.clustering import kmeans_cluster_stats
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_cluster_stats(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = EMB_DIM) -> str:
+    """Unrolled Lloyd iterations as chained CTEs — same quantization, same
+    floor(sum/n) centroid grid, same tie-breaks as ops.clustering."""
+    d2 = f"list_sum(list_transform(range(1, {dim+1}), i -> (q.xq[i]-{{c}}.c[i])*(q.xq[i]-{{c}}.c[i])))"
+    parts = [
+        f"""q AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS xq
+  FROM embeddings
+)""",
+        f"c0 AS (SELECT id AS cell, xq AS c FROM q ORDER BY id LIMIT {k})",
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        dist = d2.format(c=prev)
+        parts += [
+            f"""a{t} AS (
+  SELECT id, xq, cell FROM (
+    SELECT q.id, q.xq, {prev}.cell,
+           row_number() OVER (PARTITION BY q.id ORDER BY {dist} ASC, {prev}.cell ASC) AS rk
+    FROM q CROSS JOIN {prev}) WHERE rk = 1
+)""",
+            f"""u{t} AS (
+  SELECT cell, list(CAST(floor(CAST(s AS DOUBLE)/n) AS BIGINT) ORDER BY i) AS c
+  FROM (SELECT cell, i, sum(xq[i]) AS s, count(*) AS n
+        FROM a{t} CROSS JOIN range(1, {dim+1}) r(i) GROUP BY cell, i)
+  GROUP BY cell
+)""",
+            f"""c{t} AS (
+  SELECT {prev}.cell, coalesce(u{t}.c, {prev}.c) AS c
+  FROM {prev} LEFT JOIN u{t} USING (cell)
+)""",
+        ]
+        prev = f"c{t}"
+    dist = d2.format(c=prev)
+    parts.append(
+        f"""fin AS (
+  SELECT id, cell, dist FROM (
+    SELECT q.id, {prev}.cell, {dist} AS dist,
+           row_number() OVER (PARTITION BY q.id ORDER BY {dist} ASC, {prev}.cell ASC) AS rk
+    FROM q CROSS JOIN {prev}) WHERE rk = 1
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT cell, count(*) AS n_vecs, min(id) AS min_vec_id,"
+        " CAST(sum(dist) AS DECIMAL(38,0)) AS inertia FROM fin GROUP BY cell ORDER BY cell"
+    )
+
+
 QUERIES: dict = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
+    "kmeans_clusters": (kmeans_clusters, _kmeans_sql()),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),

@@ -199,3 +199,30 @@ def test_cross_corpus_overlap_finds_planted_contamination(spark):
     assert (1, 100) in hits and hits[(1, 100)] >= 6  # full overlap
     assert (3, 100) in hits                          # prefix overlap
     assert (2, 100) not in hits                      # disjoint text
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.clustering import (
+        QUANT,
+        kmeans_fit,
+    )
+
+    # two tight 4-d blobs around (+.4,...) and (-.4,...); seeds (the two
+    # lowest ids) land one in each blob, so 2 iterations must separate them
+    rows = []
+    for i in range(40):
+        base = 0.4 if i % 2 == 0 else -0.4
+        jitter = ((i * 37) % 100) / 5000.0  # deterministic, < 0.02
+        rows.append((i, [base + jitter] * 4))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    centroids, assigned = kmeans_fit(df, k=2, iters=2)
+    got = {r["id"]: r["cell"] for r in assigned.collect()}
+    assert all(got[i] == 0 for i in range(0, 40, 2))   # +blob -> seed 0
+    assert all(got[i] == 1 for i in range(1, 40, 2))   # -blob -> seed 1
+    # centroids converge to the blob centers on the 1e-6 integer grid
+    assert abs(centroids[0][0] / QUANT - 0.41) < 0.02
+    assert abs(centroids[1][0] / QUANT - (-0.39)) < 0.02
+    # determinism: a re-run reproduces the exact same model
+    again, _ = kmeans_fit(df, k=2, iters=2)
+    assert again == centroids
