@@ -49,15 +49,18 @@ def _dist_to(xq: Column, centroid: list[int]) -> Column:
 
 def _assign_cols(xq: Column, centroids: dict[int, list[int]]) -> tuple[Column, Column]:
     """(cell, dist) columns for the argmin assignment; ties -> smallest
-    cell label (the ``when`` chain runs in ascending label order)."""
+    cell label.
+
+    Distances go into ONE array column, argmin is ``array_min`` +
+    ``array_position`` (first match = smallest label, since the array is
+    in ascending label order). A least()+when-chain form repeated every
+    distance fold ~3x in the expression tree, tripling codegen size."""
     cells = sorted(centroids)
-    dists = {c: _dist_to(xq, centroids[c]) for c in cells}
-    best = F.least(*dists.values()) if len(cells) > 1 else dists[cells[0]]
-    expr = None
-    for c in cells:
-        cond = dists[c] == best
-        expr = F.when(cond, c) if expr is None else expr.when(cond, c)
-    return expr.cast("long"), best
+    darr = F.array(*[_dist_to(xq, centroids[c]) for c in cells])
+    best = F.array_min(darr)
+    pos = F.array_position(darr, best)  # 1-based first occurrence
+    labels = F.array(*[F.lit(int(c)).cast("long") for c in cells])
+    return F.element_at(labels, pos.cast("int")), best
 
 
 def kmeans_fit(
