@@ -87,23 +87,31 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.round(inter / (F.size(a) + F.size(b) - inter), 4)
 
 
-def _shingle_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _shingle_docs(
+    df: DataFrame, text_col: str, id_col: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """(id, sh) with the shingle pass materialized ONCE.
 
     The downstream plan references this subtree several times (anchor/band
-    extraction, and both pair sides of the verify join); the eager
-    cache-fill (count()) guarantees exactly one shingle-computation pass
-    regardless of how many consumers race to build their exchanges. At
-    cluster scale this is a persist-to-parquet checkpoint instead of an
-    in-memory cache.
+    extraction, and both pair sides of the verify join), so it must be
+    computed exactly once regardless of how many consumers race to build
+    their exchanges:
+
+    - default: in-memory cache with an eager fill (right for a corpus
+      slice that fits executor storage);
+    - ``checkpoint_dir``: persist to parquet and re-read — the 100 TB
+      path, where the shingle table exceeds cluster memory and a cache
+      would thrash; the parquet round-trip also truncates the lineage so
+      retried stages re-read files instead of re-shingling.
     """
-    docs = (
-        df.select(
-            F.col(id_col).alias("id"), hashed_shingles_col(F.col(text_col)).alias("sh")
-        )
-        .filter(F.size("sh") > 0)
-        .cache()
-    )
+    docs = df.select(
+        F.col(id_col).alias("id"), hashed_shingles_col(F.col(text_col)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    if checkpoint_dir is not None:
+        path = f"{checkpoint_dir}/shingles"
+        docs.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+    docs = docs.cache()
     docs.count()  # eager fill — one shingle pass total
     return docs
 
@@ -139,6 +147,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     anchor_mod: int = 20,
     max_anchor_df: int = MAX_ANCHOR_DF,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs by shingle-set Jaccard, candidates via anchor shingles.
 
@@ -151,7 +160,7 @@ def ngram_jaccard_pairs(
     every bucket's pair count to max_anchor_df² — without it one viral
     shingle makes the self-join quadratic in corpus size.
     """
-    docs = _shingle_docs(df, text_col, id_col)
+    docs = _shingle_docs(df, text_col, id_col, checkpoint_dir=checkpoint_dir)
     anchors = docs.select(
         "id", F.explode(F.filter("sh", lambda h: h % anchor_mod == 0)).alias("anchor")
     )
@@ -247,11 +256,15 @@ def minhash_band_pairs(sigs: DataFrame) -> DataFrame:
 
 
 def minhash_dedup_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.5
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with true shingle Jaccard (shingle
     pass computed once and shared between signatures and verification)."""
-    docs = _shingle_docs(df, text_col, id_col)
+    docs = _shingle_docs(df, text_col, id_col, checkpoint_dir=checkpoint_dir)
     cand = minhash_band_pairs(_signatures_from_shingles(docs))
     return _verified_pairs(cand, docs, threshold)
 

@@ -29,6 +29,10 @@ class Orchestrator:
     suspended: bool = False  # task suspend/resume lifecycle
     streaming_harmonize: bool = False  # SP2 via Structured Streaming drain
     checkpoint_dir: str | None = None  # required when streaming_harmonize
+    # auto-compact the changelog when its file count exceeds this (0 = off).
+    # Daily appends leave one small file per batch; unchecked, a year of
+    # runs makes every pending() scan listing-bound.
+    compact_after_files: int = 64
     _history: list[dict] = field(default_factory=list)
     _pending_log: list[dict] = field(default_factory=list)
 
@@ -121,7 +125,39 @@ class Orchestrator:
             "co2_analytics_task", lambda: P.analytics(self.spark, self.store)
         )
         results["analytics"] = msg
+
+        maint = self._maybe_compact_changelog()
+        if maint is not None:
+            results["maintenance"] = maint
         return results
+
+    def _maybe_compact_changelog(self) -> str | None:
+        """Compact the changelog when micro-batch appends have fragmented
+        it. The gate is a driver-side file listing (no Spark job); the
+        rewrite keeps ``_row_id`` range-sorted so consumer offset seeks
+        stay row-group-prunable."""
+        if not self.compact_after_files:
+            return None
+        import os
+
+        from ..operators.changelog import Changelog
+
+        log = Changelog(self.store, P.RAW_TABLE)
+        if not self.store.exists(log.log_table):
+            return None
+        data_dir = self.store.data_path(log.log_table)
+        n_files = sum(
+            1 for r, _, fs in os.walk(data_dir) for f in fs if f.endswith(".parquet")
+        )
+        if n_files <= self.compact_after_files:
+            return None
+        ok, msg = self._run_stage(
+            "changelog_compaction",
+            lambda: str(
+                self.store.compact(self.spark, log.log_table, sort_by=["_row_id"])
+            ),
+        )
+        return msg
 
     def task_history(self) -> list[dict]:
         """INFORMATION_SCHEMA.TASK_HISTORY equivalent for this orchestrator."""

@@ -226,3 +226,23 @@ def test_kmeans_separates_planted_clusters(spark):
     # determinism: a re-run reproduces the exact same model
     again, _ = kmeans_fit(df, k=2, iters=2)
     assert again == centroids
+
+
+def test_dedup_checkpoint_dir_matches_cache(spark, tmp_path):
+    """The persist-to-parquet shingle path (100 TB variant) must produce
+    the same pairs as the in-memory cache path."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "totally different words that share nothing here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cached = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.minhash_dedup_pairs(df).collect()
+    )
+    ckpt = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.minhash_dedup_pairs(df, checkpoint_dir=str(tmp_path)).collect()
+    )
+    assert cached == ckpt and len(cached) == 1 and cached[0][:2] == (1, 2)

@@ -160,3 +160,22 @@ def test_minmax_cache(spark, store):
     row = store.read(spark, P.MINMAX_TABLE).first()
     assert row["MIN_CO2"] == 418.50
     assert row["MAX_CO2"] == 419.80
+
+
+def test_orchestrator_auto_compaction(spark, store):
+    """Fragmented changelogs trigger the maintenance stage; pipeline
+    semantics (offsets, replay gating) survive the rewrite."""
+    import os
+
+    bootstrap(store)
+    orch = Orchestrator(spark, store, compact_after_files=1)
+    orch.run(feed_text=FEED_V1)
+    res = orch.run(feed_text=FEED_V2)  # 2nd append fragments past the gate
+    assert "files_before" in res.get("maintenance", "")
+    data_dir = store.data_path("raw_co2.co2_data__changelog")
+    n_files = sum(1 for r, _, fs in os.walk(data_dir) for f in fs if f.endswith(".parquet"))
+    assert n_files == 1
+    # stream gate still holds after compaction: nothing new -> skip
+    res3 = orch.run(feed_text=FEED_V2)
+    assert res3["harmonized"] == "No data in stream to process"
+    assert store.read(spark, P.HARMONIZED_TABLE).count() == 14
