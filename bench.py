@@ -64,36 +64,50 @@ def main() -> None:
     qs = all_queries()
     for warm in ("q6_forecast_revenue", "region_revenue"):
         if warm in qs:
-            qs[warm][0](spark, sf_dir).count()
+            try:
+                qs[warm][0](spark, sf_dir).count()
+            except Exception:
+                pass
     spark.catalog.clearCache()
 
+    # One failing query must never zero out the whole bench (round 2 lost
+    # its entire BENCH json to a single AnalysisException): record errors
+    # per-query and always emit the final JSON line.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, (fn, _sql) in qs.items():
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        _ = df.limit(1).collect()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            _ = df.limit(1).collect()
+            timings[name] = round(time.time() - t0, 3)
+            print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — per-query fault isolation
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"  {name}: ERROR {errors[name][:120]}", file=sys.stderr)
         # caches an operator materialized (shingle sets, IVF assignments)
         # must not leak into the next query's timing or heap
         spark.catalog.clearCache()
 
-    timings["co2_pipeline_e2e"] = round(run_pipeline_bench(spark), 3)
-    print(f"  co2_pipeline_e2e: {timings['co2_pipeline_e2e']}s", file=sys.stderr)
+    try:
+        timings["co2_pipeline_e2e"] = round(run_pipeline_bench(spark), 3)
+        print(f"  co2_pipeline_e2e: {timings['co2_pipeline_e2e']}s", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        errors["co2_pipeline_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"  co2_pipeline_e2e: ERROR {errors['co2_pipeline_e2e'][:120]}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_inventory_plus_pipeline_wallclock",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "declared_query_inventory_plus_pipeline_wallclock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -113,15 +113,18 @@ def kmeans_cluster_stats(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Per-cluster summary under the final model: member count, smallest
-    member id, and exact integer inertia (sum of squared distances —
-    decimal-routed so the sum never overflows at corpus scale)."""
+    member id, and inertia (sum of squared distances). The sum is
+    decimal-routed (exact, no overflow at corpus scale) and emitted as
+    DOUBLE: both engines round the identical exact integer to the identical
+    double, whereas a DECIMAL output column reaches pandas as ``Decimal`` on
+    Spark but ``float`` on DuckDB and the harness hashes those differently."""
     _, assigned = kmeans_fit(corpus, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
     return (
         assigned.groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.min("id").alias("min_vec_id"),
-            F.sum(F.col("dist").cast("decimal(38,0)")).alias("inertia"),
+            F.sum(F.col("dist").cast("decimal(38,0)")).cast("double").alias("inertia"),
         )
         .orderBy("cell")
     )

@@ -344,7 +344,7 @@ def cast_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
 CAST_COERCION_SQL = """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+       CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
 FROM (SELECT event_type,
              TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k
       FROM events)

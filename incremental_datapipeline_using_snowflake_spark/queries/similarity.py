@@ -76,7 +76,9 @@ proj AS (
   FROM flat JOIN planes USING (d) GROUP BY vec_id, p
 ),
 sig AS (
-  SELECT vec_id, sum(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS bucket
+  -- BIGINT: DuckDB's integer SUM yields HUGEINT, which pandas renders as
+  -- float64 — the value-hash would then compare "65535.0" vs Spark's 65535.
+  SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
   FROM proj GROUP BY vec_id
 ),
 q AS (
@@ -345,7 +347,12 @@ def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = EMB_DIM
         "WITH "
         + ",\n".join(parts)
         + "\nSELECT cell, count(*) AS n_vecs, min(id) AS min_vec_id,"
-        " CAST(sum(dist) AS DECIMAL(38,0)) AS inertia FROM fin GROUP BY cell ORDER BY cell"
+        # DOUBLE on both engines: the exact integer sum is identical on each
+        # side, and round-to-nearest-double of the same integer is
+        # deterministic — whereas DECIMAL reaches pandas as float on DuckDB
+        # but Decimal on Spark, which the driver's canonicalizer hashes
+        # differently (inertia ~7.7e16 also exceeds 12 significant digits).
+        " CAST(sum(dist) AS DOUBLE) AS inertia FROM fin GROUP BY cell ORDER BY cell"
     )
 
 

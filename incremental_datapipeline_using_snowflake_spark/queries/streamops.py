@@ -92,9 +92,11 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 sessioned AS (
+  -- BIGINT: DuckDB's integer SUM is HUGEINT -> float64 in pandas, which
+  -- the driver's canonicalizer hashes differently from Spark's int64.
   SELECT user_id, ts, value,
-         sum(_new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(_new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -131,7 +133,7 @@ def event_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENT_JSON_PROPS_SQL = """
 SELECT event_type,
        count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events

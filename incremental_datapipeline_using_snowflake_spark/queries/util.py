@@ -20,20 +20,34 @@ TABLES = [
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Queries must behave identically under a harness-built SparkSession,
+    # not just session.py's. Pin the result-affecting confs at runtime
+    # (all three are runtime-settable):
+    # - UTC so TIMESTAMP_LTZ renderings match the (naive) DuckDB oracle,
+    # - ANSI off so casts coerce bad values to NULL (reference semantics),
+    # - nanosAsLong so a TIMESTAMP(NANOS) events file reads as bigint
+    #   instead of throwing PARQUET_TYPE_ILLEGAL.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which vanilla Spark 4
-        # rejects with PARQUET_TYPE_ILLEGAL. The conf is runtime-settable,
-        # so set it here instead of relying on session.py having built the
-        # session — harnesses that construct their own SparkSession (the
-        # correctness driver) would otherwise fail before the bigint
-        # fallback below can run.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long; truncate to micros — identical to
-        # DuckDB's nanos->micros conversion of the same file.
-        # integer `div` — double division would lose precision at ~1.7e18 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as long; truncate to micros — identical
+            # to DuckDB's nanos->micros conversion of the same file. Integer
+            # `div`: double division loses precision at ~1.7e18 ns.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        elif ts_type == "timestamp":
+            # Adjusted-to-UTC parquet timestamps read as LTZ; normalize to
+            # NTZ (session tz is UTC, so the wall-clock value is unchanged)
+            # to match DuckDB's naive TIMESTAMP for the value-hash compare.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        # timestamp_ntz (the current testdata: plain timestamp[us]) passes
+        # through untouched.
     return df
 
 

@@ -80,9 +80,13 @@ def sessionize_batch(
     no global sort (scales with the number of users, not events).
     """
     w = W.partitionBy(user_col).orderBy(ts_col)
-    ts = F.col(ts_col).cast("double")
+    ts = F.col(ts_col)
     prev = F.lag(ts, 1).over(w)
-    is_new = F.when(prev.isNull() | ((ts - prev) > gap_seconds), 1).otherwise(0)
+    # Interval comparison, not epoch arithmetic: works identically for
+    # TIMESTAMP, TIMESTAMP_NTZ (the testdata's type), and is independent of
+    # the session timezone — `ts - prev` is a day-time interval.
+    gap = F.expr(f"INTERVAL '{int(gap_seconds)}' SECOND")
+    is_new = F.when(prev.isNull() | ((ts - prev) > gap), 1).otherwise(0)
     return df.withColumn("_new_session", is_new).withColumn(
         "session_id",
         F.sum("_new_session").over(

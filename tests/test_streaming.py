@@ -142,8 +142,10 @@ def test_tumbling_window_covers_all_events(spark, sf_dir):
     )
     total = out.agg(F.sum("n_events")).first()[0]
     assert total == ev.count()
-    # windows are exactly 6h wide
+    # windows are exactly 6h wide — interval arithmetic works for both
+    # TIMESTAMP and TIMESTAMP_NTZ (a cast to long does not)
     bad = out.filter(
-        (F.col("window_end").cast("long") - F.col("window_start").cast("long")) != 21600
+        (F.col("window_end") - F.col("window_start"))
+        != F.expr("INTERVAL '21600' SECOND")
     ).count()
     assert bad == 0
