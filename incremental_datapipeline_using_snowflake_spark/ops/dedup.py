@@ -88,7 +88,11 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def _shingle_docs(
-    df: DataFrame, text_col: str, id_col: str, checkpoint_dir: str | None = None
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    checkpoint_dir: str | None = None,
+    checkpoint_name: str = "shingles",
 ) -> DataFrame:
     """(id, sh) with the shingle pass materialized ONCE.
 
@@ -108,7 +112,12 @@ def _shingle_docs(
         F.col(id_col).alias("id"), hashed_shingles_col(F.col(text_col)).alias("sh")
     ).filter(F.size("sh") > 0)
     if checkpoint_dir is not None:
-        path = f"{checkpoint_dir}/shingles"
+        # Namespaced per operator call: two dedup calls sharing one
+        # checkpoint_dir (ngram + minhash in the same job, or two corpora)
+        # must not overwrite each other's files — the first call's lazy
+        # result re-reads its path on every action/stage retry, so a
+        # clobber would silently swap in the wrong corpus's shingles.
+        path = f"{checkpoint_dir}/{checkpoint_name}"
         docs.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
     docs = docs.cache()
@@ -159,8 +168,17 @@ def ngram_jaccard_pairs(
     phrases (which signal shared vocabulary, not duplication) and bounds
     every bucket's pair count to max_anchor_df² — without it one viral
     shingle makes the self-join quadratic in corpus size.
+
+    ``checkpoint_dir`` (the 100 TB path) EAGERLY runs the full shingle pass
+    at call time and writes it under ``<checkpoint_dir>/ngram_shingles``
+    (without it, the call is lazy plan construction plus an eager cache
+    fill on first action). The caller owns the checkpoint files' lifecycle:
+    nothing here deletes them, and the dir must outlive every action on the
+    returned DataFrame, which re-reads it.
     """
-    docs = _shingle_docs(df, text_col, id_col, checkpoint_dir=checkpoint_dir)
+    docs = _shingle_docs(
+        df, text_col, id_col, checkpoint_dir=checkpoint_dir, checkpoint_name="ngram_shingles"
+    )
     anchors = docs.select(
         "id", F.explode(F.filter("sh", lambda h: h % anchor_mod == 0)).alias("anchor")
     )
@@ -263,8 +281,17 @@ def minhash_dedup_pairs(
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with true shingle Jaccard (shingle
-    pass computed once and shared between signatures and verification)."""
-    docs = _shingle_docs(df, text_col, id_col, checkpoint_dir=checkpoint_dir)
+    pass computed once and shared between signatures and verification).
+
+    ``checkpoint_dir`` (the 100 TB path) EAGERLY runs the shingle pass at
+    call time, writing ``<checkpoint_dir>/minhash_shingles``; the caller
+    owns cleanup, and the dir must outlive every action on the returned
+    DataFrame (which re-reads it). Safe to share a ``checkpoint_dir`` with
+    :func:`ngram_jaccard_pairs` — the subpaths are namespaced per operator.
+    """
+    docs = _shingle_docs(
+        df, text_col, id_col, checkpoint_dir=checkpoint_dir, checkpoint_name="minhash_shingles"
+    )
     cand = minhash_band_pairs(_signatures_from_shingles(docs))
     return _verified_pairs(cand, docs, threshold)
 

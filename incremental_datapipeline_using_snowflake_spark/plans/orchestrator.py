@@ -138,6 +138,16 @@ class Orchestrator:
         stay row-group-prunable."""
         if not self.compact_after_files:
             return None
+        if self.streaming_harmonize:
+            # The streaming drain's file-source checkpoint tracks consumed
+            # files BY PATH; compaction rewrites the changelog into a new
+            # version directory, so every compacted file would look unseen
+            # and the next drain would replay the whole changelog through
+            # the merge (idempotent, but it bumps META_UPDATED_AT for all
+            # rows and defeats the empty-stream gate). Until compaction
+            # migrates the stream checkpoint, it only runs in batch mode,
+            # where the consumer offset is a _row_id watermark, not paths.
+            return None
         import os
 
         from ..operators.changelog import Changelog
@@ -157,7 +167,9 @@ class Orchestrator:
                 self.store.compact(self.spark, log.log_table, sort_by=["_row_id"])
             ),
         )
-        return msg
+        # A failed compaction must be distinguishable from a success payload
+        # without parsing the run log.
+        return msg if ok else f"FAILED: {msg}"
 
     def task_history(self) -> list[dict]:
         """INFORMATION_SCHEMA.TASK_HISTORY equivalent for this orchestrator."""

@@ -67,18 +67,30 @@ def test_orchestrator_streaming_mode(spark, store, tmp_path):
     from incremental_datapipeline_using_snowflake_spark.plans import Orchestrator, bootstrap
 
     bootstrap(store)
+    # compact_after_files=1 would trigger compaction on every run in batch
+    # mode; in streaming mode it must NOT fire — the file-source checkpoint
+    # tracks consumed files by path, so a compaction rewrite would make the
+    # next drain replay the entire changelog through the merge.
     orch = Orchestrator(
-        spark, store, streaming_harmonize=True, checkpoint_dir=str(tmp_path / "ck")
+        spark,
+        store,
+        streaming_harmonize=True,
+        checkpoint_dir=str(tmp_path / "ck"),
+        compact_after_files=1,
     )
     r1 = orch.run(feed_text=FEED_V1)
     assert "complete" in r1["harmonized"] and "complete" in r1["analytics"]
+    assert "maintenance" not in r1
     assert store.read(spark, "analytics_co2.daily_co2_stats").count() == 3
 
     r2 = orch.run(feed_text=FEED_V2)  # incremental
+    assert "maintenance" not in r2
     assert store.read(spark, "analytics_co2.daily_co2_stats").count() == 5
 
     r3 = orch.run(feed_text=FEED_V2)  # nothing new
     assert r3["raw"] == "No new data to load"
+    # the empty-stream gate survives: compaction never invalidated the
+    # checkpoint, so the drain sees zero new files (not a full replay)
     assert r3["harmonized"] == "No data in stream to process"
     assert r3["analytics"] == "skipped (stream empty)"
 
