@@ -68,13 +68,12 @@ class Changelog:
         Id allocation is exact, not span-based: a fixed per-batch span over
         ``monotonically_increasing_id`` (round 1 used ``1 << 40``) breaks as
         soon as a batch has >=128 partitions, because mii = pid*2^33 + idx
-        — ids from one batch then collide with the next batch's base. After
-        the write we read BACK the landed rows (``_row_id >= base`` pushes
-        down, so row-group stats prune the scan to just the new files) and
-        advance ``next_base`` from the actual max id — correct under any
-        partition count, including AQE-coalesced plans whose runtime
-        partitioning differs from ``df.rdd``'s. The same read-back supplies
-        the logged-row count, so the input lineage is not recomputed.
+        — ids from one batch then collide with the next batch's base.
+        ``next_base`` advances from the actual max id written, collected as
+        an ``Observation`` metric ON the write job itself (the observed rows
+        ARE the landed rows) — correct under any partition count, including
+        AQE-coalesced plans whose runtime partitioning differs from
+        ``df.rdd``'s, and with zero extra scans or jobs.
 
         Crash safety (single writer): rows become visible before
         ``_META.json`` commits, so a crash in between would leave
@@ -107,11 +106,19 @@ class Changelog:
         batch = df.withColumn("_action", F.lit(action)).withColumn(
             "_row_id", F.lit(base) + F.monotonically_increasing_id()
         )
-        self.store.append(batch, self.log_table)
-        written = self.store.read(spark, self.log_table).filter(
-            F.col("_row_id") >= base
+        # Collect count + max id DURING the write job (Observation metrics
+        # ride the write's task results) — the ids that land are by
+        # definition the ids observed, and the round-1 read-back scan plus
+        # its aggregate job disappear entirely.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        batch = batch.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.max("_row_id").alias("max_id")
         )
-        n, max_id = written.agg(F.count(F.lit(1)), F.max("_row_id")).first()
+        self.store.append(batch, self.log_table)
+        got = obs.get
+        n, max_id = got["n"], got["max_id"]
         meta["next_base"] = int(max_id) + 1 if max_id is not None else base
         meta["in_flight"] = None
         self._write_meta(meta)

@@ -39,7 +39,8 @@ def merge_upsert(
     partition_by: list[str] | None = None,
     count_rows: bool = True,
     broadcast_source: bool = True,
-) -> dict[str, int]:
+    observe_metrics: dict | None = None,
+) -> dict:
     """Upsert ``source`` into ``target_table`` on ``keys``.
 
     - ``update_cols``: non-key columns taken from the source for matched rows
@@ -51,14 +52,30 @@ def merge_upsert(
     - ``count_rows``: when False, skip the updated/inserted count jobs (two
       extra actions over the join branches) — the hot path for pipeline
       stages that only need the merge side effect.
+    - ``observe_metrics``: ``{name: aggregate Column}`` collected over the
+      FULL merged table during the write job itself (``Observation`` — no
+      post-merge re-scan); values returned under ``"observed"``. The
+      pipeline's min/max scalar-cache refresh rides the merge this way.
 
-    Returns ``{"updated": n, "inserted": n}`` row counts (-1 when skipped).
+    Returns ``{"updated": n, "inserted": n}`` row counts (-1 when skipped),
+    plus ``"observed"`` when requested.
     """
+    from pyspark.sql import Observation
+
     if not store.exists(target_table):
         init_cols = insert_cols or source.columns
         out = source.select(*[F.col(c) for c in init_cols]).dropDuplicates(keys)
-        store.overwrite(out, target_table, partition_by=partition_by)
-        return {"updated": 0, "inserted": out.count() if count_rows else -1}
+        res: dict = {"updated": 0}
+        if observe_metrics:
+            obs = Observation()
+            out = out.observe(obs, *[c.alias(k) for k, c in observe_metrics.items()])
+            store.overwrite(out, target_table, partition_by=partition_by)
+            res["observed"] = dict(obs.get)
+            res["inserted"] = -1
+        else:
+            store.overwrite(out, target_table, partition_by=partition_by)
+            res["inserted"] = out.count() if count_rows else -1
+        return res
 
     target = store.read(spark, target_table)
     matched, inserted, result = merge_branches(
@@ -71,8 +88,15 @@ def merge_upsert(
     )
     n_upd = matched.count() if count_rows else -1
     n_ins = inserted.count() if count_rows else -1
-    store.overwrite(result, target_table, partition_by=partition_by)
-    return {"updated": n_upd, "inserted": n_ins}
+    res = {"updated": n_upd, "inserted": n_ins}
+    if observe_metrics:
+        obs = Observation()
+        result = result.observe(obs, *[c.alias(k) for k, c in observe_metrics.items()])
+        store.overwrite(result, target_table, partition_by=partition_by)
+        res["observed"] = dict(obs.get)
+    else:
+        store.overwrite(result, target_table, partition_by=partition_by)
+    return res
 
 
 def merge_branches(

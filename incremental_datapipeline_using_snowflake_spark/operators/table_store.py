@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import os
 import shutil
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,6 +34,12 @@ from pyspark.sql import DataFrame, SparkSession
 @dataclass
 class TableStore:
     root: str
+    # (table -> (version, schema)): parquet footer schema memoized per
+    # version. Without it every spark.read.parquet launches a footer-
+    # inference job — ~10 extra jobs per pipeline run, and at warehouse
+    # scale a listing+footer fetch per read. Appends keep the version, and
+    # the table schema is fixed, so version-keyed is exactly right.
+    _schema_cache: dict = field(default_factory=dict, repr=False)
 
     # -- paths ------------------------------------------------------------
     def table_dir(self, name: str) -> str:
@@ -73,7 +79,14 @@ class TableStore:
 
     # -- reads ------------------------------------------------------------
     def read(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(self.data_path(name))
+        v = self.current_version(name)
+        path = self.data_path(name)
+        cached = self._schema_cache.get(name)
+        if cached is not None and cached[0] == v:
+            return spark.read.schema(cached[1]).parquet(path)
+        df = spark.read.parquet(path)
+        self._schema_cache[name] = (v, df.schema)
+        return df
 
     def describe(self, spark: SparkSession, name: str) -> DataFrame:
         """``DESC TABLE`` parity (reference ``loading_data_sp/function.py:30``):

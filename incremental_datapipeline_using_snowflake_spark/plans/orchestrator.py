@@ -62,7 +62,7 @@ class Orchestrator:
         df = self.spark.createDataFrame(
             self._pending_log,
             schema="stage string, status string, message string, seconds double, run_at string",
-        )
+        ).coalesce(1)  # a handful of driver-side rows — never 32 write tasks
         self.store.append(df, RUN_LOG_TABLE)
         self._pending_log = []
 

@@ -47,10 +47,25 @@ def bootstrap(store: TableStore) -> None:
 # ---------------------------------------------------------------------------
 def current_watermark(spark: SparkSession, store: TableStore) -> object | None:
     """A1: MAX(make_date(YEAR,MONTH,DAY)) over RAW — the high-watermark date
-    (reference ``loading_data_sp/function.py:41-51``)."""
+    (reference ``loading_data_sp/function.py:41-51``).
+
+    RAW is year-partitioned (S6), and the max date lives in the max YEAR by
+    construction — so the scan is pruned to that single partition with a
+    driver-side directory listing. At warehouse scale this turns a
+    full-table aggregate into one partition's worth of row-group stats.
+    """
     if not store.exists(RAW_TABLE):
         return None
+    import os
+
+    years = [
+        int(e.split("=", 1)[1])
+        for e in os.listdir(store.data_path(RAW_TABLE))
+        if e.startswith("YEAR=")
+    ]
     raw = store.read(spark, RAW_TABLE)
+    if years:
+        raw = raw.filter(F.col("YEAR") == max(years))  # partition pruning
     return raw.agg(
         F.max(F.make_date("YEAR", "MONTH", "DAY")).alias("wm")
     ).first()["wm"]
@@ -117,15 +132,28 @@ def harmonize(spark: SparkSession, store: TableStore, consumer: str = "harmonize
         )
     )
 
-    merge_upsert(  # J1: MERGE on DATE (update all cols / insert)
-        spark, store, HARMONIZED_TABLE, src, keys=["DATE"], count_rows=False
+    # J1: MERGE on DATE (update all cols / insert). The A2 _CO2_MINMAX
+    # scalar-cache refresh (:81-87) rides the merge write as Observation
+    # metrics — the merged result IS the new harmonized table, so observing
+    # min/max during the write replaces the round-1 full re-read + agg.
+    mres = merge_upsert(
+        spark,
+        store,
+        HARMONIZED_TABLE,
+        src,
+        keys=["DATE"],
+        count_rows=False,
+        observe_metrics={
+            "MIN_CO2": F.min("CO2_PPM"),
+            "MAX_CO2": F.max("CO2_PPM"),
+        },
     )
-
-    # A2: CTAS _CO2_MINMAX scalar cache (:81-87)
-    harmonized = store.read(spark, HARMONIZED_TABLE)
-    minmax = harmonized.agg(
-        F.min("CO2_PPM").alias("MIN_CO2"), F.max("CO2_PPM").alias("MAX_CO2")
-    )
+    got = mres["observed"]
+    mn, mx = got["MIN_CO2"], got["MAX_CO2"]
+    minmax = spark.createDataFrame(
+        [(None if mn is None else float(mn), None if mx is None else float(mx))],
+        schema="MIN_CO2 double, MAX_CO2 double",
+    ).coalesce(1)
     store.overwrite(minmax, MINMAX_TABLE)
 
     log.commit(consumer, int(hi))  # offset advances with the consuming merge
