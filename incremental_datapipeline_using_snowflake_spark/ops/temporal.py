@@ -1,0 +1,154 @@
+"""Temporal join & time-series operators over event streams.
+
+Operators the reference's warehouse lacks but any event/feature pipeline at
+scale needs (the reference's only temporal op is the daily lag window,
+``co2_analytical_sp/function.py:105-125``): as-of joins for point-in-time
+feature lookup, interval (range) joins for window attribution, and rolling
+event-time aggregates. All are built from one-shuffle DataFrame plans:
+
+- **as-of join**: the classic union-tag rewrite — tag both sides, sort each
+  key's rows by (ts, side) once, carry the latest right-side value forward
+  with ``last(..., ignorenulls)``. ONE shuffle on the join key; never a
+  per-row subquery, never a broadcast of either full side.
+- **range join**: intervals are exploded into fixed-width time buckets and
+  equi-joined against each point's single bucket — candidate pairs are
+  bounded by interval_span/bucket_width per interval instead of |points|
+  × |intervals| (the cross-join a naive inequality join degenerates to).
+- **rolling aggregate**: a window with a RANGE frame over epoch seconds —
+  map-side sortable, shuffles once on the partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _epoch_seconds(c: Column) -> Column:
+    """Epoch seconds for TIMESTAMP or TIMESTAMP_NTZ order columns.
+
+    NTZ casts straight to LTZ (wall-clock preserved — the engine pins the
+    session to UTC, queries/util.py:load) and LTZ casts to double seconds;
+    NTZ -> double directly is an illegal cast in Spark 4.
+    """
+    return c.cast("timestamp_ltz").cast("double").cast("long")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    value_cols: list[str],
+    right_ts_alias: str = "matched_ts",
+) -> DataFrame:
+    """For every left row, attach the latest right row with
+    ``right.ts <= left.ts`` for the same key (DuckDB/kdb ASOF JOIN
+    semantics; ties at equal ts match).
+
+    Union-tag plan: right rows sort before left rows at the same ts
+    (``_side`` 0 < 1), and ``last(v, ignorenulls=True)`` over
+    (key ORDER BY ts, _side) carries the most recent right value onto each
+    left row. One hash-partition shuffle on ``key``; both sides stream
+    through it — nothing is broadcast, so either side may be huge.
+    """
+    lcols = left.columns
+    l_tag = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("timestamp_ntz").alias("_r_ts"),
+        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(f"_r_{v}") for v in value_cols],
+    )
+    r_tag = right.select(
+        *[
+            F.col(c) if c in (key, ts_col) else F.lit(None).cast(t).alias(c)
+            for c, t in ((f.name, f.dataType.simpleString()) for f in left.schema.fields)
+        ],
+        F.lit(0).alias("_side"),
+        F.col(ts_col).cast("timestamp_ntz").alias("_r_ts"),
+        *[F.col(v).alias(f"_r_{v}") for v in value_cols],
+    )
+    w = (
+        W.partitionBy(key)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        *lcols,
+        "_side",
+        F.last("_r_ts", ignorenulls=True).over(w).alias(right_ts_alias),
+        *[
+            F.last(f"_r_{v}", ignorenulls=True).over(w).alias(v)
+            for v in value_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join_buckets(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Pairs (point, interval) with ``start <= point_ts < end`` via
+    fixed-width time-bucket blocking.
+
+    Each interval explodes into ``span/bucket_seconds`` bucket rows (2-3
+    for typical short intervals); each point computes its single bucket.
+    The equi-join on the bucket id is an ordinary hash join — shuffled or
+    broadcast by AQE depending on which side is small — and the exact
+    range predicate filters within the bucket-matched candidates. Work is
+    O(|points| + |intervals| × span/bucket) instead of the naive
+    |points| × |intervals| inequality cross-join.
+    """
+    s = _epoch_seconds(F.col(start_col))
+    e = _epoch_seconds(F.col(end_col))
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(s / bucket_seconds),
+                # end is exclusive: a point at exactly `end` is not matched,
+                # so the last candidate bucket is the one containing end-1s
+                F.floor((e - 1) / bucket_seconds),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "_bucket", F.floor(_epoch_seconds(F.col(point_ts)) / bucket_seconds)
+    )
+    joined = pt.join(iv, on="_bucket", how="inner").filter(
+        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+    )
+    return joined.drop("_bucket")
+
+
+def rolling_agg(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    window_seconds: int,
+    agg_cols: dict[str, Column],
+) -> DataFrame:
+    """Per key and row: aggregates over the trailing ``window_seconds``
+    (inclusive of the current row) in event time.
+
+    RANGE frame over epoch seconds — one shuffle on ``key``, per-partition
+    sort, no self-join (the rolling-window self-join rewrite is quadratic
+    in the window's row count). ``agg_cols`` maps output name -> BARE
+    aggregate Column (no ``.over``, no post-aggregate ``.cast`` — Spark
+    can only attach the frame to the outermost expression; cast in a
+    select after this call).
+    """
+    w = (
+        W.partitionBy(key)
+        .orderBy(_epoch_seconds(F.col(ts_col)).alias("_ts_s"))
+        .rangeBetween(-window_seconds, 0)
+    )
+    return df.select(
+        *df.columns, *[c.over(w).alias(name) for name, c in agg_cols.items()]
+    )

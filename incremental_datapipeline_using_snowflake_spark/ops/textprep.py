@@ -1,0 +1,174 @@
+"""Training-data text preparation: chunking, sequence packing, PII
+redaction, TF-IDF ranking.
+
+The standard steps between a cleaned corpus (ops/dedup.py, ops/text.py) and
+a tokenizer at pretraining scale. Everything is Column-expression PySpark —
+no Python UDFs — so the plans stay inside whole-stage codegen and every
+operator has an exact DuckDB oracle twin:
+
+- **chunking**: split documents into fixed-size overlapping token windows
+  (context-length preparation). Narrow map + one controlled explode (the
+  chunk count per doc), no shuffle.
+- **packing**: assign documents to fixed token-budget bins (sequence
+  packing for training efficiency). A per-shard running total over one
+  window — packing is embarrassingly parallel across shards at scale, and
+  a global packing order would single-partition the corpus.
+- **PII redaction**: regex scrub of emails / phone numbers — narrow map.
+- **TF-IDF**: per-document top terms. explode -> (doc,term) count ->
+  document-frequency join -> per-doc top-k window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+WORD_RE = r"\s+"
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Overlapping token-window chunks per document.
+
+    Emits (id, chunk_idx, chunk_tokens, chunk_fp) — the fingerprint stands
+    in for the chunk text so downstream exact-dedup of chunks is already
+    keyed. ``stride < chunk_tokens`` gives the standard overlap so no
+    token span is split across a boundary without context.
+    One explode whose fan-out is ceil(n_tokens/stride) — bounded and known
+    per row; no shuffle.
+    """
+    words = F.split(F.trim(F.col(text_col)), WORD_RE)
+    n = F.size(words)
+    # chunk starts: 0, stride, 2*stride, ... while start < n_tokens
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(int(stride))
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        words.alias("_w"),
+        F.explode(starts).alias("_start"),
+    )
+    chunk = F.slice(F.col("_w"), F.col("_start") + 1, int(chunk_tokens))
+    return out.select(
+        "id",
+        # starts are exact multiples of stride, so idx = start/stride — the
+        # same expression the SQL twin uses (no WITH ORDINALITY needed)
+        (F.col("_start") / int(stride)).cast("long").alias("chunk_idx"),
+        F.size(chunk).alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget_tokens: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Assign each document a (shard, bin) so every bin holds a contiguous
+    run of documents whose token total fills ``budget_tokens``.
+
+    Budget-quantized contiguous packing: within a shard (``id % n_shards``)
+    documents are taken in id order and ``bin = floor(tokens_before /
+    budget)`` — a document straddling a boundary belongs to the bin its
+    first token falls in. This is the streaming form of greedy first-fit
+    (identical bins whenever documents don't straddle; one-document skew
+    when they do) and, unlike true first-fit, it is a pure window
+    expression: no sequential driver loop, and shards pack independently —
+    the shape that scales to a sharded corpus. One shuffle on the shard key.
+    """
+    words = F.split(F.trim(F.col(text_col)), WORD_RE)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.size(words).alias("n_tokens"),
+    )
+    w = W.partitionBy("shard").orderBy("id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        "id",
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / budget_tokens).cast("long").alias("bin"),
+    )
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d-]{7,}\d"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub emails and phone-number shapes, reporting per-doc counts.
+
+    Narrow map (regexp_count + regexp_replace); emits the redacted text's
+    fingerprint rather than the text so the result stays small. Redaction
+    order matters for overlapping matches — emails first, then phones —
+    and both engines apply the same order.
+    """
+    t = F.col(text_col)
+    n_email = F.regexp_count(t, F.lit(EMAIL_RE))
+    redacted1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_phone = F.regexp_count(redacted1, F.lit(PHONE_RE))
+    redacted = F.regexp_replace(redacted1, PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_email.cast("int").alias("n_emails"),
+        n_phone.cast("int").alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+TOKEN_RE = "[a-z]{2,}"
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF.
+
+    tf = in-doc term count; idf = ln((N+1)/(df+1)) (smoothed). Plan: one
+    explode -> (doc, term) count (shuffle 1) -> term document-frequency
+    aggregate (shuffle 2, term-keyed) joined back on term (AQE
+    broadcast when the vocabulary is small, shuffle join when it isn't)
+    -> per-doc top-k window (shuffle 3 on doc). The vocabulary join is the
+    scale pressure point; a corpus-wide vocab is zipfian-small relative to
+    the corpus, and the join key is the term so skew lands on stopwords —
+    at 100 TB a min-df filter (df > 1 here) cuts the hapax tail.
+    """
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()  # scalar-cache pattern (A2): one tiny agg, then a literal
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)),
+            round_dp,
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("id", "rank", "term", "tf", "tfidf")
+    )

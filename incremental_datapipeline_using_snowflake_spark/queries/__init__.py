@@ -17,9 +17,25 @@ from __future__ import annotations
 
 
 def all_queries() -> dict:
-    from . import relational, relational2, textops, similarity, pipeline_queries, streamops
+    from . import (
+        pipeline_queries,
+        relational,
+        relational2,
+        similarity,
+        streamops,
+        temporal_prep,
+        textops,
+    )
 
     out: dict = {}
-    for mod in (relational, relational2, pipeline_queries, streamops, textops, similarity):
+    for mod in (
+        relational,
+        relational2,
+        pipeline_queries,
+        streamops,
+        textops,
+        similarity,
+        temporal_prep,
+    ):
         out.update(mod.QUERIES)
     return out

@@ -1,0 +1,308 @@
+"""Declared queries for the temporal-join (ops/temporal.py) and text-prep
+(ops/textprep.py) operator families, each with a DuckDB oracle twin.
+
+Engine extensions beyond the reference (whose only temporal operator is the
+daily lag window, ``co2_analytical_sp/function.py:105-125``): as-of join,
+bucketed range join, rolling event-time aggregates, document chunking,
+sequence packing, PII redaction, TF-IDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ops import temporal as T
+from ..ops import textprep as TP
+from .util import load
+
+# ---------------------------------------------------------------------------
+# asof_join — point-in-time lookup: for every 'view' event, the latest
+# preceding 'purchase' by the same user.
+# ---------------------------------------------------------------------------
+ASOF_MAX_USER = 50
+
+
+def asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < ASOF_MAX_USER)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = T.asof_join(
+        views, purchases, key="user_id", ts_col="ts", value_cols=["value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "matched_ts",
+        F.round("value", 6).alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+ASOF_SQL = f"""
+SELECT v.event_id, v.user_id, v.ts,
+       p.ts AS matched_ts,
+       round(p.value, 6) AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE user_id < {ASOF_MAX_USER} AND event_type = 'view') v
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE user_id < {ASOF_MAX_USER} AND event_type = 'purchase') p
+  ON v.user_id = p.user_id AND v.ts >= p.ts
+ORDER BY v.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# range_join — attribute events to overlapping 2-hour windows of the first
+# day (interval containment, bucket-blocked).
+# ---------------------------------------------------------------------------
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # scalar-cache pattern (A2): day0 resolved once, then inlined as literal
+    day0 = ev.agg(F.min(F.col("ts").cast("date")).alias("d")).first()["d"]
+    intervals = (
+        spark.range(24)
+        .select(
+            F.col("id").cast("int").alias("interval_id"),
+            (
+                F.lit(day0).cast("timestamp_ntz")
+                + F.col("id") * F.expr("INTERVAL '1' HOUR")
+            ).alias("w_start"),
+            (
+                F.lit(day0).cast("timestamp_ntz")
+                + (F.col("id") + 2) * F.expr("INTERVAL '1' HOUR")
+            ).alias("w_end"),
+        )
+        .coalesce(1)
+    )
+    pairs = T.range_join_buckets(
+        ev.select("event_id", "ts", "value"),
+        intervals,
+        point_ts="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_seconds=3600,
+    )
+    return (
+        pairs.groupBy("interval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("interval_id")
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH day0 AS (SELECT min(ts)::DATE AS d FROM events),
+iv AS (
+  SELECT CAST(h AS INT) AS interval_id,
+         d::TIMESTAMP + h * INTERVAL 1 HOUR AS w_start,
+         d::TIMESTAMP + (h + 2) * INTERVAL 1 HOUR AS w_end
+  FROM day0, unnest(range(0, 24)) AS t(h)
+)
+SELECT iv.interval_id,
+       count(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+FROM iv JOIN events e ON e.ts >= iv.w_start AND e.ts < iv.w_end
+GROUP BY iv.interval_id
+ORDER BY iv.interval_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# rolling_agg — trailing 1-hour event-time stats per user.
+# ---------------------------------------------------------------------------
+ROLL_MAX_USER = 30
+
+
+def rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < ROLL_MAX_USER)
+    out = T.rolling_agg(
+        ev.select("event_id", "user_id", "ts", "value"),
+        key="user_id",
+        ts_col="ts",
+        window_seconds=3600,
+        # aggregates only — rolling_agg applies the frame; casts happen below
+        agg_cols={
+            "n_1h": F.count(F.lit(1)),
+            "sum_1h_dec": F.sum(F.col("value").cast("decimal(30,8)")),
+        },
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "n_1h",
+        F.col("sum_1h_dec").cast("double").alias("sum_1h"),
+    ).orderBy("event_id")
+
+
+ROLLING_SQL = f"""
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WHERE user_id < {ROLL_MAX_USER}
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_chunking — overlapping token windows (50 tokens, stride 40).
+# ---------------------------------------------------------------------------
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return TP.chunk_documents(docs, chunk_tokens=50, stride=40).orderBy(
+        "id", "chunk_idx"
+    )
+
+
+CHUNKING_SQL = r"""
+WITH w AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents
+),
+starts AS (
+  SELECT id, words, CAST(s // 40 AS BIGINT) AS chunk_idx, CAST(s AS INT) AS s
+  FROM w, unnest(range(0, greatest(len(words) - 1, 0) + 1, 40)) AS t(s)
+)
+SELECT id, chunk_idx,
+       CAST(len(words[s + 1 : s + 50]) AS INT) AS chunk_tokens,
+       md5(array_to_string(words[s + 1 : s + 50], ' ')) AS chunk_fp
+FROM starts
+ORDER BY id, chunk_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence_packing — token-budget bins per shard (budget-quantized
+# contiguous packing; see ops/textprep.py:pack_sequences).
+# ---------------------------------------------------------------------------
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    packed = TP.pack_sequences(docs, budget_tokens=512, n_shards=8)
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+            F.min("id").alias("first_doc"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+PACKING_SQL = r"""
+WITH toks AS (
+  SELECT doc_id AS id, doc_id % 8 AS shard,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+binned AS (
+  SELECT id, shard, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+                                         ROWS UNBOUNDED PRECEDING)
+                     - n_tokens) / 512) AS BIGINT) AS bin
+  FROM toks
+)
+SELECT shard, bin, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       min(id) AS first_doc
+FROM binned GROUP BY shard, bin ORDER BY shard, bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# pii_redaction — planted emails/phones scrubbed; counts + redacted
+# fingerprint (documents carry no natural PII, so plant deterministic ones).
+# ---------------------------------------------------------------------------
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-01"),
+            F.col("doc_id").cast("string"),
+            F.lit("99."),
+        ).alias("text"),
+    )
+    return TP.redact_pii(planted).orderBy("id")
+
+
+PII_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-01' || CAST(doc_id AS VARCHAR)
+              || '99.' AS text
+  FROM documents
+),
+emails AS (
+  SELECT doc_id AS id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM planted
+)
+SELECT id, n_emails,
+       CAST(len(regexp_extract_all(t1, '\+?\d[\d-]{7,}\d')) AS INT) AS n_phones,
+       md5(regexp_replace(t1, '\+?\d[\d-]{7,}\d', '<PHONE>', 'g')) AS redacted_fp
+FROM emails ORDER BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# tfidf_terms — top-3 TF-IDF terms per document (doc_id < 100 bounds the
+# compared output; the plan runs corpus-wide).
+# ---------------------------------------------------------------------------
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = TP.tfidf_top_terms(docs, top_k=3)
+    return out.filter(F.col("id") < 100).orderBy("id", "rank")
+
+
+TFIDF_SQL = """
+WITH terms AS (
+  SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY id, term
+),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.id, tf.term, tf.tf,
+         round(tf.tf * ln((n.n_docs + 1) / (dfreq.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT id, CAST(rank AS INT) AS rank, term, tf, tfidf
+FROM ranked WHERE rank <= 3 AND id < 100
+ORDER BY id, rank
+"""
+
+
+QUERIES: dict = {
+    "asof_view_purchase": (asof_view_purchase, ASOF_SQL),
+    "range_join_windows": (range_join_windows, RANGE_JOIN_SQL),
+    "rolling_user_stats": (rolling_user_stats, ROLLING_SQL),
+    "doc_chunking": (doc_chunking, CHUNKING_SQL),
+    "sequence_packing": (sequence_packing, PACKING_SQL),
+    "pii_redaction": (pii_redaction, PII_SQL),
+    "tfidf_terms": (tfidf_terms, TFIDF_SQL),
+}

@@ -1,0 +1,169 @@
+"""Unit tests for ops/temporal.py and ops/textprep.py — edge semantics the
+sf0.01 oracle queries don't pin down (ties, empty matches, boundary
+inclusivity, straddling docs), plus plan-shape assertions for scale."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from incremental_datapipeline_using_snowflake_spark.ops.temporal import (
+    asof_join,
+    range_join_buckets,
+    rolling_agg,
+)
+from incremental_datapipeline_using_snowflake_spark.ops.textprep import (
+    chunk_documents,
+    pack_sequences,
+    redact_pii,
+    tfidf_top_terms,
+)
+
+
+def ts(s: str):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, ts("2024-01-01 10:00:00")),  # after r@09:00 -> 1.0
+            (2, 10, ts("2024-01-01 12:00:00")),  # tie with r@12:00 -> 2.0
+            (3, 10, ts("2024-01-01 08:00:00")),  # before any right -> NULL
+            (4, 20, ts("2024-01-01 10:00:00")),  # user with no right rows
+        ],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, ts("2024-01-01 09:00:00"), 1.0),
+            (10, ts("2024-01-01 12:00:00"), 2.0),
+        ],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    return left, right
+
+
+def test_asof_join_tie_and_missing(tiny):
+    left, right = tiny
+    out = {
+        r["event_id"]: (r["value"], r["matched_ts"])
+        for r in asof_join(left, right, "user_id", "ts", ["value"]).collect()
+    }
+    assert out[1] == (1.0, ts("2024-01-01 09:00:00"))
+    assert out[2] == (2.0, ts("2024-01-01 12:00:00"))  # equal ts matches
+    assert out[3] == (None, None)  # nothing preceding
+    assert out[4] == (None, None)  # key absent from right
+    assert len(out) == 4  # right rows never leak into the output
+
+
+def test_asof_join_plan_has_no_join_or_broadcast(tiny):
+    left, right = tiny
+    plan = (
+        asof_join(left, right, "user_id", "ts", ["value"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # union-tag rewrite: one shuffle on the key, no join operator at all —
+    # the shape that scales with both sides huge
+    assert "Join" not in plan
+    assert "Broadcast" not in plan
+
+
+def test_range_join_boundary_inclusivity(spark):
+    iv = spark.createDataFrame(
+        [(0, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"))],
+        "interval_id int, w_start timestamp_ntz, w_end timestamp_ntz",
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 09:59:59")),  # before -> out
+            (2, ts("2024-01-01 10:00:00")),  # start inclusive -> in
+            (3, ts("2024-01-01 11:59:59")),  # in (different bucket than start)
+            (4, ts("2024-01-01 12:00:00")),  # end exclusive -> out
+        ],
+        "event_id int, ts timestamp_ntz",
+    )
+    got = sorted(
+        r["event_id"]
+        for r in range_join_buckets(pts, iv, "ts", "w_start", "w_end").collect()
+    )
+    assert got == [2, 3]
+
+
+def test_rolling_agg_window_edges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 5, ts("2024-01-01 10:00:00"), 1.0),
+            (2, 5, ts("2024-01-01 10:30:00"), 2.0),
+            (3, 5, ts("2024-01-01 11:00:00"), 4.0),  # 10:00 is 3600s back -> included
+            (4, 5, ts("2024-01-01 12:30:00"), 8.0),  # everything else aged out
+        ],
+        "event_id int, user_id int, ts timestamp_ntz, value double",
+    )
+    out = {
+        r["event_id"]: r["n"]
+        for r in rolling_agg(
+            df, "user_id", "ts", 3600, {"n": F.count(F.lit(1))}
+        ).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 3, 4: 1}
+
+
+def test_chunking_overlap_and_short_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(90))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=50, stride=40).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append((r["chunk_idx"], r["chunk_tokens"]))
+    # 90 tokens, stride 40 -> starts 0, 40, 80 -> sizes 50, 50, 10
+    assert sorted(by_doc[1]) == [(0, 50), (1, 50), (2, 10)]
+    # short doc -> one chunk of its full length
+    assert by_doc[2] == [(0, 3)]
+
+
+def test_packing_fills_budget_per_shard(spark):
+    # 6 docs x 100 tokens in one shard (ids all ≡ 0 mod 8): budget 250 ->
+    # tokens_before = 0,100,200,300,400,500 -> bins 0,0,0,1,1,2
+    docs = spark.createDataFrame(
+        [(i * 8, " ".join("t" * 1 for _ in range(100))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r["id"], r["bin"]) for r in pack_sequences(docs, budget_tokens=250).collect()
+    )
+    assert [b for _, b in out] == [0, 0, 0, 1, 1, 2]
+
+
+def test_redact_pii_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.co and c.d+x@e.org call +1-555-0100200 end")],
+        "doc_id long, text string",
+    )
+    r = redact_pii(docs).collect()[0]
+    assert r["n_emails"] == 2
+    assert r["n_phones"] == 1
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "common common zebra"),
+            (1, "common yak"),
+            (2, "common xylo"),
+        ],
+        "doc_id long, text string",
+    )
+    top = {
+        r["id"]: r["term"]
+        for r in tfidf_top_terms(docs, top_k=1).collect()
+    }
+    # 'common' appears in every doc (idf = ln(4/4) = 0); the rare term wins
+    assert top == {0: "zebra", 1: "yak", 2: "xylo"}
