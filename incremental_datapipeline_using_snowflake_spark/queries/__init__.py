@@ -22,6 +22,7 @@ def all_queries() -> dict:
         relational,
         relational2,
         similarity,
+        sketches_q,
         streamops,
         temporal_prep,
         textops,
@@ -36,6 +37,7 @@ def all_queries() -> dict:
         textops,
         similarity,
         temporal_prep,
+        sketches_q,
     ):
         out.update(mod.QUERIES)
     return out

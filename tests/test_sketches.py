@@ -1,0 +1,52 @@
+"""Unit tests for ops/sketches.py — envelope semantics on planted data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from incremental_datapipeline_using_snowflake_spark.ops.sketches import (
+    approx_distinct_check,
+    mergeable_daily_hll,
+    quantile_check,
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for day in range(4):
+        for u in range(200):
+            # group 'a': users 0..199 every day (200 distinct overall);
+            # group 'b': disjoint users per day (800 distinct overall) —
+            # exercises the day->group sketch merge across disjoint sets
+            rows.append((base + dt.timedelta(days=day), "a", u, float(u)))
+            rows.append((base + dt.timedelta(days=day), "b", day * 1000 + u, float(u)))
+    return spark.createDataFrame(
+        rows, "ts timestamp_ntz, grp string, user_id long, value double"
+    )
+
+
+def test_approx_distinct_within_envelope(planted):
+    out = {r["grp"]: r for r in approx_distinct_check(planted, "grp", "user_id").collect()}
+    assert out["a"]["exact_distinct"] == 200
+    assert out["b"]["exact_distinct"] == 800
+    assert out["a"]["approx_ok"] and out["b"]["approx_ok"]
+
+
+def test_mergeable_daily_hll_counts_union_not_sum(planted):
+    out = {r["grp"]: r for r in mergeable_daily_hll(planted, "ts", "grp", "user_id").collect()}
+    # group 'a' repeats the same users daily: a merge that double-counted
+    # days (sum instead of union) would estimate ~800, far outside 10% of 200
+    assert out["a"]["exact_distinct"] == 200
+    assert out["a"]["merged_ok"]
+    assert out["b"]["exact_distinct"] == 800
+    assert out["b"]["merged_ok"]
+
+
+def test_quantile_envelope(planted):
+    out = {r["grp"]: r for r in quantile_check(planted, "grp", "value").collect()}
+    # values are 0..199 repeated: exact continuous median = 99.5
+    assert out["a"]["exact_q"] == pytest.approx(99.5)
+    assert out["a"]["approx_q_ok"]
