@@ -1,0 +1,123 @@
+"""Graph operators: connected components over candidate-pair edges.
+
+Deduplication produces *pairs* (exact, MinHash, SimHash, embedding); an
+actual dedup pass needs *clusters* — the transitive closure of the pair
+relation — so that one canonical document survives per component and
+every other member is dropped. This module closes that gap.
+
+Algorithm: iterative **min-label propagation with pointer jumping**.
+Every node starts labeled with its own id; each round a node adopts the
+minimum label among itself and its neighbors (one shuffle join + one
+groupBy), then labels are compressed through the label table itself
+(``comp(v) <- comp(comp(v))`` — a self-join), which halves label-chain
+depth per round. Convergence is O(log d) rounds for diameter-d
+components instead of O(d) for plain propagation; near-dup clusters are
+near-cliques (d <= 3 typically), so 2-3 rounds end-to-end is the norm.
+
+Scale notes (100 TB bar):
+
+- each round is a bounded number of hash-partition shuffles keyed on the
+  node id — never a collect, never a driver-side graph;
+- ``localCheckpoint`` truncates lineage every round; without it the plan
+  doubles per iteration and stage retries re-run the whole history (the
+  classic iterative-Spark failure mode);
+- the edge table is persisted once and reused every round;
+- the convergence check is ``limit(1)`` on the changed-label set — it
+  short-circuits after the first differing row rather than counting all.
+
+Reference parity: the reference pipeline has no graph operator — this is
+part of the LLM-training-data extension surface (SURVEY.md "beyond the
+reference" items), turning pair generators in ops.dedup into usable
+keep/drop decisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_CC_ITERS = 50
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = MAX_CC_ITERS,
+) -> DataFrame:
+    """(id, comp) for every node appearing in ``edges``; ``comp`` is the
+    minimum node id reachable from ``id`` (a canonical, deterministic
+    component label).
+
+    Nodes with no edges never appear in the output — callers wanting
+    singleton rows should left-join this result onto their node table and
+    ``coalesce(comp, id)``.
+
+    Raises ``RuntimeError`` if labels have not stabilized after
+    ``max_iters`` rounds (pointer jumping makes that ~2^max_iters of
+    effective diameter — unreachable for any real dedup graph; the guard
+    exists so a logic regression fails loudly instead of looping).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = sym.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    )
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        # 1. neighbor-min: adopt the smallest label in the closed
+        #    neighborhood. One shuffle (join on dst) + one groupBy(id).
+        nbr = sym.join(labels.withColumnRenamed("id", "dst"), "dst").select(
+            F.col("src").alias("id"), "comp"
+        )
+        new = nbr.union(labels).groupBy("id").agg(F.min("comp").alias("comp"))
+        # 2. pointer jumping: follow the label one hop through the label
+        #    table (comp values are themselves node ids, so the lookup
+        #    always resolves). Halves chain depth each round.
+        lookup = new.select(F.col("id").alias("comp"), F.col("comp").alias("_jump"))
+        new = (
+            new.join(lookup, "comp", "left")
+            .select("id", F.coalesce("_jump", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "_old"), "id")
+            .filter(F.col("comp") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
+
+
+def dedup_keep_decisions(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Per-document keep/drop verdicts from near-dup pairs.
+
+    Resolves ``pairs`` into connected components, then keeps exactly one
+    document (the minimum id) per component; documents outside any pair
+    are kept unconditionally. Output: ``(id_col, cluster_id, keep)`` —
+    the materializable allow-list a dedup pass joins back onto the corpus
+    (a broadcast-friendly anti-join at scale: the drop-list is tiny
+    relative to the corpus).
+    """
+    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    return (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
+            (F.coalesce("comp", F.col(id_col)) == F.col(id_col)).alias("keep"),
+        )
+    )

@@ -204,7 +204,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup_pairs(corpus_df(spark, sf_dir)).orderBy("id_a", "id_b")
 
 
-def _minhash_sql() -> str:
+def _minhash_pairs_cte() -> str:
+    """CTE chain ending in ``pairs(id_a, id_b, jaccard)`` — shared by
+    ``dedup_minhash_lsh`` (pair listing) and ``dedup_clusters`` (transitive
+    closure of the same pairs)."""
     mins = ", ".join(
         f"min(({D.MINHASH_A[i]} * h + {D.MINHASH_B[i]}) % {D.MINHASH_MOD}) AS m{i}"
         for i in range(D.N_MINHASH)
@@ -213,8 +216,7 @@ def _minhash_sql() -> str:
         f"SELECT id, {b} AS band, md5(m{2*b} || '_' || m{2*b+1}) AS bh FROM sigs"
         for b in range(D.N_MINHASH // 2)
     )
-    return f"""
-WITH {CORPUS_SQL.strip()},
+    return f"""{CORPUS_SQL.strip()},
 {_SHINGLES_SQL.strip()},
 sigs AS (
   SELECT id, {mins}
@@ -227,16 +229,65 @@ bands AS ({bands}),
 cand AS (
   SELECT DISTINCT x.id AS id_a, y.id AS id_b
   FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.id < y.id
-)
-SELECT id_a, id_b,
-       round(len(list_intersect(da.sh, db.sh))
-             / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 4) AS jaccard
-FROM cand
-JOIN docs2 da ON da.id = id_a
-JOIN docs2 db ON db.id = id_b
-WHERE round(len(list_intersect(da.sh, db.sh))
-            / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 4) >= 0.5
-ORDER BY id_a, id_b
+),
+pairs AS (
+  SELECT * FROM (
+    SELECT id_a, id_b,
+           round(len(list_intersect(da.sh, db.sh))
+                 / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 4) AS jaccard
+    FROM cand
+    JOIN docs2 da ON da.id = id_a
+    JOIN docs2 db ON db.id = id_b
+  ) WHERE jaccard >= 0.5
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_minhash_pairs_cte()}
+SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_clusters — transitive closure of the MinHash near-dup pairs into
+# connected components (the actual keep/drop unit of a dedup pass), via
+# iterative min-label propagation + pointer jumping; oracle = recursive CTE
+# reachability over the identical pair set.
+# ---------------------------------------------------------------------------
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..ops.graph import connected_components
+
+    pairs = D.minhash_dedup_pairs(corpus_df(spark, sf_dir))
+    comp = connected_components(pairs)
+    return (
+        comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pairs_cte()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r
+),
+comp AS (SELECT id, min(r) AS cluster_id FROM walk GROUP BY id)
+SELECT id AS doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS n_members,
+       id = cluster_id AS is_canonical
+FROM comp ORDER BY doc_id
 """
 
 
@@ -349,5 +400,6 @@ QUERIES: dict = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
+    "dedup_clusters": (dedup_clusters, _dedup_clusters_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
 }

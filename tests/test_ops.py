@@ -246,3 +246,47 @@ def test_dedup_checkpoint_dir_matches_cache(spark, tmp_path):
         for r in D.minhash_dedup_pairs(df, checkpoint_dir=str(tmp_path)).collect()
     )
     assert cached == ckpt and len(cached) == 1 and cached[0][:2] == (1, 2)
+
+
+# ---------------------------------------------------------------------------
+# connected components (ops.graph)
+# ---------------------------------------------------------------------------
+def test_connected_components_path_and_clique(spark):
+    """A long path (worst case for plain label propagation — pointer
+    jumping must converge in O(log n) rounds), a disjoint triangle, and an
+    isolated pair all resolve to min-id component labels."""
+    from incremental_datapipeline_using_snowflake_spark.ops.graph import connected_components
+
+    path = [(i, i + 1) for i in range(20, 0, -1)]          # 0..21 chain, reversed order
+    tri = [(100, 101), (101, 102), (100, 102)]
+    pair = [(500, 400)]
+    edges = spark.createDataFrame(path + tri + pair, "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert all(got[i] == 1 for i in range(1, 22))
+    assert all(got[i] == 100 for i in (100, 101, 102))
+    assert got[400] == 400 and got[500] == 400
+    assert len(got) == 21 + 3 + 2
+
+
+def test_connected_components_bridged_clusters(spark):
+    """Two cliques joined by one bridge edge collapse to one component."""
+    from incremental_datapipeline_using_snowflake_spark.ops.graph import connected_components
+
+    a = [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
+    b = [(i, j) for i in range(30, 35) for j in range(i + 1, 35)]
+    edges = spark.createDataFrame(a + b + [(14, 30)], "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert set(got.values()) == {10}
+
+
+def test_dedup_keep_decisions_singletons_kept(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.graph import dedup_keep_decisions
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame([(2, 5), (5, 7)], "id_a long, id_b long")
+    rows = {r["doc_id"]: r for r in dedup_keep_decisions(docs, pairs).collect()}
+    assert rows[2]["keep"] and rows[2]["cluster_id"] == 2
+    assert not rows[5]["keep"] and rows[5]["cluster_id"] == 2
+    assert not rows[7]["keep"] and rows[7]["cluster_id"] == 2
+    for i in (1, 3, 4, 6):                                  # singletons: kept, own cluster
+        assert rows[i]["keep"] and rows[i]["cluster_id"] == i
