@@ -90,3 +90,34 @@ def stratified_sample(
     uniform within any stratum, so per-group rates concentrate on
     ``fraction`` without per-stratum state."""
     return df.filter(split_bucket(id_col, salt=salt) < int(round(fraction * N_BUCKETS)))
+
+
+def stratified_exact_n(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "exact",
+) -> DataFrame:
+    """Exactly ``min(n, |group|)`` rows per group, deterministically.
+
+    The per-group order is the salted md5 of the id (with the id itself as
+    a total-order tiebreak), so the chosen sample is uniform within each
+    stratum yet identical across runs, partitionings, and engines — the
+    property ``df.sample`` and ``RAND()``-ordered picks both lack.
+
+    Scale shape: ONE shuffle on the group key + a bounded per-group
+    row_number; no global sort, no driver state. Groups are strata
+    (languages, sources, label classes) — their cardinality is small and
+    the per-group stream is cut off at n by the rank filter, so the window
+    never materializes a whole stratum in memory beyond the sort spill any
+    grouped operator needs. Output adds ``sample_rank`` (1-based).
+    """
+    from pyspark.sql import Window as W
+
+    h = md5_long(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = W.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
+    )

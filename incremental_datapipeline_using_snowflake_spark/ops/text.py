@@ -135,3 +135,92 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fp_rolling": fingerprint_rolling(text_col),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition / quality gating signals (the Gopher-rules family: Rae et al.
+# 2021 §A.1.1 heuristics, re-expressed for a whitespace corpus). Used to
+# drop boilerplate-heavy and degenerate documents before training.
+# ---------------------------------------------------------------------------
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition/quality signals plus a composite gate.
+
+    Narrow signals (zero shuffle, one projection pass):
+
+    - ``n_words``, ``mean_word_len``
+    - ``distinct_word_frac`` — |distinct words| / |words|; low = repetitive
+    - ``dup_trigram_frac`` — 1 - |distinct 3-grams| / |3-grams|
+    - ``alpha_word_frac`` — fraction of words containing a letter
+
+    One wide signal:
+
+    - ``top_bigram_frac`` — occurrences of the most frequent word bigram /
+      total bigrams. Needs a per-(doc, bigram) count, so it is computed by
+      explode -> two-level aggregation. Scale shape: partial (map-side)
+      aggregation absorbs the explode; both shuffles are keyed on the doc
+      id (+bigram), so skew is bounded by document length, not corpus
+      size. The narrow block then joins this one small (doc_id, frac)
+      relation back — AQE broadcasts it when small.
+
+    ``quality_pass`` combines them with Gopher-style thresholds (bounds
+    chosen for this corpus's scale; the thresholds are arguments in
+    spirit — inline literals keep the oracle twin byte-identical).
+    """
+    t = F.col(text_col)
+    w = words_col(t)
+    tri = w
+    for j in range(1, 3):
+        tri = F.zip_with(
+            tri, F.slice(w, j + 1, F.size(w)), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    tri = F.filter(tri, lambda x: x.isNotNull())
+    narrow = df.select(
+        F.col(id_col),
+        F.size(w).alias("n_words"),
+        F.round(
+            F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+            / F.greatest(F.size(w), F.lit(1)),
+            4,
+        ).alias("mean_word_len"),
+        F.round(F.size(F.array_distinct(w)) / F.greatest(F.size(w), F.lit(1)), 4).alias(
+            "distinct_word_frac"
+        ),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(tri)) / F.greatest(F.size(tri), F.lit(1)),
+            4,
+        ).alias("dup_trigram_frac"),
+        F.round(
+            F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+            / F.greatest(F.size(w), F.lit(1)),
+            4,
+        ).alias("alpha_word_frac"),
+    )
+
+    big = w
+    big = F.zip_with(big, F.slice(w, 2, F.size(w)), lambda a, b: F.concat(a, F.lit(" "), b))
+    bg_counts = (
+        df.select(F.col(id_col), F.explode(F.filter(big, lambda x: x.isNotNull())).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = bg_counts.groupBy(id_col).agg(
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac")
+    )
+
+    out = narrow.join(top, id_col, "left").withColumn(
+        "top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0))
+    )
+    return out.withColumn(
+        "quality_pass",
+        (F.col("n_words") >= 10)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 2)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("distinct_word_frac") >= 0.2)
+        & (F.col("dup_trigram_frac") <= 0.85)
+        & (F.col("top_bigram_frac") <= 0.25)
+        & (F.col("alpha_word_frac") >= 0.8),
+    )

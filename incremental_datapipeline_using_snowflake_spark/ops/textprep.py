@@ -172,3 +172,71 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_k)
         .select("id", "rank", "term", "tf", "tfidf")
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _tf_col(words, term: str):
+    return F.size(F.filter(words, lambda x: x == F.lit(term)))
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 15,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents for a fixed term set under BM25 (Robertson/Sparck
+    Jones probabilistic ranking; the +1-smoothed idf of Lucene).
+
+    Plan shape (the reason this scales): per-term tf and doc length are a
+    NARROW projection (array filter — no explode, no shuffle); the corpus
+    statistics BM25 needs (N, avg doc length, per-term document frequency)
+    are ONE tiny aggregate collapsed to literals via the scalar-cache
+    pattern (A2); scoring is then a second narrow map and the only wide
+    operation in the whole query is the global top-k (TakeOrdered — no
+    full sort materialization). Two corpus scans total, zero joins.
+
+    idf is rounded to 6 dp before scoring and scores to 4 dp, pinning the
+    float trajectory so the DuckDB oracle replays it bit-identically.
+    """
+    import math
+
+    w = F.split(F.trim(F.col(text_col)), WORD_RE)
+    base = df.select(
+        F.col(id_col),
+        F.size(w).alias("dl"),
+        # _tf_col captures the term in a closure: an inline `lambda x, t=t`
+        # would present arity 2 to F.filter, which then binds t to the
+        # element INDEX, not the term.
+        *[_tf_col(w, t).alias(f"tf_{t}") for t in terms],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in terms
+        ],
+    ).first()
+    n = stats["n"]
+    avgdl = stats["sum_dl"] / n  # int/int -> same double as DuckDB's CAST/count
+    score = F.lit(0.0)
+    for t in terms:
+        idf = round(math.log((n - stats[f"df_{t}"] + 0.5) / (stats[f"df_{t}"] + 0.5) + 1), 6)
+        tf = F.col(f"tf_{t}")
+        score = score + (
+            F.lit(idf) * tf * F.lit(k1 + 1)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)))
+        )
+    return (
+        base.select(id_col, *[f"tf_{t}" for t in terms], F.round(score, 4).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

@@ -297,6 +297,57 @@ ORDER BY id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# bm25_search — top-15 documents for a fixed 3-term query under BM25
+# (Lucene's +1-smoothed idf). Narrow tf projection, scalar-cached corpus
+# stats, narrow scoring, global top-k — two scans, zero joins.
+# ---------------------------------------------------------------------------
+BM25_TERMS = ["spark", "merge", "window"]
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return TP.bm25_topk(docs, BM25_TERMS, k=15)
+
+
+def _bm25_sql() -> str:
+    tfs = ",\n         ".join(
+        f"len(list_filter(sp, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS
+    )
+    dfs = ",\n         ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in BM25_TERMS
+    )
+    # literal arithmetic mirrors ops.textprep.bm25_topk term by term (same
+    # association order) so the double trajectory is identical: idf rounded
+    # to 6 dp, k1+1 = 2.2, 1-b = 0.25, score rounded to 4 dp.
+    per_term = "\n    + ".join(
+        f"round(ln((n - df_{t} + 0.5) / (df_{t} + 0.5) + 1), 6) * tf_{t} * 2.2"
+        f" / (tf_{t} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        for t in BM25_TERMS
+    )
+    tf_cols = ", ".join(f"tf_{t}" for t in BM25_TERMS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(sp) AS dl,
+         {tfs}
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS sp FROM documents)
+),
+stats AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         {dfs}
+  FROM base
+)
+SELECT * FROM (
+  SELECT doc_id, {tf_cols},
+         round(0.0
+    + {per_term}, 4) AS bm25
+  FROM base, stats
+) WHERE bm25 > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT 15
+"""
+
+
 QUERIES: dict = {
     "asof_view_purchase": (asof_view_purchase, ASOF_SQL),
     "range_join_windows": (range_join_windows, RANGE_JOIN_SQL),
@@ -305,4 +356,5 @@ QUERIES: dict = {
     "sequence_packing": (sequence_packing, PACKING_SQL),
     "pii_redaction": (pii_redaction, PII_SQL),
     "tfidf_terms": (tfidf_terms, TFIDF_SQL),
+    "bm25_search": (bm25_search, _bm25_sql()),
 }

@@ -326,6 +326,60 @@ SELECT simhash, canonical_id, n_docs FROM (
 
 
 # ---------------------------------------------------------------------------
+# doc_quality_signals — Gopher-style repetition/quality gating signals
+# (Rae et al. 2021 §A.1.1 re-expressed): narrow per-doc stats plus the one
+# genuinely wide signal (top-bigram fraction) via explode + two-level agg.
+# ---------------------------------------------------------------------------
+def doc_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.repetition_signals(docs).orderBy("doc_id")
+
+
+DOC_QUALITY_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS sp FROM documents
+),
+narrow AS (
+  SELECT doc_id,
+         len(sp) AS n_words,
+         round(list_aggregate(list_transform(sp, w -> length(w)), 'sum')
+               / greatest(len(sp), 1), 4) AS mean_word_len,
+         round(len(list_distinct(sp)) / greatest(len(sp), 1), 4) AS distinct_word_frac,
+         round(1.0 - len(list_distinct(tri)) / greatest(len(tri), 1), 4) AS dup_trigram_frac,
+         round(len(list_filter(sp, w -> regexp_matches(w, '[A-Za-z]')))
+               / greatest(len(sp), 1), 4) AS alpha_word_frac
+  FROM (SELECT doc_id, sp,
+               CASE WHEN len(sp) >= 3
+                 THEN list_transform(range(1, len(sp) - 1),
+                                     i -> array_to_string(list_slice(sp, i, i + 2), ' '))
+                 ELSE [] END AS tri
+        FROM base)
+),
+bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(sp) >= 2
+           THEN list_transform(range(1, len(sp)),
+                               i -> array_to_string(list_slice(sp, i, i + 1), ' '))
+           ELSE [] END) AS bg
+  FROM base
+),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+top AS (SELECT doc_id, round(max(c) / sum(c), 4) AS top_bigram_frac FROM bgc GROUP BY doc_id)
+SELECT n.doc_id, n_words, mean_word_len, distinct_word_frac, dup_trigram_frac,
+       alpha_word_frac,
+       coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+       (n_words >= 10 AND n_words <= 100000
+        AND mean_word_len >= 2 AND mean_word_len <= 10
+        AND distinct_word_frac >= 0.2
+        AND dup_trigram_frac <= 0.85
+        AND coalesce(top_bigram_frac, 0.0) <= 0.25
+        AND alpha_word_frac >= 0.8) AS quality_pass
+FROM narrow n LEFT JOIN top USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # dataset_split — deterministic hash-based train/val/test assignment with
 # per-(lang, split) counts; the last step of a training-data pipeline.
 # ---------------------------------------------------------------------------
@@ -355,6 +409,28 @@ SELECT lang,
 FROM documents
 GROUP BY 1, 2
 ORDER BY lang, split
+"""
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample_n — exactly 20 documents per language, chosen by
+# deterministic salted-hash order (stable across runs/partitionings).
+# ---------------------------------------------------------------------------
+def stratified_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.sampling import stratified_exact_n
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_exact_n(docs, "lang", 20).orderBy("lang", "sample_rank")
+
+
+STRATIFIED_N_SQL = f"""
+SELECT doc_id, lang, CAST(rk AS INT) AS sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+  FROM (SELECT doc_id, lang,
+               {ORACLE_MD5_LONG.format(x="('exact:' || CAST(doc_id AS VARCHAR))")} AS h
+        FROM documents)
+) WHERE rk <= 20 ORDER BY lang, sample_rank
 """
 
 
@@ -395,7 +471,9 @@ ORDER BY doc_id, bench_id
 
 QUERIES: dict = {
     "text_profile": (text_profile, _text_profile_sql()),
+    "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SQL),
     "dataset_split": (dataset_split, _dataset_split_sql()),
+    "stratified_sample_n": (stratified_sample_n, STRATIFIED_N_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),

@@ -290,3 +290,60 @@ def test_dedup_keep_decisions_singletons_kept(spark):
     assert not rows[7]["keep"] and rows[7]["cluster_id"] == 2
     for i in (1, 3, 4, 6):                                  # singletons: kept, own cluster
         assert rows[i]["keep"] and rows[i]["cluster_id"] == i
+
+
+# ---------------------------------------------------------------------------
+# repetition / quality signals, BM25, exact-n stratified sampling
+# ---------------------------------------------------------------------------
+def test_repetition_signals_flags_degenerate_docs(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.text import repetition_signals
+
+    rows = [
+        (1, "spam " * 50),                                   # one word repeated
+        (2, " ".join(f"w{i} x{i} y{i}" for i in range(20))), # all-distinct, healthy
+        (3, "a b"),                                          # too short
+    ]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert not got[1]["quality_pass"]                  # top_bigram_frac = 1.0
+    assert got[1]["top_bigram_frac"] == 1.0 and got[1]["distinct_word_frac"] == 0.02
+    assert got[2]["quality_pass"] and got[2]["dup_trigram_frac"] == 0.0
+    assert not got[3]["quality_pass"] and got[3]["n_words"] == 2
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.textprep import bm25_topk
+
+    rows = [
+        (1, "spark spark spark runs fast"),
+        (2, "spark appears once in this much longer document " + "pad " * 30),
+        (3, "no relevant terms at all here"),
+        (4, "merge merge spark"),
+    ]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows], "doc_id long, text string")
+    out = bm25_topk(df, ["spark", "merge"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids                      # zero-score docs filtered
+    assert ids[0] == 4                       # two matching terms outranks one
+    assert out[0]["bm25"] > out[-1]["bm25"] > 0
+    assert ids.index(1) < ids.index(2)       # high tf + short doc beats long doc
+
+
+def test_stratified_exact_n_deterministic(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.sampling import stratified_exact_n
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(90)], "doc_id long, lang string"
+    )
+    a = stratified_exact_n(df, "lang", 5).collect()
+    b = stratified_exact_n(df, "lang", 5).collect()
+    assert sorted((r["lang"], r["sample_rank"], r["doc_id"]) for r in a) == sorted(
+        (r["lang"], r["sample_rank"], r["doc_id"]) for r in b
+    )
+    per = {}
+    for r in a:
+        per.setdefault(r["lang"], []).append(r["sample_rank"])
+    assert sorted(per["en"]) == [1, 2, 3, 4, 5] and sorted(per["de"]) == [1, 2, 3, 4, 5]
+    # small groups are not padded
+    tiny = spark.createDataFrame([(1, "fr"), (2, "fr")], "doc_id long, lang string")
+    assert stratified_exact_n(tiny, "lang", 5).count() == 2
