@@ -122,3 +122,77 @@ def quantile_check(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005).
+# ---------------------------------------------------------------------------
+CMS_D = 4    # hash rows
+CMS_W = 16   # counters per row (deliberately small: collisions are the point)
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Top-k tokens with exact count, count-min estimate, and the CMS
+    overcount bound check.
+
+    Unlike the HLL queries (whose estimates are engine-seeded and need an
+    error envelope), this sketch is built from the portable md5 hash — the
+    DuckDB oracle replays every counter and every estimate BIT-EXACTLY, so
+    the estimates themselves are hash-gated, not just an in-envelope flag.
+
+    Scale shape: the sketch is one explode -> groupBy on (row, cell) —
+    map-side partial aggregation collapses each partition to at most d*w
+    counters before the shuffle, so the exchange moves kilobytes no matter
+    the corpus size. The exact side (count per token + top-k) exists to
+    verify the sketch; at 100 TB it is exactly the shuffle-bound pass the
+    sketch replaces. Estimation joins the k candidates' d cells against
+    the d*w-cell sketch — broadcast-trivial.
+
+    ``bound_ok`` checks the classic guarantee est <= exact + 2N/w in exact
+    integer arithmetic ((est - exact) * w <= 2N), avoiding float division.
+    """
+    from ..queries.util import md5_long
+
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    )
+    cells_arr = F.array(
+        *[
+            (md5_long(F.concat(F.lit(f"cms{j}:"), F.col("tok"))) % w).alias(f"c{j}")
+            for j in range(d)
+        ]
+    )
+    sketch = (
+        toks.select(F.posexplode(cells_arr).alias("j", "cell"))
+        .groupBy("j", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    n_tokens = exact.agg(F.sum("exact_cnt")).first()[0]  # scalar-cache (A2)
+    cand = exact.orderBy(F.desc("exact_cnt"), F.asc("tok")).limit(top_k)
+    # cells_arr is keyed on the same "tok" column name, so it re-resolves
+    # against the candidate rows here.
+    cand_cells = cand.select(
+        "tok", "exact_cnt", F.posexplode(cells_arr).alias("j", "cell")
+    )
+    return (
+        cand_cells.join(sketch, ["j", "cell"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "tok",
+            "exact_cnt",
+            "cms_est",
+            (
+                (F.col("cms_est") - F.col("exact_cnt")) * w <= 2 * int(n_tokens)
+            ).alias("bound_ok"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
+    )

@@ -55,8 +55,52 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return SK.cms_heavy_hitters(docs)
+
+
+def _cms_sql() -> str:
+    from .util import ORACLE_MD5_LONG
+
+    cell = lambda j: (  # noqa: E731
+        ORACLE_MD5_LONG.format(x=f"('cms{j}:' || tok)") + f" % {SK.CMS_W}"
+    )
+    cells = ", ".join(f"{cell(j)} AS c{j}" for j in range(SK.CMS_D))
+    unpivot = " UNION ALL ".join(
+        f"SELECT tok, exact_cnt, {j} AS j, c{j} AS cell FROM cand" for j in range(SK.CMS_D)
+    )
+    sk_unpivot = " UNION ALL ".join(
+        f"SELECT {j} AS j, c{j} AS cell FROM tok_cells" for j in range(SK.CMS_D)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+),
+tok_cells AS (SELECT tok, {cells} FROM toks),
+sketch AS (
+  SELECT j, cell, count(*) AS cnt FROM ({sk_unpivot}) GROUP BY j, cell
+),
+exact AS (SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok),
+n AS (SELECT CAST(sum(exact_cnt) AS BIGINT) AS n_tokens FROM exact),
+cand AS (
+  SELECT tok, exact_cnt, {cells}
+  FROM (SELECT e.tok, e.exact_cnt FROM exact e ORDER BY exact_cnt DESC, tok LIMIT 10) c
+),
+est AS (
+  SELECT tok, exact_cnt, min(cnt) AS cms_est
+  FROM ({unpivot}) u JOIN sketch USING (j, cell)
+  GROUP BY tok, exact_cnt
+)
+SELECT tok, exact_cnt, cms_est,
+       ((cms_est - exact_cnt) * {SK.CMS_W} <= 2 * (SELECT n_tokens FROM n)) AS bound_ok
+FROM est ORDER BY exact_cnt DESC, tok
+"""
+
+
 QUERIES: dict = {
     "hll_distinct_users": (hll_distinct_users, HLL_DISTINCT_SQL),
     "hll_mergeable_rollup": (hll_mergeable_rollup, HLL_MERGE_SQL),
     "quantile_sketch_value": (quantile_sketch_value, QUANTILE_SQL),
+    "cms_heavy_hitters": (cms_heavy_hitters, _cms_sql()),
 }

