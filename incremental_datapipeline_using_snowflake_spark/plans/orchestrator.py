@@ -59,10 +59,16 @@ class Orchestrator:
         overhead of every run for pure metadata."""
         if not self._pending_log:
             return
-        df = self.spark.createDataFrame(
-            self._pending_log,
+        from ..session import local_rows_df
+
+        df = local_rows_df(  # one slice from the start — never 32 write tasks
+            self.spark,
+            [
+                (r["stage"], r["status"], r["message"], r["seconds"], r["run_at"])
+                for r in self._pending_log
+            ],
             schema="stage string, status string, message string, seconds double, run_at string",
-        ).coalesce(1)  # a handful of driver-side rows — never 32 write tasks
+        )
         self.store.append(df, RUN_LOG_TABLE)
         self._pending_log = []
 

@@ -150,10 +150,13 @@ def harmonize(spark: SparkSession, store: TableStore, consumer: str = "harmonize
     )
     got = mres["observed"]
     mn, mx = got["MIN_CO2"], got["MAX_CO2"]
-    minmax = spark.createDataFrame(
+    from ..session import local_rows_df
+
+    minmax = local_rows_df(
+        spark,
         [(None if mn is None else float(mn), None if mx is None else float(mx))],
         schema="MIN_CO2 double, MAX_CO2 double",
-    ).coalesce(1)
+    )
     store.overwrite(minmax, MINMAX_TABLE)
 
     log.commit(consumer, int(hi))  # offset advances with the consuming merge

@@ -61,3 +61,19 @@ def get_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def local_rows_df(spark: SparkSession, rows: list, schema: str):
+    """Single-partition DataFrame from a handful of driver-side rows.
+
+    ``spark.createDataFrame(rows)`` parallelizes over default parallelism
+    (32 Python-RDD slices here), and a later ``coalesce(1)`` folds those
+    into ONE task that pays a Python-worker roundtrip PER SLICE — ~4 s of
+    pure fixed overhead per action on local[32], measured. Parallelizing
+    with ``numSlices=1`` up front makes every downstream action exactly one
+    roundtrip (~0.3 s). Use for metadata-sized writes (scalar caches, run
+    logs) — never for real data.
+    """
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema=schema
+    )
