@@ -134,3 +134,61 @@ def session_window_streaming(
         F.col("session_window.end").alias("session_end"),
         *[c for c in out.columns if c != "session_window"],
     )
+
+
+def watermarked_dedup(
+    df: DataFrame, key_cols: list[str], ts_col: str, delay: str
+) -> DataFrame:
+    """Cross-micro-batch dedup with BOUNDED state.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` keeps each key in the
+    state store only until the watermark passes it — the at-scale form of
+    streaming dedup (plain ``dropDuplicates`` on a stream retains every
+    key ever seen and OOMs a long-running job; within-watermark state is
+    evicted). A duplicate arriving within ``delay`` of the first sighting
+    is dropped; one arriving after the horizon is treated as new — the
+    documented trade of bounded state.
+
+    Batch frames take the exact-semantics path (``dropDuplicates``), so
+    the operator is oracle-checkable and batch/stream twins share a call
+    site.
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)
+    return df.dropDuplicates(key_cols)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_lag_seconds: int,
+    watermark: str,
+) -> DataFrame:
+    """Stream-stream inner equi-join bounded by an event-time interval:
+    a right-side event joins a left-side event with the same ``key`` when
+    ``right_ts`` falls in ``[left_ts - max_lag_seconds, left_ts]``.
+
+    Both sides are watermarked — mandatory for stream-stream joins, since
+    the interval bound plus the watermark is what lets Spark evict join
+    state (without it both sides buffer forever). State is keyed on the
+    join key; shuffle is one exchange per side on ``key``. Valid on batch
+    frames too (watermarks no-op), which is how the test cross-checks the
+    streaming result against the batch twin.
+    """
+    lcols = [F.col(f"l.{c}").alias(c) for c in left.columns]
+    rcols = [
+        F.col(f"r.{c}").alias(c if c not in left.columns else f"r_{c}")
+        for c in right.columns
+        if c != key
+    ]
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {int(max_lag_seconds)} SECONDS"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    return l.join(r, cond).select(*lcols, *rcols)

@@ -161,3 +161,106 @@ def test_tumbling_window_covers_all_events(spark, sf_dir):
         != F.expr("INTERVAL '21600' SECOND")
     ).count()
     assert bad == 0
+
+
+def test_watermarked_dedup_across_micro_batches(spark, tmp_path):
+    """A key duplicated across two micro-batches (within the watermark
+    horizon) is emitted exactly once; batch twin agrees."""
+    import os
+
+    from incremental_datapipeline_using_snowflake_spark.streaming.windows import (
+        watermarked_dedup,
+    )
+
+    data_dir = str(tmp_path / "wd_data")
+    os.makedirs(data_dir)
+    batches = [
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:10")],
+        [(1, "2024-01-01 10:00:20"), (3, "2024-01-01 10:00:30")],  # key 1 repeats
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "key long, ts_s string").withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s").coalesce(1).write.parquet(os.path.join(data_dir, f"b{i}"))
+
+    src = (
+        spark.readStream.schema("key long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(data_dir)
+    )
+    sink: list = []
+    q = (
+        watermarked_dedup(src, ["key"], "ts", "10 minutes")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: sink.append(bdf.collect()))
+        .option("checkpointLocation", str(tmp_path / "wd_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["key"] for rows in sink for r in rows)
+    assert got == [1, 2, 3]
+
+    batch_df = spark.read.schema("key long, ts timestamp").option(
+        "recursiveFileLookup", "true"
+    ).parquet(data_dir)
+    assert sorted(
+        r["key"] for r in watermarked_dedup(batch_df, ["key"], "ts", "10 minutes").collect()
+    ) == [1, 2, 3]
+
+
+def test_stream_stream_interval_join_matches_batch_twin(spark, tmp_path):
+    """views->purchase attribution within 60s, streamed in two micro-batches
+    per side, equals the same operator applied to batch frames."""
+    import os
+
+    from incremental_datapipeline_using_snowflake_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purch")
+    os.makedirs(vdir), os.makedirs(pdir)
+    views = [
+        [(1, "2024-01-01 10:00:00", "v1"), (2, "2024-01-01 10:00:05", "v2")],
+        [(1, "2024-01-01 10:02:00", "v3")],
+    ]
+    purchases = [
+        [(1, "2024-01-01 10:00:30", 9.99)],               # joins v1 (30s lag)
+        [(2, "2024-01-01 10:01:30", 5.0),                 # outside 60s of v2
+         (1, "2024-01-01 10:02:10", 1.0)],                # joins v3 (10s lag)
+    ]
+    for d, bs, sch in ((vdir, views, "user_id long, ts_s string, view_id string"),
+                       (pdir, purchases, "user_id long, ts_s string, amount double")):
+        for i, rows in enumerate(bs):
+            spark.createDataFrame(rows, sch).withColumn(
+                "ts", F.to_timestamp("ts_s")
+            ).drop("ts_s").coalesce(1).write.parquet(os.path.join(d, f"b{i}"))
+
+    vschema, pschema = "user_id long, view_id string, ts timestamp", "user_id long, amount double, ts timestamp"
+    vs = (spark.readStream.schema(vschema).option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true").parquet(vdir))
+    ps = (spark.readStream.schema(pschema).option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true").parquet(pdir))
+    joined = stream_stream_interval_join(
+        ps, vs, key="user_id", left_ts="ts", right_ts="ts",
+        max_lag_seconds=60, watermark="10 minutes",
+    )
+    sink: list = []
+    q = (joined.writeStream.outputMode("append")
+         .foreachBatch(lambda bdf, bid: sink.append(bdf.collect()))
+         .option("checkpointLocation", str(tmp_path / "ssj_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    stream_got = sorted((r["user_id"], r["view_id"], r["amount"]) for rows in sink for r in rows)
+
+    vb = spark.read.schema(vschema).option("recursiveFileLookup", "true").parquet(vdir)
+    pb = spark.read.schema(pschema).option("recursiveFileLookup", "true").parquet(pdir)
+    batch_got = sorted(
+        (r["user_id"], r["view_id"], r["amount"])
+        for r in stream_stream_interval_join(
+            pb, vb, key="user_id", left_ts="ts", right_ts="ts",
+            max_lag_seconds=60, watermark="10 minutes",
+        ).collect()
+    )
+    assert stream_got == batch_got == [(1, "v1", 9.99), (1, "v3", 1.0)]
