@@ -333,7 +333,11 @@ def cross_corpus_overlap(
         c.join(F.broadcast(b), "s")
         .filter(F.col("_cid") != F.col("_bid"))
         .groupBy("_cid", "_bid")
-        .agg(F.count_distinct("s").alias("n_shared"))
+        # count(*), not count_distinct: both explodes come from
+        # array_distinct'ed shingle sets, so (corpus_id, bench_id, s) rows
+        # are unique by construction — a distinct aggregation here would
+        # re-shuffle the expanded pair-shingle set for nothing.
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
         .select(
             F.col("_cid").alias(id_col),

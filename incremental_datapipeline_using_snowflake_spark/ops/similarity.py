@@ -252,3 +252,91 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "nbr_id", "bucket", "cosine")
     )
+
+
+def semantic_dedup_keep(
+    corpus: DataFrame,
+    threshold: float = 0.999,
+    n_cells: int = N_IVF_CELLS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) re-expressed Spark-first: semantic
+    near-duplicate pruning over an embedding column.
+
+    Cluster structure = the deterministic seed-IVF cells (broadcast
+    centroid join, oracle-replayable); candidate pairs = within-cell only,
+    so the pair space is sum(|cell|^2), never |corpus|^2; keep rule =
+    *greedy by sorted id* — a vector is dropped iff some LOWER-id vector
+    in its cell matches at ``round(cosine, 6) >= threshold``. Greedy-by-id
+    is deterministic and non-recursive (plain SQL — unlike transitive
+    closure, which ops.graph.connected_components provides when
+    cluster-exact semantics are needed) and matches the paper's
+    keep-one-per-duplicate-group intent on near-clique duplicate sets.
+
+    Output: (id, cell, n_earlier_dups, keep) for every corpus vector.
+    """
+    _, assigned = ivf_assignments(corpus, n_cells, vec_col, id_col)
+    assigned = assigned.cache()
+    assigned.count()  # one assignment pass shared by both pair sides
+
+    a = assigned.withColumnsRenamed({"id": "id_a", "v": "va"})
+    b = assigned.withColumnsRenamed({"id": "id_b", "v": "vb"})
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .groupBy(F.col("id_b").alias("id"))
+        .agg(F.count(F.lit(1)).alias("_n_dups"))
+    )
+    return (
+        assigned.join(dup, "id", "left")
+        .select(
+            "id",
+            "cell",
+            F.coalesce("_n_dups", F.lit(0)).alias("n_earlier_dups"),
+            F.col("_n_dups").isNull().alias("keep"),
+        )
+    )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 3,
+    n_cells: int = N_IVF_CELLS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate k-NN graph: every vector's top-k cosine neighbors within
+    its IVF cell — the standard primitive under graph-based semantic dedup,
+    agglomerative clustering, and label propagation.
+
+    Scale shape: one broadcast centroid join for assignment, then ONE
+    cell-keyed self-join — pair space is sum(|cell|^2), never |corpus|^2 —
+    and a per-vector top-k window on the cell-partitioned output. Recall
+    is bounded by the cell structure (neighbors straddling a cell boundary
+    are missed); raise n_probe-style recall by unioning a second
+    assignment on rank-2 cells if needed.
+    """
+    _, assigned = ivf_assignments(corpus, n_cells, vec_col, id_col)
+    assigned = assigned.cache()
+    assigned.count()
+
+    a = assigned.withColumnsRenamed({"id": "src_id", "v": "va"})
+    b = assigned.withColumnsRenamed({"id": "nbr_id", "v": "vb"})
+    scored = (
+        a.join(b, "cell")
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select(
+            "src_id",
+            "nbr_id",
+            "cell",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "rank", "nbr_id", "cell", "cosine")
+    )

@@ -212,6 +212,97 @@ ORDER BY id_a, id_b
 """
 
 
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pruning over the augmented embedding corpus: the planted
+    1.001-scaled variants (same direction => same IVF cell, cosine ~1.0)
+    must be dropped; everything else kept."""
+    emb = load(spark, sf_dir, "embeddings")
+    variants = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * 1.001).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(variants)
+    return (
+        S.semantic_dedup_keep(corpus, threshold=0.999)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    )
+
+
+SEMDEDUP_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS id, list_transform(embedding::DOUBLE[], x -> x * 1.001) AS v
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+cents AS (
+  SELECT id AS cell, v AS cv FROM corpus ORDER BY id LIMIT {S.N_IVF_CELLS}
+),
+assigned AS (
+  SELECT id, v, cell FROM (
+    SELECT c.id, c.v, cents.cell,
+           row_number() OVER (
+             PARTITION BY c.id
+             ORDER BY list_cosine_similarity(c.v, cents.cv) DESC, cents.cell
+           ) AS rk
+    FROM corpus c CROSS JOIN cents
+  ) WHERE rk = 1
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999
+),
+dup AS (SELECT id_b AS id, count(*) AS n FROM pairs GROUP BY 1)
+SELECT a.id AS vec_id, a.cell,
+       CAST(coalesce(d.n, 0) AS BIGINT) AS n_earlier_dups,
+       d.n IS NULL AS keep
+FROM assigned a LEFT JOIN dup d USING (id)
+ORDER BY vec_id
+"""
+
+
+def knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.knn_graph(emb, k=3).orderBy("src_id", "rank")
+
+
+KNN_GRAPH_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cents AS (
+  SELECT id AS cell, v AS cv FROM c ORDER BY id LIMIT {S.N_IVF_CELLS}
+),
+assigned AS (
+  SELECT id, v, cell FROM (
+    SELECT c.id, c.v, cents.cell,
+           row_number() OVER (
+             PARTITION BY c.id
+             ORDER BY list_cosine_similarity(c.v, cents.cv) DESC, cents.cell
+           ) AS rk
+    FROM c CROSS JOIN cents
+  ) WHERE rk = 1
+),
+scored AS (
+  SELECT a.id AS src_id, b.id AS nbr_id, a.cell,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id != b.id
+)
+SELECT src_id, rank, nbr_id, cell, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+ORDER BY src_id, rank
+"""
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real mapInPandas decode plumbing; output matches the SQL twin."""
     docs = load(spark, sf_dir, "documents")
@@ -362,6 +453,8 @@ QUERIES: dict = {
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
+    "semdedup_keep": (semdedup_keep, SEMDEDUP_SQL),
+    "knn_graph": (knn_graph_q, KNN_GRAPH_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_SQL),
     "multimodal_frames": (multimodal_frames, MULTIMODAL_FRAMES_SQL),
 }

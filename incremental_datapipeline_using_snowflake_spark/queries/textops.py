@@ -460,11 +460,11 @@ bsh AS (
 ),
 ce AS (SELECT id, unnest(sh) AS s FROM docs2),
 be AS (SELECT bench_id, unnest(sh) AS s FROM bsh WHERE len(sh) > 0)
-SELECT id AS doc_id, bench_id, count(DISTINCT s) AS n_shared
+SELECT id AS doc_id, bench_id, count(*) AS n_shared
 FROM ce JOIN be USING (s)
 WHERE id != bench_id
 GROUP BY 1, 2
-HAVING count(DISTINCT s) >= 3
+HAVING count(*) >= 3
 ORDER BY doc_id, bench_id
 """
 

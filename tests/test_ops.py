@@ -347,3 +347,37 @@ def test_stratified_exact_n_deterministic(spark):
     # small groups are not padded
     tiny = spark.createDataFrame([(1, "fr"), (2, "fr")], "doc_id long, lang string")
     assert stratified_exact_n(tiny, "lang", 5).count() == 2
+
+
+def test_semantic_dedup_drops_planted_variants(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.similarity import (
+        semantic_dedup_keep,
+    )
+
+    import random
+
+    rng = random.Random(42)
+    base = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    variants = [(i + 1000, [x * 1.001 for x in v]) for i, v in base if i % 4 == 0]
+    df = spark.createDataFrame(base + variants, "vec_id long, embedding array<double>")
+    rows = {r["id"]: r for r in semantic_dedup_keep(df, threshold=0.999, n_cells=4).collect()}
+    # every planted variant has an earlier near-identical twin -> dropped
+    for i, _ in base:
+        if i % 4 == 0:
+            assert not rows[i + 1000]["keep"] and rows[i + 1000]["n_earlier_dups"] >= 1
+            assert rows[i]["keep"]  # the original (lower id) survives
+
+
+def test_knn_graph_nearest_is_scaled_twin(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.similarity import knn_graph
+
+    import random
+
+    rng = random.Random(7)
+    base = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    twins = [(i + 100, [x * 1.01 for x in v]) for i, v in base[:10]]
+    df = spark.createDataFrame(base + twins, "vec_id long, embedding array<double>")
+    got = {r["src_id"]: r for r in knn_graph(df, k=1, n_cells=4).collect()}
+    hits = sum(1 for i in range(10) if got.get(i) and got[i]["nbr_id"] == i + 100)
+    assert hits >= 8  # same-direction twins share a cell and rank first
+    assert all(r["rank"] == 1 for r in got.values())
