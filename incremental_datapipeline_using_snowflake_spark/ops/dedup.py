@@ -253,13 +253,7 @@ def minhash_band_pairs(sigs: DataFrame) -> DataFrame:
     per band per self-join side — 8 full passes; this shape plans it once
     per side.
     """
-    band_hashes = F.array(
-        *[
-            F.md5(F.concat_ws("_", F.col(f"m{2*b}"), F.col(f"m{2*b+1}")))
-            for b in range(N_MINHASH // 2)
-        ]
-    )
-    bands = sigs.select("id", F.posexplode(band_hashes).alias("band", "bh"))
+    bands = _band_rows(sigs)
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(
@@ -451,3 +445,74 @@ def embedding_near_pairs_lsh(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs between an incoming BATCH and an existing corpus
+    (plus batch-internal pairs) — the incremental form of
+    :func:`minhash_dedup_pairs` for the daily-delta workflow: a new crawl
+    shard is deduped against everything already ingested WITHOUT ever
+    re-pairing the corpus against itself.
+
+    Shape: band signatures are computed for both sides from one shingle
+    pass each; the candidate join is new-bands x all-bands on (band,
+    bucket) — |new| is the small side, so AQE broadcasts it and the corpus
+    is never shuffled; corpus x corpus collisions are excluded by
+    requiring the right side to be a batch row when both sides are old.
+    At warehouse scale the corpus band table is precomputed once and
+    stored (it is exactly ``minhash_signatures`` output), making each
+    daily run's cost proportional to the batch, not the corpus.
+
+    Output: (id_a, id_b, jaccard, is_corpus_pair) where ``is_corpus_pair``
+    marks batch-vs-corpus pairs (vs batch-internal).
+    """
+    nd = _shingle_docs(new_docs, text_col, id_col)
+    cd = _shingle_docs(corpus, text_col, id_col)
+    nb = _band_rows(_signatures_from_shingles(nd)).withColumn("_new", F.lit(True))
+    cb = _band_rows(_signatures_from_shingles(cd)).withColumn("_new", F.lit(False))
+    allb = nb.unionByName(cb)
+    cand = (
+        nb.withColumnsRenamed({"id": "id_a", "_new": "_na"})
+        .join(
+            allb.withColumnsRenamed({"id": "id_b", "_new": "_nb"}),
+            ["band", "bh"],
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        # canonicalize batch-internal pairs (_nb: right side is also new)
+        # to id_a < id_b; batch-vs-corpus pairs (right side old) keep the
+        # batch doc on the left regardless of id order
+        .filter((~F.col("_nb")) | (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", (~F.col("_nb")).alias("is_corpus_pair"))
+        .distinct()
+    )
+    docs = nd.unionByName(cd)
+    verified = (
+        cand.join(docs.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(docs.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+            "is_corpus_pair",
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """(id, band, bh) rows from a signature table — the exploded band form
+    shared by the self-join and incremental variants."""
+    band_hashes = F.array(
+        *[
+            F.md5(F.concat_ws("_", F.col(f"m{2*b}"), F.col(f"m{2*b+1}")))
+            for b in range(N_MINHASH // 2)
+        ]
+    )
+    return sigs.select("id", F.posexplode(band_hashes).alias("band", "bh"))

@@ -381,3 +381,31 @@ def test_knn_graph_nearest_is_scaled_twin(spark):
     hits = sum(1 for i in range(10) if got.get(i) and got[i]["nbr_id"] == i + 100)
     assert hits >= 8  # same-direction twins share a cell and rank first
     assert all(r["rank"] == 1 for r in got.values())
+
+
+def test_incremental_minhash_finds_cross_and_batch_pairs(spark):
+    """A new batch deduped against an existing corpus: batch-vs-corpus
+    pairs carry is_corpus_pair=True, batch-internal pairs False, and
+    corpus-vs-corpus pairs never appear."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+            (3, "totally unrelated corpus text with many different words"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),   # dup of corpus 1
+            (11, "fresh unique content in the incoming batch today"),
+            (12, "fresh unique content in the incoming batch today"),  # dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    rows = D.incremental_minhash_pairs(batch, corpus).collect()
+    got = {(r["id_a"], r["id_b"]): r["is_corpus_pair"] for r in rows}
+    assert got[(10, 1)] is True      # batch doc left, corpus doc right
+    assert got[(11, 12)] is False    # batch-internal, canonicalized a<b
+    # no corpus-x-corpus pair can appear (1,2,3 never pair together)
+    assert all(a in (10, 11, 12) for a, _ in got)
