@@ -22,6 +22,44 @@ _DEC = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS D
 
 
 # ---------------------------------------------------------------------------
+# unpivot_agg — DataFrame.unpivot (melt): wide per-flag measure columns back
+# to long (flag, measure, value) rows. The inverse of pivot; Spark evaluates
+# it as a narrow Expand (each input row emits one row per value column), so
+# the only shuffle is the upstream aggregate's.
+# ---------------------------------------------------------------------------
+def unpivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("qty"),
+        dsum("l_extendedprice").alias("price"),
+        dsum("l_discount").alias("disc"),
+    )
+    return (
+        wide.unpivot(["l_returnflag"], ["qty", "price", "disc"], "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+UNPIVOT_AGG_SQL = """
+WITH a AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) AS disc
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, measure, value FROM (
+  SELECT l_returnflag, 'qty' AS measure, qty AS value FROM a
+  UNION ALL
+  SELECT l_returnflag, 'price' AS measure, price AS value FROM a
+  UNION ALL
+  SELECT l_returnflag, 'disc' AS measure, disc AS value FROM a
+)
+ORDER BY l_returnflag, measure
+"""
+
+
+# ---------------------------------------------------------------------------
 # pivot_agg — groupBy().pivot(): order-status revenue per year, statuses as
 # columns. Spark evaluates the pivot as a single hash-agg over (year, status)
 # then transposes; the explicit value list avoids the extra distinct scan.
@@ -220,6 +258,7 @@ WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
 
 QUERIES: dict = {
     "pivot_agg": (pivot_agg, PIVOT_AGG_SQL),
+    "unpivot_agg": (unpivot_agg, UNPIVOT_AGG_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "cube_agg": (cube_agg, CUBE_AGG_SQL),
     "subquery_family": (subquery_family, SUBQUERY_FAMILY_SQL),
