@@ -146,3 +146,34 @@ def test_no_driver_side_loops_in_inventory(spark, sf_dir):
     for name, (fn, _sql) in all_queries().items():
         df = fn(spark, sf_dir)
         assert isinstance(df, DataFrame), name
+
+
+def test_bm25_plan_has_no_exchange(spark, sf_dir):
+    """bm25_topk promises two scans and zero joins: the physical plan must
+    contain no Exchange (stats are literals) and use TakeOrdered for the
+    global top-k rather than a full sort."""
+    from incremental_datapipeline_using_snowflake_spark.queries.temporal_prep import (
+        bm25_search,
+    )
+
+    plan = bm25_search(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_connected_components_truncates_lineage(spark):
+    """The returned labels must be a checkpointed RDD scan — no joins or
+    iteration history in the plan (unbounded lineage is the classic
+    iterative-Spark failure: plans double per round and stage retries
+    recompute the whole history)."""
+    from incremental_datapipeline_using_snowflake_spark.ops.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    out = connected_components(edges)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    assert "Join" not in plan

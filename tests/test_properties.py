@@ -98,3 +98,43 @@ def test_upsert_idempotent_and_unique_keys(sp, target, source):
     b = {r["k"]: r["v"] for r in twice.collect()}
     assert a == b  # replay-safe (C4 semantics)
     assert len(a) == once.count()  # keys unique in the result
+
+
+# ---------------------------------------------------------------------------
+# connected components: randomized graphs vs a union-find model — the other
+# custom iterative operator gets the dict-model treatment too.
+# ---------------------------------------------------------------------------
+EDGE = st.tuples(
+    st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)
+)
+
+
+def _uf_components(edges):
+    """Union-find reference: node -> min reachable node id."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(edges=st.lists(EDGE, min_size=1, max_size=40))
+def test_connected_components_matches_union_find(sp, edges):
+    from incremental_datapipeline_using_snowflake_spark.ops.graph import (
+        connected_components,
+    )
+
+    df = sp.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], schema="id_a long, id_b long"
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == _uf_components(edges)
