@@ -130,6 +130,28 @@ N_IVF_CELLS = 16
 N_PROBE = 4
 
 
+def _materialize(
+    df: DataFrame, checkpoint_dir: str | None, name: str
+) -> DataFrame:
+    """Materialize a plan subtree referenced by multiple consumers ONCE.
+
+    Default: in-memory cache with an eager fill — right when the relation
+    fits executor storage. ``checkpoint_dir``: persist to parquet and
+    re-read — the 100 TB path (an IVF assignment table over a corpus
+    exceeds cluster memory; the parquet round-trip also truncates lineage
+    so stage retries re-read files instead of recomputing assignments).
+    Subpaths are namespaced per call site; the caller owns the files'
+    lifecycle, and the dir must outlive every action on the result.
+    """
+    if checkpoint_dir is not None:
+        path = f"{checkpoint_dir}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+    df = df.cache()
+    df.count()
+    return df
+
+
 def ivf_assignments(
     corpus: DataFrame,
     n_cells: int = N_IVF_CELLS,
@@ -176,14 +198,14 @@ def ivf_topk(
     n_probe: int = N_PROBE,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score only vectors in the query's ``n_probe``
     nearest cells. Probe-list join is keyed on the cell id, so the pair
     space is (corpus / n_cells) × n_probe per query instead of |corpus|."""
     cents, assigned = ivf_assignments(corpus, n_cells, vec_col, id_col)
     # referenced twice (probe list + candidate side): materialize once
-    assigned = assigned.cache()
-    assigned.count()
+    assigned = _materialize(assigned, checkpoint_dir, "ivf_assigned")
 
     q = assigned.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv")
@@ -260,6 +282,7 @@ def semantic_dedup_keep(
     n_cells: int = N_IVF_CELLS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) re-expressed Spark-first: semantic
     near-duplicate pruning over an embedding column.
@@ -277,8 +300,8 @@ def semantic_dedup_keep(
     Output: (id, cell, n_earlier_dups, keep) for every corpus vector.
     """
     _, assigned = ivf_assignments(corpus, n_cells, vec_col, id_col)
-    assigned = assigned.cache()
-    assigned.count()  # one assignment pass shared by both pair sides
+    # one assignment pass shared by both pair sides
+    assigned = _materialize(assigned, checkpoint_dir, "semdedup_assigned")
 
     a = assigned.withColumnsRenamed({"id": "id_a", "v": "va"})
     b = assigned.withColumnsRenamed({"id": "id_b", "v": "vb"})
@@ -306,6 +329,7 @@ def knn_graph(
     n_cells: int = N_IVF_CELLS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Approximate k-NN graph: every vector's top-k cosine neighbors within
     its IVF cell — the standard primitive under graph-based semantic dedup,
@@ -319,8 +343,7 @@ def knn_graph(
     assignment on rank-2 cells if needed.
     """
     _, assigned = ivf_assignments(corpus, n_cells, vec_col, id_col)
-    assigned = assigned.cache()
-    assigned.count()
+    assigned = _materialize(assigned, checkpoint_dir, "knn_assigned")
 
     a = assigned.withColumnsRenamed({"id": "src_id", "v": "va"})
     b = assigned.withColumnsRenamed({"id": "nbr_id", "v": "vb"})
