@@ -152,3 +152,55 @@ def rolling_agg(
     return df.select(
         *df.columns, *[c.over(w).alias(name) for name, c in agg_cols.items()]
     )
+
+
+def calendar_gapfill(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str] | None = None,
+    agg_exprs: list[Column] | None = None,
+    fill: dict | None = None,
+) -> DataFrame:
+    """Resample an event stream to a dense daily calendar: one row per day
+    in [min(ts), max(ts)] per group, gaps zero/NULL-filled.
+
+    The standard time-series preparation step (gap-free inputs for lag/
+    rolling windows — a lag over a sparse series silently compares
+    non-adjacent days). Plan shape: the observed bounds come from one tiny
+    aggregate (scalar-cache pattern A2, inlined as literals), the calendar
+    is ``sequence()`` exploded from a 1-row relation — |days| rows total,
+    NOT |groups|x|days| until the left join — and the join is
+    calendar-left-join-aggregates keyed on (group, day). The daily
+    aggregate shuffles once; the calendar side is literal-bounded and
+    broadcast by AQE.
+
+    ``fill`` maps output column -> fill value for empty days (default 0
+    for counts; pass None to keep NULL).
+    """
+    group_cols = group_cols or []
+    agg_exprs = agg_exprs or [F.count(F.lit(1)).alias("n_events")]
+    day = F.col(ts_col).cast("date").alias("day")
+    daily = df.groupBy(*(group_cols + [day])).agg(*agg_exprs)
+
+    bounds = df.agg(
+        F.min(F.col(ts_col).cast("date")).alias("lo"),
+        F.max(F.col(ts_col).cast("date")).alias("hi"),
+    ).first()
+    spark = df.sparkSession
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(bounds["lo"]).cast("date"),
+                F.lit(bounds["hi"]).cast("date"),
+                F.expr("INTERVAL '1' DAY"),
+            )
+        ).alias("day")
+    )
+    if group_cols:
+        groups = df.select(*group_cols).distinct()
+        cal = cal.crossJoin(groups)  # dense frame: |days| x |groups| keys
+    out = cal.join(daily, ["day"] + group_cols, "left")
+    for col, v in (fill or {"n_events": 0}).items():
+        if v is not None and col in out.columns:
+            out = out.withColumn(col, F.coalesce(F.col(col), F.lit(v)))
+    return out

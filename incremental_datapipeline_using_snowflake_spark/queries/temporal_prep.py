@@ -298,6 +298,49 @@ ORDER BY id, rank
 
 
 # ---------------------------------------------------------------------------
+# calendar_gapfill — resample a sparse event subset to a dense daily
+# calendar per event_type (gap-free series for lag/rolling windows); the
+# value>150 filter guarantees real gaps to fill.
+# ---------------------------------------------------------------------------
+def calendar_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .util import dsum
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 150)
+    out = T.calendar_gapfill(
+        ev,
+        "ts",
+        group_cols=["event_type"],
+        agg_exprs=[
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        ],
+        fill={"n_events": 0, "sum_value": 0.0},
+    )
+    return out.select("day", "event_type", "n_events", "sum_value").orderBy(
+        "day", "event_type"
+    )
+
+
+GAPFILL_SQL = """
+WITH src AS (SELECT * FROM events WHERE value > 150),
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+  FROM src GROUP BY 1, 2
+),
+bounds AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM src),
+cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+groups AS (SELECT DISTINCT event_type FROM src)
+SELECT c.day, g.event_type,
+       coalesce(d.n_events, 0) AS n_events,
+       coalesce(d.sum_value, 0.0) AS sum_value
+FROM cal c CROSS JOIN groups g
+LEFT JOIN daily d ON d.day = c.day AND d.event_type = g.event_type
+ORDER BY c.day, g.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # bm25_search — top-15 documents for a fixed 3-term query under BM25
 # (Lucene's +1-smoothed idf). Narrow tf projection, scalar-cached corpus
 # stats, narrow scoring, global top-k — two scans, zero joins.
@@ -357,4 +400,5 @@ QUERIES: dict = {
     "pii_redaction": (pii_redaction, PII_SQL),
     "tfidf_terms": (tfidf_terms, TFIDF_SQL),
     "bm25_search": (bm25_search, _bm25_sql()),
+    "calendar_gapfill": (calendar_gapfill, GAPFILL_SQL),
 }

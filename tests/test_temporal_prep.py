@@ -167,3 +167,29 @@ def test_tfidf_prefers_rare_terms(spark):
     }
     # 'common' appears in every doc (idf = ln(4/4) = 0); the rare term wins
     assert top == {0: "zebra", 1: "yak", 2: "xylo"}
+
+
+def test_calendar_gapfill_fills_missing_days(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.temporal import (
+        calendar_gapfill,
+    )
+
+    rows = [
+        ("2024-03-01 10:00:00", "a", 1.0),
+        ("2024-03-01 11:00:00", "a", 2.0),
+        ("2024-03-04 09:00:00", "a", 5.0),   # 2 missing days before this
+        ("2024-03-02 09:00:00", "b", 7.0),   # b missing on 01, 03, 04
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, event_type string, value double").select(
+        F.to_timestamp("ts_s").alias("ts"), "event_type", "value"
+    )
+    out = calendar_gapfill(
+        df, "ts", group_cols=["event_type"],
+        agg_exprs=[F.count(F.lit(1)).alias("n_events")], fill={"n_events": 0},
+    ).collect()
+    got = {(str(r["day"]), r["event_type"]): r["n_events"] for r in out}
+    assert len(got) == 4 * 2                       # dense: 4 days x 2 types
+    assert got[("2024-03-01", "a")] == 2
+    assert got[("2024-03-02", "a")] == 0           # gap filled with 0
+    assert got[("2024-03-03", "b")] == 0
+    assert got[("2024-03-04", "a")] == 1
