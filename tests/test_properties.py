@@ -138,3 +138,37 @@ def test_connected_components_matches_union_find(sp, edges):
     )
     got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
     assert got == _uf_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# as-of join: randomized trades/quotes vs a dict model.
+# ---------------------------------------------------------------------------
+K = st.integers(min_value=0, max_value=4)
+T = st.integers(min_value=0, max_value=50)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    left=st.lists(st.tuples(K, T), min_size=1, max_size=15),
+    right=st.dictionaries(st.tuples(K, T), st.integers(0, 999), max_size=15),
+)
+def test_asof_join_matches_model(sp, left, right):
+    """For each left row the latest right row at ts <= left ts (same key)
+    must be attached; no match -> NULL. Right (key, ts) pairs are unique by
+    construction (dict) so the model is total."""
+    from pyspark.sql import functions as F
+
+    from incremental_datapipeline_using_snowflake_spark.ops.temporal import asof_join
+
+    ldf = sp.createDataFrame(
+        [(int(k), int(t), i) for i, (k, t) in enumerate(left)], "k long, t long, row long"
+    ).select("k", F.timestamp_seconds("t").cast("timestamp_ntz").alias("ts"), "row")
+    rrows = [(int(k), int(t), int(v)) for (k, t), v in right.items()] or [(99, 0, 0)]
+    rdf = sp.createDataFrame(rrows, "k long, t long, v long").select(
+        "k", F.timestamp_seconds("t").cast("timestamp_ntz").alias("ts"), "v"
+    )
+    got = {r["row"]: r["v"] for r in asof_join(ldf, rdf, "k", "ts", ["v"]).collect()}
+    for i, (k, t) in enumerate(left):
+        cands = {rt: v for (rk, rt), v in right.items() if rk == k and rt <= t}
+        want = cands[max(cands)] if cands else None
+        assert got[i] == want, (i, k, t)
