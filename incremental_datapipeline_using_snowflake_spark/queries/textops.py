@@ -292,6 +292,55 @@ FROM comp ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# dedup_keep_decisions — the end product of the dedup pipeline: per-document
+# keep/drop verdicts over the WHOLE corpus (cluster members beyond the
+# canonical dropped, singletons kept), summarized per decision.
+# ---------------------------------------------------------------------------
+def dedup_keep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.graph import dedup_keep_decisions
+
+    corpus = corpus_df(spark, sf_dir)
+    pairs = D.minhash_dedup_pairs(corpus)
+    return (
+        dedup_keep_decisions(corpus, pairs)
+        .groupBy("keep")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("cluster_id").alias("n_clusters"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("keep")
+    )
+
+
+def _dedup_keep_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pairs_cte()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r
+),
+comp AS (SELECT id, min(r) AS cluster_id FROM walk GROUP BY id),
+verdicts AS (
+  SELECT c.doc_id,
+         coalesce(comp.cluster_id, c.doc_id) AS cluster_id,
+         coalesce(comp.cluster_id, c.doc_id) = c.doc_id AS keep
+  FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
+)
+SELECT keep, count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM verdicts GROUP BY keep ORDER BY keep
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_simhash — equal-16-bit-SimHash candidate groups.
 # ---------------------------------------------------------------------------
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,6 +462,91 @@ ORDER BY lang, split
 
 
 # ---------------------------------------------------------------------------
+# dedup_incremental — batch-vs-corpus MinHash dedup: an incoming delta
+# (exact copies + near-dups of existing docs) deduped against the full
+# corpus without corpus-x-corpus pairing.
+# ---------------------------------------------------------------------------
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    w = X.words_col("text")
+    near = docs.filter(F.col("doc_id") % 21 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.array_join(F.slice(w, 3, F.greatest(F.size(w) - 2, F.lit(0))), " ").alias("text"),
+    )
+    batch = copies.unionByName(near)
+    return D.incremental_minhash_pairs(batch, docs).orderBy("id_a", "id_b")
+
+
+def _incr_side_sql(src: str, p: str) -> str:
+    """Shingle/signature/band CTE chain for one corpus side, prefixed."""
+    mins = ", ".join(
+        f"min(({D.MINHASH_A[i]} * h + {D.MINHASH_B[i]}) % {D.MINHASH_MOD}) AS m{i}"
+        for i in range(D.N_MINHASH)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(m{2*b} || '_' || m{2*b+1}) AS bh FROM {p}sigs"
+        for b in range(D.N_MINHASH // 2)
+    )
+    return f"""{p}docs AS (
+  SELECT id,
+         list_distinct(CASE WHEN len(sp) >= 3
+           THEN list_transform(range(1, len(sp) - 1),
+                               i -> {_H.format(x="array_to_string(list_slice(sp, i, i + 2), ' ')")})
+           ELSE [] END) AS sh
+  FROM (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS sp FROM {src})
+),
+{p}docs2 AS (SELECT * FROM {p}docs WHERE len(sh) > 0),
+{p}sigs AS (
+  SELECT id, {mins}
+  FROM (
+    SELECT id, s % {D.MINHASH_MOD} AS h
+    FROM (SELECT id, unnest(sh) AS s FROM {p}docs2)
+  ) GROUP BY id
+),
+{p}bands AS ({bands})"""
+
+
+def _dedup_incremental_sql() -> str:
+    return f"""
+WITH oldc AS (SELECT doc_id, text FROM documents),
+newc AS (
+  SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id,
+         array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 3,
+                          len(string_split_regex(trim(text), '\\s+'))), ' ') AS text
+  FROM documents WHERE doc_id % 21 = 0
+),
+{_incr_side_sql("oldc", "o_")},
+{_incr_side_sql("newc", "n_")},
+allb AS (
+  SELECT id, band, bh, FALSE AS isnew FROM o_bands
+  UNION ALL
+  SELECT id, band, bh, TRUE AS isnew FROM n_bands
+),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b, NOT y.isnew AS is_corpus_pair
+  FROM n_bands x JOIN allb y ON x.band = y.band AND x.bh = y.bh
+  WHERE x.id != y.id AND ((NOT y.isnew) OR x.id < y.id)
+),
+alldocs AS (SELECT * FROM o_docs2 UNION ALL SELECT * FROM n_docs2)
+SELECT id_a, id_b, jaccard, is_corpus_pair FROM (
+  SELECT id_a, id_b,
+         round(len(list_intersect(da.sh, db.sh))
+               / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 4) AS jaccard,
+         is_corpus_pair
+  FROM cand
+  JOIN alldocs da ON da.id = id_a
+  JOIN alldocs db ON db.id = id_b
+) WHERE jaccard >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # stratified_sample_n — exactly 20 documents per language, chosen by
 # deterministic salted-hash order (stable across runs/partitionings).
 # ---------------------------------------------------------------------------
@@ -479,5 +613,7 @@ QUERIES: dict = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_clusters": (dedup_clusters, _dedup_clusters_sql()),
+    "dedup_keep_summary": (dedup_keep_summary, _dedup_keep_sql()),
+    "dedup_incremental": (dedup_incremental, _dedup_incremental_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
 }
