@@ -47,6 +47,36 @@ def run_pipeline_bench(spark) -> float:
     return time.time() - t0
 
 
+def run_pipeline_streaming_bench(spark) -> float:
+    """Same two-run pipeline with SP2 routed through the Structured
+    Streaming drain (checkpoint-as-offset) — times the AvailableNow
+    micro-batch path that production incremental runs would use."""
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.plans import Orchestrator, bootstrap
+
+    lines = ["# synthetic feed"]
+    day = 0
+    for y in range(2022, 2024):
+        for d in range(1, 366):
+            day += 1
+            lines.append(f"{y} {(d - 1) // 31 + 1} {(d - 1) % 31 + 1} {y}.{d:03d} {400 + day * 0.01:.2f}")
+    feed_v1 = "\n".join(lines)
+    feed_v2 = feed_v1 + "\n" + "\n".join(
+        f"2024 1 {d} 2024.{d:03d} {410 + d * 0.01:.2f}" for d in range(1, 15)
+    )
+
+    t0 = time.time()
+    with tempfile.TemporaryDirectory(prefix="bench_swh_") as wh:
+        store = TableStore(root=wh)
+        bootstrap(store)
+        orch = Orchestrator(
+            spark, store, streaming_harmonize=True, checkpoint_dir=f"{wh}/_ckpt"
+        )
+        orch.run(feed_text=feed_v1)
+        orch.run(feed_text=feed_v2)
+    return time.time() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -96,6 +126,19 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["co2_pipeline_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"  co2_pipeline_e2e: ERROR {errors['co2_pipeline_e2e'][:120]}", file=sys.stderr)
+
+    try:
+        timings["co2_pipeline_streaming"] = round(run_pipeline_streaming_bench(spark), 3)
+        print(
+            f"  co2_pipeline_streaming: {timings['co2_pipeline_streaming']}s",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["co2_pipeline_streaming"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(
+            f"  co2_pipeline_streaming: ERROR {errors['co2_pipeline_streaming'][:120]}",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -224,3 +224,14 @@ def test_csv_sink_roundtrip(spark, tmp_path):
     many = str(tmp_path / "many")
     write_co2_csv(df.repartition(4), many, single_file=False)
     assert read_co2_csv(spark, many, pattern="*.csv").count() == 10
+
+
+def test_local_rows_df_single_partition(spark):
+    """Metadata-sized local rows must land in ONE slice: coalesce(1) over a
+    default-parallelism Python RDD serializes a worker roundtrip per slice
+    (~4-5s of fixed overhead per action on local[32], measured round 3)."""
+    from incremental_datapipeline_using_snowflake_spark.session import local_rows_df
+
+    df = local_rows_df(spark, [("a", 1.0), ("b", 2.0)], "k string, v double")
+    assert df.rdd.getNumPartitions() == 1
+    assert df.count() == 2
