@@ -152,6 +152,46 @@ ORDER BY c_custkey
 
 
 # ---------------------------------------------------------------------------
+# join_full_outer — both-sides-preserved join: customers with no orders AND
+# orphaned order keys survive. Spark plans full outer as a sort-merge join
+# (broadcast is not valid for full outer); the aggregate is keyed on the
+# coalesced key so unmatched rows from either side group correctly.
+# ---------------------------------------------------------------------------
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    # order keys shifted by 3 so some customers lose matches and some order
+    # rows have no customer — both outer sides exercised on any SF
+    orders = load(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") + 3000).alias("o_custkey"), "o_totalprice"
+    )
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey, "full")
+    return (
+        joined.groupBy(
+            F.coalesce("c_custkey", "o_custkey").alias("key")
+        )
+        .agg(
+            F.count("c_custkey").alias("n_cust_rows"),
+            F.count("o_totalprice").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("key")
+    )
+
+
+JOIN_FULL_SQL = """
+SELECT coalesce(c_custkey, o_custkey) AS key,
+       COUNT(c_custkey) AS n_cust_rows,
+       COUNT(o_totalprice) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total_price
+FROM (SELECT c_custkey, c_acctbal FROM customer) c
+FULL OUTER JOIN (SELECT o_custkey + 3000 AS o_custkey, o_totalprice FROM orders) o
+  ON c.c_custkey = o.o_custkey
+GROUP BY 1
+ORDER BY key
+"""
+
+
+# ---------------------------------------------------------------------------
 # join_semi / join_anti — EXISTS / NOT EXISTS (the upsert building blocks, §2.3).
 # ---------------------------------------------------------------------------
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,6 +505,7 @@ QUERIES: dict = {
     "q3_top_revenue": (q3_top_revenue, Q3_SQL),
     "region_revenue": (region_revenue, REGION_REVENUE_SQL),
     "join_left_outer": (join_left_outer, JOIN_LEFT_SQL),
+    "join_full_outer": (join_full_outer, JOIN_FULL_SQL),
     "join_semi": (join_semi, JOIN_SEMI_SQL),
     "join_anti": (join_anti, JOIN_ANTI_SQL),
     "set_ops": (set_ops, SET_OPS_SQL),
