@@ -224,3 +224,60 @@ def repetition_signals(
         & (F.col("top_bigram_frac") <= 0.25)
         & (F.col("alpha_word_frac") >= 0.8),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-proxy scoring (the CCNet/Gopher LM-filter family): average
+# bigram log-probability under the corpus's own bigram model. Degenerate
+# and boilerplate text scores abnormally HIGH (its bigrams are repetitive,
+# hence over-represented); incoherent word soup scores abnormally LOW —
+# both tails get dropped by a percentile gate downstream.
+# ---------------------------------------------------------------------------
+def ngram_logprob_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean log P(w2|w1) under corpus bigram MLE counts.
+
+    Plan: one explode builds (doc, w1, w2) bigram rows; the model is two
+    aggregates over that same relation (bigram counts keyed (w1,w2),
+    unigram-context counts keyed w1) joined back — vocabulary-sized
+    relations, zipfian-small vs the corpus, so AQE broadcasts them; the
+    per-doc mean is the only doc-keyed shuffle. Skew lands on stopword
+    contexts exactly like the TF-IDF join (same mitigation: min-df cut at
+    scale).
+
+    Float discipline: each ln is rounded to 6 dp, then the mean runs in
+    DECIMAL (exact, order-independent) and is emitted as a rounded double,
+    so parallel summation order can't leak into the value hash.
+    """
+    w = words_col(F.col(text_col))
+    bigrams = F.zip_with(
+        w,
+        F.slice(w, 2, F.size(w)),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = df.select(
+        F.col(id_col),
+        F.explode(F.filter(bigrams, lambda s: s["w2"].isNotNull())).alias("b"),
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+
+    bg_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+
+    lp = F.round(F.log(F.col("c2") / F.col("c1")), 6)
+    scored = (
+        bg.join(bg_counts, ["w1", "w2"]).join(ctx_counts, "w1")
+        .select(F.col(id_col), lp.cast("decimal(20,10)").alias("_lp"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            # exact decimal sum -> double -> ONE double division: decimal
+            # division scale rules differ between engines, a double divide
+            # of the same two exact values does not
+            F.round(F.sum("_lp").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -138,8 +138,28 @@ FROM scored ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
-# dedup_exact — hash-groupBy duplicate groups on the augmented corpus.
+# ngram_logprob — CCNet-style perplexity proxy: per-doc mean bigram
+# log-probability under the corpus's own bigram counts.
 # ---------------------------------------------------------------------------
+def ngram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.ngram_logprob_scores(docs).orderBy("doc_id")
+
+
+NGRAM_LOGPROB_SQL = """
+WITH bg AS (
+  SELECT doc_id, sp[i] AS w1, sp[i + 1] AS w2
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS sp FROM documents),
+       LATERAL (SELECT unnest(range(1, len(sp))) AS i)
+),
+bgc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(sum(CAST(round(ln(c2 / c1), 6) AS DECIMAL(20,10))) AS DOUBLE)
+             / count(*), 6) AS avg_logprob
+FROM bg JOIN bgc USING (w1, w2) JOIN ctx USING (w1)
+GROUP BY doc_id ORDER BY doc_id
+"""
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         D.exact_dedup_groups(corpus_df(spark, sf_dir))
@@ -606,6 +626,7 @@ ORDER BY doc_id, bench_id
 QUERIES: dict = {
     "text_profile": (text_profile, _text_profile_sql()),
     "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SQL),
+    "ngram_logprob": (ngram_logprob, NGRAM_LOGPROB_SQL),
     "dataset_split": (dataset_split, _dataset_split_sql()),
     "stratified_sample_n": (stratified_sample_n, STRATIFIED_N_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),

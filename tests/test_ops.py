@@ -409,3 +409,19 @@ def test_incremental_minhash_finds_cross_and_batch_pairs(spark):
     assert got[(11, 12)] is False    # batch-internal, canonicalized a<b
     # no corpus-x-corpus pair can appear (1,2,3 never pair together)
     assert all(a in (10, 11, 12) for a, _ in got)
+
+
+def test_ngram_logprob_separates_repetitive_from_diverse(spark):
+    """Repetitive text's bigrams dominate the model -> avg log-prob near 0;
+    a doc of corpus-unique bigrams scores far lower."""
+    from incremental_datapipeline_using_snowflake_spark.ops.text import (
+        ngram_logprob_scores,
+    )
+
+    rep = " ".join(["la"] * 40)                                  # one bigram, repeated
+    div = " ".join(f"u{i}" for i in range(40))                   # all bigrams unique
+    df = spark.createDataFrame([(1, rep), (2, div)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_logprob_scores(df).collect()}
+    assert got[1]["n_bigrams"] == 39 and got[2]["n_bigrams"] == 39
+    assert got[1]["avg_logprob"] > -0.1                          # ~ln(39/40)
+    assert got[2]["avg_logprob"] < got[1]["avg_logprob"] - 0.5   # clearly separated
