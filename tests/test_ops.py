@@ -418,10 +418,11 @@ def test_ngram_logprob_separates_repetitive_from_diverse(spark):
         ngram_logprob_scores,
     )
 
-    rep = " ".join(["la"] * 40)                                  # one bigram, repeated
-    div = " ".join(f"u{i}" for i in range(40))                   # all bigrams unique
+    rep = " ".join(["la"] * 40)              # one bigram repeated: P(la|la)=1
+    # "a u0 a u1 ...": context "a" has 20 distinct successors, each P=1/20
+    div = " ".join(f"a u{i}" for i in range(20))
     df = spark.createDataFrame([(1, rep), (2, div)], "doc_id long, text string")
     got = {r["doc_id"]: r for r in ngram_logprob_scores(df).collect()}
     assert got[1]["n_bigrams"] == 39 and got[2]["n_bigrams"] == 39
-    assert got[1]["avg_logprob"] > -0.1                          # ~ln(39/40)
-    assert got[2]["avg_logprob"] < got[1]["avg_logprob"] - 0.5   # clearly separated
+    assert got[1]["avg_logprob"] == 0.0                          # ln(1) per bigram
+    assert got[2]["avg_logprob"] < -1.0                          # ~20*ln(1/20)/39
