@@ -22,6 +22,63 @@ _DEC = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS D
 
 
 # ---------------------------------------------------------------------------
+# skew_salted_join / skew_two_phase_agg — the explicit skew utilities
+# (operators/skew.py) are semantics-preserving: the salt only re-keys the
+# shuffle, never the result. These queries prove that THROUGH the value-hash
+# gate — the oracle is the plain (unsalted) form.
+# ---------------------------------------------------------------------------
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(li, supp.withColumnRenamed("s_suppkey", "l_suppkey"), "l_suppkey")
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+SKEW_JOIN_SQL = """
+SELECT s_nationkey, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1 ORDER BY s_nationkey
+"""
+
+
+def skew_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import two_phase_agg
+
+    li = load(spark, sf_dir, "lineitem")
+    out = two_phase_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty_dec": F.sum(F.col("l_quantity").cast("decimal(30,8)")),
+            "n_rows": F.count(F.lit(1)),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    ).orderBy("l_returnflag")
+
+
+SKEW_AGG_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY 1 ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # unpivot_agg — DataFrame.unpivot (melt): wide per-flag measure columns back
 # to long (flag, measure, value) rows. The inverse of pivot; Spark evaluates
 # it as a narrow Expand (each input row emits one row per value column), so
@@ -259,6 +316,8 @@ WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
 QUERIES: dict = {
     "pivot_agg": (pivot_agg, PIVOT_AGG_SQL),
     "unpivot_agg": (unpivot_agg, UNPIVOT_AGG_SQL),
+    "skew_salted_join": (skew_salted_join, SKEW_JOIN_SQL),
+    "skew_two_phase_agg": (skew_two_phase_agg, SKEW_AGG_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "cube_agg": (cube_agg, CUBE_AGG_SQL),
     "subquery_family": (subquery_family, SUBQUERY_FAMILY_SQL),
