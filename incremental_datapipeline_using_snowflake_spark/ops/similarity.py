@@ -363,3 +363,119 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .select("src_id", "rank", "nbr_id", "cell", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — the third ANN family next to
+# hyperplane-LSH and IVF: vectors compress to n_sub codebook indices and
+# candidate distances are summed per-subspace lookup values (ADC), so the
+# scan reads bytes per vector instead of floats per dimension.
+# ---------------------------------------------------------------------------
+N_PQ_SUB = 8
+N_PQ_CODES = 16
+
+
+def _l2_int(a: Column, b: Column) -> Column:
+    """Exact int64 squared L2 between two quantized component arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    dim: int,
+    n_sub: int = N_PQ_SUB,
+    n_codes: int = N_PQ_CODES,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """(codewords, encoded): per-subspace seed codebooks and each vector's
+    code assignment.
+
+    Components quantize to the 1e-6 integer grid (the same bit-identical
+    step as LSH/k-means), subvectors are array slices (narrow — no
+    shuffle), and codewords are the ``n_codes`` lowest-id vectors'
+    subvectors (deterministic seed scheme, code label = seed vec_id — no
+    rank bookkeeping). Assignment joins each subvector against the
+    broadcast codeword table and keeps the argmin by exact int64 L2 with
+    code-label tiebreak: |corpus| x n_sub rows against n_sub x n_codes —
+    never corpus x corpus.
+    """
+    sub = dim // n_sub
+    xq = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long")
+    )
+    base = corpus.select(F.col(id_col).alias("id"), xq.alias("xq"))
+    slices = F.array(*[F.slice(F.col("xq"), s * sub + 1, sub) for s in range(n_sub)])
+    subv = base.select("id", F.posexplode(slices).alias("s", "v"))
+    cb = (
+        base.orderBy("id")
+        .limit(n_codes)
+        .select("id", F.posexplode(slices).alias("s", "v"))
+        .select(F.col("id").alias("code_id"), "s", F.col("v").alias("cw"))
+    )
+    ranked = (
+        subv.join(F.broadcast(cb), "s")
+        .select("id", "s", "code_id", _l2_int(F.col("v"), F.col("cw")).alias("_d"))
+    )
+    w = W.partitionBy("id", "s").orderBy(F.asc("_d"), F.asc("code_id"))
+    enc = (
+        ranked.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("id", "s", "code_id")
+    )
+    return cb, enc
+
+
+def pq_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    dim: int,
+    k: int = 5,
+    n_sub: int = N_PQ_SUB,
+    n_codes: int = N_PQ_CODES,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes.
+
+    Per query the distance to every codeword is precomputed ONCE —
+    |queries| x n_sub x n_codes rows, broadcast-tiny — and each encoded
+    vector's ADC distance is the n_sub-row sum of lookups joined on
+    (subspace, code). The corpus-sized side moves through one (s, code)
+    equi-join + one (query, id) aggregation; codes are int labels, so at
+    100 TB the scan state is n_sub smallints per vector instead of dim
+    floats — the memory-bandwidth win PQ exists for.
+    """
+    sub = dim // n_sub
+    cb, enc = pq_encode(corpus, dim, n_sub, n_codes, vec_col, id_col)
+    enc = _materialize(enc, checkpoint_dir, "pq_encoded")
+
+    xq = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long")
+    )
+    slices = F.array(*[F.slice(F.col("xq"), s * sub + 1, sub) for s in range(n_sub)])
+    qsub = (
+        corpus.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), xq.alias("xq"))
+        .select("query_id", F.posexplode(slices).alias("s", "qv"))
+    )
+    qd = qsub.join(F.broadcast(cb), "s").select(
+        "query_id", "s", "code_id", _l2_int(F.col("qv"), F.col("cw")).alias("d")
+    )
+    scored = (
+        enc.join(F.broadcast(qd), ["s", "code_id"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("nbr_id"))
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "adc_dist")
+    )

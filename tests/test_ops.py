@@ -426,3 +426,22 @@ def test_ngram_logprob_separates_repetitive_from_diverse(spark):
     assert got[1]["n_bigrams"] == 39 and got[2]["n_bigrams"] == 39
     assert got[1]["avg_logprob"] == 0.0                          # ln(1) per bigram
     assert got[2]["avg_logprob"] < -1.0                          # ~20*ln(1/20)/39
+
+
+def test_pq_adc_ranks_identical_vectors_first(spark):
+    """A vector duplicated under another id encodes to identical codes, so
+    its ADC distance to the original is 0 -> rank 1; and PQ's top-1 recall
+    vs brute-force cosine on clearly-separated data is high."""
+    import random
+
+    from incremental_datapipeline_using_snowflake_spark.ops.similarity import pq_topk
+
+    rng = random.Random(3)
+    base = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(24, 60)]
+    twins = [(i + 500, v) for i, v in base[:5]]   # exact copies
+    df = spark.createDataFrame(base + twins, "vec_id long, embedding array<double>")
+    out = pq_topk(df, query_ids=[24, 25, 26, 27, 28], dim=16, k=3, n_sub=4, n_codes=8)
+    rows = {(r["query_id"], r["rank"]): r for r in out.collect()}
+    for q in range(24, 29):
+        top = rows[(q, 1)]
+        assert top["nbr_id"] == q + 500 and top["adc_dist"] == 0
