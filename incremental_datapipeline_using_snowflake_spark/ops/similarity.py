@@ -479,3 +479,82 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "nbr_id", "adc_dist")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    dim: int,
+    k: int = 5,
+    n_cells: int = N_IVF_CELLS,
+    n_probe: int = N_PROBE,
+    n_sub: int = N_PQ_SUB,
+    n_codes: int = N_PQ_CODES,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """IVF + PQ — the composed index structure production ANN systems
+    (FAISS IVFPQ) use at billion-vector scale: the coarse quantizer prunes
+    the candidate set to ``n_probe`` cells, and within them distances come
+    from PQ code lookups instead of raw vectors.
+
+    Cost shape at 100 TB: candidate scan = (|corpus| * n_probe / n_cells)
+    rows carrying n_sub int codes each; the only corpus-sized state is the
+    (cell, codes) table — both prunable by cell partition. Everything
+    stays integer-exact (seed centroids ranked by cosine as in
+    :func:`ivf_topk`; ADC sums as in :func:`pq_topk`), so the oracle
+    replays the full composition.
+    """
+    cents, assigned = ivf_assignments(corpus, n_cells, vec_col, id_col)
+    assigned = _materialize(
+        assigned.select("id", "v", "cell"), checkpoint_dir, "ivfpq_assigned"
+    )
+    cb, enc = pq_encode(corpus, dim, n_sub, n_codes, vec_col, id_col)
+    enc = _materialize(enc, checkpoint_dir, "ivfpq_encoded")
+
+    # n_probe nearest cells per query (same ranking as ivf_topk)
+    q = assigned.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    ).withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    qprobe = q.join(F.broadcast(cents)).select(
+        "query_id",
+        "cell",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("_sim"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    probes = (
+        qprobe.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "cell")
+    )
+
+    sub = dim // n_sub
+    xq = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long")
+    )
+    slices = F.array(*[F.slice(F.col("xq"), s * sub + 1, sub) for s in range(n_sub)])
+    qsub = (
+        corpus.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), xq.alias("xq"))
+        .select("query_id", F.posexplode(slices).alias("s", "qv"))
+    )
+    qd = qsub.join(F.broadcast(cb), "s").select(
+        "query_id", "s", "code_id", _l2_int(F.col("qv"), F.col("cw")).alias("d")
+    )
+
+    cand = enc.join(assigned.select("id", "cell"), "id").join(
+        F.broadcast(probes), "cell"
+    )
+    scored = (
+        cand.join(F.broadcast(qd), ["query_id", "s", "code_id"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("nbr_id"))
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "adc_dist")
+    )

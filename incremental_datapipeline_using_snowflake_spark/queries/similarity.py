@@ -270,6 +270,94 @@ ORDER BY query_id, rank
 """
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF coarse pruning + PQ ADC scoring (FAISS IVFPQ shape)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ivfpq_topk(
+        emb, query_ids=list(range(N_QUERIES)), dim=EMB_DIM, k=TOP_K
+    ).orderBy("query_id", "rank")
+
+
+def _ivfpq_sql() -> str:
+    sub = EMB_DIM // S.N_PQ_SUB
+    d2 = (
+        f"list_aggregate(list_transform(range(1, {sub + 1}),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')"
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cents AS (
+  SELECT id AS cell, v AS cv FROM c ORDER BY id LIMIT {S.N_IVF_CELLS}
+),
+assigned AS (
+  SELECT id, cell FROM (
+    SELECT c.id, cents.cell,
+           row_number() OVER (
+             PARTITION BY c.id
+             ORDER BY list_cosine_similarity(c.v, cents.cv) DESC, cents.cell
+           ) AS rk
+    FROM c CROSS JOIN cents
+  ) WHERE rk = 1
+),
+q AS (SELECT id AS query_id, v AS qv FROM c WHERE id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, cents.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, cents.cv) DESC, cents.cell
+           ) AS rk
+    FROM q CROSS JOIN cents
+  ) WHERE rk <= {S.N_PROBE}
+),
+quant AS (
+  SELECT vec_id AS id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xq
+  FROM embeddings
+),
+subv AS (
+  SELECT id, s, list_slice(xq, s * {sub} + 1, s * {sub} + {sub}) AS v
+  FROM quant, (SELECT unnest(range(0, {S.N_PQ_SUB})) AS s)
+),
+cb AS (
+  SELECT id AS code_id, s, v AS cw FROM subv
+  WHERE id IN (SELECT id FROM quant ORDER BY id LIMIT {S.N_PQ_CODES})
+),
+assign AS (
+  SELECT id, s, code_id FROM (
+    SELECT subv.id, subv.s, cb.code_id,
+           row_number() OVER (
+             PARTITION BY subv.id, subv.s
+             ORDER BY {d2.format(a="subv.v", b="cb.cw")}, cb.code_id
+           ) AS rk
+    FROM subv JOIN cb ON subv.s = cb.s
+  ) WHERE rk = 1
+),
+qsub AS (SELECT id AS query_id, s, v AS qv FROM subv WHERE id < {N_QUERIES}),
+qd AS (
+  SELECT query_id, qsub.s, cb.code_id, {d2.format(a="qsub.qv", b="cb.cw")} AS d
+  FROM qsub JOIN cb ON qsub.s = cb.s
+),
+scored AS (
+  SELECT qd.query_id, a.id AS nbr_id, CAST(sum(d) AS BIGINT) AS adc_dist
+  FROM assign a
+  JOIN assigned aa ON aa.id = a.id
+  JOIN probes p ON p.cell = aa.cell
+  JOIN qd ON a.s = qd.s AND a.code_id = qd.code_id AND qd.query_id = p.query_id
+  WHERE a.id != qd.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, nbr_id, adc_dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, nbr_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup pruning over the augmented embedding corpus: the planted
     1.001-scaled variants (same direction => same IVF cell, cosine ~1.0)
@@ -511,6 +599,7 @@ QUERIES: dict = {
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_pq_topk": (ann_pq_topk, _pq_sql()),
+    "ann_ivfpq_topk": (ann_ivfpq_topk, _ivfpq_sql()),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
     "semdedup_keep": (semdedup_keep, SEMDEDUP_SQL),
     "knn_graph": (knn_graph_q, KNN_GRAPH_SQL),

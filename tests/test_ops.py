@@ -445,3 +445,33 @@ def test_pq_adc_ranks_identical_vectors_first(spark):
     for q in range(24, 29):
         top = rows[(q, 1)]
         assert top["nbr_id"] == q + 500 and top["adc_dist"] == 0
+
+
+def test_ivfpq_prunes_and_still_finds_twins(spark):
+    """IVFPQ must (a) rank an exact twin first — it shares the query's cell
+    and codes, so its ADC distance equals the query's own quantization
+    error, the minimum any candidate can achieve (exactly 0 only when the
+    query is itself a codeword) — and (b) return a subset of PQ's
+    candidate space (cell pruning only removes candidates, never adds)."""
+    import random
+
+    from incremental_datapipeline_using_snowflake_spark.ops.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    rng = random.Random(11)
+    base = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    twins = [(i + 500, v) for i, v in base[5:9]]
+    df = spark.createDataFrame(base + twins, "vec_id long, embedding array<double>")
+    qids = [5, 6, 7, 8]
+    out = ivfpq_topk(df, qids, dim=16, k=3, n_cells=4, n_probe=2, n_sub=4, n_codes=8)
+    rows = {(r["query_id"], r["rank"]): r for r in out.collect()}
+    for q in qids:
+        assert rows[(q, 1)]["nbr_id"] == q + 500
+        if q <= 7:                      # codeword queries: zero quantization error
+            assert rows[(q, 1)]["adc_dist"] == 0
+    # pruning: every IVFPQ result also appears in unpruned PQ's ranking space
+    pq = pq_topk(df, qids, dim=16, k=len(base) + 4, n_sub=4, n_codes=8)
+    pq_pairs = {(r["query_id"], r["nbr_id"]) for r in pq.collect()}
+    assert all((r["query_id"], r["nbr_id"]) in pq_pairs for r in out.collect())
