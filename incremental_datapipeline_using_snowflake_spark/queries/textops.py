@@ -160,6 +160,141 @@ SELECT doc_id, count(*) AS n_bigrams,
 FROM bg JOIN bgc USING (w1, w2) JOIN ctx USING (w1)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus_curation — the capstone: one declared query composing lang-ID, the
+# Gopher repetition gate, the bigram-logprob band filter, and deterministic
+# split assignment into a per-(lang, split) curation manifest.
+# ---------------------------------------------------------------------------
+# CCNet-style percentile banding: the band sits INSIDE the corpus's observed
+# logprob distribution (p5 ~= -3.44, p95 ~= -3.33 at sf0.01) so both tails
+# are genuinely cut — an all-pass band would make `kept` vacuous and the
+# hash gate would never notice a broken filter.
+LOGPROB_LO = -3.42  # incoherent tail (rare bigrams everywhere)
+LOGPROB_HI = -3.355  # degenerate tail (over-represented bigrams)
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.sampling import split_column
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = X.repetition_signals(docs).select("doc_id", "quality_pass")
+    lp = X.ngram_logprob_scores(docs).select("doc_id", "avg_logprob")
+    base = docs.select(
+        "doc_id",
+        X.lang_id(F.col("text")).alias("pred_lang"),
+        split_column("doc_id").alias("split"),
+    )
+    manifest = (
+        base.join(sig, "doc_id")
+        .join(lp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "pred_lang",
+            "split",
+            (
+                F.col("quality_pass")
+                & F.col("avg_logprob").isNotNull()
+                & (F.col("avg_logprob") >= LOGPROB_LO)
+                & (F.col("avg_logprob") <= LOGPROB_HI)
+            ).alias("kept"),
+        )
+    )
+    return (
+        manifest.groupBy("pred_lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+        )
+        .orderBy("pred_lang", "split")
+    )
+
+
+def _corpus_curation_sql() -> str:
+    from ..ops.sampling import split_column_sql
+
+    hits = {lg: f"h_{lg}" for lg in LANG_PRIORITY}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    lang_case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN {hits[lg]} = {best} THEN '{lg}'" for lg in LANG_PRIORITY
+    ) + " END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS sp,
+         {_sw_sql('en')} AS h_en, {_sw_sql('de')} AS h_de,
+         {_sw_sql('es')} AS h_es, {_sw_sql('fr')} AS h_fr
+  FROM documents
+),
+narrow AS (
+  SELECT doc_id,
+         len(sp) AS n_words,
+         round(list_aggregate(list_transform(sp, w -> length(w)), 'sum')
+               / greatest(len(sp), 1), 4) AS mean_word_len,
+         round(len(list_distinct(sp)) / greatest(len(sp), 1), 4) AS distinct_word_frac,
+         round(1.0 - len(list_distinct(tri)) / greatest(len(tri), 1), 4) AS dup_trigram_frac,
+         round(len(list_filter(sp, w -> regexp_matches(w, '[A-Za-z]')))
+               / greatest(len(sp), 1), 4) AS alpha_word_frac
+  FROM (SELECT doc_id, sp,
+               CASE WHEN len(sp) >= 3
+                 THEN list_transform(range(1, len(sp) - 1),
+                                     i -> array_to_string(list_slice(sp, i, i + 2), ' '))
+                 ELSE [] END AS tri
+        FROM base)
+),
+bgr AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(sp) >= 2
+           THEN list_transform(range(1, len(sp)),
+                               i -> array_to_string(list_slice(sp, i, i + 1), ' '))
+           ELSE [] END) AS bg
+  FROM base
+),
+bgc0 AS (SELECT doc_id, bg, count(*) AS c FROM bgr GROUP BY 1, 2),
+top AS (SELECT doc_id, round(max(c) / sum(c), 4) AS top_bigram_frac FROM bgc0 GROUP BY doc_id),
+gate AS (
+  SELECT n.doc_id,
+         (n_words >= 10 AND n_words <= 100000
+          AND mean_word_len >= 2 AND mean_word_len <= 10
+          AND distinct_word_frac >= 0.2
+          AND dup_trigram_frac <= 0.85
+          AND coalesce(top_bigram_frac, 0.0) <= 0.25
+          AND alpha_word_frac >= 0.8) AS quality_pass
+  FROM narrow n LEFT JOIN top USING (doc_id)
+),
+bg AS (
+  SELECT doc_id, sp[i] AS w1, sp[i + 1] AS w2
+  FROM (SELECT doc_id, sp FROM base),
+       LATERAL (SELECT unnest(range(1, len(sp))) AS i)
+),
+bgc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+lp AS (
+  SELECT doc_id,
+         round(CAST(sum(CAST(round(ln(c2 / c1), 6) AS DECIMAL(20,10))) AS DOUBLE)
+               / count(*), 6) AS avg_logprob
+  FROM bg JOIN bgc USING (w1, w2) JOIN ctx USING (w1)
+  GROUP BY doc_id
+),
+manifest AS (
+  SELECT b.doc_id,
+         {lang_case} AS pred_lang,
+         {split_column_sql("b.doc_id")} AS split,
+         (quality_pass AND avg_logprob IS NOT NULL
+          AND avg_logprob >= {LOGPROB_LO} AND avg_logprob <= {LOGPROB_HI}) AS kept
+  FROM base b
+  JOIN gate USING (doc_id)
+  LEFT JOIN lp USING (doc_id)
+)
+SELECT pred_lang, split, count(*) AS n_docs,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM manifest GROUP BY 1, 2 ORDER BY pred_lang, split
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — hash-groupBy duplicate groups on the augmented corpus.
+# ---------------------------------------------------------------------------
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         D.exact_dedup_groups(corpus_df(spark, sf_dir))
@@ -627,6 +762,7 @@ QUERIES: dict = {
     "text_profile": (text_profile, _text_profile_sql()),
     "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SQL),
     "ngram_logprob": (ngram_logprob, NGRAM_LOGPROB_SQL),
+    "corpus_curation": (corpus_curation, _corpus_curation_sql()),
     "dataset_split": (dataset_split, _dataset_split_sql()),
     "stratified_sample_n": (stratified_sample_n, STRATIFIED_N_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
