@@ -438,6 +438,51 @@ ORDER BY o_custkey, rn
 
 
 # ---------------------------------------------------------------------------
+# window_family2 — the distribution/navigation half of the window surface:
+# lead / dense_rank / ntile / percent_rank / cume_dist / first_value /
+# last_value with an explicit full-partition frame.
+# ---------------------------------------------------------------------------
+def window_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), F.col("o_orderkey")
+    )
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.lead("o_totalprice", 1).over(w).alias("next_price"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            F.first_value(F.col("o_orderkey")).over(full).alias("first_key"),
+            F.last_value(F.col("o_orderkey")).over(full).alias("last_key"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+WINDOW_FAMILY2_SQL = """
+SELECT o_custkey, o_orderkey,
+       lead(o_totalprice, 1) OVER w AS next_price,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cdist,
+       first_value(o_orderkey) OVER wf AS first_key,
+       last_value(o_orderkey) OVER wf AS last_key
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # rollup_agg — grouping-set aggregation (Spark-native extension, SURVEY §2.4).
 # ---------------------------------------------------------------------------
 def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,6 +551,7 @@ QUERIES: dict = {
     "region_revenue": (region_revenue, REGION_REVENUE_SQL),
     "join_left_outer": (join_left_outer, JOIN_LEFT_SQL),
     "join_full_outer": (join_full_outer, JOIN_FULL_SQL),
+    "window_family2": (window_family2, WINDOW_FAMILY2_SQL),
     "join_semi": (join_semi, JOIN_SEMI_SQL),
     "join_anti": (join_anti, JOIN_ANTI_SQL),
     "set_ops": (set_ops, SET_OPS_SQL),

@@ -22,6 +22,27 @@ _DEC = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS D
 
 
 # ---------------------------------------------------------------------------
+# grouping_sets_agg — explicit GROUPING SETS (the general form cube/rollup
+# specialize): three chosen grouping combinations in one pass with a
+# grouping_id disambiguator. Same SQL text runs on both engines.
+# ---------------------------------------------------------------------------
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM {lineitem}
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(_GROUPING_SETS_SQL.format(lineitem="gs_lineitem"))
+
+
+# ---------------------------------------------------------------------------
 # skew_salted_join / skew_two_phase_agg — the explicit skew utilities
 # (operators/skew.py) are semantics-preserving: the salt only re-keys the
 # shuffle, never the result. These queries prove that THROUGH the value-hash
@@ -316,6 +337,7 @@ WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
 QUERIES: dict = {
     "pivot_agg": (pivot_agg, PIVOT_AGG_SQL),
     "unpivot_agg": (unpivot_agg, UNPIVOT_AGG_SQL),
+    "grouping_sets_agg": (grouping_sets_agg, _GROUPING_SETS_SQL.format(lineitem="lineitem")),
     "skew_salted_join": (skew_salted_join, SKEW_JOIN_SQL),
     "skew_two_phase_agg": (skew_two_phase_agg, SKEW_AGG_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
