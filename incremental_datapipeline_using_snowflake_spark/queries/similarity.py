@@ -593,6 +593,43 @@ def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = EMB_DIM
     )
 
 
+def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family composition: binary payloads -> Arrow mapInPandas
+    feature extraction (ops.multimodal) -> cosine top-k (ops.similarity).
+    The distributed plumbing is real (the fake featurizer is an injectable
+    stand-in for CLIP/wav2vec); the oracle replays the md5-derived features
+    INCLUDING their float32 quantization at the Arrow schema boundary."""
+    docs = load(spark, sf_dir, "documents")
+    feats = M.extract_features(M.attach_payload(docs))
+    corpus = feats.select(
+        F.col("doc_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    queries = corpus.filter(F.col("vec_id") < 3)
+    return S.bruteforce_topk(corpus, queries, k=5).orderBy("query_id", "rank")
+
+
+MULTIMODAL_EMBED_ANN_SQL = f"""
+WITH feat AS (
+  SELECT doc_id AS vec_id,
+         list_transform(range(0, {M.FEATURE_DIM}), i ->
+           CAST(CAST(((('0x' || substr(md5(text), (4 * i) % 32 + 1, 4))::INT % 2001) - 1000)
+                     / 1000.0 AS FLOAT) AS DOUBLE)) AS v
+  FROM documents
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM feat WHERE vec_id < 3),
+scored AS (
+  SELECT query_id, f.vec_id AS nbr_id,
+         round(list_cosine_similarity(f.v, q.qv), 6) AS cosine
+  FROM feat f JOIN q ON f.vec_id != q.query_id
+)
+SELECT query_id, rank, nbr_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 QUERIES: dict = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "kmeans_clusters": (kmeans_clusters, _kmeans_sql()),
@@ -605,4 +642,5 @@ QUERIES: dict = {
     "knn_graph": (knn_graph_q, KNN_GRAPH_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_SQL),
     "multimodal_frames": (multimodal_frames, MULTIMODAL_FRAMES_SQL),
+    "multimodal_embed_ann": (multimodal_embed_ann, MULTIMODAL_EMBED_ANN_SQL),
 }
