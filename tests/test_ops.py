@@ -475,3 +475,25 @@ def test_ivfpq_prunes_and_still_finds_twins(spark):
     pq = pq_topk(df, qids, dim=16, k=len(base) + 4, n_sub=4, n_codes=8)
     pq_pairs = {(r["query_id"], r["nbr_id"]) for r in pq.collect()}
     assert all((r["query_id"], r["nbr_id"]) in pq_pairs for r in out.collect())
+
+
+def test_knn_graph_checkpoint_matches_cache(spark, tmp_path):
+    """The parquet-checkpoint materialization path (100 TB variant) must
+    produce the same graph as the in-memory cache path."""
+    import random
+
+    from incremental_datapipeline_using_snowflake_spark.ops.similarity import knn_graph
+
+    rng = random.Random(5)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    cached = sorted(
+        (r["src_id"], r["rank"], r["nbr_id"]) for r in knn_graph(df, k=2, n_cells=4).collect()
+    )
+    ckpt = sorted(
+        (r["src_id"], r["rank"], r["nbr_id"])
+        for r in knn_graph(df, k=2, n_cells=4, checkpoint_dir=str(tmp_path)).collect()
+    )
+    assert cached == ckpt and len(cached) == 60
