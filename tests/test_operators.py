@@ -235,3 +235,24 @@ def test_local_rows_df_single_partition(spark):
     df = local_rows_df(spark, [("a", 1.0), ("b", 2.0)], "k string, v double")
     assert df.rdd.getNumPartitions() == 1
     assert df.count() == 2
+
+
+def test_overwrite_crash_recovery(spark, tmp_path):
+    """A crashed overwrite (version dir written, pointer never flipped)
+    must be invisible to readers and silently repaired by the next
+    overwrite — the stage-and-swap ACID contract."""
+    import os
+
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.session import local_rows_df
+
+    store = TableStore(root=str(tmp_path))
+    store.overwrite(local_rows_df(spark, [(1, "a")], "k long, v string"), "ns.t")
+    # simulate a crash: the next version's files exist, pointer untouched
+    crashed = os.path.join(store.table_dir("ns.t"), "v=000002")
+    local_rows_df(spark, [(99, "crash")], "k long, v string").write.parquet(crashed)
+
+    assert [r["v"] for r in store.read(spark, "ns.t").collect()] == ["a"]  # old version
+    store.overwrite(local_rows_df(spark, [(2, "b")], "k long, v string"), "ns.t")
+    assert [r["v"] for r in store.read(spark, "ns.t").collect()] == ["b"]
+    assert store.current_version("ns.t") == 2  # crashed dir repaired, not skipped
