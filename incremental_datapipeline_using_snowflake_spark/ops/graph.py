@@ -121,3 +121,35 @@ def dedup_keep_decisions(
             (F.coalesce("comp", F.col(id_col)) == F.col(id_col)).alias("keep"),
         )
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Quality-aware variant of :func:`dedup_keep_decisions`: per connected
+    component, keep the member with the highest ``score_col`` (id as
+    tiebreak) instead of the smallest id — the production heuristic
+    (keep the longest / highest-quality copy, drop the rest).
+
+    One extra window over the cluster key on top of the component labels;
+    singletons keep themselves. Output: (id_col, cluster_id, score, keep).
+    """
+    from pyspark.sql import Window as W
+
+    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    labeled = (
+        df.select(F.col(id_col), F.col(score_col).alias("score"))
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
+            "score",
+        )
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.desc("score"), F.asc(id_col))
+    return labeled.withColumn("keep", F.row_number().over(w) == 1)

@@ -617,6 +617,45 @@ ORDER BY lang, split
 
 
 # ---------------------------------------------------------------------------
+# dedup_keep_best — quality-aware canonical selection: per near-dup cluster
+# keep the LONGEST member (the production heuristic), not the lowest id.
+# ---------------------------------------------------------------------------
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.graph import dedup_keep_best as keep_best
+
+    corpus = corpus_df(spark, sf_dir).withColumn("n_tokens", X.token_count(F.col("text")))
+    pairs = D.minhash_dedup_pairs(corpus.select("doc_id", "text"))
+    return keep_best(corpus, pairs, "n_tokens").orderBy("doc_id")
+
+
+def _dedup_keep_best_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pairs_cte()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r
+),
+comp AS (SELECT id, min(r) AS cluster_id FROM walk GROUP BY id),
+labeled AS (
+  SELECT c.doc_id,
+         coalesce(comp.cluster_id, c.doc_id) AS cluster_id,
+         len(string_split_regex(trim(c.text), '\\s+')) AS score
+  FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
+)
+SELECT doc_id, cluster_id, score, rn = 1 AS keep FROM (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn
+  FROM labeled
+) ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_incremental — batch-vs-corpus MinHash dedup: an incoming delta
 # (exact copies + near-dups of existing docs) deduped against the full
 # corpus without corpus-x-corpus pairing.
@@ -772,5 +811,6 @@ QUERIES: dict = {
     "dedup_clusters": (dedup_clusters, _dedup_clusters_sql()),
     "dedup_keep_summary": (dedup_keep_summary, _dedup_keep_sql()),
     "dedup_incremental": (dedup_incremental, _dedup_incremental_sql()),
+    "dedup_keep_best": (dedup_keep_best, _dedup_keep_best_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
 }

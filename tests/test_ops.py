@@ -497,3 +497,17 @@ def test_knn_graph_checkpoint_matches_cache(spark, tmp_path):
         for r in knn_graph(df, k=2, n_cells=4, checkpoint_dir=str(tmp_path)).collect()
     )
     assert cached == ckpt and len(cached) == 60
+
+
+def test_dedup_keep_best_prefers_high_score(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.graph import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 7)], "doc_id long, n_tokens long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    rows = {r["doc_id"]: r for r in dedup_keep_best(docs, pairs, "n_tokens").collect()}
+    assert not rows[1]["keep"]                      # lowest id but lowest score
+    assert rows[2]["keep"]                          # top score, id tiebreak vs 3
+    assert not rows[3]["keep"]
+    assert rows[4]["keep"] and rows[4]["cluster_id"] == 4   # singleton
