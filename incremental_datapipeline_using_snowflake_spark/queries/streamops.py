@@ -142,9 +142,45 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# pandas_udf_normalize — the Arrow-vectorized scalar-UDF surface as a
+# first-class declared query: min-max normalization through a @pandas_udf
+# (batch Arrow transfer, NumPy vector math — the blessed form when an
+# expression genuinely can't stay JVM-side), scalar-cached bounds as
+# closure literals, oracle twin in plain SQL.
+# ---------------------------------------------------------------------------
+def pandas_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    ev = load(spark, sf_dir, "events")
+    mn, mx = ev.agg(F.min("value"), F.max("value")).first()  # A2 scalar cache
+
+    @pandas_udf("double")
+    def nrm(s):
+        # float64 Series arithmetic — bit-identical to the oracle's double
+        # expression because both are IEEE double ops on the same literals
+        return (s - mn) / (mx - mn)
+
+    return (
+        ev.filter(F.col("event_id") < 2000)
+        .select("event_id", F.round(nrm(F.col("value")), 6).alias("norm_value"))
+        .orderBy("event_id")
+    )
+
+
+PANDAS_UDF_NORM_SQL = """
+WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+SELECT event_id, round((value - mn) / (mx - mn), 6) AS norm_value
+FROM events, b
+WHERE event_id < 2000
+ORDER BY event_id
+"""
+
+
 QUERIES: dict = {
     "event_window_agg": (event_window_agg, EVENT_WINDOW_AGG_SQL),
     "event_sliding_window": (event_sliding_window, EVENT_SLIDING_WINDOW_SQL),
     "event_sessions": (event_sessions, EVENT_SESSIONS_SQL),
     "event_json_props": (event_json_props, EVENT_JSON_PROPS_SQL),
+    "pandas_udf_normalize": (pandas_udf_normalize, PANDAS_UDF_NORM_SQL),
 }
