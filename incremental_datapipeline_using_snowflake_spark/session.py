@@ -27,6 +27,7 @@ def get_session(
     *,
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    rocksdb_state_store: bool = False,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
@@ -55,6 +56,16 @@ def get_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    if rocksdb_state_store:
+        # Large stateful streaming (running stats, cross-batch dedup,
+        # session windows) outgrows the default in-memory HDFS-backed state
+        # store; RocksDB keeps state on local disk with incremental
+        # checkpointing — the at-scale choice. Off by default: tests and
+        # the batch pipeline don't need it.
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

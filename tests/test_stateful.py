@@ -113,3 +113,49 @@ def test_apply_changes_insert_delete(spark, store):
 
     got = {r["k"]: r["v"] for r in store.read(spark, "ns.cdc").collect()}
     assert got == {1: "x", 2: "y2", 4: "w", 6: "u"}
+
+
+
+def test_running_stats_under_rocksdb_state_store(tmp_path):
+    """The applyInPandasWithState operators must run unchanged on the
+    RocksDB state store (the at-scale provider — local-disk state with
+    incremental checkpointing) and produce the same final state.
+
+    Runs in a subprocess: the state-store provider is a cluster conf, so it
+    needs its own SparkSession and must not touch the shared test session."""
+    import subprocess
+    import sys
+
+    script = f'''
+import os
+from incremental_datapipeline_using_snowflake_spark.session import get_session
+from incremental_datapipeline_using_snowflake_spark.streaming import running_stats
+
+spark = get_session("rocksdb_test", rocksdb_state_store=True)
+assert "RocksDB" in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+data = r"{tmp_path}/data"; os.makedirs(data)
+batches = [
+    [(1, 10.0, "a"), (1, 20.0, "b"), (2, 5.0, "a")],
+    [(1, 30.0, "a"), (2, 7.0, "c"), (3, 1.0, "a")],
+]
+for i, rows in enumerate(batches):
+    spark.createDataFrame(rows, schema="key long, value double, fp string").coalesce(1).write.parquet(os.path.join(data, f"b{{i}}"))
+src = (spark.readStream.schema("key long, value double, fp string")
+       .option("maxFilesPerTrigger", "1").option("recursiveFileLookup", "true").parquet(data))
+sink = []
+q = (running_stats(src, "key", "value").writeStream.outputMode("update")
+     .foreachBatch(lambda b, i: sink.append(b.collect()))
+     .option("checkpointLocation", r"{tmp_path}/ck").trigger(availableNow=True).start())
+q.awaitTermination()
+final = {{}}
+for rows in sink:
+    for r in rows:
+        final[r["key"]] = (r["n_events"], r["sum_value"])
+assert final == {{1: (3, 60.0), 2: (2, 12.0), 3: (1, 1.0)}}, final
+print("ROCKSDB_OK")
+'''
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "ROCKSDB_OK" in out.stdout, out.stderr[-2000:]
