@@ -1,3 +1,25 @@
-from . import dedup, multimodal, similarity, text
+from . import (
+    clustering,
+    dedup,
+    graph,
+    multimodal,
+    sampling,
+    similarity,
+    sketches,
+    temporal,
+    text,
+    textprep,
+)
 
-__all__ = ["text", "dedup", "similarity", "multimodal"]
+__all__ = [
+    "clustering",
+    "dedup",
+    "graph",
+    "multimodal",
+    "sampling",
+    "similarity",
+    "sketches",
+    "temporal",
+    "text",
+    "textprep",
+]
