@@ -172,3 +172,33 @@ def test_asof_join_matches_model(sp, left, right):
         cands = {rt: v for (rk, rt), v in right.items() if rk == k and rt <= t}
         want = cands[max(cands)] if cands else None
         assert got[i] == want, (i, k, t)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: randomized corpora vs the streaming-first-fit model.
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    lengths=st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=30),
+    budget=st.integers(min_value=16, max_value=128),
+)
+def test_pack_sequences_matches_model(sp, lengths, budget):
+    """Every doc lands in exactly one bin; within a shard, bin index equals
+    floor(tokens-before / budget) over id-ordered docs (budget-quantized
+    contiguous packing)."""
+    from incremental_datapipeline_using_snowflake_spark.ops.textprep import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(lengths)]
+    df = sp.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in pack_sequences(df, budget_tokens=budget, n_shards=4).collect()}
+    assert len(got) == len(lengths)                      # exactly one row per doc
+    shards: dict = {}
+    for i, n in enumerate(lengths):
+        shards.setdefault(i % 4, []).append((i, n))
+    for shard, docs in shards.items():
+        before = 0
+        for i, n in docs:                                # id order within shard
+            r = got[i]
+            assert r["shard"] == shard and r["n_tokens"] == n
+            assert r["bin"] == before // budget, (i, n, before, budget)
+            before += n
