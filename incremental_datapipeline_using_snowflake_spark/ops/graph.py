@@ -78,10 +78,14 @@ def connected_components(
         #    table (comp values are themselves node ids, so the lookup
         #    always resolves). Halves chain depth each round.
         lookup = new.select(F.col("id").alias("comp"), F.col("comp").alias("_jump"))
+        # Lazy checkpoint: the convergence probe below is the round's one
+        # action and materializes the truncated-lineage RDD as it runs —
+        # eager=True here would spend a second job per round doing the
+        # same materialization before the probe.
         new = (
             new.join(lookup, "comp", "left")
             .select("id", F.coalesce("_jump", "comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new.join(labels.withColumnRenamed("comp", "_old"), "id")

@@ -228,6 +228,25 @@ def test_kmeans_separates_planted_clusters(spark):
     assert again == centroids
 
 
+def test_kmeans_arrow_and_expr_paths_bit_identical(spark):
+    """The Arrow-vectorized assignment (default) and the pure-Column HOF
+    twin must produce the same model AND the same per-row (cell, dist)."""
+    from incremental_datapipeline_using_snowflake_spark.ops.clustering import kmeans_fit
+
+    rows = [
+        (i, [((i * 31 + d * 17) % 200 - 100) / 100.0 for d in range(6)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    c_arrow, a_arrow = kmeans_fit(df, k=3, iters=2, use_arrow=True)
+    c_expr, a_expr = kmeans_fit(df, k=3, iters=2, use_arrow=False)
+    assert c_arrow == c_expr
+    got_a = sorted(map(tuple, a_arrow.collect()))
+    got_e = sorted(map(tuple, a_expr.collect()))
+    assert got_a == got_e
+
+
 def test_dedup_checkpoint_dir_matches_cache(spark, tmp_path):
     """The persist-to-parquet shingle path (100 TB variant) must produce
     the same pairs as the in-memory cache path."""
