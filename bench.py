@@ -92,7 +92,10 @@ def main() -> None:
     # query doesn't pay the multi-second JIT/codegen warmup (round 1's q1
     # read 6.3s vs 0.9s for the same shape later in the loop)
     qs = all_queries()
-    for warm in ("q6_forecast_revenue", "region_revenue"):
+    # pandas_udf_normalize additionally spins up the Arrow Python-worker
+    # pool once, so pandas_udf-backed queries (kmeans assignment,
+    # multimodal) time their compute, not worker fork/exec.
+    for warm in ("q6_forecast_revenue", "region_revenue", "pandas_udf_normalize"):
         if warm in qs:
             try:
                 qs[warm][0](spark, sf_dir).count()

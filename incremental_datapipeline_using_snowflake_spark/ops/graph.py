@@ -99,6 +99,72 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
 
 
+PR_SCALE = 10**12  # fixed-point grid: 1.0 of PageRank mass = 1e12
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Integer-exact PageRank: ``(id, score)`` after ``iters`` power
+    iterations, where ``score`` is fixed-point mass on the 1e-12 grid.
+
+    Every quantity is int64 and every division is integer floor division,
+    so the result is bit-for-bit reproducible in any engine (the same
+    discipline as the k-means oracle): uniform init ``floor(SCALE/n)``,
+    per-edge contribution ``floor(score/outdeg)``, update ``base +
+    floor(85*incoming/100)`` with ``base = floor(15*SCALE/(100*n))``.
+    Mass from dangling nodes (no out-edges) is dropped, not redistributed
+    — the standard simplification, documented so the oracle matches.
+
+    Scale shape: per iteration one join keyed on ``src`` (contribution
+    lookup) + one groupBy(``dst``) shuffle; ``localCheckpoint`` truncates
+    the iterative lineage. int64 never overflows at ANY corpus size:
+    total mass is conserved at <= SCALE, so ``85 * incoming`` is bounded
+    by 85e12 regardless of node count.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * n)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+
+    scores = nodes.select("id", F.lit(PR_SCALE // n).cast("long").alias("score"))
+    for i in range(iters):
+        contrib = (
+            scores.join(deg, scores["id"] == deg["src"])
+            .select("src", F.expr("score div outdeg").alias("share"))
+        )
+        incoming = (
+            e.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("share").alias("acc"))
+        )
+        scores = (
+            nodes.join(incoming, nodes["id"] == incoming["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(acc, 0L)) div {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("score"),
+            )
+            .localCheckpoint(eager=i == iters - 1)
+        )
+    return scores
+
+
 def dedup_keep_decisions(
     df: DataFrame,
     pairs: DataFrame,

@@ -78,6 +78,81 @@ def split_column_sql(
     return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
 
 
+def mixture_copies(
+    source_col: Column | str,
+    id_col: Column | str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> Column:
+    """Per-row copy count for deterministic corpus mixing with upsampling.
+
+    ``weights`` maps source -> target sampling weight; a weight of 2.5
+    means every doc from that source appears ``2 + Bernoulli(0.5)`` times
+    (epoch-style upsampling), 0.25 means a deterministic 25% downsample.
+    The Bernoulli draw is the salted md5 bucket of the id — stable across
+    runs, partitionings, and engines, so the mixed corpus is reproducible
+    and append-incremental (new rows don't reshuffle old decisions).
+    Scale shape: a narrow map; the explode to ``n_copies`` rows happens in
+    :func:`mixture_resample` without any shuffle.
+    """
+    s = F.col(source_col) if isinstance(source_col, str) else source_col
+    b = split_bucket(id_col, salt=salt)
+    expr = None
+    for name, w in weights.items():
+        whole = int(w)
+        frac_buckets = int(round((w - whole) * N_BUCKETS))
+        n = F.lit(whole) + (b < frac_buckets).cast("int")
+        expr = F.when(s == name, n) if expr is None else expr.when(s == name, n)
+    whole = int(default_weight)
+    frac_buckets = int(round((default_weight - whole) * N_BUCKETS))
+    dflt = F.lit(whole) + (b < frac_buckets).cast("int")
+    return (dflt if expr is None else expr.otherwise(dflt)).cast("int")
+
+
+def mixture_copies_sql(
+    source_expr: str,
+    id_expr: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> str:
+    """DuckDB twin of :func:`mixture_copies` (same hash, same rounding)."""
+    b = split_bucket_sql(id_expr, salt=salt)
+
+    def n_of(w: float) -> str:
+        whole = int(w)
+        frac_buckets = int(round((w - whole) * N_BUCKETS))
+        return f"({whole} + CASE WHEN {b} < {frac_buckets} THEN 1 ELSE 0 END)"
+
+    parts = [
+        f"WHEN {source_expr} = '{name}' THEN {n_of(w)}"
+        for name, w in weights.items()
+    ]
+    return "CAST(CASE " + " ".join(parts) + f" ELSE {n_of(default_weight)} END AS INTEGER)"
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize the mixed corpus: each row repeated ``n_copies`` times
+    with a 1-based ``copy_idx`` (so downstream shuffles spread upsampled
+    duplicates instead of co-locating them). Rows with 0 copies drop out.
+    Pure narrow explode — no shuffle, no RNG state."""
+    n = mixture_copies(source_col, id_col, weights, default_weight, salt)
+    return (
+        df.withColumn("_n_copies", n)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .drop("_n_copies")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fraction: float,

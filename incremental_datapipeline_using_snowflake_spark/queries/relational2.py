@@ -334,6 +334,138 @@ WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
 """
 
 
+# ---------------------------------------------------------------------------
+# zorder_layout — measure multi-dimensional scan pruning under a Z-order
+# (Morton) layout vs a single-column sort. Rows are bucketed into 64
+# equal "files" per layout (ntile over the layout's sort order); each
+# bucket's (partkey, suppkey) bounding box is then tested against a box
+# predicate derived from the observed domain. The hash gate pins BOTH the
+# layout arithmetic (bit-interleave) and the pruning counts: Z-order must
+# scan far fewer buckets for a 2-D box than the partkey sort, and both
+# engines must agree exactly. The production write path is
+# ops.layout.zorder_by (range shuffle + sortWithinPartitions); the global
+# ntile here is the oracle-checkable stand-in for its file assignment.
+# ---------------------------------------------------------------------------
+N_LAYOUT_BUCKETS = 64
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..ops.layout import morton_key
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    dom = li.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+    )
+    # Z-order locality needs both dims on the SAME bit scale — interleaving
+    # raw values lets the wider domain's high bits dominate the curve and
+    # the narrow dim degenerates to a tiebreak. Normalize each dim to
+    # 8 bits over its observed [min, max] (exact integer scaling).
+    keyed = li.crossJoin(F.broadcast(dom))
+    mk = morton_key(
+        F.expr("((l_partkey - pmin) * 256) div (pmax - pmin + 1)"),
+        F.expr("((l_suppkey - smin) * 256) div (smax - smin + 1)"),
+        bits=8,
+    )
+    layouts = [
+        ("partkey_sorted", F.col("l_partkey")),
+        ("zorder", mk),
+    ]
+    parts = []
+    for name, key in layouts:
+        w = W.orderBy(key, "l_orderkey", "l_linenumber")
+        stats = (
+            keyed.withColumn("bucket", F.ntile(N_LAYOUT_BUCKETS).over(w))
+            .groupBy("bucket")
+            .agg(
+                F.min("l_partkey").alias("min_p"),
+                F.max("l_partkey").alias("max_p"),
+                F.min("l_suppkey").alias("min_s"),
+                F.max("l_suppkey").alias("max_s"),
+            )
+        )
+        hit_p = (
+            F.col("max_p") >= F.col("pmin") + F.expr("(pmax - pmin) div 4")
+        ) & (F.col("min_p") <= F.col("pmin") + F.expr("(2 * (pmax - pmin)) div 5"))
+        hit_s = (
+            F.col("max_s") >= F.col("smin") + F.expr("(smax - smin) div 4")
+        ) & (F.col("min_s") <= F.col("smin") + F.expr("(2 * (smax - smin)) div 5"))
+        parts.append(
+            stats.crossJoin(F.broadcast(dom)).agg(
+                F.lit(name).alias("layout"),
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.sum(hit_p.cast("long")).alias("n_hit_pbox"),
+                F.sum(hit_s.cast("long")).alias("n_hit_sbox"),
+                F.sum((hit_p & hit_s).cast("long")).alias("n_hit_2dbox"),
+                F.sum(F.col("max_p") - F.col("min_p")).alias("sum_p_span"),
+                F.sum(F.col("max_s") - F.col("min_s")).alias("sum_s_span"),
+            )
+        )
+    return parts[0].unionAll(parts[1]).orderBy("layout")
+
+
+def _zorder_layout_sql() -> str:
+    from ..ops.layout import morton_key_sql
+
+    mk = morton_key_sql(
+        "(((l_partkey - pmin) * 256) // (pmax - pmin + 1))",
+        "(((l_suppkey - smin) * 256) // (smax - smin + 1))",
+        bits=8,
+    )
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
+),
+dom AS (
+  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         min(l_suppkey) AS smin, max(l_suppkey) AS smax
+  FROM li
+),
+ub AS (
+  SELECT 'partkey_sorted' AS layout,
+         ntile({N_LAYOUT_BUCKETS}) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber) AS bucket,
+         l_partkey, l_suppkey
+  FROM li
+  UNION ALL
+  SELECT 'zorder' AS layout,
+         ntile({N_LAYOUT_BUCKETS}) OVER (ORDER BY {mk}, l_orderkey, l_linenumber) AS bucket,
+         l_partkey, l_suppkey
+  FROM li, dom
+),
+stats AS (
+  SELECT layout, bucket,
+         min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+         min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
+  FROM ub GROUP BY 1, 2
+),
+hits AS (
+  SELECT layout,
+         (max_p >= pmin + (pmax - pmin) // 4
+          AND min_p <= pmin + (2 * (pmax - pmin)) // 5) AS hit_p,
+         (max_s >= smin + (smax - smin) // 4
+          AND min_s <= smin + (2 * (smax - smin)) // 5) AS hit_s,
+         max_p - min_p AS p_span, max_s - min_s AS s_span
+  FROM stats, dom
+)
+SELECT layout,
+       count(*) AS n_buckets,
+       CAST(sum(CASE WHEN hit_p THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_pbox,
+       CAST(sum(CASE WHEN hit_s THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_sbox,
+       CAST(sum(CASE WHEN hit_p AND hit_s THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_2dbox,
+       CAST(sum(p_span) AS BIGINT) AS sum_p_span,
+       CAST(sum(s_span) AS BIGINT) AS sum_s_span
+FROM hits
+GROUP BY layout
+ORDER BY layout
+"""
+
+
 QUERIES: dict = {
     "pivot_agg": (pivot_agg, PIVOT_AGG_SQL),
     "unpivot_agg": (unpivot_agg, UNPIVOT_AGG_SQL),
@@ -345,4 +477,5 @@ QUERIES: dict = {
     "subquery_family": (subquery_family, SUBQUERY_FAMILY_SQL),
     "percentile_stats": (percentile_stats, PERCENTILE_STATS_SQL),
     "distinct_agg": (distinct_agg, DISTINCT_AGG_SQL),
+    "zorder_layout": (zorder_layout, _zorder_layout_sql()),
 }

@@ -449,6 +449,78 @@ ORDER BY src_id, rank
 """
 
 
+def pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank over the IVF-blocked k-NN graph — graph
+    centrality for corpus curation (central = representative of a dense
+    semantic region; peripheral = outlier). Second iterative algorithm
+    with a full hash-checked oracle (same fixed-point discipline as
+    k-means): every score is an int64 on the 1e-12 mass grid."""
+    from ..ops.graph import pagerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = S.knn_graph(emb, k=3).select(
+        F.col("src_id").alias("src"), F.col("nbr_id").alias("dst")
+    )
+    return pagerank(edges, iters=3).orderBy("id")
+
+
+def _pagerank_sql() -> str:
+    from ..ops.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE
+
+    base = f"(({PR_DAMP_DEN - PR_DAMP_NUM} * {PR_SCALE}) // ({PR_DAMP_DEN} * (SELECT n FROM nn)))"
+    its = []
+    prev = "r0"
+    for i in (1, 2, 3):
+        its.append(
+            f"""it{i} AS (
+  SELECT nodes.id,
+         CAST({base} + (({PR_DAMP_NUM} * coalesce(s.acc, 0)) // {PR_DAMP_DEN}) AS BIGINT) AS score
+  FROM nodes LEFT JOIN (
+    SELECT e.dst, CAST(sum(p.score // d.outdeg) AS BIGINT) AS acc
+    FROM e JOIN {prev} p ON p.id = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.dst = nodes.id
+)"""
+        )
+        prev = f"it{i}"
+    iters_sql = ",\n".join(its)
+    return f"""
+WITH c AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cents AS (
+  SELECT id AS cell, v AS cv FROM c ORDER BY id LIMIT {S.N_IVF_CELLS}
+),
+assigned AS (
+  SELECT id, v, cell FROM (
+    SELECT c.id, c.v, cents.cell,
+           row_number() OVER (
+             PARTITION BY c.id
+             ORDER BY list_cosine_similarity(c.v, cents.cv) DESC, cents.cell
+           ) AS rk
+    FROM c CROSS JOIN cents
+  ) WHERE rk = 1
+),
+knn AS (
+  SELECT src_id, nbr_id FROM (
+    SELECT a.id AS src_id, b.id AS nbr_id,
+           row_number() OVER (
+             PARTITION BY a.id
+             ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC, b.id
+           ) AS rank
+    FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id != b.id
+  ) WHERE rank <= 3
+),
+e AS (SELECT src_id AS src, nbr_id AS dst FROM knn),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+r0 AS (SELECT id, CAST({PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS score FROM nodes),
+{iters_sql}
+SELECT id, score FROM it3 ORDER BY id
+"""
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real mapInPandas decode plumbing; output matches the SQL twin."""
     docs = load(spark, sf_dir, "documents")
@@ -640,6 +712,7 @@ QUERIES: dict = {
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
     "semdedup_keep": (semdedup_keep, SEMDEDUP_SQL),
     "knn_graph": (knn_graph_q, KNN_GRAPH_SQL),
+    "pagerank_centrality": (pagerank_centrality, _pagerank_sql()),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_SQL),
     "multimodal_frames": (multimodal_frames, MULTIMODAL_FRAMES_SQL),
     "multimodal_embed_ann": (multimodal_embed_ann, MULTIMODAL_EMBED_ANN_SQL),

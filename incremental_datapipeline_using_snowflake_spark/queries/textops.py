@@ -617,6 +617,57 @@ ORDER BY lang, split
 
 
 # ---------------------------------------------------------------------------
+# corpus_mixture — deterministic data mixing with upsampling: per-source
+# target weights (epochs) materialized as exact hash-Bernoulli copy counts,
+# then the mixed corpus summarized per source. The "mix CommonCrawl at 0.6,
+# books at 2.5 epochs" step of a pre-training pipeline, reproducible and
+# append-incremental.
+# ---------------------------------------------------------------------------
+MIX_WEIGHTS = {"src0": 2.5, "src1": 0.6, "src2": 1.0, "src3": 0.25}
+
+
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.sampling import mixture_resample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    mixed = mixture_resample(docs, MIX_WEIGHTS, source_col="source", id_col="doc_id")
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_rows_out"),
+            F.sum(F.col("n_chars").cast("decimal(30,8)")).cast("double").alias("sum_chars_out"),
+            F.max("copy_idx").cast("long").alias("max_copies"),
+        )
+        .orderBy("source")
+    )
+
+
+def _corpus_mixture_sql() -> str:
+    from ..ops.sampling import mixture_copies_sql
+
+    n_copies = mixture_copies_sql("source", "doc_id", MIX_WEIGHTS)
+    return f"""
+WITH counted AS (
+  SELECT doc_id, source, n_chars, {n_copies} AS n_copies FROM documents
+),
+mixed AS (
+  SELECT doc_id, source, n_chars, CAST(u.copy_idx AS BIGINT) AS copy_idx
+  FROM counted, LATERAL (SELECT unnest(range(1, n_copies + 1)) AS copy_idx) u
+  WHERE n_copies > 0
+)
+SELECT source,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_rows_out,
+       CAST(sum(CAST(n_chars AS DECIMAL(30,8))) AS DOUBLE) AS sum_chars_out,
+       max(copy_idx) AS max_copies
+FROM mixed
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_keep_best — quality-aware canonical selection: per near-dup cluster
 # keep the LONGEST member (the production heuristic), not the lowest id.
 # ---------------------------------------------------------------------------
@@ -803,6 +854,7 @@ QUERIES: dict = {
     "ngram_logprob": (ngram_logprob, NGRAM_LOGPROB_SQL),
     "corpus_curation": (corpus_curation, _corpus_curation_sql()),
     "dataset_split": (dataset_split, _dataset_split_sql()),
+    "corpus_mixture": (corpus_mixture, _corpus_mixture_sql()),
     "stratified_sample_n": (stratified_sample_n, STRATIFIED_N_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

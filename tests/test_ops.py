@@ -530,3 +530,62 @@ def test_dedup_keep_best_prefers_high_score(spark):
     assert rows[2]["keep"]                          # top score, id tiebreak vs 3
     assert not rows[3]["keep"]
     assert rows[4]["keep"] and rows[4]["cluster_id"] == 4   # singleton
+
+
+def test_mixture_resample_copies_and_determinism(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.sampling import (
+        mixture_resample,
+    )
+
+    rows = [(i, "A" if i < 40 else ("B" if i < 80 else "C")) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"A": 2.0, "B": 0.0, "C": 0.5}
+    out = mixture_resample(df, weights, source_col="source", id_col="doc_id")
+    got = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    assert counts.get("A") == 80          # integer weight 2.0 -> exactly 2 copies
+    assert "B" not in counts              # weight 0 -> dropped entirely
+    assert 5 <= counts.get("C", 0) <= 35  # ~50% Bernoulli of 40
+    # copy_idx enumerates copies 1..n
+    idx = sorted(
+        r["copy_idx"] for r in out.filter("source = 'A' AND doc_id = 0").collect()
+    )
+    assert idx == [1, 2]
+    # deterministic: identical output on re-run
+    again = mixture_resample(df, weights, source_col="source", id_col="doc_id")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_morton_key_interleaves_bits(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.layout import morton_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 1), (65535, 65535)], "a long, b long"
+    )
+    got = [r["m"] for r in df.select(morton_key("a", "b").alias("m")).collect()]
+    # a -> even bit positions, b -> odd: m(1,0)=1, m(0,1)=2, m(3,1)=0b0111=7
+    assert got == [0, 1, 2, 7, (1 << 32) - 1]
+
+
+def test_zorder_by_clusters_both_dims(spark):
+    """Range-partitioning on the Morton key must give each output partition
+    a tighter 2-D bounding box than a 1-D sort gives its second dim."""
+    from incremental_datapipeline_using_snowflake_spark.ops.layout import zorder_by
+
+    rows = [(i, (i * 7) % 64, (i * 13) % 64) for i in range(512)]
+    df = spark.createDataFrame(rows, "id long, x long, y long").repartition(8)
+    z = zorder_by(df, "x", "y", num_partitions=8, bits=6)
+    assert sorted(r["id"] for r in z.collect()) == list(range(512))  # lossless
+    import pyspark.sql.functions as F
+
+    spans = (
+        z.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        )
+        .collect()
+    )
+    avg_y_span = sum(r["ys"] for r in spans) / len(spans)
+    assert avg_y_span < 63  # partitions carry sub-domain y boxes, not the full range

@@ -202,3 +202,41 @@ def test_pack_sequences_matches_model(sp, lengths, budget):
             assert r["shard"] == shard and r["n_tokens"] == n
             assert r["bin"] == before // budget, (i, n, before, budget)
             before += n
+
+
+# ---------------------------------------------------------------------------
+# integer-exact PageRank: random digraphs vs a pure-Python model of the
+# identical fixed-point recurrence.
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=20
+    ),
+    iters=st.integers(min_value=1, max_value=3),
+)
+def test_pagerank_matches_integer_model(sp, edges, iters):
+    from incremental_datapipeline_using_snowflake_spark.ops.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+        pagerank,
+    )
+
+    eset = sorted(set(edges))
+    df = sp.createDataFrame(eset, "src long, dst long")
+    got = {r["id"]: r["score"] for r in pagerank(df, iters=iters).collect()}
+
+    nodes = sorted({u for u, _ in eset} | {v for _, v in eset})
+    n = len(nodes)
+    outdeg: dict = {}
+    for u, _ in eset:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * n)
+    r = {v: PR_SCALE // n for v in nodes}
+    for _ in range(iters):
+        acc = {v: 0 for v in nodes}
+        for u, v in eset:
+            acc[v] += r[u] // outdeg[u]
+        r = {v: base + PR_DAMP_NUM * acc[v] // PR_DAMP_DEN for v in nodes}
+    assert got == r
