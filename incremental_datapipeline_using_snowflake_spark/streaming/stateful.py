@@ -115,6 +115,74 @@ def _dedup_fn(
     )
 
 
+def tws_available() -> bool:
+    """Spark 4's arbitrary-state-v2 API (``transformWithStateInPandas``)
+    needs ``protobuf`` on the Python workers; report whether this
+    environment can run it."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_stats_tws(
+    grouped_stream: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Spark-4-native twin of :func:`running_stats` on the arbitrary-state
+    v2 API (``transformWithStateInPandas`` + ``StatefulProcessor`` +
+    ``ValueState``). Same output schema and semantics; the v2 API adds
+    composable state variables, TTL, and timers over the single-tuple
+    state of ``applyInPandasWithState``, and requires the RocksDB state
+    store provider (``session.get_session(rocksdb_state_store=True)``).
+
+    Raises ``ImportError`` where ``protobuf`` is missing (the v2 state
+    client serializes over protobuf); :func:`tws_available` gates callers.
+    """
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package on "
+            "the Python workers; use running_stats (applyInPandasWithState) "
+            "in this environment"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", "n long, s double, mx double")
+
+        def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+            got = self._state.get()
+            n, s, mx = got if got else (0, 0.0, None)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                batch_max = float(pdf["value"].max()) if len(pdf) else None
+                if batch_max is not None:
+                    mx = batch_max if mx is None else max(mx, batch_max)
+            self._state.update((n, s, mx))
+            yield pd.DataFrame(
+                [{"key": key[0], "n_events": n, "sum_value": s, "max_value": mx}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = grouped_stream.select(
+        F.col(key_col).alias("key"), F.col(value_col).cast("double").alias("value")
+    )
+    return src.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=_RunningStats(),
+        outputStructType=RUNNING_STATS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def dedup_with_state(stream: DataFrame, key_col: str, fp_col: str) -> DataFrame:
     """Emit only first-seen (key, fingerprint) pairs across all batches.
 

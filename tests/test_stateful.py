@@ -159,3 +159,28 @@ print("ROCKSDB_OK")
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert "ROCKSDB_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_running_stats_tws_gate_and_twin(spark):
+    """The Spark-4 arbitrary-state-v2 twin: runs (and must agree with the
+    batch aggregation) where protobuf is available; raises the documented
+    ImportError where it is not — either way the gate itself is exercised."""
+    import pytest
+
+    from incremental_datapipeline_using_snowflake_spark.streaming.stateful import (
+        running_stats_tws,
+        tws_available,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 3.0)], "user_id long, value double"
+    )
+    if not tws_available():
+        with pytest.raises(ImportError, match="protobuf"):
+            running_stats_tws(df, "user_id", "value")
+        return
+    got = {
+        r["key"]: (r["n_events"], r["sum_value"], r["max_value"])
+        for r in running_stats_tws(df, "user_id", "value").collect()
+    }
+    assert got == {1: (2, 3.0, 2.0), 2: (1, 3.0, 3.0)}
