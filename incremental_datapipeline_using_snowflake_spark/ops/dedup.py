@@ -290,6 +290,61 @@ def minhash_dedup_pairs(
     return _verified_pairs(cand, docs, threshold)
 
 
+def passage_windows_col(text: Column | str, k: int = 8) -> Column:
+    """ALL k-word sliding windows of the text, duplicates kept (occurrence
+    counting — unlike :func:`shingles_col`, which dedups for set-Jaccard).
+    Same shifted-view zip construction: k-1 slices + k-1 zip_withs per
+    document, not one O(len) slice per position."""
+    w = words_col(text)
+    sh = w
+    for j in range(1, k):
+        sh = F.zip_with(
+            sh,
+            F.slice(w, j + 1, F.size(w)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.filter(sh, lambda x: x.isNotNull())
+
+
+def repeated_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+    top: int = 50,
+) -> DataFrame:
+    """Exact-substring duplication finder: k-token passages appearing in at
+    least ``min_docs`` distinct documents, ranked by total occurrences —
+    the deduplicate-training-data primitive of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), which a suffix array
+    computes exactly and this approximates at fixed window length.
+
+    Scale shape: one narrow window explode (len-k+1 rows per doc), one
+    groupBy shuffle on the passage, and a TakeOrdered top-k — no self-join,
+    no all-pairs. At 100 TB group on ``xxhash64(passage)`` and keep
+    ``min(passage)`` to shrink shuffle keys; the string key here keeps the
+    oracle twin byte-exact.
+
+    Output: (passage, n_occurrences, n_docs, first_doc), fully ordered.
+    """
+    p = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(passage_windows_col(F.col(text_col), k)).alias("passage"),
+    )
+    return (
+        p.groupBy("passage")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("_id").alias("n_docs"),
+            F.min("_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_occurrences"), F.desc("n_docs"), F.asc("passage"))
+        .limit(top)
+    )
+
+
 def cross_corpus_overlap(
     corpus: DataFrame,
     bench: DataFrame,

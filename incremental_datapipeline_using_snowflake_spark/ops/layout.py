@@ -55,6 +55,57 @@ def morton_key_sql(a_expr: str, b_expr: str, bits: int = MORTON_BITS) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def distributed_ntile(
+    df: DataFrame, n: int, order_cols: list[str]
+) -> DataFrame:
+    """Global ``ntile(n)`` over a total order WITHOUT a single-partition
+    window — the at-scale form of equal-count bucketing (file assignment,
+    percentile banding). ``order_cols`` must be a total order (include a
+    unique tiebreak) or ties may straddle range-partition boundaries.
+
+    Shape: one ``repartitionByRange`` shuffle (sampled boundaries, pinned
+    by an eager localCheckpoint so every downstream job sees the same
+    partitioning), a per-partition ``row_number`` window, and a tiny
+    per-partition-count action whose offsets come back as a broadcast map
+    literal. Output adds ``bucket`` (1-based) with EXACTLY the SQL
+    ``ntile`` distribution (first ``total % n`` buckets one row larger) —
+    pinned bit-equal to the window form by
+    ``tests/test_ops.py::test_distributed_ntile_matches_window_ntile``.
+    """
+    cols = [F.col(c) for c in order_cols]
+    parted = df.repartitionByRange(*cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    parted = parted.localCheckpoint(eager=True)
+    sizes = {
+        r["_pid"]: r["c"]
+        for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    total = sum(sizes.values())
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_expr = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in sorted(offsets)]),
+            F.array(*[F.lit(offsets[p]).cast("long") for p in sorted(offsets)]),
+        ),
+        F.col("_pid"),
+    )
+    from pyspark.sql import Window as W
+
+    rank = F.row_number().over(W.partitionBy("_pid").orderBy(*cols)) + off_expr
+    q, r = total // n, total % n
+    if q == 0:
+        bucket = rank
+    else:
+        bucket = F.when(
+            rank <= r * (q + 1), F.ceil(rank / (q + 1))
+        ).otherwise(F.lit(r) + F.ceil((rank - r * (q + 1)) / q))
+    return parted.withColumn("bucket", bucket.cast("int")).drop("_pid")
+
+
 def zorder_by(
     df: DataFrame,
     col_a: str,

@@ -240,3 +240,40 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 30,
+) -> DataFrame:
+    """Corpus-wide adjacent-character-pair frequencies — the statistic the
+    first BPE merge maximizes (tokenizer induction primitive). Pairs are
+    counted within words, weighted by word occurrences (every occurrence
+    votes, as in the BPE corpus count).
+
+    Scale shape: two narrow explodes (words, then the per-word pair list
+    built by one `transform` over substr positions — no char-array
+    materialization), one groupBy(pair) with map-side partial counts, and
+    a TakeOrdered top-k.
+
+    Output: (pair, n) ordered by n desc, pair asc.
+    """
+    words = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(top)
+    )

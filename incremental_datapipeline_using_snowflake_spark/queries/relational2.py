@@ -344,7 +344,9 @@ WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
 # scan far fewer buckets for a 2-D box than the partkey sort, and both
 # engines must agree exactly. The production write path is
 # ops.layout.zorder_by (range shuffle + sortWithinPartitions); the global
-# ntile here is the oracle-checkable stand-in for its file assignment.
+# ntile here is the oracle-checkable stand-in for its file assignment,
+# and ops.layout.distributed_ntile is the same assignment with no
+# single-partition stage (pinned bit-equal to window ntile by test).
 # ---------------------------------------------------------------------------
 N_LAYOUT_BUCKETS = 64
 

@@ -617,6 +617,73 @@ ORDER BY lang, split
 
 
 # ---------------------------------------------------------------------------
+# passage_dedup — exact-substring duplication: k-token passages repeated
+# across distinct documents (the fixed-window approximation of suffix-array
+# substring dedup, Lee et al. 2022). Complements the document-level dedup
+# family: near-dup finds similar DOCS, this finds shared SPANS (boilerplate,
+# licenses, templates) inside otherwise-distinct docs.
+# ---------------------------------------------------------------------------
+PASSAGE_K = 8
+PASSAGE_TOP = 50
+
+
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.repeated_passages(docs, k=PASSAGE_K, min_docs=2, top=PASSAGE_TOP)
+
+
+PASSAGE_DEDUP_SQL = f"""
+WITH sp AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+wins AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + {PASSAGE_K - 1}), ' ') AS passage
+  FROM sp, LATERAL (SELECT unnest(range(1, len(w) - {PASSAGE_K - 2})) AS i)
+)
+SELECT passage,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS first_doc
+FROM wins
+GROUP BY passage
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_occurrences DESC, n_docs DESC, passage
+LIMIT {PASSAGE_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# bpe_pair_counts — corpus-wide adjacent-character-pair frequencies: the
+# argmax statistic of the first BPE merge (tokenizer induction primitive).
+# ---------------------------------------------------------------------------
+BPE_TOP = 30
+
+
+def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.textprep import bpe_pair_counts
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_pair_counts(docs, top=BPE_TOP)
+
+
+BPE_PAIRS_SQL = f"""
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair
+  FROM (SELECT w FROM words WHERE length(w) >= 2),
+       LATERAL (SELECT unnest(range(1, length(w))) AS i)
+)
+SELECT pair, count(*) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {BPE_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus_mixture — deterministic data mixing with upsampling: per-source
 # target weights (epochs) materialized as exact hash-Bernoulli copy counts,
 # then the mixed corpus summarized per source. The "mix CommonCrawl at 0.6,
@@ -855,6 +922,8 @@ QUERIES: dict = {
     "corpus_curation": (corpus_curation, _corpus_curation_sql()),
     "dataset_split": (dataset_split, _dataset_split_sql()),
     "corpus_mixture": (corpus_mixture, _corpus_mixture_sql()),
+    "passage_dedup": (passage_dedup, PASSAGE_DEDUP_SQL),
+    "bpe_pair_counts": (bpe_pair_counts_q, BPE_PAIRS_SQL),
     "stratified_sample_n": (stratified_sample_n, STRATIFIED_N_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

@@ -589,3 +589,62 @@ def test_zorder_by_clusters_both_dims(spark):
     )
     avg_y_span = sum(r["ys"] for r in spans) / len(spans)
     assert avg_y_span < 63  # partitions carry sub-domain y boxes, not the full range
+
+
+def test_repeated_passages_finds_planted_boilerplate(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.dedup import repeated_passages
+
+    license_text = "this work is licensed under the creative commons attribution"
+    rows = [
+        (1, "alpha beta " + license_text + " gamma delta"),
+        (2, "unrelated words here " + license_text),
+        (3, license_text + " " + license_text),   # twice in one doc
+        (4, "totally different content with no shared spans at all whatsoever"),
+        (5, "short doc"),                          # < k words -> no windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = repeated_passages(df, k=9, min_docs=2, top=10).collect()
+    assert got, "planted passage not found"
+    top = got[0]
+    assert top["passage"] == license_text
+    assert top["n_docs"] == 3
+    assert top["n_occurrences"] == 4  # docs 1, 2 + twice in doc 3
+    assert top["first_doc"] == 1
+    # doc 4's unique spans never appear
+    assert all("whatsoever" not in r["passage"] for r in got)
+
+
+def test_bpe_pair_counts_weighted_by_occurrence(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.textprep import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "hello hello world"), (2, "held a b")], "doc_id long, text string"
+    )
+    got = {r["pair"]: r["n"] for r in bpe_pair_counts(df, top=20).collect()}
+    assert got["he"] == 3      # hello x2 + held — every occurrence votes
+    assert got["ll"] == 2
+    assert got["ld"] == 2      # world + held
+    assert "a" not in got      # single-char words contribute no pairs
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    """The range-shuffle + offset form must reproduce SQL ntile exactly,
+    including the first-(total % n)-buckets-larger distribution."""
+    from pyspark.sql import Window as W
+
+    from incremental_datapipeline_using_snowflake_spark.ops.layout import (
+        distributed_ntile,
+    )
+
+    rows = [(i, (i * 37) % 101) for i in range(1003)]
+    df = spark.createDataFrame(rows, "id long, key long").repartition(7)
+    order = ["key", "id"]
+    got = {
+        (r["key"], r["id"]): r["bucket"]
+        for r in distributed_ntile(df, 13, order).collect()
+    }
+    ref = {
+        (r["key"], r["id"]): r["nt"]
+        for r in df.withColumn("nt", F.ntile(13).over(W.orderBy("key", "id"))).collect()
+    }
+    assert got == ref
