@@ -369,21 +369,28 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raw values lets the wider domain's high bits dominate the curve and
     # the narrow dim degenerates to a tiebreak. Normalize each dim to
     # 8 bits over its observed [min, max] (exact integer scaling).
-    keyed = li.crossJoin(F.broadcast(dom))
     mk = morton_key(
         F.expr("((l_partkey - pmin) * 256) div (pmax - pmin + 1)"),
         F.expr("((l_suppkey - smin) * 256) div (smax - smin + 1)"),
         bits=8,
     )
+    # Keep the global-sort payload minimal: the zorder branch folds the
+    # morton expression into a projection and drops the dom columns before
+    # the window; the partkey branch never joins dom at all.
+    keyed = (
+        li.crossJoin(F.broadcast(dom))
+        .withColumn("_zkey", mk)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "_zkey")
+    )
     layouts = [
-        ("partkey_sorted", F.col("l_partkey")),
-        ("zorder", mk),
+        ("partkey_sorted", li, F.col("l_partkey")),
+        ("zorder", keyed, F.col("_zkey")),
     ]
     parts = []
-    for name, key in layouts:
+    for name, src, key in layouts:
         w = W.orderBy(key, "l_orderkey", "l_linenumber")
         stats = (
-            keyed.withColumn("bucket", F.ntile(N_LAYOUT_BUCKETS).over(w))
+            src.withColumn("bucket", F.ntile(N_LAYOUT_BUCKETS).over(w))
             .groupBy("bucket")
             .agg(
                 F.min("l_partkey").alias("min_p"),
