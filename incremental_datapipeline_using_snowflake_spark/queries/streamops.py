@@ -177,8 +177,35 @@ ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# grouped_scale_pandas — grouped-map applyInPandas surface (one Arrow batch
+# stream per group): per-language integer min-max scaling of n_chars. The
+# arithmetic is exact int64 (numpy // == Spark div == DuckDB //), so the
+# Python-worker path is hash-gated against a window-function rewrite.
+# ---------------------------------------------------------------------------
+def grouped_scale_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.arrowops import grouped_minmax_scale
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return grouped_minmax_scale(docs, "lang", "n_chars").orderBy("doc_id")
+
+
+GROUPED_SCALE_SQL = """
+SELECT doc_id, lang, n_chars,
+       ((n_chars - mn) * 1000) // (mx - mn + 1) AS scaled
+FROM (
+  SELECT doc_id, lang, n_chars,
+         min(n_chars) OVER (PARTITION BY lang) AS mn,
+         max(n_chars) OVER (PARTITION BY lang) AS mx
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict = {
     "event_window_agg": (event_window_agg, EVENT_WINDOW_AGG_SQL),
+    "grouped_scale_pandas": (grouped_scale_pandas, GROUPED_SCALE_SQL),
     "event_sliding_window": (event_sliding_window, EVENT_SLIDING_WINDOW_SQL),
     "event_sessions": (event_sessions, EVENT_SESSIONS_SQL),
     "event_json_props": (event_json_props, EVENT_JSON_PROPS_SQL),

@@ -648,3 +648,17 @@ def test_distributed_ntile_matches_window_ntile(spark):
         for r in df.withColumn("nt", F.ntile(13).over(W.orderBy("key", "id"))).collect()
     }
     assert got == ref
+
+
+def test_grouped_minmax_scale_exact_integers(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.arrowops import (
+        grouped_minmax_scale,
+    )
+
+    rows = [(1, "en", 10), (2, "en", 110), (3, "en", 60), (4, "de", 7), (5, "de", 7)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    got = {r["doc_id"]: r["scaled"] for r in grouped_minmax_scale(df, "lang", "n_chars").collect()}
+    # en: min=10 max=110 denom=101 -> (0*1000)//101=0, (100*1000)//101=990, (50*1000)//101=495
+    assert got[1] == 0 and got[2] == 990 and got[3] == 495
+    # degenerate group (min == max) -> all zero, no div-by-zero
+    assert got[4] == 0 and got[5] == 0

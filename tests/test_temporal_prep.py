@@ -193,3 +193,29 @@ def test_calendar_gapfill_fills_missing_days(spark):
     assert got[("2024-03-02", "a")] == 0           # gap filled with 0
     assert got[("2024-03-03", "b")] == 0
     assert got[("2024-03-04", "a")] == 1
+
+
+def test_cogrouped_asof_matches_column_asof(spark):
+    """The cogrouped-map (pd.merge_asof) as-of join must agree row-for-row
+    with the union-tag Column-expression form, including ties at equal ts
+    and keys with no right-side rows."""
+    from pyspark.sql import functions as F
+
+    from incremental_datapipeline_using_snowflake_spark.ops.arrowops import asof_join_cogrouped
+    from incremental_datapipeline_using_snowflake_spark.ops.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(i, (i * 31) % 5, 100 + (i * 7) % 50) for i in range(60)],
+        "row_id long, k long, t long",
+    ).select("row_id", "k", F.timestamp_seconds("t").cast("timestamp_ntz").alias("ts"))
+    right = spark.createDataFrame(
+        # key 4 has no right rows; key 0 has a tie at t=110
+        [(k, t, k * 1000 + t) for k in range(4) for t in (100, 110, 125)],
+        "k long, t long, v long",
+    ).select("k", F.timestamp_seconds("t").cast("timestamp_ntz").alias("ts"), "v")
+
+    a = {r["row_id"]: (r["matched_ts"], r["v"])
+         for r in asof_join(left, right, "k", "ts", ["v"]).collect()}
+    b = {r["row_id"]: (r["matched_ts"], r["v"])
+         for r in asof_join_cogrouped(left, right, "k", "ts", ["v"]).collect()}
+    assert a == b and len(a) == 60
