@@ -92,6 +92,19 @@ def main() -> None:
     # query doesn't pay the multi-second JIT/codegen warmup (round 1's q1
     # read 6.3s vs 0.9s for the same shape later in the loop)
     qs = all_queries()
+    # Touch every table once first: the per-query numbers should measure
+    # plan + compute, not whichever query happens to fault the parquet
+    # files into a cold OS page cache (a dropped cache showed up as a
+    # uniform ~2x slowdown on every documents-scanning query in round 3).
+    import glob
+
+    for path in glob.glob(f"{sf_dir}/*.parquet"):
+        try:
+            with open(path, "rb") as f:
+                while f.read(1 << 22):
+                    pass
+        except OSError:
+            pass
     # pandas_udf_normalize additionally spins up the Arrow Python-worker
     # pool once, so pandas_udf-backed queries (kmeans assignment,
     # multimodal) time their compute, not worker fork/exec.

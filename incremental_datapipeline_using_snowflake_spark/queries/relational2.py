@@ -475,6 +475,88 @@ ORDER BY layout
 """
 
 
+# ---------------------------------------------------------------------------
+# array_functions — the higher-order-function surface (transform/aggregate/
+# exists/slice/array_min/max) pinned explicitly as a query, on the 1e-6
+# integer grid so folds are exact in both engines.
+# ---------------------------------------------------------------------------
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast("long"),
+    )
+    acc0 = F.lit(0).cast("long")
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.aggregate(q, acc0, lambda a, x: a + F.abs(x)).alias("l1_q"),
+            F.array_max(q).alias("max_q"),
+            F.array_min(q).alias("min_q"),
+            F.aggregate(F.slice(q, 1, 8), acc0, lambda a, x: a + x).alias("head8_sum"),
+            F.exists(q, lambda x: x > F.lit(900_000)).alias("has_hot"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ARRAY_FUNCS_SQL = """
+WITH q AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS iq
+  FROM embeddings
+)
+SELECT vec_id,
+       len(v) AS dim,
+       CAST(list_aggregate(list_transform(iq, x -> abs(x)), 'sum') AS BIGINT) AS l1_q,
+       list_max(iq) AS max_q,
+       list_min(iq) AS min_q,
+       CAST(list_aggregate(list_slice(iq, 1, 8), 'sum') AS BIGINT) AS head8_sum,
+       len(list_filter(iq, x -> x > 900000)) > 0 AS has_hot
+FROM q
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# date_functions — the datetime scalar family (datediff / add_months with
+# end-of-month clamping / last_day / date_trunc / dayofweek) on orders.
+# ---------------------------------------------------------------------------
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return (
+        o.select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("d"),
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+                "days_since_95"
+            ),
+            F.add_months("o_orderdate", 3).alias("plus_3m"),
+            F.last_day("o_orderdate").alias("month_end"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+            # Spark dayofweek: 1 = Sunday; DuckDB dayofweek: 0 = Sunday
+            F.dayofweek("o_orderdate").alias("dow1"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+DATE_FUNCS_SQL = """
+SELECT o_orderkey,
+       o_orderdate AS d,
+       datediff('day', DATE '1995-01-01', o_orderdate) AS days_since_95,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+       last_day(o_orderdate) AS month_end,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       dayofweek(o_orderdate) + 1 AS dow1
+FROM orders
+WHERE o_orderkey < 1000
+ORDER BY o_orderkey
+"""
+
+
 QUERIES: dict = {
     "pivot_agg": (pivot_agg, PIVOT_AGG_SQL),
     "unpivot_agg": (unpivot_agg, UNPIVOT_AGG_SQL),
@@ -487,4 +569,6 @@ QUERIES: dict = {
     "percentile_stats": (percentile_stats, PERCENTILE_STATS_SQL),
     "distinct_agg": (distinct_agg, DISTINCT_AGG_SQL),
     "zorder_layout": (zorder_layout, _zorder_layout_sql()),
+    "array_functions": (array_functions, ARRAY_FUNCS_SQL),
+    "date_functions": (date_functions, DATE_FUNCS_SQL),
 }
