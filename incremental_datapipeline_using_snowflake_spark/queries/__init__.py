@@ -23,6 +23,7 @@ def all_queries() -> dict:
         relational2,
         similarity,
         sketches_q,
+        spark4,
         streamops,
         temporal_prep,
         textops,
@@ -38,6 +39,7 @@ def all_queries() -> dict:
         similarity,
         temporal_prep,
         sketches_q,
+        spark4,
     ):
         out.update(mod.QUERIES)
     return out

@@ -1,0 +1,170 @@
+"""Spark 4-native surfaces, each hash-checked against the DuckDB oracle:
+
+- ``recursive_cte`` — ``WITH RECURSIVE`` (new in Spark 4): the SAME SQL
+  text runs on both engines.
+- ``lateral_join`` — ``DataFrame.lateralJoin`` with a correlated
+  ``.outer()`` reference (top-k-per-group as a lateral subquery instead
+  of a window).
+- ``variant_extract`` — the VARIANT type: ``parse_json`` +
+  ``variant_get`` path extraction (the open-format semi-structured path;
+  Catalyst shreds variant access instead of re-parsing strings).
+- ``udtf_chunk`` — a Python UDTF (table function) invoked via SQL
+  ``LATERAL``, emitting token chunks per document. Row-at-a-time Python
+  is the SLOW path kept as API-surface parity — the vectorized form of
+  the same operation is ``ops.textprep.chunk_documents`` (pure Column
+  expressions), which `doc_chunking` hash-checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .util import load
+
+# ---------------------------------------------------------------------------
+# recursive_cte — ancestor chain over the implicit binary tree id -> id >> 1;
+# root_depth = floor(log2(id)) + 1. One SQL text, two engines.
+# ---------------------------------------------------------------------------
+RECURSIVE_CTE_SQL = """
+WITH RECURSIVE up(id, anc, depth) AS (
+  SELECT doc_id, doc_id >> 1, 1 FROM documents WHERE doc_id BETWEEN 1 AND 255
+  UNION ALL
+  SELECT id, anc >> 1, depth + 1 FROM up WHERE anc > 0
+)
+SELECT id, max(depth) AS root_depth
+FROM up
+GROUP BY id
+ORDER BY id
+"""
+
+
+def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(RECURSIVE_CTE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# lateral_join — top-2 orders per customer through a correlated lateral
+# subquery (the Catalyst plan decorrelates to a ranked join; contrast with
+# the window-function form in window_family).
+# ---------------------------------------------------------------------------
+LATERAL_MAX_CUST = 200
+
+
+def lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < LATERAL_MAX_CUST)
+        .select("c_custkey")
+    )
+    orders = load(spark, sf_dir, "orders")
+    top2 = (
+        orders.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return cust.lateralJoin(top2).orderBy("c_custkey", "o_orderkey")
+
+
+LATERAL_JOIN_SQL = f"""
+SELECT c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c_custkey < {LATERAL_MAX_CUST}
+ORDER BY c_custkey, o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# variant_extract — VARIANT ingestion + typed path extraction.
+# ---------------------------------------------------------------------------
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return (
+        ev.select(
+            "event_id",
+            F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+            F.expr("variant_get(parse_json(props), '$.missing') IS NULL").alias(
+                "missing_is_null"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+VARIANT_SQL = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+       json_extract(props, '$.missing') IS NULL AS missing_is_null
+FROM events
+WHERE event_id < 2000
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# udtf_chunk — Python UDTF via SQL LATERAL. API-surface demo (row-at-a-time
+# Python); the production chunker is the vectorized ops.textprep form.
+# ---------------------------------------------------------------------------
+UDTF_CHUNK_TOKENS = 10
+UDTF_MAX_DOC = 300
+
+
+def udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_tokens int")
+    class ChunkDoc:
+        def eval(self, text: str):
+            words = (text or "").split()
+            for i in range(0, len(words), UDTF_CHUNK_TOKENS):
+                chunk = words[i : i + UDTF_CHUNK_TOKENS]
+                yield (i // UDTF_CHUNK_TOKENS, " ".join(chunk), len(chunk))
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+        FROM documents d, LATERAL chunk_doc(d.text) c
+        WHERE d.doc_id < {UDTF_MAX_DOC}
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )
+
+
+UDTF_CHUNK_SQL = f"""
+WITH sp AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE doc_id < {UDTF_MAX_DOC}
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(i AS INTEGER) AS chunk_idx,
+         array_to_string(list_slice(w, i * {UDTF_CHUNK_TOKENS} + 1,
+                                    (i + 1) * {UDTF_CHUNK_TOKENS}), ' ') AS chunk_text,
+         CAST(len(list_slice(w, i * {UDTF_CHUNK_TOKENS} + 1,
+                             (i + 1) * {UDTF_CHUNK_TOKENS})) AS INTEGER) AS n_tokens
+  FROM sp, LATERAL (
+    SELECT unnest(range(0, CAST(ceil(len(w) / {UDTF_CHUNK_TOKENS}.0) AS BIGINT))) AS i
+  ) u
+)
+SELECT doc_id, chunk_idx, chunk_text, n_tokens
+FROM chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+
+QUERIES: dict = {
+    "recursive_cte": (recursive_cte, RECURSIVE_CTE_SQL),
+    "lateral_join": (lateral_join, LATERAL_JOIN_SQL),
+    "variant_extract": (variant_extract, VARIANT_SQL),
+    "udtf_chunk": (udtf_chunk, UDTF_CHUNK_SQL),
+}
