@@ -34,6 +34,11 @@ from pyspark.sql import DataFrame, SparkSession
 @dataclass
 class TableStore:
     root: str
+    # retained versions per table (current + history). 2 = current + the
+    # immediately previous (the minimum for reader-in-flight safety);
+    # raise it for time-travel depth — every retained version stays
+    # readable via read_version / restorable via restore.
+    keep_versions: int = 2
     # (table -> (version, schema)): parquet footer schema memoized per
     # version. Without it every spark.read.parquet launches a footer-
     # inference job — ~10 extra jobs per pipeline run, and at warehouse
@@ -134,20 +139,60 @@ class TableStore:
         tdir = self.table_dir(name)
         os.makedirs(tdir, exist_ok=True)
         prev = self.current_version(name)
-        new = (prev or 0) + 1
+        # allocate past every retained dir, not just the pointer: after a
+        # restore() the pointer can sit below a still-retained version,
+        # and reusing that number would clobber live history
+        new = max([prev or 0, *self.versions(name)]) + 1
         target = os.path.join(tdir, f"v={new:06d}")
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target)
         self._commit_version(name, new)
-        # GC versions older than the immediately previous one (kept so a
-        # reader planned against the old pointer can still finish).
+        # GC versions beyond the retention window (the previous pointer's
+        # version is always kept — even when restore() parked it below the
+        # window — so a reader planned against the old pointer can still
+        # finish; deeper windows give time travel).
+        floor = min(prev or new, new - self.keep_versions + 1)
         for entry in os.listdir(tdir):
             if entry.startswith("v="):
                 v = int(entry.split("=")[1])
-                if v < (prev or new):
+                if v < floor:
                     shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+
+    # -- time travel -------------------------------------------------------
+    def versions(self, name: str) -> list[int]:
+        """Retained (readable) version numbers, ascending."""
+        tdir = self.table_dir(name)
+        if not os.path.isdir(tdir):
+            return []
+        return sorted(
+            int(e.split("=")[1])
+            for e in os.listdir(tdir)
+            if e.startswith("v=") and os.path.isdir(os.path.join(tdir, e))
+        )
+
+    def read_version(self, spark: SparkSession, name: str, version: int) -> DataFrame:
+        """Time-travel read of a retained version (Delta `VERSION AS OF`
+        analogue). Raises ``FileNotFoundError`` for GC'd versions."""
+        path = os.path.join(self.table_dir(name), f"v={version:06d}")
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"{name} v{version} not retained (have {self.versions(name)}; "
+                f"raise keep_versions for deeper history)"
+            )
+        return spark.read.option("recursiveFileLookup", "false").parquet(path)
+
+    def restore(self, name: str, version: int) -> None:
+        """Roll the table back to a retained version by pointer flip (the
+        Delta RESTORE analogue). The rolled-back-over version stays
+        retained until normal GC, so restore is itself reversible."""
+        path = os.path.join(self.table_dir(name), f"v={version:06d}")
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"{name} v{version} not retained (have {self.versions(name)})"
+            )
+        self._commit_version(name, version)
 
     def append(
         self, df: DataFrame, name: str, partition_by: list[str] | None = None

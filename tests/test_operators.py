@@ -239,8 +239,10 @@ def test_local_rows_df_single_partition(spark):
 
 def test_overwrite_crash_recovery(spark, tmp_path):
     """A crashed overwrite (version dir written, pointer never flipped)
-    must be invisible to readers and silently repaired by the next
-    overwrite — the stage-and-swap ACID contract."""
+    must be invisible to readers; the next overwrite allocates PAST the
+    orphan dir (it cannot tell a crashed write from restore()-parked live
+    history, so clobbering is never safe) and normal GC reaps the orphan a
+    cycle later — the stage-and-swap ACID contract."""
     import os
 
     from incremental_datapipeline_using_snowflake_spark.operators import TableStore
@@ -255,4 +257,49 @@ def test_overwrite_crash_recovery(spark, tmp_path):
     assert [r["v"] for r in store.read(spark, "ns.t").collect()] == ["a"]  # old version
     store.overwrite(local_rows_df(spark, [(2, "b")], "k long, v string"), "ns.t")
     assert [r["v"] for r in store.read(spark, "ns.t").collect()] == ["b"]
-    assert store.current_version("ns.t") == 2  # crashed dir repaired, not skipped
+    assert store.current_version("ns.t") == 3  # allocated past the orphan
+    # the orphan is reaped by the NEXT overwrite's GC cycle
+    store.overwrite(local_rows_df(spark, [(3, "c")], "k long, v string"), "ns.t")
+    assert store.versions("ns.t") == [3, 4]
+    assert [r["v"] for r in store.read(spark, "ns.t").collect()] == ["c"]
+
+
+def test_time_travel_versions_and_restore(spark, tmp_path):
+    """Deeper retention gives readable history (VERSION AS OF), restore is
+    a reversible pointer flip, and post-restore overwrites never clobber
+    retained versions."""
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+
+    store = TableStore(root=str(tmp_path), keep_versions=3)
+    name = "ns.t"
+    for val in (1, 2, 3):
+        store.overwrite(
+            spark.createDataFrame([(val,)], "x long"), name
+        )
+    assert store.versions(name) == [1, 2, 3]
+    assert store.read(spark, name).first()["x"] == 3
+    assert store.read_version(spark, name, 1).first()["x"] == 1  # time travel
+
+    store.restore(name, 1)
+    assert store.read(spark, name).first()["x"] == 1
+    # rolled-over version still retained -> restore is reversible
+    assert store.read_version(spark, name, 3).first()["x"] == 3
+    store.restore(name, 3)
+    assert store.read(spark, name).first()["x"] == 3
+
+    # post-restore overwrite allocates PAST retained history (v4), and GC
+    # keeps the window
+    store.restore(name, 1)
+    store.overwrite(spark.createDataFrame([(4,)], "x long"), name)
+    assert store.read(spark, name).first()["x"] == 4
+    vs = store.versions(name)
+    assert max(vs) == 4 and 1 in vs  # previous pointer version survives GC
+
+    # GC'd version raises the documented error
+    store2 = TableStore(root=str(tmp_path / "b"), keep_versions=2)
+    for val in (1, 2, 3):
+        store2.overwrite(spark.createDataFrame([(val,)], "x long"), "ns.u")
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="not retained"):
+        store2.read_version(spark, "ns.u", 1)
