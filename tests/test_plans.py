@@ -177,3 +177,40 @@ def test_connected_components_truncates_lineage(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan
     assert "Join" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Co-located (bucketed) tables join with ZERO exchanges: bucketBy on
+    the join key + sortBy gives a SortMergeJoin whose both sides read
+    pre-partitioned, pre-sorted buckets — the layout that turns the big
+    fact-fact join from a full shuffle into a local merge at 100 TB."""
+    import pyspark.sql.functions as F
+
+    left = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name, df in (("bkt_l", left), ("bkt_r", right)):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.option("path", str(tmp_path / name))
+                .bucketBy(8, "k")
+                .sortBy("k")
+                .saveAsTable(name)
+            )
+        j = spark.table("bkt_l").join(spark.table("bkt_r"), "k")
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan          # no shuffle on either side
+        assert j.count() == 5000               # and it actually runs
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("bkt_l", "bkt_r"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
