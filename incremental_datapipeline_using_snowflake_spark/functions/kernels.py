@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def _col(c: Column | str) -> Column:
@@ -110,8 +109,31 @@ def register_all_udfs(spark: SparkSession) -> None:
     - ``CO2_WEEKLY_PERCENT_CHANGE(prev, curr)``  (same math; deployed twin)
     - ``CALCULATE_CO2_VOLATILITY(curr, prev)``
     - ``NORMALIZE_CO2_UDF(x, min, max)``
+
+    Registered as SQL scalar functions (``CREATE FUNCTION ... RETURN
+    expr``), so the name surface stays fully native: Catalyst inlines the
+    body into the calling plan — no Python worker, no BatchEvalPython
+    stage — with the exact semantics of the reference's Python UDFs
+    (the ``_py_*`` twins above, kept for the golden tests).
     """
-    spark.udf.register("CO2_DAILY_PERCENT_CHANGE", _py_pct_change, T.DoubleType())
-    spark.udf.register("CO2_WEEKLY_PERCENT_CHANGE", _py_pct_change, T.DoubleType())
-    spark.udf.register("CALCULATE_CO2_VOLATILITY", _py_volatility, T.DoubleType())
-    spark.udf.register("NORMALIZE_CO2_UDF", _py_normalize, T.DoubleType())
+    for name in ("CO2_DAILY_PERCENT_CHANGE", "CO2_WEEKLY_PERCENT_CHANGE"):
+        spark.sql(
+            f"""CREATE OR REPLACE TEMPORARY FUNCTION {name}(prev DOUBLE, curr DOUBLE)
+RETURNS DOUBLE
+RETURN CASE WHEN prev IS NULL OR curr IS NULL OR prev = 0.0D THEN 0.0D
+            ELSE (curr - prev) / prev * 100.0D END"""
+        )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION CALCULATE_CO2_VOLATILITY(curr DOUBLE, prev DOUBLE)
+RETURNS DOUBLE
+RETURN CASE WHEN curr IS NULL OR prev IS NULL OR curr <= 0.0D OR prev <= 0.0D THEN NULL
+            ELSE round(abs(curr - prev) / ((curr + prev) / 2.0D) * 100.0D, 4) END"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION NORMALIZE_CO2_UDF(x DOUBLE, mn DOUBLE, mx DOUBLE)
+RETURNS DOUBLE
+RETURN CASE WHEN mn IS NULL OR mx IS NULL THEN NULL
+            WHEN mx = mn THEN 0.5D
+            WHEN x IS NULL THEN NULL
+            ELSE round((x - mn) / (mx - mn), 3) END"""
+    )

@@ -12,6 +12,8 @@ from incremental_datapipeline_using_snowflake_spark.session import get_session  
 DEFAULT = [
     "q1_pricing_summary", "q3_top_revenue", "bm25_search", "dedup_minhash_lsh",
     "ann_ivfpq_topk", "stratified_sample_n", "event_window_agg", "corpus_curation",
+    "pagerank_centrality", "zorder_layout", "corpus_mixture", "passage_dedup",
+    "lateral_join", "recursive_cte",
 ]
 
 

@@ -214,3 +214,22 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("bkt_l", "bkt_r"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_no_row_at_a_time_python_in_inventory(spark, sf_dir):
+    """Engine-wide invariant: no declared query's plan may contain a
+    row-at-a-time Python eval (BatchEvalPython). Arrow-vectorized exec
+    (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas) is the allowed
+    Python path; the single exception is udtf_chunk, which exists
+    precisely to pin the UDTF API surface."""
+    allowed_row_python = {"udtf_chunk"}
+    offenders = []
+    for name, (fn, _sql) in all_queries().items():
+        if name in allowed_row_python:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        if "BatchEvalPython" in plan or "PythonUDTF" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python in: {offenders}"
