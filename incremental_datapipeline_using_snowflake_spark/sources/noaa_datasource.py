@@ -21,7 +21,12 @@ text format would carry byte-range splits in its InputPartitions instead.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 FEED_SCHEMA = (
     "YEAR int, MONTH int, DAY int, DECIMAL_DATE double, CO2_PPM double"
@@ -88,6 +93,48 @@ class NoaaFeedReader(DataSourceReader):
                 yield row
 
 
+class NoaaFeedStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form: each micro-batch parses the lines APPENDED to the
+    feed file since the committed offset (offset = line count) — the
+    incremental-feed shape of the reference pipeline as a first-class
+    streaming source. Replayability: ``readBetweenOffsets`` re-reads an
+    exact line range, so checkpoint recovery replays identical batches.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("streaming noaa_feed requires option 'path'")
+
+    def _lines(self) -> list[str]:
+        try:
+            with open(self.path, encoding="utf-8") as f:
+                return f.read().splitlines()
+        except FileNotFoundError:
+            return []
+
+    def initialOffset(self) -> dict:
+        return {"line": 0}
+
+    def read(self, start: dict):
+        lines = self._lines()
+        end = {"line": len(lines)}
+        rows = [
+            r
+            for ln in lines[start["line"] :]
+            if (r := parse_feed_line(ln)) is not None
+        ]
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lines = self._lines()
+        return iter(
+            r
+            for ln in lines[start["line"] : end["line"]]
+            if (r := parse_feed_line(ln)) is not None
+        )
+
+
 class NoaaFeedDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -98,3 +145,6 @@ class NoaaFeedDataSource(DataSource):
 
     def reader(self, schema) -> NoaaFeedReader:
         return NoaaFeedReader(self.options)
+
+    def simpleStreamReader(self, schema) -> NoaaFeedStreamReader:
+        return NoaaFeedStreamReader(self.options)

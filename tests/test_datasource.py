@@ -59,3 +59,40 @@ def test_noaa_datasource_text_option(spark):
     out = spark.read.format("noaa_feed").option("text", FEED).load()
     assert out.count() == 4
     assert out.columns == ["YEAR", "MONTH", "DAY", "DECIMAL_DATE", "CO2_PPM"]
+
+
+def test_noaa_datasource_streaming_incremental(spark, tmp_path):
+    """The streaming reader drains only APPENDED lines per micro-batch and
+    resumes from the checkpointed line offset — the incremental-feed
+    semantics of the reference pipeline as a custom streaming source."""
+    from incremental_datapipeline_using_snowflake_spark.sources.noaa_datasource import (
+        NoaaFeedDataSource,
+    )
+
+    spark.dataSource.register(NoaaFeedDataSource)
+    p = tmp_path / "feed.txt"
+    ckpt = str(tmp_path / "ckpt")
+    p.write_text(FEED)
+
+    stream = spark.readStream.format("noaa_feed").option("path", str(p)).load()
+
+    def drain():
+        got = []
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _bid: got.append(df.count())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sum(got)
+
+    assert drain() == 4
+    # append one more reading; only the delta arrives in the next drain
+    with open(p, "a", encoding="utf-8") as f:
+        f.write("2022 1 5 2022.012 418.55\n")
+    assert drain() == 1
+    # nothing new -> empty drain
+    assert drain() == 0
