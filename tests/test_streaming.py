@@ -264,3 +264,37 @@ def test_stream_stream_interval_join_matches_batch_twin(spark, tmp_path):
         ).collect()
     )
     assert stream_got == batch_got == [(1, "v1", 9.99), (1, "v3", 1.0)]
+
+
+def test_changelog_stream_bounded_backfill(spark, tmp_path):
+    """maxFilesPerTrigger bounds each micro-batch during a backlog drain —
+    the knob that keeps a month-long backlog from becoming one giant
+    micro-batch on a production restart. All rows still arrive exactly
+    once across the (now multiple) batches."""
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.operators.changelog import Changelog
+    from incremental_datapipeline_using_snowflake_spark.session import local_rows_df
+
+    store = TableStore(root=str(tmp_path / "wh"))
+    store.create_namespace("ns")
+    log = Changelog(store, "ns.t")
+    for i in range(4):  # 4 separate appends -> >= 4 files
+        log.append(local_rows_df(spark, [(i, f"r{i}")], "k long, v string"), action="INSERT")
+
+    src = (
+        spark.readStream.schema(store.read(spark, log.log_table).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(store.data_path(log.log_table))
+    )
+    batches = []
+    q = (
+        src.writeStream.foreachBatch(
+            lambda df, bid: batches.append(sorted(r["k"] for r in df.collect()))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(batches) >= 4                      # backlog split, not one blob
+    assert sorted(k for b in batches for k in b) == [0, 1, 2, 3]  # exactly once
