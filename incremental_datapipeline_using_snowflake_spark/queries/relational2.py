@@ -521,6 +521,51 @@ ORDER BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# stats_moments — the statistical aggregate family (corr / covariance /
+# stddev / variance / linear-regression aggregates). Both engines share the
+# textbook single-pass definitions; results are rounded at 4dp, far above
+# the last-ULP parallel-summation divergence (the only skipped members are
+# skewness/kurtosis, where Spark computes the population form and DuckDB
+# the sample form — a genuine definitional mismatch, not a precision one).
+# ---------------------------------------------------------------------------
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr(q, p), 4).alias("corr_qp"),
+            F.round(F.covar_samp(q, p), 4).alias("covar_s"),
+            F.round(F.covar_pop(q, p), 4).alias("covar_p"),
+            F.round(F.stddev_samp(p), 4).alias("std_s"),
+            F.round(F.var_pop(p), 4).alias("var_p"),
+            F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias("slope"),
+            F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias(
+                "intercept"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+STATS_MOMENTS_SQL = """
+SELECT l_returnflag,
+       count(*) AS n,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+       round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
+       round(stddev_samp(l_extendedprice), 4) AS std_s,
+       round(var_pop(l_extendedprice), 4) AS var_p,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # date_functions — the datetime scalar family (datediff / add_months with
 # end-of-month clamping / last_day / date_trunc / dayofweek) on orders.
 # ---------------------------------------------------------------------------
@@ -570,5 +615,6 @@ QUERIES: dict = {
     "distinct_agg": (distinct_agg, DISTINCT_AGG_SQL),
     "zorder_layout": (zorder_layout, _zorder_layout_sql()),
     "array_functions": (array_functions, ARRAY_FUNCS_SQL),
+    "stats_moments": (stats_moments, STATS_MOMENTS_SQL),
     "date_functions": (date_functions, DATE_FUNCS_SQL),
 }
