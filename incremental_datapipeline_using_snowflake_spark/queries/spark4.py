@@ -162,9 +162,52 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# collation_ops — Spark 4 string collations: case-insensitive equality and
+# grouping through UTF8_LCASE, without rewriting expressions to lower().
+# Mixed-case input is synthesized deterministically (odd keys lowercase);
+# the oracle replays the same semantics via lower() normalization.
+# ---------------------------------------------------------------------------
+def collation_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 1, F.lower("c_mktsegment")
+    ).otherwise(F.col("c_mktsegment"))
+    ci = F.collate(mixed, "UTF8_LCASE")
+    return (
+        cust.select(F.col("c_custkey"), ci.alias("seg_ci"))
+        .groupBy(F.lower("seg_ci").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("seg_ci") == F.lit("building")).cast("long")).alias(
+                "eq_building_ci"
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+COLLATION_SQL = """
+WITH mixed AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 2 = 1 THEN lower(c_mktsegment)
+              ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT lower(seg) AS segment,
+       count(*) AS n,
+       CAST(sum(CASE WHEN lower(seg) = 'building' THEN 1 ELSE 0 END) AS BIGINT)
+         AS eq_building_ci
+FROM mixed
+GROUP BY lower(seg)
+ORDER BY segment
+"""
+
+
 QUERIES: dict = {
     "recursive_cte": (recursive_cte, RECURSIVE_CTE_SQL),
     "lateral_join": (lateral_join, LATERAL_JOIN_SQL),
     "variant_extract": (variant_extract, VARIANT_SQL),
     "udtf_chunk": (udtf_chunk, UDTF_CHUNK_SQL),
+    "collation_ops": (collation_ops, COLLATION_SQL),
 }
