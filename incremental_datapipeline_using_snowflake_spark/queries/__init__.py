@@ -15,6 +15,31 @@ Determinism discipline (SURVEY.md §7.3 + FIXTURES.md §3):
 
 from __future__ import annotations
 
+# Driver-coverage ordering (round 4). The per-round driver oracle run covers a
+# bounded prefix of this dict (~50 entries in r3), so emission order decides
+# which queries get a hard CORRECTNESS row. Priority: queries that have NEVER
+# appeared in any CORRECTNESS_r{N}.json first, then those absent from the most
+# recent round, then the recently-verified rest. Names not listed (new this
+# round) are treated as never-checked and sort to the very front.
+_NEVER_CHECKED_R3 = [
+    "stratified_sample_n", "dedup_clusters", "dedup_keep_summary",
+    "dedup_incremental", "dedup_keep_best", "ann_pq_topk", "ann_ivfpq_topk",
+    "semdedup_keep", "knn_graph", "pagerank_centrality", "multimodal_embed_ann",
+    "asof_view_purchase", "range_join_windows", "rolling_user_stats",
+    "doc_chunking", "sequence_packing", "pii_redaction", "tfidf_terms",
+    "bm25_search", "calendar_gapfill", "hll_distinct_users",
+    "hll_mergeable_rollup", "quantile_sketch_value", "cms_heavy_hitters",
+    "recursive_cte", "lateral_join", "variant_extract", "udtf_chunk",
+    "collation_ops",
+]
+_STALE_R3 = [
+    "contamination_check", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "ann_bruteforce_topk",
+    "kmeans_clusters", "ann_lsh_bucketed", "ann_ivf_topk",
+    "dedup_embedding_cosine", "multimodal_meta", "multimodal_frames",
+]
+_PRIORITY = {n: i for i, n in enumerate(_NEVER_CHECKED_R3 + _STALE_R3)}
+
 
 def all_queries() -> dict:
     from . import (
@@ -42,4 +67,34 @@ def all_queries() -> dict:
         spark4,
     ):
         out.update(mod.QUERIES)
-    return out
+
+    def rank(item):
+        name, (_fn, sql) = item
+        if name in _PRIORITY:
+            return (1, _PRIORITY[name])
+        # brand-new queries (no history) lead; recently-verified trail
+        return (0, 0) if name not in _RECENT_R3 else (2, _RECENT_R3[name])
+
+    return dict(sorted(out.items(), key=rank))
+
+
+_RECENT_R3 = {
+    n: i
+    for i, n in enumerate([
+        "q1_pricing_summary", "q3_top_revenue", "region_revenue",
+        "join_left_outer", "join_full_outer", "window_family2", "join_semi",
+        "join_anti", "set_ops", "order_limit", "agg_global_minmax",
+        "watermark_filter", "case_string_funcs", "cast_coercion",
+        "window_family", "rollup_agg", "merge_upsert_rewrite", "pivot_agg",
+        "unpivot_agg", "grouping_sets_agg", "skew_salted_join",
+        "skew_two_phase_agg", "q6_forecast_revenue", "cube_agg",
+        "subquery_family", "percentile_stats", "distinct_agg", "zorder_layout",
+        "array_functions", "stats_moments", "date_functions", "daily_stats",
+        "daily_stats_sql_udfs", "weekly_stats", "date_construction",
+        "stream_sample", "event_window_agg", "grouped_scale_pandas",
+        "event_sliding_window", "event_sessions", "event_json_props",
+        "pandas_udf_normalize", "text_profile", "doc_quality_signals",
+        "ngram_logprob", "corpus_curation", "dataset_split", "corpus_mixture",
+        "passage_dedup", "bpe_pair_counts",
+    ])
+}
