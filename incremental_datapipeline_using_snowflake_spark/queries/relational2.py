@@ -343,18 +343,16 @@ WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
 # layout arithmetic (bit-interleave) and the pruning counts: Z-order must
 # scan far fewer buckets for a 2-D box than the partkey sort, and both
 # engines must agree exactly. The production write path is
-# ops.layout.zorder_by (range shuffle + sortWithinPartitions); the global
-# ntile here is the oracle-checkable stand-in for its file assignment,
-# and ops.layout.distributed_ntile is the same assignment with no
-# single-partition stage (pinned bit-equal to window ntile by test).
+# ops.layout.zorder_by (range shuffle + sortWithinPartitions); the file
+# assignment here is ops.layout.distributed_ntile — bit-equal to a global
+# ntile window (pinned by test) but with no single-partition stage, so
+# the fact table never funnels through one task.
 # ---------------------------------------------------------------------------
 N_LAYOUT_BUCKETS = 64
 
 
 def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    from ..ops.layout import morton_key
+    from ..ops.layout import distributed_ntile, morton_key
 
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
@@ -383,14 +381,19 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "_zkey")
     )
     layouts = [
-        ("partkey_sorted", li, F.col("l_partkey")),
-        ("zorder", keyed, F.col("_zkey")),
+        ("partkey_sorted", li, "l_partkey"),
+        ("zorder", keyed, "_zkey"),
     ]
     parts = []
     for name, src, key in layouts:
-        w = W.orderBy(key, "l_orderkey", "l_linenumber")
+        # distributed_ntile = range-shuffle + per-partition row_number +
+        # broadcast offsets: same bucket assignment as a global ntile window
+        # (pinned bit-equal by tests/test_ops.py) with NO single-partition
+        # stage — the form that survives a 100x fact table.
         stats = (
-            src.withColumn("bucket", F.ntile(N_LAYOUT_BUCKETS).over(w))
+            distributed_ntile(
+                src, N_LAYOUT_BUCKETS, [key, "l_orderkey", "l_linenumber"]
+            )
             .groupBy("bucket")
             .agg(
                 F.min("l_partkey").alias("min_p"),

@@ -161,6 +161,24 @@ def test_bm25_plan_has_no_exchange(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_zorder_layout_has_no_single_partition_window(spark, sf_dir):
+    """zorder_layout's file assignment is distributed_ntile: bucket ids must
+    come from range-partitioned per-partition windows, never a global
+    `Window ... SinglePartition` that funnels the fact table into one task."""
+    from incremental_datapipeline_using_snowflake_spark.queries.relational2 import (
+        zorder_layout,
+    )
+
+    plan = zorder_layout(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan.lower()
+    # every Window node must be partitioned by _pid (per-range-partition
+    # row_number); the only SinglePartition exchanges allowed are the final
+    # scalar aggregates over <=64 partial rows
+    for ln in plan.splitlines():
+        if "Window" in ln and "window" in ln.lower():
+            assert "_pid" in ln, ln
+
+
 def test_connected_components_truncates_lineage(spark):
     """The returned labels must be a checkpointed RDD scan — no joins or
     iteration history in the plan (unbounded lineage is the classic
