@@ -321,20 +321,27 @@ def repeated_passages(
     computes exactly and this approximates at fixed window length.
 
     Scale shape: one narrow window explode (len-k+1 rows per doc), one
-    groupBy shuffle on the passage, and a TakeOrdered top-k — no self-join,
-    no all-pairs. At 100 TB group on ``xxhash64(passage)`` and keep
-    ``min(passage)`` to shrink shuffle keys; the string key here keeps the
-    oracle twin byte-exact.
+    groupBy shuffle keyed on the 8-byte ``md5_long(passage)`` — never the
+    passage string itself — with ``min(passage)`` carried only as an
+    aggregate (map-side combine collapses it to one string per distinct
+    (passage, doc) before the wire), and a TakeOrdered top-k. No self-join,
+    no all-pairs. md5_long is the oracle-portable stand-in for xxhash64;
+    equal passages hash equal, so ``min(passage)`` recovers the exact
+    string and results are identical to string-keyed grouping (60-bit
+    collisions aside, mirrored exactly by the DuckDB twin).
 
     Output: (passage, n_occurrences, n_docs, first_doc), fully ordered.
     """
+    from ..queries.util import md5_long
+
     p = df.select(
         F.col(id_col).alias("_id"),
         F.explode(passage_windows_col(F.col(text_col), k)).alias("passage"),
-    )
+    ).select("_id", md5_long(F.col("passage")).alias("_pkey"), "passage")
     return (
-        p.groupBy("passage")
+        p.groupBy("_pkey")
         .agg(
+            F.min("passage").alias("passage"),
             F.count(F.lit(1)).alias("n_occurrences"),
             F.countDistinct("_id").alias("n_docs"),
             F.min("_id").alias("first_doc"),
@@ -342,6 +349,7 @@ def repeated_passages(
         .filter(F.col("n_docs") >= min_docs)
         .orderBy(F.desc("n_occurrences"), F.desc("n_docs"), F.asc("passage"))
         .limit(top)
+        .select("passage", "n_occurrences", "n_docs", "first_doc")
     )
 
 

@@ -171,6 +171,7 @@ def dedup_keep_decisions(
     id_col: str = "doc_id",
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document keep/drop verdicts from near-dup pairs.
 
@@ -180,8 +181,16 @@ def dedup_keep_decisions(
     the materializable allow-list a dedup pass joins back onto the corpus
     (a broadcast-friendly anti-join at scale: the drop-list is tiny
     relative to the corpus).
+
+    ``components`` lets callers that resolve several decisions over the
+    same pair set (cluster listing, keep summary, best-member selection)
+    pass one precomputed ``(id, comp)`` table instead of re-running CC.
     """
-    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    )
     return (
         df.select(F.col(id_col))
         .join(comp.withColumnRenamed("id", id_col), id_col, "left")
@@ -200,6 +209,7 @@ def dedup_keep_best(
     id_col: str = "doc_id",
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Quality-aware variant of :func:`dedup_keep_decisions`: per connected
     component, keep the member with the highest ``score_col`` (id as
@@ -211,7 +221,11 @@ def dedup_keep_best(
     """
     from pyspark.sql import Window as W
 
-    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    )
     labeled = (
         df.select(F.col(id_col), F.col(score_col).alias("score"))
         .join(comp.withColumnRenamed("id", id_col), id_col, "left")

