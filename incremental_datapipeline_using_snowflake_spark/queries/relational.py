@@ -152,6 +152,44 @@ ORDER BY c_custkey
 
 
 # ---------------------------------------------------------------------------
+# join_right_outer — right-preserved NULL extension with the FACT side on the
+# left: high-value orders RIGHT JOIN customer keeps every customer, extending
+# unmatched ones with NULLs. Completes the equi-join family (SURVEY §2.3);
+# reference decomposition need: the MERGE in co2_harmonized_sp/function.py
+# is a right-outer of source against target under the hood. Spark planning
+# note: for right-outer only the LEFT side may be broadcast (the preserved
+# side must stream), so the filtered fact side is the build side here.
+# ---------------------------------------------------------------------------
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_big_orders"),
+            F.sum(F.col("o_orderkey").isNull().cast("long")).alias("n_unmatched"),
+            dsum("o_totalprice").alias("big_order_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+JOIN_RIGHT_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_rows,
+       COUNT(o_orderkey) AS n_big_orders,
+       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_unmatched,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS big_order_value
+FROM (SELECT * FROM orders WHERE o_totalprice > 150000) o
+RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # join_full_outer — both-sides-preserved join: customers with no orders AND
 # orphaned order keys survive. Spark plans full outer as a sort-merge join
 # (broadcast is not valid for full outer); the aggregate is keyed on the
@@ -550,6 +588,7 @@ QUERIES: dict = {
     "q3_top_revenue": (q3_top_revenue, Q3_SQL),
     "region_revenue": (region_revenue, REGION_REVENUE_SQL),
     "join_left_outer": (join_left_outer, JOIN_LEFT_SQL),
+    "join_right_outer": (join_right_outer, JOIN_RIGHT_SQL),
     "join_full_outer": (join_full_outer, JOIN_FULL_SQL),
     "window_family2": (window_family2, WINDOW_FAMILY2_SQL),
     "join_semi": (join_semi, JOIN_SEMI_SQL),
