@@ -24,11 +24,15 @@ layout, SURVEY.md §2.1 S6).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 @dataclass
@@ -83,12 +87,35 @@ class TableStore:
         )
 
     # -- reads ------------------------------------------------------------
+    def _schema_file(self, name: str) -> str:
+        return os.path.join(self.table_dir(name), "_SCHEMA")
+
+    def _persisted_schema(self, name: str) -> StructType | None:
+        """Evolved-table schema pinned by a past ``append(merge_schema=True)``.
+
+        Once files with different footer schemas coexist in one version,
+        a bare ``spark.read.parquet`` takes whichever footer it samples
+        first — nondeterministic column sets. Persisting the merged schema
+        makes every reader (including a fresh TableStore instance) plan
+        against the full column set; parquet fills columns absent from
+        older files with NULLs.
+        """
+        sf = self._schema_file(name)
+        if not os.path.exists(sf):
+            return None
+        with open(sf) as f:
+            return StructType.fromJson(json.load(f))
+
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         v = self.current_version(name)
         path = self.data_path(name)
         cached = self._schema_cache.get(name)
         if cached is not None and cached[0] == v:
             return spark.read.schema(cached[1]).parquet(path)
+        schema = self._persisted_schema(name)
+        if schema is not None:
+            self._schema_cache[name] = (v, schema)
+            return spark.read.schema(schema).parquet(path)
         df = spark.read.parquet(path)
         self._schema_cache[name] = (v, df.schema)
         return df
@@ -132,10 +159,11 @@ class TableStore:
             f.write(str(version))
         os.replace(tmp, vf)  # atomic pointer flip
 
-    def overwrite(
+    def _stage_version(
         self, df: DataFrame, name: str, partition_by: list[str] | None = None
-    ) -> None:
-        """Full-table replace via stage-and-swap; keeps one previous version."""
+    ) -> tuple[int, int | None]:
+        """Write a fully-formed new version directory WITHOUT moving the
+        pointer; returns (new_version, previous_pointer)."""
         tdir = self.table_dir(name)
         os.makedirs(tdir, exist_ok=True)
         prev = self.current_version(name)
@@ -148,17 +176,33 @@ class TableStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target)
-        self._commit_version(name, new)
+        return new, prev
+
+    def _gc_versions(self, name: str, new: int, prev: int | None) -> None:
         # GC versions beyond the retention window (the previous pointer's
         # version is always kept — even when restore() parked it below the
         # window — so a reader planned against the old pointer can still
         # finish; deeper windows give time travel).
+        tdir = self.table_dir(name)
         floor = min(prev or new, new - self.keep_versions + 1)
         for entry in os.listdir(tdir):
             if entry.startswith("v="):
                 v = int(entry.split("=")[1])
                 if v < floor:
                     shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+
+    def overwrite(
+        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+    ) -> None:
+        """Full-table replace via stage-and-swap; keeps one previous version."""
+        new, prev = self._stage_version(df, name, partition_by)
+        # a full rewrite has one uniform footer schema again — drop any
+        # schema pinned by a past evolving append so it can't go stale
+        sf = self._schema_file(name)
+        if os.path.exists(sf):
+            os.remove(sf)
+        self._commit_version(name, new)
+        self._gc_versions(name, new, prev)
 
     # -- time travel -------------------------------------------------------
     def versions(self, name: str) -> list[int]:
@@ -194,12 +238,209 @@ class TableStore:
             )
         self._commit_version(name, version)
 
+    def table_changes(
+        self,
+        spark: SparkSession,
+        name: str,
+        v_from: int,
+        v_to: int,
+        key_cols: list[str],
+    ) -> DataFrame:
+        """Change-data-feed between two retained versions (Delta
+        ``table_changes`` / the row-diff a Snowflake stream exposes,
+        reference ``02_create_rawco2data_stream.py:50-56``): one row per
+        changed key with ``_action`` ∈ INSERT / DELETE / UPDATE_BEFORE /
+        UPDATE_AFTER, plus ``_version`` (the version the row's values come
+        from).
+
+        Computed as one full-outer sort-merge join of the two versions on
+        ``key_cols`` with a null-safe struct comparison of the non-key
+        columns — no per-row lineage needed, works on any pair of retained
+        versions. At scale both sides are parquet scans of the SAME table
+        (co-partitioned layouts bucket on the key), and the diff output is
+        proportional to the churn, not the table.
+        """
+        old = self.read_version(spark, name, v_from)
+        new = self.read_version(spark, name, v_to)
+        val_cols = [c for c in new.columns if c not in key_cols]
+        o = old.select(
+            *[F.col(c).alias(f"_o_{c}") for c in old.columns],
+            F.lit(True).alias("_in_old"),
+        )
+        n = new.select(
+            *[F.col(c).alias(f"_n_{c}") for c in new.columns],
+            F.lit(True).alias("_in_new"),
+        )
+        cond = [o[f"_o_{k}"].eqNullSafe(n[f"_n_{k}"]) for k in key_cols]
+        j = o.join(n, cond, "full")
+        same_vals = (
+            F.struct(*[F.col(f"_o_{c}") for c in val_cols]).eqNullSafe(
+                F.struct(*[F.col(f"_n_{c}") for c in val_cols])
+            )
+            if val_cols
+            else F.lit(True)
+        )
+        action = (
+            F.when(F.col("_in_old").isNull(), F.array(F.lit("INSERT")))
+            .when(F.col("_in_new").isNull(), F.array(F.lit("DELETE")))
+            .when(~same_vals, F.array(F.lit("UPDATE_BEFORE"), F.lit("UPDATE_AFTER")))
+            .otherwise(F.array().cast("array<string>"))
+        )
+        exploded = j.select(
+            *[F.coalesce(f"_o_{k}", f"_n_{k}").alias(k) for k in key_cols],
+            *[F.col(f"_o_{c}").alias(f"_o_{c}") for c in val_cols],
+            *[F.col(f"_n_{c}").alias(f"_n_{c}") for c in val_cols],
+            F.explode(action).alias("_action"),
+        )
+        from_new = F.col("_action").isin("INSERT", "UPDATE_AFTER")
+        return exploded.select(
+            *key_cols,
+            *[
+                F.when(from_new, F.col(f"_n_{c}"))
+                .otherwise(F.col(f"_o_{c}"))
+                .alias(c)
+                for c in val_cols
+            ],
+            "_action",
+            F.when(from_new, F.lit(v_to)).otherwise(F.lit(v_from)).alias("_version"),
+        )
+
+    # -- multi-table transactions ------------------------------------------
+    def _txn_dir(self) -> str:
+        return os.path.join(self.root, "_txn")
+
+    def recover(self) -> None:
+        """Redo incomplete multi-table commits (call once on process start
+        or after a crash). A journal present in ``_txn/`` means commit was
+        decided: re-apply every pointer flip (idempotent — the versions it
+        names are fully staged on disk), then drop the journal. Absent a
+        journal, staged-but-unreferenced version dirs are inert and get
+        swept by normal GC on the next overwrite."""
+        td = self._txn_dir()
+        if not os.path.isdir(td):
+            return
+        for entry in sorted(os.listdir(td)):
+            if not entry.endswith(".json"):
+                continue
+            jp = os.path.join(td, entry)
+            with open(jp) as f:
+                flips: dict[str, int] = json.load(f)
+            for table, version in flips.items():
+                sf = self._schema_file(table)
+                if os.path.exists(sf):
+                    os.remove(sf)
+                self._commit_version(table, version)
+            os.remove(jp)
+
+    @contextmanager
+    def transaction(self, txn_id: str = "txn"):
+        """All-or-none publish across tables (the reference pipeline's
+        RAW + changelog + HARMONIZED triple needs exactly this; Snowflake
+        gives it via one transactional MERGE session).
+
+        Usage::
+
+            with store.transaction() as txn:
+                txn.overwrite(df1, "raw.t")
+                txn.overwrite(df2, "raw.t_changelog")
+
+        Writes inside the block stage new version directories WITHOUT
+        flipping pointers. On clean exit a commit journal listing every
+        pointer flip is written atomically (the commit point), then the
+        pointers flip; :meth:`recover` redoes the flips if the process
+        dies mid-way. On exception, staged dirs are removed and no
+        pointer moves — readers never see a torn multi-table state.
+        """
+        txn = _StagedTransaction(self)
+        try:
+            yield txn
+        except BaseException:
+            txn.abort()
+            raise
+        self._do_commit(txn, txn_id)
+
+    def _do_commit(self, txn: _StagedTransaction, txn_id: str) -> None:
+        if not txn.staged:
+            return
+        td = self._txn_dir()
+        os.makedirs(td, exist_ok=True)
+        jp = os.path.join(td, f"{txn_id}-{max(v for _, v in txn.staged):06d}.json")
+        tmp = jp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(dict(txn.staged), f)
+        os.replace(tmp, jp)  # <- commit point
+        for table, version in txn.staged:
+            sf = self._schema_file(table)
+            if os.path.exists(sf):
+                os.remove(sf)
+            self._commit_version(table, version)
+            txn.finish_gc(table)
+        os.remove(jp)
+
     def append(
-        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        merge_schema: bool = False,
     ) -> None:
+        """Append ``df``'s rows into the current version.
+
+        ``merge_schema=True`` tolerates additive drift (the reference
+        handles upstream drift by re-deploying objects,
+        ``scripts/deployment_files/check_and_fix_udf.py``; Delta's
+        analogue is ``mergeSchema``): columns new in ``df`` are added to
+        the table schema (older files read back as NULL there), columns
+        missing from ``df`` are written as NULL. A same-name column whose
+        type changed raises — silent type coercion corrupts at scale.
+        Without the flag, any schema difference raises.
+        """
         if not self.exists(name):
             self.overwrite(df, name, partition_by=partition_by)
             return
+        current = self._schema_cache.get(name)
+        stored = (
+            current[1]
+            if current is not None and current[0] == self.current_version(name)
+            else self._persisted_schema(name)
+        )
+        if stored is None:
+            stored = df.sparkSession.read.parquet(self.data_path(name)).schema
+        by_name = {f.name: f for f in stored.fields}
+        drift = [f for f in df.schema.fields if f.name not in by_name]
+        for f in df.schema.fields:
+            old = by_name.get(f.name)
+            if old is not None and old.dataType != f.dataType:
+                raise ValueError(
+                    f"append to {name!r}: column {f.name!r} type changed "
+                    f"{old.dataType.simpleString()} -> {f.dataType.simpleString()}"
+                )
+        missing = [f.name for f in stored.fields if f.name not in df.columns]
+        if (drift or missing) and not merge_schema:
+            raise ValueError(
+                f"append to {name!r}: schema drift (new columns "
+                f"{[f.name for f in drift]}, absent columns {missing}); "
+                f"pass merge_schema=True to evolve"
+            )
+        if drift or missing:
+            merged = StructType(list(stored.fields) + drift)
+            # align the incoming frame to the merged column set (absent
+            # stored columns -> typed NULLs) so every file footer from this
+            # append carries the full schema
+            df = df.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in merged.fields
+                ]
+            )
+            if drift:
+                tmp = self._schema_file(name) + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(merged.jsonValue(), fh)
+                os.replace(tmp, self._schema_file(name))
+                self._schema_cache.pop(name, None)
         writer = df.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -254,3 +495,33 @@ class TableStore:
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self.table_dir(name), ignore_errors=True)
+
+
+class _StagedTransaction:
+    """Write buffer for :meth:`TableStore.transaction` — overwrites stage
+    version directories; pointer flips happen only at commit."""
+
+    def __init__(self, store: TableStore):
+        self._store = store
+        self.staged: list[tuple[str, int]] = []
+        self._prev: dict[str, int | None] = {}
+
+    def overwrite(
+        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+    ) -> None:
+        new, prev = self._store._stage_version(df, name, partition_by)
+        self.staged.append((name, new))
+        self._prev.setdefault(name, prev)
+
+    def abort(self) -> None:
+        for name, version in self.staged:
+            shutil.rmtree(
+                os.path.join(self._store.table_dir(name), f"v={version:06d}"),
+                ignore_errors=True,
+            )
+        self.staged.clear()
+
+    def finish_gc(self, name: str) -> None:
+        current = self._store.current_version(name)
+        if current is not None:
+            self._store._gc_versions(name, current, self._prev.get(name))

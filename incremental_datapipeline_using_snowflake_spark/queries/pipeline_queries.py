@@ -244,10 +244,89 @@ ORDER BY event_id LIMIT 50
 """
 
 
+# ---------------------------------------------------------------------------
+# table_changes_cdf — the change-data-feed between two table versions,
+# exercised through the REAL versioned store: two deterministic versions of
+# an orders subset are committed to a scratch TableStore, then
+# TableStore.table_changes diffs the retained versions into INSERT / DELETE
+# / UPDATE_BEFORE / UPDATE_AFTER rows (the row-diff a Snowflake stream
+# exposes between offsets, reference 02_create_rawco2data_stream.py:50-56;
+# Delta's table_changes analogue). Oracle = the same full-outer diff
+# computed directly over orders.
+# ---------------------------------------------------------------------------
+_CDF_STORE_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _cdf_versions(spark: SparkSession, sf_dir: str):
+    """Two committed versions of the orders-derived table in a scratch
+    store, built once per (session, sf_dir)."""
+    import tempfile
+
+    from ..operators.table_store import TableStore
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    store = _CDF_STORE_CACHE.get(key)
+    if store is None:
+        store = TableStore(root=tempfile.mkdtemp(prefix="spark_cdf_"))
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        v1 = orders.filter(F.col("o_orderkey") % 3 != 0)
+        v2 = orders.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 11 == 0,
+                F.round(F.col("o_totalprice") * 1.1, 4),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        store.overwrite(v1, "cdf.orders_slice")
+        store.overwrite(v2, "cdf.orders_slice")
+        _CDF_STORE_CACHE[key] = store
+    return store
+
+
+def table_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _cdf_versions(spark, sf_dir)
+    return store.table_changes(
+        spark, "cdf.orders_slice", 1, 2, key_cols=["o_orderkey"]
+    ).orderBy("o_orderkey", "_action")
+
+
+TABLE_CHANGES_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+),
+v2 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 11 = 0 THEN round(o_totalprice * 1.1, 4)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT * FROM (
+  SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice,
+         'INSERT' AS _action, 2 AS _version
+  FROM v2 b WHERE NOT EXISTS (SELECT 1 FROM v1 a WHERE a.o_orderkey = b.o_orderkey)
+  UNION ALL
+  SELECT a.o_orderkey, a.o_orderstatus, a.o_totalprice, 'DELETE', 1
+  FROM v1 a WHERE NOT EXISTS (SELECT 1 FROM v2 b WHERE b.o_orderkey = a.o_orderkey)
+  UNION ALL
+  SELECT a.o_orderkey, a.o_orderstatus, a.o_totalprice, 'UPDATE_BEFORE', 1
+  FROM v1 a JOIN v2 b USING (o_orderkey)
+  WHERE (a.o_orderstatus, a.o_totalprice) IS DISTINCT FROM (b.o_orderstatus, b.o_totalprice)
+  UNION ALL
+  SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice, 'UPDATE_AFTER', 2
+  FROM v1 a JOIN v2 b USING (o_orderkey)
+  WHERE (a.o_orderstatus, a.o_totalprice) IS DISTINCT FROM (b.o_orderstatus, b.o_totalprice)
+)
+ORDER BY o_orderkey, _action
+"""
+
+
 QUERIES: dict = {
     "daily_stats": (daily_stats, DAILY_STATS_SQL),
     "daily_stats_sql_udfs": (daily_stats_sql_udfs, DAILY_STATS_SQL),
     "weekly_stats": (weekly_stats, WEEKLY_STATS_SQL),
     "date_construction": (date_construction, DATE_CONSTRUCTION_SQL),
     "stream_sample": (stream_sample, STREAM_SAMPLE_SQL),
+    "table_changes_cdf": (table_changes_cdf, TABLE_CHANGES_SQL),
 }

@@ -29,13 +29,31 @@ def get_session(
     shuffle_partitions: int | None = None,
     rocksdb_state_store: bool = False,
     extra_conf: dict[str, str] | None = None,
+    profile: str | object | None = None,
 ) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
     ``shuffle_partitions`` defaults to the local core count — right for local
     test scale; on a real cluster AQE coalescing makes the initial number a
     ceiling rather than a fixed cost.
+
+    ``profile`` applies an environment profile (``config.Profile`` or a
+    registry name / config-file path — the dev/prod deployment surface,
+    reference ``config/dev.yml`` + ``render_yaml.py``): its sizing knobs
+    become the defaults, explicit arguments still win. Choose the profile
+    at process start — an already-running session only picks up the
+    runtime-modifiable confs.
     """
+    if profile is not None:
+        from .config import Profile, get_profile
+
+        p = profile if isinstance(profile, Profile) else get_profile(profile)
+        if shuffle_partitions is None:
+            shuffle_partitions = p.shuffle_partitions
+        merged = dict(p.session_conf)
+        merged.update(extra_conf or {})
+        extra_conf = merged
+        app_name = f"{app_name}-{p.env}"
     cores = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)

@@ -1,0 +1,88 @@
+"""Environment profiles (config.py) — the dev/prod deployment surface."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from incremental_datapipeline_using_snowflake_spark.config import (
+    PROFILES,
+    get_profile,
+    interpolate,
+    load_profile,
+)
+
+
+def test_builtin_profiles_differ_as_reference_envs_do():
+    """dev vs prod mirrors config/dev.yml vs config/prod.yml: distinct
+    warehouse roots, sizing, and task-execution posture."""
+    dev, prod = PROFILES["dev"], PROFILES["prod"]
+    assert dev.resolved_root() != prod.resolved_root()
+    assert dev.shuffle_partitions == 8 and prod.shuffle_partitions is None
+    assert dev.execute_tasks_immediately and not prod.execute_tasks_immediately
+    # both carry the reference's four-schema layout
+    assert set(dev.schemas) >= {"raw_co2", "harmonized_co2", "analytics_co2"}
+
+
+def test_interpolation_env_and_default(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", "/data/wh")
+    assert PROFILES["dev"].resolved_root() == "/data/wh/dev"
+    monkeypatch.delenv("SPARK_GRAFT_WAREHOUSE")
+    assert PROFILES["dev"].resolved_root() == "/tmp/co2_warehouse/dev"
+    assert interpolate("a-${NOPE_UNSET_VAR}-b") == "a--b"
+
+
+def test_load_profile_from_file(tmp_path, monkeypatch):
+    monkeypatch.setenv("MY_ROOT", str(tmp_path / "wh"))
+    cfg = tmp_path / "staging.yml"
+    cfg.write_text(
+        """
+# staging environment
+env: "staging"
+warehouse_root: ${MY_ROOT}/staging
+shuffle_partitions: 4
+task_schedule: '0 6 * * *'  # 6 AM
+execute_tasks_immediately: false
+spark.sql.autoBroadcastJoinThreshold: 1048576
+schemas:
+  - "raw_co2"
+  - "analytics_co2"
+"""
+    )
+    p = load_profile(str(cfg))
+    assert p.env == "staging"
+    assert p.resolved_root() == str(tmp_path / "wh") + "/staging"
+    assert p.shuffle_partitions == 4
+    assert p.task_schedule == "0 6 * * *"
+    assert p.execute_tasks_immediately is False
+    assert p.schemas == ("raw_co2", "analytics_co2")
+    assert p.session_conf["spark.sql.autoBroadcastJoinThreshold"] == "1048576"
+    # get_profile resolves paths as well as registry names
+    assert get_profile(str(cfg)).env == "staging"
+    with pytest.raises(KeyError, match="unknown profile"):
+        get_profile("nonexistent")
+
+
+def test_profile_store_and_session(spark, tmp_path, monkeypatch):
+    """Profile -> TableStore root; get_session(profile=...) applies the
+    profile's runtime-modifiable confs to the live session."""
+    from incremental_datapipeline_using_snowflake_spark.config import Profile
+    from incremental_datapipeline_using_snowflake_spark.session import get_session
+
+    p = Profile(
+        env="t",
+        warehouse_root=str(tmp_path / "wh"),
+        shuffle_partitions=6,
+        session_conf={"spark.sql.autoBroadcastJoinThreshold": "2097152"},
+    )
+    store = p.store()
+    store.overwrite(spark.createDataFrame([(1,)], "x long"), "raw_co2.t")
+    assert os.path.isdir(os.path.join(str(tmp_path / "wh"), "raw_co2", "t"))
+
+    s = get_session("profile-test", profile=p)
+    assert s.conf.get("spark.sql.shuffle.partitions") == "6"
+    assert s.conf.get("spark.sql.autoBroadcastJoinThreshold") == "2097152"
+    # restore the shared test session's sizing
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from incremental_datapipeline_using_snowflake_spark.operators import (
@@ -303,3 +305,153 @@ def test_time_travel_versions_and_restore(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="not retained"):
         store2.read_version(spark, "ns.u", 1)
+
+
+def test_append_schema_evolution(spark, tmp_path):
+    """merge_schema=True widens the table: new columns readable across old
+    AND new files (old rows NULL-extended), absent columns NULL-filled,
+    and a fresh TableStore instance sees the evolved schema. Type changes
+    and un-flagged drift raise."""
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+
+    store = TableStore(root=str(tmp_path))
+    name = "raw.evolving"
+    store.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"), name)
+
+    with _pytest.raises(ValueError, match="merge_schema=True"):
+        store.append(
+            spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double"),
+            name,
+        )
+    store.append(
+        spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double"),
+        name,
+        merge_schema=True,
+    )
+    got = {r["id"]: (r["v"], r["score"]) for r in store.read(spark, name).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+    # appending a frame MISSING an evolved column NULL-fills it
+    store.append(
+        spark.createDataFrame([(3, "c")], "id long, v string"),
+        name,
+        merge_schema=True,
+    )
+    rows = store.read(spark, name).orderBy("id").collect()
+    assert [r["score"] for r in rows] == [None, 9.5, None]
+
+    # a fresh store instance (no warm cache) plans against the evolved schema
+    fresh = TableStore(root=str(tmp_path))
+    assert set(fresh.read(spark, name).columns) == {"id", "v", "score"}
+
+    # same-name type change is always an error
+    with _pytest.raises(ValueError, match="type changed"):
+        store.append(
+            spark.createDataFrame([(4, 7)], "id long, v long"), name, merge_schema=True
+        )
+
+    # a full overwrite resets evolution state (uniform schema again)
+    store.overwrite(spark.createDataFrame([(9, "z")], "id long, v string"), name)
+    assert set(store.read(spark, name).columns) == {"id", "v"}
+
+
+def test_table_changes_between_versions(spark, tmp_path):
+    """CDF diff of two retained versions: INSERT / DELETE / UPDATE_BEFORE /
+    UPDATE_AFTER rows with values drawn from the right version."""
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+
+    store = TableStore(root=str(tmp_path), keep_versions=4)
+    name = "ns.cdf"
+    store.overwrite(
+        spark.createDataFrame(
+            [(1, "keep"), (2, "old"), (3, "gone")], "k long, v string"
+        ),
+        name,
+    )
+    store.overwrite(
+        spark.createDataFrame(
+            [(1, "keep"), (2, "new"), (4, "born")], "k long, v string"
+        ),
+        name,
+    )
+    ch = store.table_changes(spark, name, 1, 2, key_cols=["k"])
+    got = sorted((r["k"], r["_action"], r["v"], r["_version"]) for r in ch.collect())
+    assert got == [
+        (2, "UPDATE_AFTER", "new", 2),
+        (2, "UPDATE_BEFORE", "old", 1),
+        (3, "DELETE", "gone", 1),
+        (4, "INSERT", "born", 2),
+    ]
+    # unchanged keys (k=1) emit nothing; diff is churn-proportional
+    assert ch.filter("k = 1").count() == 0
+
+
+def test_transaction_commits_all_or_none(spark, tmp_path):
+    """Multi-table publish: clean exit flips every pointer; an exception
+    mid-block leaves every table at its pre-transaction version."""
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+
+    store = TableStore(root=str(tmp_path))
+    for t in ("ns.a", "ns.b"):
+        store.overwrite(spark.createDataFrame([(0,)], "x long"), t)
+
+    with store.transaction() as txn:
+        txn.overwrite(spark.createDataFrame([(1,)], "x long"), "ns.a")
+        txn.overwrite(spark.createDataFrame([(1,)], "x long"), "ns.b")
+    assert store.read(spark, "ns.a").first()["x"] == 1
+    assert store.read(spark, "ns.b").first()["x"] == 1
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        with store.transaction() as txn:
+            txn.overwrite(spark.createDataFrame([(2,)], "x long"), "ns.a")
+            raise RuntimeError("boom")
+    # pointer untouched, staged dir swept
+    assert store.read(spark, "ns.a").first()["x"] == 1
+    assert max(store.versions("ns.a")) == store.current_version("ns.a")
+
+
+def test_transaction_crash_recovery_redoes_flips(spark, tmp_path, monkeypatch):
+    """Crash injection: the process dies after the commit journal is
+    written but before all pointers flip. recover() must redo the missing
+    flips — no torn multi-table state survives."""
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.operators import (
+        table_store as ts_mod,
+    )
+
+    store = TableStore(root=str(tmp_path))
+    for t in ("ns.a", "ns.b"):
+        store.overwrite(spark.createDataFrame([(0,)], "x long"), t)
+
+    flips = {"n": 0}
+    real_commit = TableStore._commit_version
+
+    def crashing_commit(self, name, version):
+        if flips["n"] >= 1:
+            raise OSError("simulated crash after first pointer flip")
+        flips["n"] += 1
+        real_commit(self, name, version)
+
+    monkeypatch.setattr(TableStore, "_commit_version", crashing_commit)
+    try:
+        with store.transaction() as txn:
+            txn.overwrite(spark.createDataFrame([(1,)], "x long"), "ns.a")
+            txn.overwrite(spark.createDataFrame([(1,)], "x long"), "ns.b")
+    except OSError:
+        pass
+    monkeypatch.setattr(TableStore, "_commit_version", real_commit)
+
+    # torn state on disk: one table flipped, the other not, journal present
+    vals = {t: store.read(spark, t).first()["x"] for t in ("ns.a", "ns.b")}
+    assert sorted(vals.values()) == [0, 1]
+    assert any(os.listdir(os.path.join(str(tmp_path), "_txn")))
+
+    recovered = TableStore(root=str(tmp_path))
+    recovered.recover()
+    assert recovered.read(spark, "ns.a").first()["x"] == 1
+    assert recovered.read(spark, "ns.b").first()["x"] == 1
+    assert not os.listdir(os.path.join(str(tmp_path), "_txn"))
