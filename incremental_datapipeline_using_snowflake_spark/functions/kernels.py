@@ -64,41 +64,9 @@ def normalize_value(x: Column | str, mn: Column | str, mx: Column | str) -> Colu
 #
 # The reference registers these as warehouse functions callable by name from
 # SQL (``ANALYTICS_CO2.CO2_DAILY_PERCENT_CHANGE`` etc.). We mirror that with
-# plain-Python UDF registrations — used only for the SQL-name surface; the
-# pipeline hot path uses the native expressions above.
+# native SQL scalar functions (Catalyst-inlined) — used for the SQL-name
+# surface; the pipeline hot path uses the Column expressions above.
 # ---------------------------------------------------------------------------
-
-
-def _py_pct_change(prev, curr):  # noqa: ANN001 - UDF signature
-    try:
-        p = float(prev)
-        c = float(curr)
-    except (TypeError, ValueError):
-        return 0.0
-    if p == 0.0:
-        return 0.0
-    return (c - p) / p * 100.0
-
-
-def _py_volatility(curr, prev):  # noqa: ANN001
-    try:
-        c = float(curr)
-        p = float(prev)
-    except (TypeError, ValueError):
-        return None
-    if c <= 0.0 or p <= 0.0:
-        return None
-    return round(abs(c - p) / ((c + p) / 2.0) * 100.0, 4)
-
-
-def _py_normalize(x, mn, mx):  # noqa: ANN001
-    if mn is None or mx is None:
-        return None
-    if mx == mn:
-        return 0.5
-    if x is None:
-        return None
-    return round((float(x) - float(mn)) / (float(mx) - float(mn)), 3)
 
 
 def register_all_udfs(spark: SparkSession) -> None:
@@ -113,8 +81,10 @@ def register_all_udfs(spark: SparkSession) -> None:
     Registered as SQL scalar functions (``CREATE FUNCTION ... RETURN
     expr``), so the name surface stays fully native: Catalyst inlines the
     body into the calling plan — no Python worker, no BatchEvalPython
-    stage — with the exact semantics of the reference's Python UDFs
-    (the ``_py_*`` twins above, kept for the golden tests).
+    stage — with the reference UDFs' NULL/zero edge semantics (pinned by
+    the goldens in tests/test_kernels.py against the native Column
+    kernels; note SQL ``round`` is HALF_UP where Python's is HALF_EVEN,
+    so the SQL form is the canonical one).
     """
     for name in ("CO2_DAILY_PERCENT_CHANGE", "CO2_WEEKLY_PERCENT_CHANGE"):
         spark.sql(

@@ -38,10 +38,18 @@ from .table_store import TableStore
 class Changelog:
     store: TableStore
     table: str  # base table name, e.g. "raw_co2.co2_data"
+    # embedded=True folds the changelog INTO the base table: one physical
+    # append lands both the data and its change record (the metadata
+    # columns ride along), exactly like a Snowflake stream ON a table is
+    # zero-copy over the table's own versions. Halves the pipeline's
+    # ingest write jobs; valid for append-only tables (INSERT actions
+    # only — a DELETE marker row would masquerade as data to base-table
+    # readers, so embedded mode rejects it).
+    embedded: bool = False
 
     @property
     def log_table(self) -> str:
-        return f"{self.table}__changelog"
+        return self.table if self.embedded else f"{self.table}__changelog"
 
     def _meta_path(self) -> str:
         return os.path.join(self.store.table_dir(self.log_table), "_META.json")
@@ -62,7 +70,12 @@ class Changelog:
         os.replace(tmp, p)
 
     # -- producer ----------------------------------------------------------
-    def append(self, df: DataFrame, action: str = "INSERT") -> int:
+    def append(
+        self,
+        df: DataFrame,
+        action: str = "INSERT",
+        partition_by: list[str] | None = None,
+    ) -> int:
         """Record a change batch; returns the number of rows logged.
 
         Id allocation is exact, not span-based: a fixed per-batch span over
@@ -87,6 +100,12 @@ class Changelog:
         once — downstream merges key on natural keys and are idempotent
         (SURVEY.md §7.3), the same replay contract as commit-after-merge.
         """
+        if self.embedded and action != "INSERT":
+            raise ValueError(
+                "embedded changelog is INSERT-only (a DELETE marker row in "
+                "the base table would read as data); use a standalone "
+                "changelog for delete-bearing tables"
+            )
         spark = df.sparkSession
         meta = self._read_meta()
         base = int(meta["next_base"])
@@ -116,7 +135,7 @@ class Changelog:
         batch = batch.observe(
             obs, F.count(F.lit(1)).alias("n"), F.max("_row_id").alias("max_id")
         )
-        self.store.append(batch, self.log_table)
+        self.store.append(batch, self.log_table, partition_by=partition_by)
         got = obs.get
         n, max_id = got["n"], got["max_id"]
         meta["next_base"] = int(max_id) + 1 if max_id is not None else base

@@ -74,9 +74,13 @@ def asof_join_cogrouped(
     Output: left columns + ``right_ts_alias`` + ``value_cols``.
     """
     right_types = dict(right.dtypes)
+    # the matched-ts output type follows the right side's ts column (a
+    # caller with plain `timestamp` would otherwise hit an Arrow schema
+    # mismatch against a hardcoded timestamp_ntz)
+    matched_ts_type = right.schema[ts_col].dataType.simpleString()
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
-        + [f"{right_ts_alias} timestamp_ntz"]
+        + [f"{right_ts_alias} {matched_ts_type}"]
         + [f"{v} {right_types[v]}" for v in value_cols]
     )
     lcols = list(left.columns)

@@ -125,6 +125,10 @@ def mixture_copies_sql(
         frac_buckets = int(round((w - whole) * N_BUCKETS))
         return f"({whole} + CASE WHEN {b} < {frac_buckets} THEN 1 ELSE 0 END)"
 
+    if not weights:
+        # mirror mixture_copies' `expr is None` branch — a bare
+        # "CASE ELSE ... END" with no WHEN arms is invalid SQL
+        return f"CAST({n_of(default_weight)} AS INTEGER)"
     parts = [
         f"WHEN {source_expr} = '{name}' THEN {n_of(w)}"
         for name, w in weights.items()

@@ -158,7 +158,7 @@ class Orchestrator:
 
         from ..operators.changelog import Changelog
 
-        log = Changelog(self.store, P.RAW_TABLE)
+        log = Changelog(self.store, P.RAW_TABLE, embedded=True)
         if not self.store.exists(log.log_table):
             return None
         data_dir = self.store.data_path(log.log_table)
@@ -167,10 +167,18 @@ class Orchestrator:
         )
         if n_files <= self.compact_after_files:
             return None
+        # the changelog is embedded in RAW: the rewrite must keep the
+        # year-partitioned layout (watermark pruning) while range-sorting
+        # _row_id within it (offset-seek pruning)
         ok, msg = self._run_stage(
             "changelog_compaction",
             lambda: str(
-                self.store.compact(self.spark, log.log_table, sort_by=["_row_id"])
+                self.store.compact(
+                    self.spark,
+                    log.log_table,
+                    sort_by=["_row_id"],
+                    partition_by=["YEAR"],
+                )
             ),
         )
         # A failed compaction must be distinguishable from a success payload

@@ -93,9 +93,14 @@ def load_raw(
     if n == 0:
         return "No new data to load"
 
-    # Year-partitioned RAW layout (S6) — partition pruning for per-year reads.
-    store.append(parsed, RAW_TABLE, partition_by=["YEAR"])
-    Changelog(store, RAW_TABLE).append(parsed, action="INSERT")
+    # ONE physical append lands both RAW and its change record: the
+    # changelog is embedded in the year-partitioned RAW table (S6 partition
+    # pruning intact — YEAR stays the layout key; the stream offset is the
+    # _row_id column, pruned by row-group stats). Round 3 paid two full
+    # write jobs per ingest batch for the same bytes.
+    Changelog(store, RAW_TABLE, embedded=True).append(
+        parsed, action="INSERT", partition_by=["YEAR"]
+    )
     parsed.unpersist()
     return f"Loaded {n} new rows"
 
@@ -106,7 +111,7 @@ def load_raw(
 # reference: udfs_and_spoc/co2_harmonized_sp/co2_harmonized_sp/function.py
 # ---------------------------------------------------------------------------
 def harmonize(spark: SparkSession, store: TableStore, consumer: str = "harmonize") -> str:
-    log = Changelog(store, RAW_TABLE)
+    log = Changelog(store, RAW_TABLE, embedded=True)
     pending = log.pending(spark, consumer)
     if pending is None:
         return "No data in stream to process"  # empty-stream short-circuit (:119-124)

@@ -144,6 +144,10 @@ UDTF_CHUNK_SQL = f"""
 WITH sp AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
   FROM documents WHERE doc_id < {UDTF_MAX_DOC}
+    -- empty/whitespace-only docs: ''.split() on the Python side yields no
+    -- chunks, but string_split_regex(trim('')) is [''] (len 1) — filter
+    -- them so both engines emit zero chunks
+    AND len(trim(text)) > 0
 ),
 chunks AS (
   SELECT doc_id,

@@ -41,13 +41,17 @@ def changelog_stream(
     store: TableStore,
     table: str,
     max_files_per_trigger: int | None = None,
+    embedded: bool = False,
 ) -> DataFrame:
-    """``readStream`` over ``<table>__changelog`` — the stream-as-DataFrame.
+    """``readStream`` over the changelog — the stream-as-DataFrame.
+    ``embedded=True`` streams the base table itself (the pipeline's
+    single-write ingest layout); partition columns (YEAR) resolve from the
+    directory names exactly as in batch.
 
     The file source requires an explicit schema; we take it from a one-off
     batch read of the same directory (cheap: footer metadata only).
     """
-    log = Changelog(store, table)
+    log = Changelog(store, table, embedded=embedded)
     path = store.data_path(log.log_table)
     schema = store.read(spark, log.log_table).schema
     reader = spark.readStream.schema(schema)
@@ -92,10 +96,10 @@ def stream_harmonize(
     """SP2 (``co2_harmonized_sp/function.py:171-192``) as a streaming drain:
     every pending changelog batch is projected to the harmonized schema and
     MERGEd on DATE. The checkpoint replaces the named consumer offset."""
-    log = Changelog(store, raw_table)
+    log = Changelog(store, raw_table, embedded=True)
     if not store.exists(log.log_table):
         return "No data in stream to process"
-    stream = changelog_stream(spark, store, raw_table)
+    stream = changelog_stream(spark, store, raw_table, embedded=True)
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         src = (

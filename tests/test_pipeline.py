@@ -123,7 +123,7 @@ def test_harmonize_idempotent_replay(spark, store):
         (r["DATE"], r["CO2_PPM"]) for r in store.read(spark, P.HARMONIZED_TABLE).collect()
     )
     # simulate lost offset commit: reset consumer offset and re-run
-    log = Changelog(store, P.RAW_TABLE)
+    log = Changelog(store, P.RAW_TABLE, embedded=True)
     meta = log._read_meta()
     meta["offsets"]["harmonize"] = -1
     log._write_meta(meta)
@@ -172,9 +172,12 @@ def test_orchestrator_auto_compaction(spark, store):
     orch.run(feed_text=FEED_V1)
     res = orch.run(feed_text=FEED_V2)  # 2nd append fragments past the gate
     assert "files_before" in res.get("maintenance", "")
-    data_dir = store.data_path("raw_co2.co2_data__changelog")
+    # changelog is embedded in RAW: compaction rewrites RAW itself, keeping
+    # the YEAR partition layout
+    data_dir = store.data_path("raw_co2.co2_data")
     n_files = sum(1 for r, _, fs in os.walk(data_dir) for f in fs if f.endswith(".parquet"))
     assert n_files == 1
+    assert any(e.startswith("YEAR=") for e in os.listdir(data_dir))
     # stream gate still holds after compaction: nothing new -> skip
     res3 = orch.run(feed_text=FEED_V2)
     assert res3["harmonized"] == "No data in stream to process"
