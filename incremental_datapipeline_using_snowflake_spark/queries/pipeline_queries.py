@@ -245,6 +245,45 @@ ORDER BY event_id LIMIT 50
 
 
 # ---------------------------------------------------------------------------
+# decimal_typed_stats — NUMBER(35,4) typed parity (SURVEY §1.3): the
+# reference declares its kernel surface over Snowflake NUMBER(35,4)
+# (udfs_and_spoc/normalize_co2.sql:2-6); this exercises the DecimalType(35,4)
+# mapping end-to-end — cast, exact decimal SUM/MIN/MAX, and exact decimal
+# subtraction — with both engines producing identical fixed-scale decimals
+# (decimal str() is exact, so the hash gate has no float tolerance at all).
+# ---------------------------------------------------------------------------
+def decimal_typed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", F.col("value").cast("decimal(35,4)").alias("v")
+    )
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.sum("v").cast("decimal(35,4)").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.count("v").alias("n"),
+            (F.max("v") - F.min("v")).cast("decimal(35,4)").alias("span_v"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DECIMAL_TYPED_SQL = """
+SELECT event_type,
+       CAST(sum(v) AS DECIMAL(35,4)) AS sum_v,
+       min(v) AS min_v,
+       max(v) AS max_v,
+       count(v) AS n,
+       CAST(max(v) - min(v) AS DECIMAL(35,4)) AS span_v
+FROM (SELECT event_type, CAST(value AS DECIMAL(35,4)) AS v FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # table_changes_cdf — the change-data-feed between two table versions,
 # exercised through the REAL versioned store: two deterministic versions of
 # an orders subset are committed to a scratch TableStore, then
@@ -329,4 +368,5 @@ QUERIES: dict = {
     "date_construction": (date_construction, DATE_CONSTRUCTION_SQL),
     "stream_sample": (stream_sample, STREAM_SAMPLE_SQL),
     "table_changes_cdf": (table_changes_cdf, TABLE_CHANGES_SQL),
+    "decimal_typed_stats": (decimal_typed_stats, DECIMAL_TYPED_SQL),
 }
