@@ -21,16 +21,21 @@ from __future__ import annotations
 # appeared in any CORRECTNESS_r{N}.json first, then those absent from the most
 # recent round, then the recently-verified rest. Names not listed (new this
 # round) are treated as never-checked and sort to the very front.
+# Within the never-checked block, cheap queries lead: the driver's run
+# looks time-budgeted (40/44/50 entries in r1/r2/r3), so cost-ascending
+# order maximizes how many never-checked queries earn a hard row before
+# the budget runs out. The dedup cluster family trails (its DuckDB
+# recursive-CTE oracles are the most expensive comparisons at sf0.01).
 _NEVER_CHECKED_R3 = [
-    "stratified_sample_n", "dedup_clusters", "dedup_keep_summary",
-    "dedup_incremental", "dedup_keep_best", "ann_pq_topk", "ann_ivfpq_topk",
-    "semdedup_keep", "knn_graph", "pagerank_centrality", "multimodal_embed_ann",
-    "asof_view_purchase", "range_join_windows", "rolling_user_stats",
-    "doc_chunking", "sequence_packing", "pii_redaction", "tfidf_terms",
-    "bm25_search", "calendar_gapfill", "hll_distinct_users",
-    "hll_mergeable_rollup", "quantile_sketch_value", "cms_heavy_hitters",
-    "recursive_cte", "lateral_join", "variant_extract", "udtf_chunk",
-    "collation_ops",
+    "stratified_sample_n", "asof_view_purchase", "range_join_windows",
+    "rolling_user_stats", "calendar_gapfill", "doc_chunking",
+    "sequence_packing", "pii_redaction", "tfidf_terms", "bm25_search",
+    "hll_distinct_users", "hll_mergeable_rollup", "quantile_sketch_value",
+    "cms_heavy_hitters", "recursive_cte", "lateral_join", "variant_extract",
+    "udtf_chunk", "collation_ops", "semdedup_keep", "knn_graph",
+    "pagerank_centrality", "multimodal_embed_ann", "ann_pq_topk",
+    "ann_ivfpq_topk", "dedup_incremental", "dedup_clusters",
+    "dedup_keep_summary", "dedup_keep_best",
 ]
 _STALE_R3 = [
     "contamination_check", "dedup_exact", "dedup_ngram_jaccard",
