@@ -10,6 +10,7 @@ epoch arithmetic; sessions use the gaps-and-islands rewrite on both engines.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -178,6 +179,67 @@ ORDER BY event_id
 
 
 # ---------------------------------------------------------------------------
+# pandas_udaf_quartiles — the GROUPED_AGG pandas_udf surface (custom
+# aggregate / UDAF): per-event-type median and interquartile range through
+# an Arrow-batched aggregate UDF. Completes the Arrow API family (scalar
+# pandas_udf, mapInPandas, grouped-map, cogrouped-map, stateful — and now
+# grouped-agg). Determinism: values are quantized to int64 cents BEFORE
+# aggregation and the UDF sorts internally, so linear-interpolated
+# quantiles are the same IEEE doubles as DuckDB's quantile_cont
+# regardless of row arrival order. Scale shape: partial Arrow batches per
+# group feed one reducer per key — a full-group aggregate, so groups must
+# fit an executor (true of any percentile-exact aggregate; the
+# sketch-based GK form in ops.sketches is the unbounded-cardinality path).
+# ---------------------------------------------------------------------------
+def pandas_udaf_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_cents(s: pd.Series) -> float:
+        v = np.sort(s.to_numpy(dtype="int64"))
+        return float(np.percentile(v, 50, method="linear"))
+
+    @pandas_udf("double")
+    def iqr_cents(s: pd.Series) -> float:
+        v = np.sort(s.to_numpy(dtype="int64"))
+        return float(
+            np.percentile(v, 75, method="linear")
+            - np.percentile(v, 25, method="linear")
+        )
+
+    @pandas_udf("long")
+    def n_rows(s: pd.Series) -> int:
+        # grouped-agg UDFs cannot mix with built-in aggregates in one agg
+        # (INVALID_PANDAS_UDF_PLACEMENT), so the count is a UDAF too
+        return len(s)
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            median_cents("cents").alias("median_cents"),
+            iqr_cents("cents").alias("iqr_cents"),
+            n_rows("cents").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PANDAS_UDAF_SQL = """
+SELECT event_type,
+       quantile_cont(cents, 0.5) AS median_cents,
+       quantile_cont(cents, 0.75) - quantile_cont(cents, 0.25) AS iqr_cents,
+       count(*) AS n
+FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # grouped_scale_pandas — grouped-map applyInPandas surface (one Arrow batch
 # stream per group): per-language integer min-max scaling of n_chars. The
 # arithmetic is exact int64 (numpy // == Spark div == DuckDB //), so the
@@ -210,4 +272,5 @@ QUERIES: dict = {
     "event_sessions": (event_sessions, EVENT_SESSIONS_SQL),
     "event_json_props": (event_json_props, EVENT_JSON_PROPS_SQL),
     "pandas_udf_normalize": (pandas_udf_normalize, PANDAS_UDF_NORM_SQL),
+    "pandas_udaf_quartiles": (pandas_udaf_quartiles, PANDAS_UDAF_SQL),
 }
