@@ -107,8 +107,18 @@ def main() -> None:
             pass
     # pandas_udf_normalize additionally spins up the Arrow Python-worker
     # pool once, so pandas_udf-backed queries (kmeans assignment,
-    # multimodal) time their compute, not worker fork/exec.
-    for warm in ("q6_forecast_revenue", "region_revenue", "pandas_udf_normalize"):
+    # multimodal) time their compute, not worker fork/exec. The other
+    # warmers cover the remaining cold-JIT shape families (broadcast join,
+    # aggregate, global window, explode+string kernels) so per-query
+    # numbers measure steady-state compute, not whichever query happens to
+    # run first.
+    for warm in (
+        "q6_forecast_revenue",
+        "region_revenue",
+        "pandas_udf_normalize",
+        "window_family",
+        "text_profile",
+    ):
         if warm in qs:
             try:
                 qs[warm][0](spark, sf_dir).count()
@@ -121,7 +131,10 @@ def main() -> None:
     # per-query and always emit the final JSON line.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, (fn, _sql) in qs.items():
+    # time in sorted-name order: stable across rounds and decoupled from
+    # the inventory's driver-coverage ordering (which round 4 reshuffled),
+    # so per-query numbers stay comparable round-over-round
+    for name, (fn, _sql) in sorted(qs.items()):
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)

@@ -321,23 +321,22 @@ def repeated_passages(
     computes exactly and this approximates at fixed window length.
 
     Scale shape: one narrow window explode (len-k+1 rows per doc), one
-    groupBy shuffle keyed on the 8-byte ``md5_long(passage)`` — never the
+    groupBy shuffle keyed on the 8-byte ``xxhash64(passage)`` — never the
     passage string itself — with ``min(passage)`` carried only as an
     aggregate (map-side combine collapses it to one string per distinct
     (passage, doc) before the wire), and a TakeOrdered top-k. No self-join,
-    no all-pairs. md5_long is the oracle-portable stand-in for xxhash64;
-    equal passages hash equal, so ``min(passage)`` recovers the exact
-    string and results are identical to string-keyed grouping (60-bit
-    collisions aside, mirrored exactly by the DuckDB twin).
+    no all-pairs. The hash key never reaches the output (equal passages
+    hash equal, so ``min(passage)`` recovers the exact string), which is
+    what lets the engine use its cheapest native hash while the DuckDB
+    twin groups on the passage string directly — identical results either
+    way (64-bit collisions aside).
 
     Output: (passage, n_occurrences, n_docs, first_doc), fully ordered.
     """
-    from ..queries.util import md5_long
-
     p = df.select(
         F.col(id_col).alias("_id"),
         F.explode(passage_windows_col(F.col(text_col), k)).alias("passage"),
-    ).select("_id", md5_long(F.col("passage")).alias("_pkey"), "passage")
+    ).select("_id", F.xxhash64(F.col("passage")).alias("_pkey"), "passage")
     return (
         p.groupBy("_pkey")
         .agg(

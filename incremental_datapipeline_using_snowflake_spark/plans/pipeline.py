@@ -45,18 +45,34 @@ def bootstrap(store: TableStore) -> None:
 # SP1: LOADING_CO2_DATA_SP — watermark-incremental fetch & load
 # reference: udfs_and_spoc/loading_co2_data_sp/loading_data_sp/function.py:8-398
 # ---------------------------------------------------------------------------
+def _watermark_file(store: TableStore) -> str:
+    import os
+
+    return os.path.join(store.table_dir(RAW_TABLE), "_WATERMARK")
+
+
 def current_watermark(spark: SparkSession, store: TableStore) -> object | None:
     """A1: MAX(make_date(YEAR,MONTH,DAY)) over RAW — the high-watermark date
     (reference ``loading_data_sp/function.py:41-51``).
 
-    RAW is year-partitioned (S6), and the max date lives in the max YEAR by
-    construction — so the scan is pruned to that single partition with a
-    driver-side directory listing. At warehouse scale this turns a
-    full-table aggregate into one partition's worth of row-group stats.
+    Fast path: ``load_raw`` records the batch max date in a ``_WATERMARK``
+    sidecar as part of the count job it already runs, so the steady-state
+    read is a driver-side file — zero Spark jobs (the table-stats pattern:
+    Delta/Iceberg answer MAX over a partition key from metadata the same
+    way). Fallback for stores not written through ``load_raw``: RAW is
+    year-partitioned (S6) and the max date lives in the max YEAR by
+    construction, so the aggregate is pruned to one partition via a
+    driver-side directory listing.
     """
     if not store.exists(RAW_TABLE):
         return None
+    import datetime
     import os
+
+    wf = _watermark_file(store)
+    if os.path.exists(wf):
+        with open(wf) as f:
+            return datetime.date.fromisoformat(f.read().strip())
 
     years = [
         int(e.split("=", 1)[1])
@@ -89,7 +105,11 @@ def load_raw(
         parsed = parsed.filter(F.make_date("YEAR", "MONTH", "DAY") > F.lit(wm))
 
     parsed = parsed.cache()
-    n = parsed.count()
+    # one job yields both the empty-batch gate AND the new watermark (the
+    # same scan that round 3 spent on a bare count)
+    n, max_d = parsed.agg(
+        F.count(F.lit(1)), F.max(F.make_date("YEAR", "MONTH", "DAY"))
+    ).first()
     if n == 0:
         return "No new data to load"
 
@@ -101,6 +121,17 @@ def load_raw(
     Changelog(store, RAW_TABLE, embedded=True).append(
         parsed, action="INSERT", partition_by=["YEAR"]
     )
+    # watermark sidecar AFTER rows land: a crash in between re-ingests the
+    # batch (dates > stale watermark), and the DATE-keyed merges downstream
+    # make that replay idempotent (SURVEY §7.3)
+    import os
+
+    wf = _watermark_file(store)
+    wm_new = max_d if wm is None else max(wm, max_d)
+    tmp = wf + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(wm_new.isoformat())
+    os.replace(tmp, wf)
     parsed.unpersist()
     return f"Loaded {n} new rows"
 
@@ -276,17 +307,28 @@ def analytics_weekly(
 
 
 def analytics(spark: SparkSession, store: TableStore) -> str:
-    """SP3 whole: daily then weekly (reference ``function.py:227-255``).
+    """SP3 whole: daily + weekly (reference ``function.py:227-255``).
 
     The harmonized scan and the min/max scalar cache are resolved once and
     shared by both stages (the reference reads ``_CO2_MINMAX`` once per SP
     call for the same reason, ``co2_analytical_sp/function.py:95-102``).
+    The two merges write INDEPENDENT tables off the same cached input, so
+    they run concurrently — two driver threads submitting to the shared
+    scheduler (the same overlap a cluster gets from concurrent jobs; the
+    reference runs them serially only because one Snowflake session does).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     harmonized = store.read(spark, HARMONIZED_TABLE).cache()
+    # materialize the cache once up front: both threads would otherwise
+    # race to compute it and duplicate the scan
+    harmonized.count()
     minmax = _minmax_lits(spark, store)
     try:
-        d = analytics_daily(spark, store, harmonized, minmax)
-        wk = analytics_weekly(spark, store, harmonized, minmax)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fd = pool.submit(analytics_daily, spark, store, harmonized, minmax)
+            fw = pool.submit(analytics_weekly, spark, store, harmonized, minmax)
+            d, wk = fd.result(), fw.result()
     finally:
         harmonized.unpersist()
     return f"{d}; {wk}"

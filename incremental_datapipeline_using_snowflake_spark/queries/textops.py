@@ -669,14 +669,15 @@ wins AS (
   SELECT doc_id, array_to_string(list_slice(w, i, i + {PASSAGE_K - 1}), ' ') AS passage
   FROM sp, LATERAL (SELECT unnest(range(1, len(w) - {PASSAGE_K - 2})) AS i)
 )
--- group on the 60-bit md5 key, recover the string via min(passage) —
--- the exact computation of ops.dedup.repeated_passages (narrow shuffle key)
-SELECT min(passage) AS passage,
+-- the Spark side groups on xxhash64(passage) and recovers the string via
+-- min(passage); since the hash key never reaches the output, grouping by
+-- the passage itself here yields identical rows
+SELECT passage,
        count(*) AS n_occurrences,
        count(DISTINCT doc_id) AS n_docs,
        min(doc_id) AS first_doc
 FROM wins
-GROUP BY {ORACLE_MD5_LONG.format(x="passage")}
+GROUP BY passage
 HAVING count(DISTINCT doc_id) >= 2
 ORDER BY n_occurrences DESC, n_docs DESC, passage
 LIMIT {PASSAGE_TOP}

@@ -91,10 +91,21 @@ def parse_feed_text(spark: SparkSession, text: str) -> DataFrame:
     rdd = spark.sparkContext.parallelize([(ln,) for ln in text.splitlines()], 1)
     lines = spark.createDataFrame(rdd, schema="value string")
     parsed = parse_feed_lines(lines)
-    if parsed.count() < 10:
-        fallback = parse_feed_regex(lines)
-        if fallback.count() > parsed.count():
-            return fallback
+    # Fallback gate decided driver-side: the feed IS a local document, so a
+    # quick Python scan for whitespace-format lines (>=5 tokens, numeric
+    # year) replaces the two Spark count() probe jobs the gate cost before.
+    # Approximate is fine — it only chooses WHICH Spark parse runs; the
+    # parses themselves stay distributed and exact.
+    n_ws = 0
+    for ln in text.splitlines():
+        t = ln.split()
+        if len(t) >= 5 and not ln.lstrip().startswith("#") and t[0].isdigit():
+            n_ws += 1
+            if n_ws >= 10:
+                return parsed
+    fallback = parse_feed_regex(lines)
+    if fallback.count() > parsed.count():
+        return fallback
     return parsed
 
 
