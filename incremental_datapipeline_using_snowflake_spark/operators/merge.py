@@ -40,6 +40,7 @@ def merge_upsert(
     count_rows: bool = True,
     broadcast_source: bool = True,
     observe_metrics: dict | None = None,
+    txn=None,
 ) -> dict:
     """Upsert ``source`` into ``target_table`` on ``keys``.
 
@@ -56,11 +57,17 @@ def merge_upsert(
       FULL merged table during the write job itself (``Observation`` — no
       post-merge re-scan); values returned under ``"observed"``. The
       pipeline's min/max scalar-cache refresh rides the merge this way.
+    - ``txn``: a :meth:`TableStore.transaction` handle — the merged table
+      is STAGED through it instead of committed immediately, so the merge
+      publishes atomically with the caller's other writes (the pipeline
+      pairs HARMONIZED with its min/max scalar cache this way).
 
     Returns ``{"updated": n, "inserted": n}`` row counts (-1 when skipped),
     plus ``"observed"`` when requested.
     """
     from pyspark.sql import Observation
+
+    sink = txn if txn is not None else store
 
     if not store.exists(target_table):
         init_cols = insert_cols or source.columns
@@ -69,11 +76,11 @@ def merge_upsert(
         if observe_metrics:
             obs = Observation()
             out = out.observe(obs, *[c.alias(k) for k, c in observe_metrics.items()])
-            store.overwrite(out, target_table, partition_by=partition_by)
+            sink.overwrite(out, target_table, partition_by=partition_by)
             res["observed"] = dict(obs.get)
             res["inserted"] = -1
         else:
-            store.overwrite(out, target_table, partition_by=partition_by)
+            sink.overwrite(out, target_table, partition_by=partition_by)
             res["inserted"] = out.count() if count_rows else -1
         return res
 
@@ -92,10 +99,10 @@ def merge_upsert(
     if observe_metrics:
         obs = Observation()
         result = result.observe(obs, *[c.alias(k) for k, c in observe_metrics.items()])
-        store.overwrite(result, target_table, partition_by=partition_by)
+        sink.overwrite(result, target_table, partition_by=partition_by)
         res["observed"] = dict(obs.get)
     else:
-        store.overwrite(result, target_table, partition_by=partition_by)
+        sink.overwrite(result, target_table, partition_by=partition_by)
     return res
 
 

@@ -172,28 +172,33 @@ def harmonize(spark: SparkSession, store: TableStore, consumer: str = "harmonize
     # scalar-cache refresh (:81-87) rides the merge write as Observation
     # metrics — the merged result IS the new harmonized table, so observing
     # min/max during the write replaces the round-1 full re-read + agg.
-    mres = merge_upsert(
-        spark,
-        store,
-        HARMONIZED_TABLE,
-        src,
-        keys=["DATE"],
-        count_rows=False,
-        observe_metrics={
-            "MIN_CO2": F.min("CO2_PPM"),
-            "MAX_CO2": F.max("CO2_PPM"),
-        },
-    )
-    got = mres["observed"]
-    mn, mx = got["MIN_CO2"], got["MAX_CO2"]
+    # HARMONIZED and its scalar cache publish in ONE transaction (staged
+    # version dirs + commit journal): a crash between the two writes can
+    # no longer leave analytics normalizing against stale bounds.
     from ..session import local_rows_df
 
-    minmax = local_rows_df(
-        spark,
-        [(None if mn is None else float(mn), None if mx is None else float(mx))],
-        schema="MIN_CO2 double, MAX_CO2 double",
-    )
-    store.overwrite(minmax, MINMAX_TABLE)
+    with store.transaction("harmonize") as txn:
+        mres = merge_upsert(
+            spark,
+            store,
+            HARMONIZED_TABLE,
+            src,
+            keys=["DATE"],
+            count_rows=False,
+            observe_metrics={
+                "MIN_CO2": F.min("CO2_PPM"),
+                "MAX_CO2": F.max("CO2_PPM"),
+            },
+            txn=txn,
+        )
+        got = mres["observed"]
+        mn, mx = got["MIN_CO2"], got["MAX_CO2"]
+        minmax = local_rows_df(
+            spark,
+            [(None if mn is None else float(mn), None if mx is None else float(mx))],
+            schema="MIN_CO2 double, MAX_CO2 double",
+        )
+        txn.overwrite(minmax, MINMAX_TABLE)
 
     log.commit(consumer, int(hi))  # offset advances with the consuming merge
     pending.unpersist()
