@@ -118,6 +118,12 @@ def main() -> None:
         "pandas_udf_normalize",
         "window_family",
         "text_profile",
+        # ann_bruteforce warms the embeddings scan + array dot-product
+        # codegen the whole similarity family shares; calendar_gapfill the
+        # sequence-explode + range-join shapes. Both sit at the front of
+        # the sorted timing order, where cold JIT would otherwise land.
+        "ann_bruteforce_topk",
+        "calendar_gapfill",
     ):
         if warm in qs:
             try:
