@@ -33,6 +33,9 @@ class Orchestrator:
     # Daily appends leave one small file per batch; unchecked, a year of
     # runs makes every pending() scan listing-bound.
     compact_after_files: int = 64
+    # SP3 via churn-proportional recompute (analytics as its own changelog
+    # consumer); falls back to full recompute on first run / bounds moves.
+    incremental_analytics: bool = True
     _history: list[dict] = field(default_factory=list)
     _pending_log: list[dict] = field(default_factory=list)
 
@@ -127,8 +130,16 @@ class Orchestrator:
             results["analytics"] = "skipped (stream empty)"
             return results
 
+        # streaming mode tracks consumption in the stream checkpoint, not
+        # the named "harmonize" offset that incremental analytics caps its
+        # window at — so it takes the full-recompute path
+        analytics_fn = (
+            P.analytics_incremental
+            if self.incremental_analytics and not self.streaming_harmonize
+            else P.analytics
+        )
         ok, msg = self._run_stage(
-            "co2_analytics_task", lambda: P.analytics(self.spark, self.store)
+            "co2_analytics_task", lambda: analytics_fn(self.spark, self.store)
         )
         results["analytics"] = msg
 

@@ -311,6 +311,126 @@ def analytics_weekly(
     return "Weekly analytics complete"
 
 
+def analytics_incremental(
+    spark: SparkSession, store: TableStore, consumer: str = "analytics"
+) -> str:
+    """SP3 with churn-proportional recompute — the incremental form the
+    repo is named for.
+
+    Analytics registers as a SECOND named consumer of the RAW changelog:
+    its pending window yields the exact set of affected DATEs, so the
+    daily stage recomputes only those dates plus their order-neighbors
+    (the lag chain breaks at most one date past an insert) and the weekly
+    stage only the touched ISO weeks. A narrow DATE-only pass over the
+    harmonized series resolves order neighbors (gaps make ``d - 1 day``
+    wrong); full-width compute is proportional to the churn.
+
+    Fallback to the full recompute (:func:`analytics`) when it must:
+    - first run (no stats tables yet), or
+    - the batch moves the global min/max bounds — NORMALIZED_* columns
+      depend on them, so EVERY row's normalized value changes (the
+      reference recomputes fully every run for exactly this reason;
+      steady-state CO2 batches inside known bounds skip it).
+
+    Offset semantics match harmonize: commit after the merges land;
+    replay is idempotent because every merge keys on its date key.
+    """
+    import json as _json
+    import os
+
+    log = Changelog(store, RAW_TABLE, embedded=True)
+    pending = log.pending(spark, consumer)
+    if pending is None:
+        return "No data in stream to process"
+    # never run ahead of harmonize: rows it has not merged yet are not in
+    # HARMONIZED, and advancing past them would lose their dates forever
+    h_off = int(log._read_meta()["offsets"].get("harmonize", -1))
+    pending = pending.filter(F.col("_row_id") <= h_off).cache()
+
+    bounds_file = os.path.join(store.table_dir(DAILY_TABLE), "_BOUNDS")
+
+    def _commit_bounds(mn: float, mx: float) -> None:
+        tmp = bounds_file + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump([mn, mx], f)
+        os.replace(tmp, bounds_file)
+
+    try:
+        n_pending, hi = pending.agg(F.count(F.lit(1)), F.max("_row_id")).first()
+        if not n_pending:
+            return "No data in stream to process"
+        mn, mx = _minmax_lits(spark, store)
+        if not (store.exists(DAILY_TABLE) and store.exists(WEEKLY_TABLE)):
+            out = analytics(spark, store)
+            _commit_bounds(mn, mx)
+            log.commit(consumer, int(hi))
+            return f"{out} (full: first run)"
+
+        # NORMALIZED_* columns depend on the GLOBAL bounds: if this batch
+        # moved them since the last analytics pass, every stored row's
+        # normalized value is stale — only a full recompute is correct
+        # (the reference recomputes fully every run for this reason).
+        prev = None
+        if os.path.exists(bounds_file):
+            with open(bounds_file) as f:
+                prev = tuple(_json.load(f))
+        if prev != (mn, mx):
+            out = analytics(spark, store)
+            _commit_bounds(mn, mx)
+            log.commit(consumer, int(hi))
+            return f"{out} (full: bounds moved)"
+
+        batch = pending.filter(F.col("_action") == "INSERT").select(
+            F.make_date("YEAR", "MONTH", "DAY").alias("DATE")
+        )
+        harmonized = store.read(spark, HARMONIZED_TABLE)
+        affected = batch.select("DATE").distinct()
+        # DATE-only neighbor pass: global order over the daily series (one
+        # narrow column; the series is one row per date by construction)
+        dates = harmonized.select("DATE")
+        w = W.orderBy("DATE")
+        ndf = dates.select(
+            "DATE",
+            F.lag("DATE", 1).over(w).alias("_prev"),
+            F.lead("DATE", 1).over(w).alias("_next"),
+        )
+        aset = F.broadcast(affected.withColumnRenamed("DATE", "_a"))
+        # recompute a date if IT changed or its predecessor changed (its
+        # lag inputs moved); pull each recompute date's predecessor row too
+        recompute = (
+            ndf.join(aset, (F.col("DATE") == F.col("_a")) | (F.col("_prev") == F.col("_a")), "left_semi")
+        )
+        need = recompute.select("DATE").unionByName(
+            recompute.select(F.col("_prev").alias("DATE")).where(F.col("DATE").isNotNull())
+        ).distinct()
+        rows = harmonized.join(F.broadcast(need), "DATE", "left_semi")
+        stats = daily_stats_df(rows, mn, mx).join(
+            F.broadcast(recompute.select("DATE")), "DATE", "left_semi"
+        )
+        merge_upsert(
+            spark, store, DAILY_TABLE, stats, keys=["DATE"], count_rows=False
+        )
+
+        # weekly: recompute only the touched ISO weeks (no cross-week lag)
+        weeks = affected.select(
+            F.date_trunc("week", F.col("DATE")).cast("date").alias("_wk")
+        ).distinct()
+        wrows = harmonized.join(
+            F.broadcast(weeks),
+            F.date_trunc("week", F.col("DATE")).cast("date") == F.col("_wk"),
+            "left_semi",
+        )
+        wstats = weekly_stats_df(wrows, mn, mx)
+        merge_upsert(
+            spark, store, WEEKLY_TABLE, wstats, keys=["WEEK_START"], count_rows=False
+        )
+        _commit_bounds(mn, mx)
+        log.commit(consumer, int(hi))
+        return "Daily analytics complete; Weekly analytics complete (incremental)"
+    finally:
+        pending.unpersist()
+
+
 def analytics(spark: SparkSession, store: TableStore) -> str:
     """SP3 whole: daily + weekly (reference ``function.py:227-255``).
 

@@ -182,3 +182,76 @@ def test_orchestrator_auto_compaction(spark, store):
     res3 = orch.run(feed_text=FEED_V2)
     assert res3["harmonized"] == "No data in stream to process"
     assert store.read(spark, P.HARMONIZED_TABLE).count() == 14
+
+
+# in-bounds increment (418.60, 419.70 ∈ [418.50, 419.80]) — exercises the
+# churn-proportional path; FEED_V2's 420.x values move the max and exercise
+# the bounds-moved full fallback
+FEED_V1B = FEED_V1 + """2025 1 14 2025.036 418.60
+2025 1 15 2025.038 419.70
+"""
+FEED_V1C = FEED_V1B + """2025 1 16 2025.041 420.40
+"""
+
+
+def _stats_snapshot(spark, store):
+    daily = sorted(
+        tuple(r)
+        for r in store.read(spark, P.DAILY_TABLE)
+        .drop("META_UPDATED_AT")
+        .collect()
+    )
+    weekly = sorted(
+        tuple(r)
+        for r in store.read(spark, P.WEEKLY_TABLE)
+        .drop("META_UPDATED_AT")
+        .collect()
+    )
+    return daily, weekly
+
+
+def test_incremental_analytics_matches_full(spark, tmp_path):
+    """analytics_incremental must produce byte-identical stats to the full
+    recompute across: first run (full), in-bounds increment (incremental
+    path), and a bounds-moving increment (full fallback)."""
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+
+    inc_store = TableStore(root=str(tmp_path / "inc"))
+    full_store = TableStore(root=str(tmp_path / "full"))
+    bootstrap(inc_store)
+    bootstrap(full_store)
+
+    msgs = []
+    for feed in (FEED_V1, FEED_V1B, FEED_V1C):
+        load_raw(spark, inc_store, feed_text=feed)
+        harmonize(spark, inc_store)
+        msgs.append(P.analytics_incremental(spark, inc_store))
+
+        load_raw(spark, full_store, feed_text=feed)
+        harmonize(spark, full_store)
+        analytics(spark, full_store)
+
+        assert _stats_snapshot(spark, inc_store) == _stats_snapshot(spark, full_store)
+
+    assert "full: first run" in msgs[0]
+    assert msgs[1].endswith("(incremental)")
+    assert "full: bounds moved" in msgs[2]
+
+    # drained: nothing pending -> no-op
+    assert P.analytics_incremental(spark, inc_store) == "No data in stream to process"
+
+
+def test_incremental_analytics_never_outruns_harmonize(spark, store):
+    """Analytics' pending window is capped at harmonize's committed offset:
+    rows loaded but not yet harmonized must neither be processed nor have
+    the analytics offset advance past them."""
+    bootstrap(store)
+    load_raw(spark, store, feed_text=FEED_V1)
+    # harmonize has NOT run: analytics sees an empty (capped) window
+    assert P.analytics_incremental(spark, store) == "No data in stream to process"
+    assert not store.exists(P.DAILY_TABLE)
+    harmonize(spark, store)
+    msg = P.analytics_incremental(spark, store)
+    assert "complete" in msg
+    # 12 dates: the bad_value row keeps its DATE with NULL CO2
+    assert store.read(spark, P.DAILY_TABLE).count() == 12
