@@ -47,6 +47,42 @@ def run_pipeline_bench(spark) -> float:
     return time.time() - t0
 
 
+def run_pipeline_incremental_bench(spark) -> float:
+    """Steady-state incremental run: the 3-year backlog and one
+    bounds-moving batch are ingested UNTIMED, then a 28-day in-bounds
+    batch is timed — load + harmonize + churn-proportional analytics,
+    the nightly-run shape this engine exists for."""
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.plans import Orchestrator, bootstrap
+
+    lines = ["# synthetic feed"]
+    day = 0
+    for y in range(2022, 2025):
+        for d in range(1, 366):
+            day += 1
+            lines.append(f"{y} {(d - 1) // 31 + 1} {(d - 1) % 31 + 1} {y}.{d:03d} {400 + day * 0.01:.2f}")
+    feed_v1 = "\n".join(lines)
+    feed_v2 = feed_v1 + "\n" + "\n".join(
+        f"2025 1 {d} 2025.{d:03d} {415 + d * 0.01:.2f}" for d in range(1, 29)
+    )
+    # in-bounds values -> the analytics stage takes the incremental path
+    feed_v3 = feed_v2 + "\n" + "\n".join(
+        f"2025 2 {d} 2025.1{d:02d} {405 + d * 0.01:.2f}" for d in range(1, 29)
+    )
+
+    with tempfile.TemporaryDirectory(prefix="bench_iwh_") as wh:
+        store = TableStore(root=wh)
+        bootstrap(store)
+        orch = Orchestrator(spark, store)
+        orch.run(feed_text=feed_v1)
+        orch.run(feed_text=feed_v2)
+        t0 = time.time()
+        res = orch.run(feed_text=feed_v3)
+        dt = time.time() - t0
+        assert "incremental" in res["analytics"], res["analytics"]
+        return dt
+
+
 def run_pipeline_streaming_bench(spark) -> float:
     """Same two-run pipeline with SP2 routed through the Structured
     Streaming drain (checkpoint-as-offset) — times the AvailableNow
@@ -161,6 +197,21 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["co2_pipeline_e2e"] = f"{type(exc).__name__}: {exc}"[:500]
         print(f"  co2_pipeline_e2e: ERROR {errors['co2_pipeline_e2e'][:120]}", file=sys.stderr)
+
+    try:
+        timings["co2_pipeline_incremental"] = round(
+            run_pipeline_incremental_bench(spark), 3
+        )
+        print(
+            f"  co2_pipeline_incremental: {timings['co2_pipeline_incremental']}s",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["co2_pipeline_incremental"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(
+            f"  co2_pipeline_incremental: ERROR {errors['co2_pipeline_incremental'][:120]}",
+            file=sys.stderr,
+        )
 
     try:
         timings["co2_pipeline_streaming"] = round(run_pipeline_streaming_bench(spark), 3)

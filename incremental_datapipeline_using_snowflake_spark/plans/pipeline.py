@@ -386,39 +386,47 @@ def analytics_incremental(
         harmonized = store.read(spark, HARMONIZED_TABLE)
         affected = batch.select("DATE").distinct()
         # DATE-only neighbor pass: global order over the daily series (one
-        # narrow column; the series is one row per date by construction)
+        # narrow column; the series is one row per date by construction).
+        # Recompute a date if IT changed or its PREDECESSOR changed (its
+        # lag inputs moved); each recompute date's predecessor row is
+        # pulled as lag input. One job collects the (churn-sized) date
+        # lists to the driver so every downstream filter is an IN-list
+        # literal — pushed into the parquet scans, with no broadcast
+        # exchanges to materialize. A giant backfill (>5000 dates) would
+        # belong on the full path anyway and bounds-moves already route it
+        # there in practice.
         dates = harmonized.select("DATE")
         w = W.orderBy("DATE")
-        ndf = dates.select(
-            "DATE",
-            F.lag("DATE", 1).over(w).alias("_prev"),
-            F.lead("DATE", 1).over(w).alias("_next"),
-        )
+        ndf = dates.select("DATE", F.lag("DATE", 1).over(w).alias("_prev"))
         aset = F.broadcast(affected.withColumnRenamed("DATE", "_a"))
-        # recompute a date if IT changed or its predecessor changed (its
-        # lag inputs moved); pull each recompute date's predecessor row too
-        recompute = (
-            ndf.join(aset, (F.col("DATE") == F.col("_a")) | (F.col("_prev") == F.col("_a")), "left_semi")
+        pairs = ndf.join(
+            aset,
+            (F.col("DATE") == F.col("_a")) | (F.col("_prev") == F.col("_a")),
+            "left_semi",
+        ).collect()
+        recompute_dates = [r["DATE"] for r in pairs]
+        need_dates = sorted(
+            {r["DATE"] for r in pairs} | {r["_prev"] for r in pairs if r["_prev"]}
         )
-        need = recompute.select("DATE").unionByName(
-            recompute.select(F.col("_prev").alias("DATE")).where(F.col("DATE").isNotNull())
-        ).distinct()
-        rows = harmonized.join(F.broadcast(need), "DATE", "left_semi")
-        stats = daily_stats_df(rows, mn, mx).join(
-            F.broadcast(recompute.select("DATE")), "DATE", "left_semi"
+        rows = harmonized.filter(F.col("DATE").isin(need_dates))
+        stats = daily_stats_df(rows, mn, mx).filter(
+            F.col("DATE").isin(recompute_dates)
         )
         merge_upsert(
             spark, store, DAILY_TABLE, stats, keys=["DATE"], count_rows=False
         )
 
-        # weekly: recompute only the touched ISO weeks (no cross-week lag)
-        weeks = affected.select(
-            F.date_trunc("week", F.col("DATE")).cast("date").alias("_wk")
-        ).distinct()
-        wrows = harmonized.join(
-            F.broadcast(weeks),
-            F.date_trunc("week", F.col("DATE")).cast("date") == F.col("_wk"),
-            "left_semi",
+        # weekly: recompute only the touched ISO weeks (no cross-week lag).
+        # Week set derives driver-side from the already-collected recompute
+        # dates (ISO Monday = d - weekday); recompute ⊇ affected, and
+        # re-deriving an untouched week is an idempotent no-op.
+        import datetime as _dt
+
+        weeks = sorted(
+            {d - _dt.timedelta(days=d.weekday()) for d in recompute_dates}
+        )
+        wrows = harmonized.filter(
+            F.date_trunc("week", F.col("DATE")).cast("date").isin(weeks)
         )
         wstats = weekly_stats_df(wrows, mn, mx)
         merge_upsert(
