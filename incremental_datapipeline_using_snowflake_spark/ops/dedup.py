@@ -313,6 +313,7 @@ def repeated_passages(
     k: int = 8,
     min_docs: int = 2,
     top: int = 50,
+    strategy: str = "wide",
 ) -> DataFrame:
     """Exact-substring duplication finder: k-token passages appearing in at
     least ``min_docs`` distinct documents, ranked by total occurrences —
@@ -320,35 +321,69 @@ def repeated_passages(
     Training Data Makes Language Models Better"), which a suffix array
     computes exactly and this approximates at fixed window length.
 
-    Scale shape: one narrow window explode (len-k+1 rows per doc), one
-    groupBy shuffle keyed on the 8-byte ``xxhash64(passage)`` — never the
-    passage string itself — with ``min(passage)`` carried only as an
-    aggregate (map-side combine collapses it to one string per distinct
-    (passage, doc) before the wire), and a TakeOrdered top-k. No self-join,
-    no all-pairs. The hash key never reaches the output (equal passages
-    hash equal, so ``min(passage)`` recovers the exact string), which is
-    what lets the engine use its cheapest native hash while the DuckDB
-    twin groups on the passage string directly — identical results either
-    way (64-bit collisions aside).
+    Two MEASURED strategies (sf0.1, 50k docs — see scripts/shuffle_metrics.py):
 
-    Output: (passage, n_occurrences, n_docs, first_doc), fully ordered.
+    - ``"wide"`` (default): one explode, one groupBy shuffle keyed on the
+      passage string. 17.2 MB shuffled; one pass over the text. Best when
+      compute is the constraint (the explode is the expensive part) or the
+      corpus fits comfortably.
+    - ``"narrow"``: two passes. Pass 1 groups on ``xxhash64(passage)`` only
+      — counters, never strings, cross the wire (7.9 MB, 2.2× narrower);
+      pass 2 re-explodes and broadcast-semi-joins the surviving candidate
+      keys (≥ ``min_docs``) to recover exact strings for the final
+      ordering. Best at shuffle-bound scale, where network bytes dominate
+      a rescan's CPU. Exact — no top-k margin games; candidate recovery
+      happens before the limit.
+
+    A third shape — hash key + ``min(passage)`` carried as an aggregate —
+    measured WORSE than both (21.5 MB: the carried string costs more than
+    the narrow key saves) and is deliberately not offered.
+
+    Output: (passage, n_occurrences, n_docs, first_doc), fully ordered —
+    identical for both strategies (64-bit collisions aside).
     """
-    p = df.select(
+    if strategy == "wide":
+        p = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(passage_windows_col(F.col(text_col), k)).alias("passage"),
+        )
+        return (
+            p.groupBy("passage")
+            .agg(
+                F.count(F.lit(1)).alias("n_occurrences"),
+                F.countDistinct("_id").alias("n_docs"),
+                F.min("_id").alias("first_doc"),
+            )
+            .filter(F.col("n_docs") >= min_docs)
+            .orderBy(F.desc("n_occurrences"), F.desc("n_docs"), F.asc("passage"))
+            .limit(top)
+        )
+    if strategy != "narrow":
+        raise ValueError(f"strategy must be 'wide' or 'narrow', got {strategy!r}")
+    hashed = df.select(
         F.col(id_col).alias("_id"),
         F.explode(passage_windows_col(F.col(text_col), k)).alias("passage"),
-    ).select("_id", F.xxhash64(F.col("passage")).alias("_pkey"), "passage")
-    return (
-        p.groupBy("_pkey")
+    ).select("_id", F.xxhash64(F.col("passage")).alias("_pkey"))
+    cand = (
+        hashed.groupBy("_pkey")
         .agg(
-            F.min("passage").alias("passage"),
             F.count(F.lit(1)).alias("n_occurrences"),
             F.countDistinct("_id").alias("n_docs"),
             F.min("_id").alias("first_doc"),
         )
         .filter(F.col("n_docs") >= min_docs)
+    )
+    strings = (
+        df.select(F.explode(passage_windows_col(F.col(text_col), k)).alias("passage"))
+        .select(F.xxhash64(F.col("passage")).alias("_pkey"), "passage")
+        .join(F.broadcast(cand), "_pkey")
+        .groupBy("_pkey", "n_occurrences", "n_docs", "first_doc")
+        .agg(F.min("passage").alias("passage"))
+    )
+    return (
+        strings.select("passage", "n_occurrences", "n_docs", "first_doc")
         .orderBy(F.desc("n_occurrences"), F.desc("n_docs"), F.asc("passage"))
         .limit(top)
-        .select("passage", "n_occurrences", "n_docs", "first_doc")
     )
 
 

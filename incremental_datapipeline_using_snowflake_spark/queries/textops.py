@@ -669,9 +669,6 @@ wins AS (
   SELECT doc_id, array_to_string(list_slice(w, i, i + {PASSAGE_K - 1}), ' ') AS passage
   FROM sp, LATERAL (SELECT unnest(range(1, len(w) - {PASSAGE_K - 2})) AS i)
 )
--- the Spark side groups on xxhash64(passage) and recovers the string via
--- min(passage); since the hash key never reaches the output, grouping by
--- the passage itself here yields identical rows
 SELECT passage,
        count(*) AS n_occurrences,
        count(DISTINCT doc_id) AS n_docs,

@@ -662,3 +662,17 @@ def test_grouped_minmax_scale_exact_integers(spark):
     assert got[1] == 0 and got[2] == 990 and got[3] == 495
     # degenerate group (min == max) -> all zero, no div-by-zero
     assert got[4] == 0 and got[5] == 0
+
+
+def test_repeated_passages_narrow_matches_wide(spark, sf_dir):
+    """The two shuffle strategies (string-key single pass vs hash-key
+    two-pass with string recovery) must produce identical ordered output
+    on real documents."""
+    from incremental_datapipeline_using_snowflake_spark.ops.dedup import repeated_passages
+    from incremental_datapipeline_using_snowflake_spark.queries.util import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    wide = [tuple(r) for r in repeated_passages(docs, strategy="wide").collect()]
+    narrow = [tuple(r) for r in repeated_passages(docs, strategy="narrow").collect()]
+    assert wide == narrow
+    assert len(wide) > 0
