@@ -496,6 +496,35 @@ class TableStore:
     def drop(self, name: str) -> None:
         shutil.rmtree(self.table_dir(name), ignore_errors=True)
 
+    # -- SQL surface --------------------------------------------------------
+    def register_views(
+        self, spark: SparkSession, namespace: str | None = None
+    ) -> list[str]:
+        """Expose warehouse tables to raw SQL (SURVEY §3.3 entry point C:
+        the reference runs ``session.sql`` against ``RAW_CO2.CO2_DATA``
+        style names). Temp-view names cannot contain dots, so
+        ``raw_co2.co2_data`` registers as ``raw_co2__co2_data``; pass
+        ``namespace`` to limit the sweep. Returns the view names, ready
+        for ``spark.sql`` / ``functions.sql_script.run_sql_script``.
+        """
+        namespaces = (
+            [namespace.lower()]
+            if namespace
+            else sorted(
+                e
+                for e in os.listdir(self.root)
+                if os.path.isdir(os.path.join(self.root, e))
+                and not e.startswith("_")
+            )
+        )
+        out: list[str] = []
+        for ns in namespaces:
+            for t in self.list_tables(ns):
+                view = f"{ns}__{t}"
+                self.read(spark, f"{ns}.{t}").createOrReplaceTempView(view)
+                out.append(view)
+        return out
+
 
 class _StagedTransaction:
     """Write buffer for :meth:`TableStore.transaction` — overwrites stage

@@ -130,13 +130,11 @@ class Orchestrator:
             results["analytics"] = "skipped (stream empty)"
             return results
 
-        # streaming mode tracks consumption in the stream checkpoint, not
-        # the named "harmonize" offset that incremental analytics caps its
-        # window at — so it takes the full-recompute path
+        # works in both modes: the streaming drain mirrors its consumed
+        # high-water mark into the named "harmonize" offset that
+        # incremental analytics caps its window at
         analytics_fn = (
-            P.analytics_incremental
-            if self.incremental_analytics and not self.streaming_harmonize
-            else P.analytics
+            P.analytics_incremental if self.incremental_analytics else P.analytics
         )
         ok, msg = self._run_stage(
             "co2_analytics_task", lambda: analytics_fn(self.spark, self.store)

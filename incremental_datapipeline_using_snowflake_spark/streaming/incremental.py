@@ -102,6 +102,8 @@ def stream_harmonize(
     stream = changelog_stream(spark, store, raw_table, embedded=True)
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
         src = (
             batch_df.filter(F.col("_action") == "INSERT")
             .withColumn("DATE", F.make_date("YEAR", "MONTH", "DAY"))
@@ -112,9 +114,19 @@ def stream_harmonize(
                 "DAY",
                 "CO2_PPM",
                 F.current_timestamp().alias("META_UPDATED_AT"),
+                "_row_id",
             )
         )
+        obs = Observation()
+        src = src.observe(obs, F.max("_row_id").alias("hi")).drop("_row_id")
         merge_upsert(spark, store, harmonized_table, src, keys=["DATE"])
+        # mirror the consumed high-water mark into the NAMED offset (the
+        # checkpoint remains the streaming source of truth): downstream
+        # batch consumers — incremental analytics, compaction gating —
+        # read the same offset regardless of which mode harmonized ran
+        hi = obs.get["hi"]
+        if hi is not None:
+            log.commit("harmonize", int(hi))
 
     n = run_available_now(stream, checkpoint_dir, _merge_batch, "stream_harmonize")
     if n == 0:

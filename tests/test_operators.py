@@ -455,3 +455,29 @@ def test_transaction_crash_recovery_redoes_flips(spark, tmp_path, monkeypatch):
     assert recovered.read(spark, "ns.a").first()["x"] == 1
     assert recovered.read(spark, "ns.b").first()["x"] == 1
     assert not os.listdir(os.path.join(str(tmp_path), "_txn"))
+
+
+def test_register_views_sql_entry(spark, store):
+    """Raw-SQL entry point: warehouse tables become temp views a SQL
+    script can query end-to-end (SURVEY §3.3 parity)."""
+    from incremental_datapipeline_using_snowflake_spark.functions.sql_script import (
+        run_sql_script,
+    )
+
+    store.overwrite(
+        spark.createDataFrame([(1, 4.0), (2, 6.0)], "id long, v double"), "raw_co2.m"
+    )
+    store.overwrite(spark.createDataFrame([(1, "x")], "id long, tag string"), "analytics_co2.t")
+    views = store.register_views(spark)
+    assert views == ["analytics_co2__t", "raw_co2__m"]
+    out = run_sql_script(
+        spark,
+        """
+        -- script with a semicolon inside a literal; must not split
+        SELECT ';' AS lit;
+        SELECT sum(v) AS s FROM raw_co2__m JOIN analytics_co2__t USING (id);
+        """,
+    )
+    assert out.first()["s"] == 4.0
+    # namespace-scoped sweep
+    assert store.register_views(spark, namespace="raw_co2") == ["raw_co2__m"]
