@@ -153,16 +153,10 @@ class Orchestrator:
         stay row-group-prunable."""
         if not self.compact_after_files:
             return None
-        if self.streaming_harmonize:
-            # The streaming drain's file-source checkpoint tracks consumed
-            # files BY PATH; compaction rewrites the changelog into a new
-            # version directory, so every compacted file would look unseen
-            # and the next drain would replay the whole changelog through
-            # the merge (idempotent, but it bumps META_UPDATED_AT for all
-            # rows and defeats the empty-stream gate). Until compaction
-            # migrates the stream checkpoint, it only runs in batch mode,
-            # where the consumer offset is a _row_id watermark, not paths.
-            return None
+        # Streaming mode is compaction-safe since round 4: the drain drops
+        # rows at or below the committed named offset, so the checkpoint's
+        # path-based replay of compacted files merges nothing and the
+        # empty-stream gate still reports honestly.
         import os
 
         from ..operators.changelog import Changelog

@@ -95,18 +95,36 @@ def stream_harmonize(
 ) -> str:
     """SP2 (``co2_harmonized_sp/function.py:171-192``) as a streaming drain:
     every pending changelog batch is projected to the harmonized schema and
-    MERGEd on DATE. The checkpoint replaces the named consumer offset."""
+    MERGEd on DATE. The checkpoint replaces the named consumer offset.
+
+    Compaction-safe: the file source tracks consumed FILES by path, so a
+    compaction rewrite makes every (already-consumed) row look new to the
+    checkpoint. Each micro-batch therefore drops rows at or below the
+    committed named offset before merging — replayed files become empty
+    merges, and a drain that consumed only replays reports an empty
+    stream instead of bumping every row's audit column.
+    """
     log = Changelog(store, raw_table, embedded=True)
     if not store.exists(log.log_table):
         return "No data in stream to process"
     stream = changelog_stream(spark, store, raw_table, embedded=True)
+    merged_rows = 0
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Observation
+        nonlocal merged_rows
 
+        committed = int(log._read_meta()["offsets"].get("harmonize", -1))
+        fresh = batch_df.filter(
+            (F.col("_action") == "INSERT") & (F.col("_row_id") > committed)
+        )
+        # one small agg over the micro-batch gates replay-only batches OUT
+        # before the merge runs at all (a compaction replay re-delivers
+        # every file; its rows are all <= the committed offset)
+        n, hi = fresh.agg(F.count(F.lit(1)), F.max("_row_id")).first()
+        if not n:
+            return
         src = (
-            batch_df.filter(F.col("_action") == "INSERT")
-            .withColumn("DATE", F.make_date("YEAR", "MONTH", "DAY"))
+            fresh.withColumn("DATE", F.make_date("YEAR", "MONTH", "DAY"))
             .select(
                 "DATE",
                 "YEAR",
@@ -114,22 +132,20 @@ def stream_harmonize(
                 "DAY",
                 "CO2_PPM",
                 F.current_timestamp().alias("META_UPDATED_AT"),
-                "_row_id",
             )
         )
-        obs = Observation()
-        src = src.observe(obs, F.max("_row_id").alias("hi")).drop("_row_id")
         merge_upsert(spark, store, harmonized_table, src, keys=["DATE"])
+        merged_rows += int(n)
         # mirror the consumed high-water mark into the NAMED offset (the
         # checkpoint remains the streaming source of truth): downstream
         # batch consumers — incremental analytics, compaction gating —
         # read the same offset regardless of which mode harmonized ran
-        hi = obs.get["hi"]
-        if hi is not None:
-            log.commit("harmonize", int(hi))
+        log.commit("harmonize", int(hi))
 
     n = run_available_now(stream, checkpoint_dir, _merge_batch, "stream_harmonize")
-    if n == 0:
+    if n == 0 or merged_rows == 0:
+        # zero micro-batches, or batches that carried only replayed
+        # (post-compaction) rows — either way nothing new was merged
         return "No data in stream to process"
 
     # A2 parity with the batch path (plans/pipeline.py harmonize) and the

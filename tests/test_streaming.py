@@ -67,10 +67,10 @@ def test_orchestrator_streaming_mode(spark, store, tmp_path):
     from incremental_datapipeline_using_snowflake_spark.plans import Orchestrator, bootstrap
 
     bootstrap(store)
-    # compact_after_files=1 would trigger compaction on every run in batch
-    # mode; in streaming mode it must NOT fire — the file-source checkpoint
-    # tracks consumed files by path, so a compaction rewrite would make the
-    # next drain replay the entire changelog through the merge.
+    # compact_after_files=1 fires compaction every run. The file-source
+    # checkpoint tracks consumed files by path, so each rewrite makes the
+    # next drain replay the whole changelog — the drain's named-offset
+    # filter must merge NOTHING from the replay and keep the gate honest.
     orch = Orchestrator(
         spark,
         store,
@@ -80,19 +80,24 @@ def test_orchestrator_streaming_mode(spark, store, tmp_path):
     )
     r1 = orch.run(feed_text=FEED_V1)
     assert "complete" in r1["harmonized"] and "complete" in r1["analytics"]
-    assert "maintenance" not in r1
-    assert store.read(spark, "analytics_co2.daily_co2_stats").count() == 3
+    daily1 = {
+        r["DATE"]: r["META_UPDATED_AT"]
+        for r in store.read(spark, "analytics_co2.daily_co2_stats").collect()
+    }
+    assert len(daily1) == 3
 
-    r2 = orch.run(feed_text=FEED_V2)  # incremental
-    assert "maintenance" not in r2
+    r2 = orch.run(feed_text=FEED_V2)  # incremental on top of a compaction
+    assert "complete" in r2["harmonized"]
     assert store.read(spark, "analytics_co2.daily_co2_stats").count() == 5
 
-    r3 = orch.run(feed_text=FEED_V2)  # nothing new
+    r3 = orch.run(feed_text=FEED_V2)  # nothing new (but files were rewritten)
     assert r3["raw"] == "No new data to load"
-    # the empty-stream gate survives: compaction never invalidated the
-    # checkpoint, so the drain sees zero new files (not a full replay)
+    # replayed post-compaction files merge zero rows -> honest empty gate
     assert r3["harmonized"] == "No data in stream to process"
     assert r3["analytics"] == "skipped (stream empty)"
+    assert store.read(spark, "analytics_co2.daily_co2_stats").count() == 5
+    # maintenance ran at least once across the runs (fragmented -> rewrite)
+    assert any("files_before" in r.get("maintenance", "") for r in (r1, r2, r3))
 
 
 def test_parse_feed_path_landing_zone(spark, tmp_path):
