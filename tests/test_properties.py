@@ -240,3 +240,36 @@ def test_pagerank_matches_integer_model(sp, edges, iters):
             acc[v] += r[u] // outdeg[u]
         r = {v: base + PR_DAMP_NUM * acc[v] // PR_DAMP_DEN for v in nodes}
     assert got == r
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(v1=rows, v2=rows)
+def test_table_changes_reconstructs_target_version(sp, tmp_path_factory, v1, v2):
+    """CDF round-trip property: applying table_changes(v1 -> v2) onto v1
+    must reconstruct v2 exactly — DELETE/UPDATE_BEFORE keys removed,
+    INSERT/UPDATE_AFTER rows added — for arbitrary version pairs
+    (including empty diffs, disjoint key sets, and value-only updates)."""
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+
+    # unique keys per version (a version is a keyed table state)
+    v1 = list({k: (k, v) for k, v in v1}.values())
+    v2 = list({k: (k, v) for k, v in v2}.values())
+    store = TableStore(root=str(tmp_path_factory.mktemp("cdf")), keep_versions=3)
+    store.overwrite(_df(sp, v1), "ns.t")
+    store.overwrite(_df(sp, v2), "ns.t")
+    ch = store.table_changes(sp, "ns.t", 1, 2, key_cols=["k"]).collect()
+
+    state = {k: v for k, v in v1}
+    for r in ch:
+        if r["_action"] in ("DELETE", "UPDATE_BEFORE"):
+            # pre-image rows must report the OLD value and version
+            assert state[r["k"]] == r["v"] and r["_version"] == 1
+            if r["_action"] == "DELETE":
+                del state[r["k"]]
+        else:  # INSERT / UPDATE_AFTER carry the new image
+            assert r["_version"] == 2
+            state[r["k"]] = r["v"]
+    assert state == {k: v for k, v in v2}
+    # churn-proportionality: unchanged keys emit nothing
+    unchanged = {k for k, v in v1 if (k, v) in set(v2)}
+    assert all(r["k"] not in unchanged for r in ch)
