@@ -84,19 +84,29 @@ def asof_join_cogrouped(
         + [f"{v} {right_types[v]}" for v in value_cols]
     )
     lcols = list(left.columns)
+    # Rename the right's ts BEFORE cogrouping: Spark's cogroup resolves the
+    # output schema's names against child attributes and prunes columns no
+    # output name claims — a right-side column that shares the left's ts
+    # name loses that resolution (the left wins) and silently vanishes
+    # from the Arrow batch. With the rename, every output name maps 1:1 to
+    # exactly one child attribute and nothing needed is pruned.
+    right = right.withColumnRenamed(ts_col, right_ts_alias)
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if lpdf.empty:
             return pd.DataFrame(columns=lcols + [right_ts_alias] + value_cols)
         lp = lpdf.sort_values(ts_col, kind="mergesort")
-        rp = rpdf[[ts_col, *value_cols]].rename(columns={ts_col: right_ts_alias})
-        if rp.empty:
+        # guard BEFORE selecting columns: a group present only on the left
+        # arrives with an empty right pdf that may carry no columns at all
+        if rpdf.empty or right_ts_alias not in rpdf.columns:
             out = lp.copy()
             out[right_ts_alias] = pd.NaT
             for v in value_cols:
                 out[v] = None
             return out[lcols + [right_ts_alias] + value_cols]
-        rp = rp.sort_values(right_ts_alias, kind="mergesort")
+        rp = rpdf[[right_ts_alias, *value_cols]].sort_values(
+            right_ts_alias, kind="mergesort"
+        )
         out = pd.merge_asof(
             lp,
             rp,

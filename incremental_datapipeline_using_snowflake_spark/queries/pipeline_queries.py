@@ -245,6 +245,81 @@ ORDER BY event_id LIMIT 50
 
 
 # ---------------------------------------------------------------------------
+# cdc_apply_changes — the APPEND_ONLY=false stream shape through the REAL
+# operator: a deterministic INSERT+DELETE change batch (with _row_id order)
+# applied to a committed target table via operators.merge.apply_changes
+# (last-action-wins per key, single-pass anti-join ∪ final-insert-images).
+# Reference stream semantics: 02_create_rawco2data_stream.py:50-56. Oracle =
+# the same last-action resolution written as a window + anti-join in SQL.
+# ---------------------------------------------------------------------------
+_CDC_STORE_CACHE: dict[tuple[str, str], object] = {}
+
+
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.merge import apply_changes
+    from ..operators.table_store import TableStore
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    store = _CDC_STORE_CACHE.get(key)
+    if store is None:
+        store = TableStore(root=tempfile.mkdtemp(prefix="spark_cdc_"))
+        orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        target = orders.filter(F.col("o_orderkey") % 2 == 0)
+        inserts = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"),
+            F.lit("INSERT").alias("_action"),
+            (F.col("o_orderkey") * 2).alias("_row_id"),
+        )
+        deletes = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+            "o_orderkey",
+            F.lit(None).cast("double").alias("o_totalprice"),
+            F.lit("DELETE").alias("_action"),
+            (F.col("o_orderkey") * 2 + 1).alias("_row_id"),
+        )
+        store.overwrite(target, "cdc.orders_state")
+        apply_changes(
+            spark,
+            store,
+            "cdc.orders_state",
+            inserts.unionByName(deletes),
+            keys=["o_orderkey"],
+        )
+        _CDC_STORE_CACHE[key] = store
+    return store.read(spark, "cdc.orders_state").orderBy("o_orderkey")
+
+
+CDC_APPLY_SQL = """
+WITH target AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+),
+changes AS (
+  SELECT o_orderkey, round(o_totalprice * 1.1, 4) AS o_totalprice,
+         'INSERT' AS a, o_orderkey * 2 AS rid
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, NULL, 'DELETE', o_orderkey * 2 + 1
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+last AS (
+  SELECT o_orderkey, o_totalprice, a FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY rid DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+)
+SELECT o_orderkey, o_totalprice FROM (
+  SELECT t.o_orderkey, t.o_totalprice FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM last WHERE last.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, o_totalprice FROM last WHERE a = 'INSERT'
+)
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # decimal_typed_stats — NUMBER(35,4) typed parity (SURVEY §1.3): the
 # reference declares its kernel surface over Snowflake NUMBER(35,4)
 # (udfs_and_spoc/normalize_co2.sql:2-6); this exercises the DecimalType(35,4)
@@ -377,4 +452,5 @@ QUERIES: dict = {
     "stream_sample": (stream_sample, STREAM_SAMPLE_SQL),
     "table_changes_cdf": (table_changes_cdf, TABLE_CHANGES_SQL),
     "decimal_typed_stats": (decimal_typed_stats, DECIMAL_TYPED_SQL),
+    "cdc_apply_changes": (cdc_apply_changes, CDC_APPLY_SQL),
 }

@@ -43,6 +43,33 @@ def asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of join through the cogrouped-map ``applyInPandas`` +
+    ``pd.merge_asof`` escape hatch (ops/arrowops.py) — the per-key custom
+    merge-logic surface, now oracle-checked against the identical DuckDB
+    ASOF JOIN as the relational form (tie semantics pinned equal by
+    tests/test_temporal_prep.py)."""
+    from ..ops.arrowops import asof_join_cogrouped
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < ASOF_MAX_USER)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join_cogrouped(
+        views, purchases, key="user_id", ts_col="ts", value_cols=["value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "matched_ts",
+        F.round("value", 6).alias("purchase_value"),
+    ).orderBy("event_id")
+
+
 ASOF_SQL = f"""
 SELECT v.event_id, v.user_id, v.ts,
        p.ts AS matched_ts,
@@ -393,6 +420,7 @@ LIMIT 15
 
 QUERIES: dict = {
     "asof_view_purchase": (asof_view_purchase, ASOF_SQL),
+    "asof_cogrouped": (asof_cogrouped, ASOF_SQL),
     "range_join_windows": (range_join_windows, RANGE_JOIN_SQL),
     "rolling_user_stats": (rolling_user_stats, ROLLING_SQL),
     "doc_chunking": (doc_chunking, CHUNKING_SQL),
