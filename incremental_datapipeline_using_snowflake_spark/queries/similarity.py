@@ -702,8 +702,59 @@ ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# ann_recall_eval — index QUALITY as a first-class operator: recall@k of the
+# IVF index against the exact brute-force baseline, per query. The metric
+# every production ANN deployment tracks (a fast index with unmeasured
+# recall is a guess); composed entirely from the two existing oracle-checked
+# top-k forms, so the DuckDB twin replays both and must agree on every hit.
+# ---------------------------------------------------------------------------
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = S.bruteforce_topk(emb, queries, k=TOP_K).select(
+        "query_id", "nbr_id"
+    )
+    approx = S.ivf_topk(emb, query_ids=list(range(N_QUERIES)), k=TOP_K).select(
+        "query_id", F.col("nbr_id").alias("a_nbr_id")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.nbr_id == approx.a_nbr_id),
+        "left",
+    ).groupBy(exact.query_id.alias("query_id"))
+    return (
+        hits.agg(F.count("a_nbr_id").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits") / F.lit(TOP_K)).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH exact AS (
+  SELECT query_id, nbr_id FROM ({ANN_BRUTEFORCE_SQL})
+),
+approx AS (
+  SELECT query_id, nbr_id FROM ({ANN_IVF_SQL})
+)
+SELECT e.query_id,
+       count(a.nbr_id) AS n_hits,
+       count(a.nbr_id) / {TOP_K}.0 AS recall_at_k
+FROM exact e
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.nbr_id = e.nbr_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
 QUERIES: dict = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
+    "ann_recall_eval": (ann_recall_eval, ANN_RECALL_SQL),
     "kmeans_clusters": (kmeans_clusters, _kmeans_sql()),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
