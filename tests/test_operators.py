@@ -481,3 +481,40 @@ def test_register_views_sql_entry(spark, store):
     assert out.first()["s"] == 4.0
     # namespace-scoped sweep
     assert store.register_views(spark, namespace="raw_co2") == ["raw_co2__m"]
+
+
+def test_reader_in_flight_survives_overwrite(spark, store):
+    """Stage-and-swap guarantee: a DataFrame planned against version N
+    still collects correctly after an overwrite commits version N+1
+    (keep_versions retains the previous pointer's version)."""
+    name = "ns.inflight"
+    store.overwrite(spark.createDataFrame([(1,)], "x long"), name)
+    reader = store.read(spark, name)  # plan resolves v1's path now
+    store.overwrite(spark.createDataFrame([(2,)], "x long"), name)
+    assert reader.first()["x"] == 1  # old snapshot, still readable
+    assert store.read(spark, name).first()["x"] == 2  # new pointer
+
+
+def test_merge_upsert_shuffle_join_path(spark, store):
+    """broadcast_source=False (source too big to broadcast): AQE plans
+    shuffle joins keyed on the merge key; results identical to the
+    broadcast plan."""
+    name_a, name_b = "ns.m_bcast", "ns.m_shuffle"
+    target = spark.createDataFrame(
+        [(k, float(k)) for k in range(200)], "k long, v double"
+    )
+    source = spark.createDataFrame(
+        [(k, float(k) * 10) for k in range(100, 300)], "k long, v double"
+    )
+    store.overwrite(target, name_a)
+    store.overwrite(target, name_b)
+    merge_upsert(spark, store, name_a, source, keys=["k"], count_rows=False)
+    merge_upsert(
+        spark, store, name_b, source, keys=["k"], count_rows=False,
+        broadcast_source=False,
+    )
+    a = sorted(tuple(r) for r in store.read(spark, name_a).collect())
+    b = sorted(tuple(r) for r in store.read(spark, name_b).collect())
+    assert a == b
+    assert len(a) == 300  # 0..99 untouched, 100..199 updated, 200..299 inserted
+    assert dict(a)[150] == 1500.0 and dict(a)[250] == 2500.0
