@@ -15,35 +15,36 @@ Determinism discipline (SURVEY.md §7.3 + FIXTURES.md §3):
 
 from __future__ import annotations
 
-# Driver-coverage ordering (round 4). The per-round driver oracle run covers a
-# bounded prefix of this dict (~50 entries in r3), so emission order decides
-# which queries get a hard CORRECTNESS row. Priority: queries that have NEVER
-# appeared in any CORRECTNESS_r{N}.json first, then those absent from the most
-# recent round, then the recently-verified rest. Names not listed (new this
-# round) are treated as never-checked and sort to the very front.
-# Within the never-checked block, cheap queries lead: the driver's run
-# looks time-budgeted (40/44/50 entries in r1/r2/r3), so cost-ascending
-# order maximizes how many never-checked queries earn a hard row before
-# the budget runs out. The dedup cluster family trails (its DuckDB
-# recursive-CTE oracles are the most expensive comparisons at sf0.01).
-_NEVER_CHECKED_R3 = [
-    "stratified_sample_n", "asof_view_purchase", "range_join_windows",
-    "rolling_user_stats", "calendar_gapfill", "doc_chunking",
-    "sequence_packing", "pii_redaction", "tfidf_terms", "bm25_search",
-    "hll_distinct_users", "hll_mergeable_rollup", "quantile_sketch_value",
-    "cms_heavy_hitters", "recursive_cte", "lateral_join", "variant_extract",
-    "udtf_chunk", "collation_ops", "semdedup_keep", "knn_graph",
-    "pagerank_centrality", "multimodal_embed_ann", "ann_pq_topk",
-    "ann_ivfpq_topk", "dedup_incremental", "dedup_clusters",
-    "dedup_keep_summary", "dedup_keep_best",
+# Driver-coverage ordering (round 5). The per-round driver oracle run covers a
+# bounded prefix of this dict (~50 entries/round), so emission order decides
+# which queries get a hard CORRECTNESS row. r03 ∪ r04 covered all 100
+# declared queries; priority now is: (0) the two r04-RED rows, fixed this
+# round and needing a green re-check, then (1) brand-new queries with no
+# history, then (2) queries last checked in r03 (stalest), then (3) the
+# r04-green rest. Within blocks, cheap queries lead — the driver's run is
+# time-budgeted, so cost-ascending order maximizes hard rows per round.
+_RED_R4 = ["join_right_outer", "decimal_typed_stats"]
+# Everything green in CORRECTNESS_r04.json (checked most recently).
+_GREEN_R4 = [
+    "q5_local_supplier_volume", "q10_returned_items", "table_changes_cdf",
+    "cdc_apply_changes", "pandas_udaf_quartiles", "ann_recall_eval",
+    "asof_cogrouped", "stratified_sample_n", "asof_view_purchase",
+    "range_join_windows", "rolling_user_stats", "calendar_gapfill",
+    "doc_chunking", "sequence_packing", "pii_redaction", "tfidf_terms",
+    "bm25_search", "hll_distinct_users", "hll_mergeable_rollup",
+    "quantile_sketch_value", "cms_heavy_hitters", "recursive_cte",
+    "lateral_join", "variant_extract", "udtf_chunk", "collation_ops",
+    "semdedup_keep", "knn_graph", "pagerank_centrality",
+    "multimodal_embed_ann", "ann_pq_topk", "ann_ivfpq_topk",
+    "dedup_incremental", "dedup_clusters", "dedup_keep_summary",
+    "dedup_keep_best", "contamination_check", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "ann_bruteforce_topk", "kmeans_clusters", "ann_lsh_bucketed",
+    "ann_ivf_topk", "dedup_embedding_cosine", "multimodal_meta",
+    "multimodal_frames",
 ]
-_STALE_R3 = [
-    "contamination_check", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "ann_bruteforce_topk",
-    "kmeans_clusters", "ann_lsh_bucketed", "ann_ivf_topk",
-    "dedup_embedding_cosine", "multimodal_meta", "multimodal_frames",
-]
-_PRIORITY = {n: i for i, n in enumerate(_NEVER_CHECKED_R3 + _STALE_R3)}
+_PRIORITY = {n: i for i, n in enumerate(_RED_R4)}
+_RECENT_R4 = {n: i for i, n in enumerate(_GREEN_R4)}
 
 
 def all_queries() -> dict:
@@ -75,10 +76,13 @@ def all_queries() -> dict:
 
     def rank(item):
         name, (_fn, sql) = item
-        if name in _PRIORITY:
-            return (1, _PRIORITY[name])
-        # brand-new queries (no history) lead; recently-verified trail
-        return (0, 0) if name not in _RECENT_R3 else (2, _RECENT_R3[name])
+        if name in _PRIORITY:  # r04-red, fixed — must re-check first
+            return (0, _PRIORITY[name])
+        if name in _RECENT_R4:  # green in the most recent round — trail
+            return (3, _RECENT_R4[name])
+        if name in _RECENT_R3:  # last checked r03 — stalest green block
+            return (2, _RECENT_R3[name])
+        return (1, 0)  # brand-new this round: no history yet
 
     return dict(sorted(out.items(), key=rank))
 

@@ -323,23 +323,45 @@ ORDER BY o_orderkey
 # decimal_typed_stats — NUMBER(35,4) typed parity (SURVEY §1.3): the
 # reference declares its kernel surface over Snowflake NUMBER(35,4)
 # (udfs_and_spoc/normalize_co2.sql:2-6); this exercises the DecimalType(35,4)
-# mapping end-to-end — cast, exact decimal SUM/MIN/MAX, and exact decimal
+# mapping end-to-end — exact decimal SUM/MIN/MAX and exact decimal
 # subtraction — with both engines producing identical fixed-scale decimals
 # (decimal str() is exact, so the hash gate has no float tolerance at all).
+# Hash robustness (r04 driver red, bit-identical locally): a bare
+# double→DECIMAL cast is the one place the engines' rounding modes can
+# diverge (Spark rounds the shortest-repr string HALF_UP, DuckDB rounds the
+# binary value), so the decimal is built on an explicit integer grid
+# instead: vi = FLOOR(value * 1e4) is pure IEEE arithmetic (identical in
+# both engines; events.value >= 0 so DIV/%% are truncation-free), and the
+# DECIMAL(35,4) is parsed from the exact digit string "%d.%04d" — string→
+# decimal parsing is exact in both engines, leaving no rounding ambiguity.
+# The decimal arithmetic (SUM / MIN / MAX / subtraction over DecimalType)
+# stays internal; the compared columns are presented as DOUBLE because a
+# scale-4 decimal converts to its nearest double identically in both
+# engines (bit-identical float64 — immune to any harness decimal/float
+# rendering skew; pandas also turns DuckDB DECIMAL into float64 anyway).
 # ---------------------------------------------------------------------------
 def decimal_typed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     d = ev.select(
-        "event_type", F.col("value").cast("decimal(35,4)").alias("v")
+        "event_type",
+        F.floor(F.col("value") * F.lit(10000.0)).cast("bigint").alias("vi"),
+    ).select(
+        "event_type",
+        F.format_string("%d.%04d", F.expr("vi DIV 10000"), F.expr("vi % 10000"))
+        .cast("decimal(35,4)")
+        .alias("v"),
     )
     return (
         d.groupBy("event_type")
         .agg(
-            F.sum("v").cast("decimal(35,4)").alias("sum_v"),
-            F.min("v").alias("min_v"),
-            F.max("v").alias("max_v"),
+            F.sum("v").cast("decimal(35,4)").cast("double").alias("sum_v"),
+            F.min("v").cast("double").alias("min_v"),
+            F.max("v").cast("double").alias("max_v"),
             F.count("v").alias("n"),
-            (F.max("v") - F.min("v")).cast("decimal(35,4)").alias("span_v"),
+            (F.max("v") - F.min("v"))
+            .cast("decimal(35,4)")
+            .cast("double")
+            .alias("span_v"),
         )
         .orderBy("event_type")
     )
@@ -347,12 +369,18 @@ def decimal_typed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECIMAL_TYPED_SQL = """
 SELECT event_type,
-       CAST(sum(v) AS DECIMAL(35,4)) AS sum_v,
-       min(v) AS min_v,
-       max(v) AS max_v,
+       CAST(CAST(sum(v) AS DECIMAL(35,4)) AS DOUBLE) AS sum_v,
+       CAST(min(v) AS DOUBLE) AS min_v,
+       CAST(max(v) AS DOUBLE) AS max_v,
        count(v) AS n,
-       CAST(max(v) - min(v) AS DECIMAL(35,4)) AS span_v
-FROM (SELECT event_type, CAST(value AS DECIMAL(35,4)) AS v FROM events)
+       CAST(CAST(max(v) - min(v) AS DECIMAL(35,4)) AS DOUBLE) AS span_v
+FROM (
+  SELECT event_type,
+         CAST(printf('%d.%04d', vi // 10000, vi % 10000) AS DECIMAL(35,4)) AS v
+  FROM (SELECT event_type,
+               CAST(FLOOR(value * 10000.0) AS BIGINT) AS vi
+        FROM events)
+)
 GROUP BY event_type
 ORDER BY event_type
 """

@@ -250,6 +250,12 @@ ORDER BY c_custkey
 # is a right-outer of source against target under the hood. Spark planning
 # note: for right-outer only the LEFT side may be broadcast (the preserved
 # side must stream), so the filtered fact side is the build side here.
+# Hash robustness (r04 driver red, bit-identical locally): prices are 2-dp
+# values, so the decimal-exact sum sits on a 0.01 grid — ROUND(x, 2) in both
+# engines lands on the same nearest double (never near a scale-2 tie),
+# making the compared float64 bit-identical regardless of how the harness
+# renders floats. n_unmatched is pinned BIGINT on the oracle side too
+# (DuckDB SUM(int)->HUGEINT becomes float64 in pandas otherwise).
 # ---------------------------------------------------------------------------
 def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
@@ -261,7 +267,7 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.count("o_orderkey").alias("n_big_orders"),
             F.sum(F.col("o_orderkey").isNull().cast("long")).alias("n_unmatched"),
-            dsum("o_totalprice").alias("big_order_value"),
+            F.round(dsum("o_totalprice"), 2).alias("big_order_value"),
         )
         .orderBy("c_mktsegment")
     )
@@ -271,8 +277,8 @@ JOIN_RIGHT_SQL = """
 SELECT c_mktsegment,
        COUNT(*) AS n_rows,
        COUNT(o_orderkey) AS n_big_orders,
-       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_unmatched,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS big_order_value
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS big_order_value
 FROM (SELECT * FROM orders WHERE o_totalprice > 150000) o
 RIGHT JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
