@@ -152,7 +152,46 @@ class TableStore:
             return f.read()
 
     # -- writes -----------------------------------------------------------
+    def _commits_file(self, name: str) -> str:
+        return os.path.join(self.table_dir(name), "_COMMITS")
+
+    def _committed_set(self, name: str) -> set[int]:
+        """Version numbers that were actually committed (pointer-flipped).
+
+        Distinguishes committed history (readable, restorable) from
+        staged-but-never-committed ``v=`` dirs left by a writer that died
+        before its commit point — those must NOT be served by
+        :meth:`read_version` or resurrected by :meth:`restore`, even when
+        a later commit allocates past them (a plain high-water mark would
+        legitimize such gap orphans). GC prunes the set alongside the
+        dirs, so it stays ~keep_versions entries. Stores created before
+        the file existed fall back to "dirs at or below the pointer".
+        """
+        cf = self._commits_file(name)
+        if os.path.exists(cf):
+            with open(cf) as f:
+                return set(json.load(f))
+        cur = self.current_version(name)
+        if cur is None:
+            return set()
+        return {v for v in self._all_version_dirs(name) if v <= cur}
+
+    def _write_committed_set(self, name: str, versions: set[int]) -> None:
+        cf = self._commits_file(name)
+        tmp = cf + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(versions), f)
+        os.replace(tmp, cf)
+
     def _commit_version(self, name: str, version: int) -> None:
+        # Mark committed BEFORE the pointer flip: a crash between the two
+        # writes only marks a fully-staged, internally-consistent dir as
+        # committed early (readable history, never current — harmless);
+        # the reverse order would leave the new CURRENT version looking
+        # like an orphan.
+        committed = self._committed_set(name)
+        if version not in committed:
+            self._write_committed_set(name, committed | {version})
         vf = self._version_file(name)
         tmp = vf + ".tmp"
         with open(tmp, "w") as f:
@@ -167,10 +206,11 @@ class TableStore:
         tdir = self.table_dir(name)
         os.makedirs(tdir, exist_ok=True)
         prev = self.current_version(name)
-        # allocate past every retained dir, not just the pointer: after a
-        # restore() the pointer can sit below a still-retained version,
-        # and reusing that number would clobber live history
-        new = max([prev or 0, *self.versions(name)]) + 1
+        # allocate past every on-disk dir (committed OR orphan-staged), not
+        # just the pointer: after a restore() the pointer can sit below a
+        # still-retained version, and reusing a number would clobber live
+        # history (or collide with a dying writer's staged dir)
+        new = max([prev or 0, *self._all_version_dirs(name)]) + 1
         target = os.path.join(tdir, f"v={new:06d}")
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -182,31 +222,47 @@ class TableStore:
         # GC versions beyond the retention window (the previous pointer's
         # version is always kept — even when restore() parked it below the
         # window — so a reader planned against the old pointer can still
-        # finish; deeper windows give time travel).
+        # finish; deeper windows give time travel). Dirs NOT in the
+        # committed set are orphans staged by a writer that died before
+        # its commit point — swept here so they can't accumulate (safe
+        # under the declared single-writer-per-table semantics: no other
+        # stage is in flight while gc runs).
         tdir = self.table_dir(name)
         floor = min(prev or new, new - self.keep_versions + 1)
-        for entry in os.listdir(tdir):
-            if entry.startswith("v="):
-                v = int(entry.split("=")[1])
-                if v < floor:
-                    shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+        committed = self._committed_set(name)
+        for v in self._all_version_dirs(name):
+            if v < floor or v not in committed:
+                shutil.rmtree(
+                    os.path.join(tdir, f"v={v:06d}"), ignore_errors=True
+                )
+        # prune set entries whose dirs are gone so the file stays small
+        live = set(self._all_version_dirs(name))
+        if committed - live:
+            self._write_committed_set(name, committed & live)
 
     def overwrite(
         self, df: DataFrame, name: str, partition_by: list[str] | None = None
     ) -> None:
         """Full-table replace via stage-and-swap; keeps one previous version."""
         new, prev = self._stage_version(df, name, partition_by)
+        self._commit_version(name, new)
         # a full rewrite has one uniform footer schema again — drop any
-        # schema pinned by a past evolving append so it can't go stale
+        # schema pinned by a past evolving append so it can't go stale.
+        # Removal comes AFTER the pointer flip: a stale _SCHEMA against the
+        # new version is harmless for one read (supersets NULL-fill), but a
+        # crash that removed it BEFORE the flip would leave the still-
+        # current mixed-footer version reading nondeterministic column sets
+        # — the exact hazard the file exists to prevent.
         sf = self._schema_file(name)
         if os.path.exists(sf):
             os.remove(sf)
-        self._commit_version(name, new)
+        self._schema_cache.pop(name, None)
         self._gc_versions(name, new, prev)
 
     # -- time travel -------------------------------------------------------
-    def versions(self, name: str) -> list[int]:
-        """Retained (readable) version numbers, ascending."""
+    def _all_version_dirs(self, name: str) -> list[int]:
+        """Every on-disk ``v=`` dir, committed or not (internal: allocation
+        and GC must see orphans; readers must not)."""
         tdir = self.table_dir(name)
         if not os.path.isdir(tdir):
             return []
@@ -216,23 +272,45 @@ class TableStore:
             if e.startswith("v=") and os.path.isdir(os.path.join(tdir, e))
         )
 
+    def versions(self, name: str) -> list[int]:
+        """Retained (readable) COMMITTED version numbers, ascending.
+
+        Staged-but-never-committed leftovers of a crashed writer are
+        excluded, so :meth:`read_version` can't serve and :meth:`restore`
+        can't resurrect data that was never committed (a torn multi-table
+        state).
+        """
+        committed = self._committed_set(name)
+        return [v for v in self._all_version_dirs(name) if v in committed]
+
     def read_version(self, spark: SparkSession, name: str, version: int) -> DataFrame:
-        """Time-travel read of a retained version (Delta `VERSION AS OF`
-        analogue). Raises ``FileNotFoundError`` for GC'd versions."""
+        """Time-travel read of a retained committed version (Delta
+        `VERSION AS OF` analogue). Raises ``FileNotFoundError`` for GC'd or
+        never-committed versions.
+
+        Reads with ``mergeSchema`` so a version holding mixed footers from
+        an evolving ``append(merge_schema=True)`` plans against the full
+        merged column set deterministically — a bare read samples ONE
+        footer and could silently drop the evolved column (the hazard
+        ``_persisted_schema`` documents; the pinned file covers only the
+        current version, so time travel merges footers instead)."""
         path = os.path.join(self.table_dir(name), f"v={version:06d}")
-        if not os.path.isdir(path):
+        if version not in self.versions(name) or not os.path.isdir(path):
             raise FileNotFoundError(
                 f"{name} v{version} not retained (have {self.versions(name)}; "
                 f"raise keep_versions for deeper history)"
             )
-        return spark.read.option("recursiveFileLookup", "false").parquet(path)
+        return (
+            spark.read.option("recursiveFileLookup", "false")
+            .option("mergeSchema", "true")
+            .parquet(path)
+        )
 
     def restore(self, name: str, version: int) -> None:
-        """Roll the table back to a retained version by pointer flip (the
-        Delta RESTORE analogue). The rolled-back-over version stays
-        retained until normal GC, so restore is itself reversible."""
-        path = os.path.join(self.table_dir(name), f"v={version:06d}")
-        if not os.path.isdir(path):
+        """Roll the table back to a retained committed version by pointer
+        flip (the Delta RESTORE analogue). The rolled-back-over version
+        stays retained until normal GC, so restore is itself reversible."""
+        if version not in self.versions(name):
             raise FileNotFoundError(
                 f"{name} v{version} not retained (have {self.versions(name)})"
             )
@@ -262,15 +340,41 @@ class TableStore:
         """
         old = self.read_version(spark, name, v_from)
         new = self.read_version(spark, name, v_to)
-        val_cols = [c for c in new.columns if c not in key_cols]
-        o = old.select(
-            *[F.col(c).alias(f"_o_{c}") for c in old.columns],
-            F.lit(True).alias("_in_old"),
-        )
-        n = new.select(
-            *[F.col(c).alias(f"_n_{c}") for c in new.columns],
-            F.lit(True).alias("_in_new"),
-        )
+        # value columns = the UNION of both versions' columns: a column
+        # present in only one version (schema evolved between them) still
+        # diffs — the absent side reads as typed NULL, so an added column's
+        # first values surface as UPDATEs instead of silent no-ops, and a
+        # dropped column's last values as UPDATEs instead of an unresolved
+        # `_o_<col>` AnalysisException.
+        old_types = dict(old.dtypes)
+        new_types = dict(new.dtypes)
+        missing_keys = [
+            k for k in key_cols if k not in old_types or k not in new_types
+        ]
+        if missing_keys:
+            raise ValueError(
+                f"table_changes({name}): key column(s) {missing_keys} absent "
+                f"from one of versions v{v_from}/v{v_to} — keys cannot evolve"
+            )
+        val_cols = [c for c in new.columns if c not in key_cols] + [
+            c for c in old.columns if c not in key_cols and c not in new.columns
+        ]
+
+        def side(df: DataFrame, types: dict[str, str], tag: str) -> DataFrame:
+            cols = [
+                (
+                    F.col(c)
+                    if c in df.columns
+                    # type from the side that HAS the column, so the
+                    # null-safe struct compare lines up field-for-field
+                    else F.lit(None).cast(new_types.get(c) or old_types[c])
+                ).alias(f"_{tag}_{c}")
+                for c in [*key_cols, *val_cols]
+            ]
+            return df.select(*cols, F.lit(True).alias(f"_in_{'old' if tag == 'o' else 'new'}"))
+
+        o = side(old, old_types, "o")
+        n = side(new, new_types, "n")
         cond = [o[f"_o_{k}"].eqNullSafe(n[f"_n_{k}"]) for k in key_cols]
         j = o.join(n, cond, "full")
         same_vals = (
@@ -326,10 +430,14 @@ class TableStore:
             with open(jp) as f:
                 flips: dict[str, int] = json.load(f)
             for table, version in flips.items():
+                # flip first, THEN drop the pinned schema (mirrors
+                # overwrite(): a stale _SCHEMA is harmless, a missing one
+                # against a still-current mixed-footer version is not)
+                self._commit_version(table, version)
                 sf = self._schema_file(table)
                 if os.path.exists(sf):
                     os.remove(sf)
-                self._commit_version(table, version)
+                self._schema_cache.pop(table, None)
             os.remove(jp)
 
     @contextmanager
@@ -369,11 +477,16 @@ class TableStore:
         with open(tmp, "w") as f:
             json.dump(dict(txn.staged), f)
         os.replace(tmp, jp)  # <- commit point
+        # flip every pointer before any GC: gc sweeps dirs above the
+        # committed high-water mark as orphans, so a same-table second
+        # staged version must be committed before the first one's gc runs
         for table, version in txn.staged:
+            self._commit_version(table, version)
             sf = self._schema_file(table)
             if os.path.exists(sf):
                 os.remove(sf)
-            self._commit_version(table, version)
+            self._schema_cache.pop(table, None)
+        for table, _version in txn.staged:
             txn.finish_gc(table)
         os.remove(jp)
 

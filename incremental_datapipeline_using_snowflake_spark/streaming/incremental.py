@@ -92,6 +92,7 @@ def stream_harmonize(
     checkpoint_dir: str,
     raw_table: str = "raw_co2.co2_data",
     harmonized_table: str = "harmonized_co2.harmonized_co2",
+    max_files_per_trigger: int | None = None,
 ) -> str:
     """SP2 (``co2_harmonized_sp/function.py:171-192``) as a streaming drain:
     every pending changelog batch is projected to the harmonized schema and
@@ -107,13 +108,29 @@ def stream_harmonize(
     log = Changelog(store, raw_table, embedded=True)
     if not store.exists(log.log_table):
         return "No data in stream to process"
-    stream = changelog_stream(spark, store, raw_table, embedded=True)
+    stream = changelog_stream(
+        spark,
+        store,
+        raw_table,
+        max_files_per_trigger=max_files_per_trigger,
+        embedded=True,
+    )
     merged_rows = 0
+    # The committed offset is read ONCE, before the drain, and every
+    # micro-batch filters against this same snapshot; the running max is
+    # mirrored into the named offset only after the drain completes. The
+    # file source orders batches by mtime/path, not _row_id, so under
+    # maxFilesPerTrigger the files of one append can split across batches
+    # out of _row_id order — a per-batch read-filter-commit cycle would
+    # let an early high-water commit permanently drop a later batch's
+    # unconsumed rows. (Crash before the final commit only delays the
+    # mirror; replay through the keyed merge is idempotent.)
+    committed = int(log._read_meta()["offsets"].get("harmonize", -1))
+    running_hi = committed
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        nonlocal merged_rows
+        nonlocal merged_rows, running_hi
 
-        committed = int(log._read_meta()["offsets"].get("harmonize", -1))
         fresh = batch_df.filter(
             (F.col("_action") == "INSERT") & (F.col("_row_id") > committed)
         )
@@ -136,13 +153,15 @@ def stream_harmonize(
         )
         merge_upsert(spark, store, harmonized_table, src, keys=["DATE"])
         merged_rows += int(n)
+        running_hi = max(running_hi, int(hi))
+
+    n = run_available_now(stream, checkpoint_dir, _merge_batch, "stream_harmonize")
+    if merged_rows:
         # mirror the consumed high-water mark into the NAMED offset (the
         # checkpoint remains the streaming source of truth): downstream
         # batch consumers — incremental analytics, compaction gating —
         # read the same offset regardless of which mode harmonized ran
-        log.commit("harmonize", int(hi))
-
-    n = run_available_now(stream, checkpoint_dir, _merge_batch, "stream_harmonize")
+        log.commit("harmonize", running_hi)
     if n == 0 or merged_rows == 0:
         # zero micro-batches, or batches that carried only replayed
         # (post-compaction) rows — either way nothing new was merged

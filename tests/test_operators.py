@@ -518,3 +518,142 @@ def test_merge_upsert_shuffle_join_path(spark, store):
     assert a == b
     assert len(a) == 300  # 0..99 untouched, 100..199 updated, 200..299 inserted
     assert dict(a)[150] == 1500.0 and dict(a)[250] == 2500.0
+
+
+def test_read_version_sees_evolved_schema(spark, tmp_path):
+    """Time travel over a version holding mixed parquet footers (an
+    evolving append landed new-column files next to old ones) must plan
+    against the MERGED column set — a bare read samples one footer and can
+    silently drop the evolved column (r04 ADVICE, table_store.py:228)."""
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+
+    store = TableStore(root=str(tmp_path))
+    name = "ns.evolving"
+    store.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"), name)
+    store.append(
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, extra double"),
+        name,
+        merge_schema=True,
+    )
+    v = store.current_version(name)
+    got = store.read_version(spark, name, v)
+    assert "extra" in got.columns
+    rows = {r["k"]: r["extra"] for r in got.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+
+def test_table_changes_across_schema_evolution(spark, tmp_path):
+    """A column present in only ONE of the diffed versions still diffs:
+    values appearing in the added column surface as UPDATEs (not silent
+    no-ops), and diffing in the reverse direction doesn't raise on the
+    old-side alias (r04 ADVICE, table_store.py:265)."""
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+
+    store = TableStore(root=str(tmp_path), keep_versions=4)
+    name = "ns.evo_cdf"
+    store.overwrite(spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string"), name)
+    store.overwrite(
+        spark.createDataFrame([(1, "x", 1.5), (2, "y", None)],
+                              "k long, v string, w double"),
+        name,
+    )
+    ch = store.table_changes(spark, name, 1, 2, key_cols=["k"])
+    by = {(r["k"], r["_action"]): (r["v"], r["w"]) for r in ch.collect()}
+    # k=1: w went NULL -> 1.5 => UPDATE pair; k=2: w NULL -> NULL => unchanged
+    assert by[(1, "UPDATE_BEFORE")] == ("x", None)
+    assert by[(1, "UPDATE_AFTER")] == ("x", 1.5)
+    assert (2, "UPDATE_AFTER") not in by
+    # reverse direction: the column exists only on the OLD side — no
+    # unresolved-alias AnalysisException, values surface as UPDATE_BEFORE
+    rev = store.table_changes(spark, name, 2, 1, key_cols=["k"])
+    rby = {(r["k"], r["_action"]): r["w"] for r in rev.collect()}
+    assert rby[(1, "UPDATE_BEFORE")] == 1.5 and rby[(1, "UPDATE_AFTER")] is None
+    # missing key column is a hard error, not NULL-joined garbage
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key column"):
+        store.table_changes(spark, name, 1, 2, key_cols=["nope"])
+
+
+def test_orphan_staged_versions_not_served(spark, tmp_path):
+    """A v= dir staged by a writer that died BEFORE its commit point is
+    not committed data: versions() must not list it, read_version/restore
+    must refuse it, and the next overwrite sweeps it (r04 ADVICE,
+    table_store.py:208)."""
+    import os
+
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+
+    store = TableStore(root=str(tmp_path))
+    name = "ns.orphaned"
+    store.overwrite(spark.createDataFrame([(1,)], "x long"), name)
+    # simulate the dying writer: a fully-staged dir, no pointer flip
+    orphan_v = store.current_version(name) + 1
+    spark.createDataFrame([(99,)], "x long").write.parquet(
+        os.path.join(store.table_dir(name), f"v={orphan_v:06d}")
+    )
+    assert orphan_v not in store.versions(name)
+    with _pytest.raises(FileNotFoundError):
+        store.read_version(spark, name, orphan_v)
+    with _pytest.raises(FileNotFoundError):
+        store.restore(name, orphan_v)
+    # next overwrite allocates PAST the orphan (no clobber) and sweeps it
+    store.overwrite(spark.createDataFrame([(2,)], "x long"), name)
+    assert store.current_version(name) > orphan_v
+    assert not os.path.isdir(
+        os.path.join(store.table_dir(name), f"v={orphan_v:06d}")
+    )
+    assert store.read(spark, name).first()["x"] == 2
+
+
+def test_overwrite_crash_keeps_schema_pin(spark, tmp_path, monkeypatch):
+    """Crash injection between staging and the pointer flip: the pinned
+    _SCHEMA must survive (it is removed only AFTER the flip), so the
+    still-current mixed-footer version keeps reading its full evolved
+    column set (r04 ADVICE, table_store.py:201)."""
+    import os
+
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+
+    store = TableStore(root=str(tmp_path))
+    name = "ns.pinned"
+    store.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"), name)
+    store.append(
+        spark.createDataFrame([(2, "b", 7.0)], "k long, v string, extra double"),
+        name,
+        merge_schema=True,
+    )
+    assert os.path.exists(store._schema_file(name))
+
+    def crash(self, n, v):
+        raise RuntimeError("died before flip")
+
+    monkeypatch.setattr(TableStore, "_commit_version", crash)
+    with _pytest.raises(RuntimeError, match="died before flip"):
+        store.overwrite(spark.createDataFrame([(3, "c")], "k long, v string"), name)
+    monkeypatch.undo()
+    # pin intact -> a FRESH store still reads the evolved column
+    fresh = TableStore(root=str(tmp_path))
+    assert "extra" in fresh.read(spark, name).columns
+    # clean overwrite afterwards drops the now-stale pin
+    store.overwrite(spark.createDataFrame([(4, "d")], "k long, v string"), name)
+    assert not os.path.exists(store._schema_file(name))
+
+
+def test_transaction_same_table_twice_keeps_last(spark, tmp_path):
+    """Two staged overwrites of the SAME table in one transaction: the
+    later one wins and the earlier staged dir is not swept as an orphan
+    mid-commit (gc runs only after every pointer flip)."""
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+
+    store = TableStore(root=str(tmp_path))
+    name = "ns.twice"
+    store.overwrite(spark.createDataFrame([(0,)], "x long"), name)
+    with store.transaction() as txn:
+        txn.overwrite(spark.createDataFrame([(1,)], "x long"), name)
+        txn.overwrite(spark.createDataFrame([(2,)], "x long"), name)
+    assert store.read(spark, name).first()["x"] == 2

@@ -303,3 +303,33 @@ def test_changelog_stream_bounded_backfill(spark, tmp_path):
     q.awaitTermination(180)
     assert len(batches) >= 4                      # backlog split, not one blob
     assert sorted(k for b in batches for k in b) == [0, 1, 2, 3]  # exactly once
+
+
+def test_stream_harmonize_bounded_batches_offset_safe(spark, store, tmp_path):
+    """maxFilesPerTrigger splits one backlog across several micro-batches,
+    and the file source orders batches by mtime/path — NOT by _row_id. The
+    drain must filter every batch against the offset snapshot taken at
+    drain start and mirror only the running max AFTER the drain, so no
+    batch's rows can be dropped by an earlier batch's high-water commit
+    (r04 ADVICE, streaming/incremental.py:113)."""
+    from incremental_datapipeline_using_snowflake_spark.operators import Changelog
+
+    ckpt = str(tmp_path / "ckpt_bounded")
+    bootstrap(store)
+    # two separate appends -> at least two parquet files pending
+    load_raw(spark, store, feed_text=FEED_V1)
+    load_raw(spark, store, feed_text=FEED_V2)
+    msg = stream_harmonize(
+        spark, store, ckpt, max_files_per_trigger=1
+    )
+    assert "complete" in msg
+    harm = store.read(spark, "harmonized_co2.harmonized_co2")
+    assert harm.count() == 5  # all 5 distinct dates merged, none dropped
+    assert harm.select("DATE").distinct().count() == 5
+    # named offset mirrors the true consumed high-water mark
+    log = Changelog(store, "raw_co2.co2_data", embedded=True)
+    committed = int(log._read_meta()["offsets"].get("harmonize", -1))
+    hi = store.read(spark, log.log_table).agg(F.max("_row_id")).first()[0]
+    assert committed == int(hi)
+    # nothing pending afterwards
+    assert stream_harmonize(spark, store, ckpt) == "No data in stream to process"
