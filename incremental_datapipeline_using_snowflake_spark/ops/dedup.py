@@ -313,7 +313,7 @@ def repeated_passages(
     k: int = 8,
     min_docs: int = 2,
     top: int = 50,
-    strategy: str = "wide",
+    strategy: str = "narrow",
 ) -> DataFrame:
     """Exact-substring duplication finder: k-token passages appearing in at
     least ``min_docs`` distinct documents, ranked by total occurrences —
@@ -323,17 +323,18 @@ def repeated_passages(
 
     Two MEASURED strategies (sf0.1, 50k docs — see scripts/shuffle_metrics.py):
 
-    - ``"wide"`` (default): one explode, one groupBy shuffle keyed on the
-      passage string. 17.2 MB shuffled; one pass over the text. Best when
-      compute is the constraint (the explode is the expensive part) or the
-      corpus fits comfortably.
-    - ``"narrow"``: two passes. Pass 1 groups on ``xxhash64(passage)`` only
-      — counters, never strings, cross the wire (7.9 MB, 2.2× narrower);
-      pass 2 re-explodes and broadcast-semi-joins the surviving candidate
-      keys (≥ ``min_docs``) to recover exact strings for the final
-      ordering. Best at shuffle-bound scale, where network bytes dominate
-      a rescan's CPU. Exact — no top-k margin games; candidate recovery
-      happens before the limit.
+    - ``"narrow"`` (default): two passes. Pass 1 groups on
+      ``xxhash64(passage)`` only — counters, never strings, cross the wire
+      (7.9 MB, 2.2× narrower); pass 2 re-explodes and broadcast-semi-joins
+      the surviving candidate keys (≥ ``min_docs``) to recover exact
+      strings for the final ordering. At 100 TB shuffle bytes are the
+      bottleneck, so the shuffle-narrow shape is the default; exact — no
+      top-k margin games; candidate recovery happens before the limit.
+    - ``"wide"``: one explode, one groupBy shuffle keyed on the passage
+      string. 17.2 MB shuffled; one pass over the text. Best when compute
+      is the constraint (the explode is the expensive part) or the corpus
+      fits comfortably — the two strategies are a wash at sf0.1, which is
+      exactly why the local A/B can't see the scale win.
 
     A third shape — hash key + ``min(passage)`` carried as an aggregate —
     measured WORSE than both (21.5 MB: the carried string costs more than
