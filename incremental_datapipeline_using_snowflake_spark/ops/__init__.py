@@ -1,5 +1,6 @@
 from . import (
     clustering,
+    codecs,
     dedup,
     graph,
     multimodal,
@@ -15,6 +16,7 @@ __all__ = [
     "clustering",
     "dedup",
     "graph",
+    "codecs",
     "multimodal",
     "sampling",
     "similarity",
