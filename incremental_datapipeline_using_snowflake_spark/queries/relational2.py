@@ -525,16 +525,42 @@ ORDER BY vec_id
 
 # ---------------------------------------------------------------------------
 # stats_moments — the statistical aggregate family (corr / covariance /
-# stddev / variance / linear-regression aggregates). Both engines share the
-# textbook single-pass definitions; results are rounded at 4dp, far above
-# the last-ULP parallel-summation divergence (the only skipped members are
-# skewness/kurtosis, where Spark computes the population form and DuckDB
-# the sample form — a genuine definitional mismatch, not a precision one).
+# stddev / variance / linear-regression aggregates, plus skewness /
+# kurtosis). Both engines share the textbook single-pass definitions;
+# results are rounded at 4dp, far above the last-ULP parallel-summation
+# divergence. skewness/kurtosis can't use the built-ins (Spark computes the
+# population form, DuckDB the sample form — a definitional mismatch), so
+# BOTH engines compute the population/excess forms from raw power sums of
+# l_quantity on its exact integer grid: qi ∈ [1,50] keeps qi^4 sums within
+# exact BIGINT range, the shared moment polynomial runs on
+# identically-derived doubles, and the definitional gap disappears.
 # ---------------------------------------------------------------------------
+# identical expression text evaluated by BOTH engines over (n, s1..s4)
+_MOMENT_EXPRS = {
+    "skew_q": (
+        "round((CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE)"
+        " - 3*(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE))"
+        " + 2*power(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE), 3))"
+        " / power(CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE)"
+        "         - power(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE), 2), 1.5), 4)"
+    ),
+    "kurt_q": (
+        "round((CAST(s4 AS DOUBLE)/CAST(n AS DOUBLE)"
+        " - 4*(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE))"
+        " + 6*power(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE), 2)*(CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE))"
+        " - 3*power(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE), 4))"
+        " / power(CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE)"
+        "         - power(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE), 2), 2) - 3, 4)"
+    ),
+}
+
+
 def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "qi", F.col("l_quantity").cast("bigint")
+    )
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
-    return (
+    sums = (
         li.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -547,23 +573,45 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias(
                 "intercept"
             ),
+            F.sum("qi").alias("s1"),
+            F.sum(F.expr("qi*qi")).alias("s2"),
+            F.sum(F.expr("qi*qi*qi")).alias("s3"),
+            F.sum(F.expr("qi*qi*qi*qi")).alias("s4"),
+        )
+    )
+    return (
+        sums.select(
+            "l_returnflag", "n", "corr_qp", "covar_s", "covar_p", "std_s",
+            "var_p", "slope", "intercept",
+            F.expr(_MOMENT_EXPRS["skew_q"]).alias("skew_q"),
+            F.expr(_MOMENT_EXPRS["kurt_q"]).alias("kurt_q"),
         )
         .orderBy("l_returnflag")
     )
 
 
-STATS_MOMENTS_SQL = """
-SELECT l_returnflag,
-       count(*) AS n,
-       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
-       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
-       round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
-       round(stddev_samp(l_extendedprice), 4) AS std_s,
-       round(var_pop(l_extendedprice), 4) AS var_p,
-       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
-FROM lineitem
-GROUP BY l_returnflag
+STATS_MOMENTS_SQL = f"""
+SELECT l_returnflag, n, corr_qp, covar_s, covar_p, std_s, var_p, slope,
+       intercept,
+       {_MOMENT_EXPRS["skew_q"]} AS skew_q,
+       {_MOMENT_EXPRS["kurt_q"]} AS kurt_q
+FROM (
+  SELECT l_returnflag,
+         count(*) AS n,
+         round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+         round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+         round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
+         round(stddev_samp(l_extendedprice), 4) AS std_s,
+         round(var_pop(l_extendedprice), 4) AS var_p,
+         round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+         round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+         CAST(sum(qi) AS BIGINT) AS s1,
+         CAST(sum(qi*qi) AS BIGINT) AS s2,
+         CAST(sum(qi*qi*qi) AS BIGINT) AS s3,
+         CAST(sum(qi*qi*qi*qi) AS BIGINT) AS s4
+  FROM (SELECT *, CAST(l_quantity AS BIGINT) AS qi FROM lineitem)
+  GROUP BY l_returnflag
+)
 ORDER BY l_returnflag
 """
 
