@@ -9,6 +9,19 @@ bounded ones.
 
 Use when key-frequency stats (known a priori or sampled) identify hot keys;
 pass everything else through the normal join.
+
+MEASURED default (scripts/skew_stress.py, 1% of keys carrying 50% of 600k
+rows, non-broadcastable dim, sf0.1 — table in SHUFFLE.md): AQE skew-join
+split beats both alternatives — 0.60 s vs 1.44 s unmitigated vs 1.51 s
+salted, and salting shuffles 1.44x the bytes (the replicated dim). So the
+ENCODED DEFAULT is: leave joins unsalted and let AQE split (session.py
+turns it on); reach for :func:`salted_join` only when a single key's build
+side alone exceeds executor memory (AQE splits partitions, not keys) or
+the engine runs without AQE. Same story for aggregation: plain
+``groupBy`` map-side partial aggregation already de-skews algebraic aggs
+(0.49 s / 0.16 MB vs two-phase 0.81 s / 2.73 MB) — :func:`two_phase_agg`
+pays off only for holistic aggregates or when per-key partial groups are
+themselves too wide (e.g. collect_list-bounded state).
 """
 
 from __future__ import annotations
