@@ -156,6 +156,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     anchor_mod: int = 20,
     max_anchor_df: int = MAX_ANCHOR_DF,
+    candidates: str = "union",
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs by shingle-set Jaccard, candidates via anchor shingles.
@@ -169,6 +170,25 @@ def ngram_jaccard_pairs(
     every bucket's pair count to max_anchor_df² — without it one viral
     shingle makes the self-join quadratic in corpus size.
 
+    ``candidates`` selects the blocking strategy (r05, after the shard-scale
+    validation exposed a recall collapse):
+
+    - ``"anchor"``: the capped inverted index above. Precise and cheap when
+      vocabulary grows with the corpus (real text), but on a VOCABULARY-
+      SATURATED corpus every anchor's document frequency grows ∝ n, so at
+      some scale every bucket exceeds ``max_anchor_df`` and recall silently
+      collapses to ZERO (measured: 0 pairs at 16x sf0.1 in
+      scripts/scale_validation.py).
+    - ``"bands"``: MinHash LSH band buckets over the same shingle table.
+      Band keys live in the full hash space, so buckets stay
+      similarity-driven no matter how hot individual shingles get —
+      the scale-robust generator (measured alpha ~ 0.85).
+    - ``"union"`` (default): both, verified once — anchor precision plus
+      band recall; each side's pair space is independently bounded.
+
+    All strategies feed the same exact-Jaccard verification, so they differ
+    only in recall of TRUE pairs, never in precision.
+
     ``checkpoint_dir`` (the 100 TB path) EAGERLY runs the full shingle pass
     at call time and writes it under ``<checkpoint_dir>/ngram_shingles``
     (without it, the call is lazy plan construction plus an eager cache
@@ -176,6 +196,8 @@ def ngram_jaccard_pairs(
     nothing here deletes them, and the dir must outlive every action on the
     returned DataFrame, which re-reads it.
     """
+    if candidates not in ("anchor", "bands", "union"):
+        raise ValueError(f"candidates must be anchor|bands|union, got {candidates!r}")
     docs = _shingle_docs(
         df, text_col, id_col, checkpoint_dir=checkpoint_dir, checkpoint_name="ngram_shingles"
     )
@@ -199,7 +221,7 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    cand = (
+    anchor_cand = (
         anchors.groupBy("anchor")
         .agg(F.sort_array(F.collect_set("id")).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_anchor_df))
@@ -207,6 +229,15 @@ def ngram_jaccard_pairs(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+    if candidates == "anchor":
+        cand = anchor_cand
+    else:
+        band_cand = minhash_band_pairs(_signatures_from_shingles(docs))
+        cand = (
+            band_cand
+            if candidates == "bands"
+            else anchor_cand.unionByName(band_cand).distinct()
+        )
     return _verified_pairs(cand, docs, threshold)
 
 

@@ -77,10 +77,13 @@ def bruteforce_topk(
     )
 
 
-def plane_weight_int(p: int, d: int) -> int:
+def plane_weight_int(p: int, d: int, seed: int = 0) -> int:
     """Deterministic pseudo-random integer hyperplane component in
-    [-1000, 1000] — identical to the oracle's md5 expression."""
-    h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+    [-1000, 1000] — identical to the oracle's md5 expression. ``seed=0``
+    keeps the original ``{p}_{d}`` derivation (oracle-pinned); nonzero
+    seeds derive independent plane tables for multi-table LSH."""
+    key = f"{p}_{d}" if seed == 0 else f"t{seed}_{p}_{d}"
+    h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
     return h % 2001 - 1000
 
 
@@ -95,9 +98,16 @@ def planes_df(spark: SparkSession, dim: int, n_planes: int = N_PLANES) -> DataFr
 
 
 def lsh_signatures(
-    df: DataFrame, dim: int, vec_col: str = "embedding", id_col: str = "vec_id"
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = N_PLANES,
+    seed: int = 0,
 ) -> DataFrame:
-    """8-bit random-hyperplane signature per vector.
+    """``n_planes``-bit random-hyperplane signature per vector (defaults
+    reproduce the original oracle-pinned 8-bit table; ``seed`` selects an
+    independent plane table for multi-table LSH).
 
     Computed as a fold over per-vector expressions (planes inlined as
     literals) — zero joins, zero shuffles for the signature itself.
@@ -115,8 +125,8 @@ def lsh_signatures(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5))
     )
     sig = F.lit(0)
-    for p in range(N_PLANES):
-        w = F.array(*[F.lit(plane_weight_int(p, d + 1)) for d in range(dim)])
+    for p in range(n_planes):
+        w = F.array(*[F.lit(plane_weight_int(p, d + 1, seed)) for d in range(dim)])
         proj = F.aggregate(
             F.zip_with(xq, w, lambda x, y: x * y),
             F.lit(0).cast("long"),
@@ -152,21 +162,39 @@ def _materialize(
     return df
 
 
+def auto_n_cells(corpus: DataFrame) -> int:
+    """sqrt-scaled IVF cell count: ``max(N_IVF_CELLS, floor(sqrt(n)))``.
+
+    With a FIXED cell count, within-cell pair spaces grow ∝ (n/cells)² —
+    the shard-scale validation measured knn_graph at alpha ≈ 1.8 and
+    SemDeDup at ≈ 1.65 under fixed cells (scripts/scale_validation.py).
+    sqrt(n) cells keep the expected cell population ∝ sqrt(n), so the
+    total within-cell pair space is ∝ n·sqrt(n) worst-case and ~n for
+    balanced cells — the standard IVF sizing rule. Costs one COUNT (a
+    scalar, not a data collect).
+    """
+    return max(N_IVF_CELLS, int(corpus.count() ** 0.5))
+
+
 def ivf_assignments(
     corpus: DataFrame,
-    n_cells: int = N_IVF_CELLS,
+    n_cells: int | None = N_IVF_CELLS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: centroids = the ``n_cells`` lowest-id vectors
     (deterministic, oracle-replayable — no iterative Lloyd refinement, the
     'seed-IVF' scheme); every vector is assigned to its nearest centroid by
-    cosine.
+    cosine. ``n_cells=None`` auto-scales via :func:`auto_n_cells` — the
+    right choice whenever the corpus size isn't known a priori (declared
+    queries pin an explicit count for oracle replay).
 
     Returns (centroids, assignments(id, vec, cell)). At scale the
     assignment is one broadcast join (centroid table is tiny) + a
     per-cell-keyed shuffle for the probe join — never an all-pairs scan.
     """
+    if n_cells is None:
+        n_cells = auto_n_cells(corpus)
     c = corpus.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
     cents = (
         c.orderBy("id")
@@ -194,7 +222,7 @@ def ivf_topk(
     corpus: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    n_cells: int = N_IVF_CELLS,
+    n_cells: int | None = N_IVF_CELLS,
     n_probe: int = N_PROBE,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -279,7 +307,7 @@ def lsh_bucketed_topk(
 def semantic_dedup_keep(
     corpus: DataFrame,
     threshold: float = 0.999,
-    n_cells: int = N_IVF_CELLS,
+    n_cells: int | None = N_IVF_CELLS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     checkpoint_dir: str | None = None,
@@ -326,7 +354,7 @@ def semantic_dedup_keep(
 def knn_graph(
     corpus: DataFrame,
     k: int = 3,
-    n_cells: int = N_IVF_CELLS,
+    n_cells: int | None = N_IVF_CELLS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     checkpoint_dir: str | None = None,
@@ -362,6 +390,74 @@ def knn_graph(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("src_id", "rank", "nbr_id", "cell", "cosine")
+    )
+
+
+def knn_graph_lsh(
+    corpus: DataFrame,
+    k: int = 3,
+    target_bucket: int = 64,
+    n_tables: int = 2,
+    n_planes: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """LINEAR-scale approximate k-NN graph via multi-table hyperplane LSH.
+
+    The seed-IVF :func:`knn_graph` is Θ(n^1.5) at its sqrt(n)-cell optimum
+    (assignment work n·cells balances in-cell pairs n²/cells — the shard
+    validation measured alpha ≈ 1.46, right on theory). This variant
+    removes the assignment join entirely: bucket ids are computed PER ROW
+    from ``n_planes = ceil(log2(n / target_bucket))`` hyperplane signs, so
+    expected bucket population stays ~``target_bucket`` no matter how big
+    the corpus gets and total pair work is Θ(n · target_bucket · n_tables)
+    — linear by construction (measured alpha ≈ 1.0 in
+    scripts/scale_validation.py).
+
+    Recall: one table only sees same-bucket neighbors; ``n_tables``
+    independent plane tables union their candidate pairs (the classic LSH
+    recall knob — each table halves the miss probability for near
+    neighbors). Output contract matches :func:`knn_graph` minus the cell
+    column: (src_id, rank, nbr_id, cosine).
+    """
+    import math
+
+    if n_planes is None:
+        n = corpus.count()  # scalar probe, not a data collect
+        n_planes = max(4, math.ceil(math.log2(max(2.0, n / target_bucket))))
+    dim = len(corpus.select(vec_col).first()[0])
+    pair_parts = []
+    for t in range(n_tables):
+        sigs = lsh_signatures(
+            corpus, dim, vec_col, id_col, n_planes=n_planes, seed=t
+        ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket")
+        sigs = _materialize(sigs, checkpoint_dir, f"knn_lsh_sigs_{t}")
+        a = sigs.withColumnsRenamed({"id": "src_id", "v": "va"})
+        b = sigs.withColumnsRenamed({"id": "nbr_id", "v": "vb"})
+        # score INSIDE the bucket join (map-side after the bucket shuffle):
+        # only (src, nbr, cosine) survives into the cross-table dedup, so
+        # the wide vectors never cross the pair-dedup exchange (measured
+        # 215 MB -> ~5 MB at 2x before this projection was pushed down)
+        pair_parts.append(
+            a.join(b, "bucket")
+            .filter(F.col("src_id") != F.col("nbr_id"))
+            .select(
+                "src_id",
+                "nbr_id",
+                F.round(cosine(_dvec("va"), _dvec("vb")), 6).alias("cosine"),
+            )
+        )
+    pairs = pair_parts[0]
+    for p in pair_parts[1:]:
+        pairs = pairs.unionByName(p)
+    # same pair from two tables carries the same cosine — max() is a dedup
+    scored = pairs.groupBy("src_id", "nbr_id").agg(F.max("cosine").alias("cosine"))
+    w = W.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "rank", "nbr_id", "cosine")
     )
 
 

@@ -58,6 +58,7 @@ def all_queries() -> dict:
         streamops,
         temporal_prep,
         textops,
+        tpch_more,
     )
 
     out: dict = {}
@@ -71,6 +72,7 @@ def all_queries() -> dict:
         temporal_prep,
         sketches_q,
         spark4,
+        tpch_more,
     ):
         out.update(mod.QUERIES)
 

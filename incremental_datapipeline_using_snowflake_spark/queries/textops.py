@@ -323,6 +323,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NGRAM_MINS = ", ".join(
+    f"min(({D.MINHASH_A[i]} * h + {D.MINHASH_B[i]}) % {D.MINHASH_MOD}) AS m{i}"
+    for i in range(D.N_MINHASH)
+)
+_NGRAM_BANDS = " UNION ALL ".join(
+    f"SELECT id, {b} AS band, md5(m{2*b} || '_' || m{2*b+1}) AS bh FROM nsigs"
+    for b in range(D.N_MINHASH // 2)
+)
+
+# candidates = anchor buckets UNION minhash band buckets (ops default
+# "union" — the band side keeps recall alive on vocabulary-saturated
+# corpora where every anchor's DF exceeds the cap; see
+# ops/dedup.ngram_jaccard_pairs and scripts/scale_validation.py)
 DEDUP_NGRAM_SQL = f"""
 WITH {CORPUS_SQL.strip()},
 {_SHINGLES_SQL.strip()},
@@ -336,9 +349,24 @@ rare AS (
 anchors AS (
   SELECT a.id, a.anchor FROM anchors0 a JOIN rare USING (anchor)
 ),
-cand AS (
+acand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM anchors a JOIN anchors b ON a.anchor = b.anchor AND a.id < b.id
+),
+nsigs AS (
+  SELECT id, {_NGRAM_MINS}
+  FROM (
+    SELECT id, s % {D.MINHASH_MOD} AS h
+    FROM (SELECT id, unnest(sh) AS s FROM docs2)
+  ) GROUP BY id
+),
+nbands AS ({_NGRAM_BANDS}),
+bcand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM nbands x JOIN nbands y ON x.band = y.band AND x.bh = y.bh AND x.id < y.id
+),
+cand AS (
+  SELECT id_a, id_b FROM acand UNION SELECT id_a, id_b FROM bcand
 )
 SELECT id_a, id_b,
        round(len(list_intersect(da.sh, db.sh))

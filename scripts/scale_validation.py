@@ -1,0 +1,217 @@
+"""Scale validation of the dedup/ANN family: is wall time linear in input?
+
+The 100-TB claims in SHUFFLE.md argue from plan shape (blocked candidate
+spaces, bucketed self-joins, mergeable sketches). This script tests them
+EMPIRICALLY off toy scale: it builds corpora at 1x / 4x / 16x the driver's
+sf0.1 size by SHARDING the real tables through structure-preserving
+transforms — shard 0 is the real corpus verbatim; shard r applies a
+per-shard vocabulary permutation to documents (bijective on shingles, so
+every planted near-dup group and length distribution survives EXACTLY) and
+an orthogonal coordinate-permutation + sign-flip to embeddings (cosines
+preserved EXACTLY, so the planted ANN/cluster structure survives). Dup
+rate and cluster structure are therefore held constant while n grows:
+output is linear in n by construction, and any super-linear WALL TIME is
+the engine's fault, not the data's.
+
+It then runs the declared dedup/ANN queries on each size and fits
+per-query scaling exponents alpha = log(y_hi/y_lo) / log(size ratio) for
+wall time, shuffle bytes, and output rows. alpha ~ 1 = linear;
+alpha ~ 2 = a quadratic pair space (the thing the blocking prevents).
+
+Generated data lives under /tmp (never /root/testdata); results are
+recorded in BASELINE.md. Usage::
+
+    python scripts/scale_validation.py [--mults 1,4,16] [--queries a,b,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(__file__))
+
+from shuffle_metrics import collect_metrics  # noqa: E402
+
+BASE_SF_DIR = "/root/testdata/sf0.1"
+BASE_DOCS = 5000       # sf0.1 documents rows
+BASE_VECS = 2000       # sf0.1 embeddings rows
+
+FAMILY = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "passage_dedup",
+    "dedup_clusters",
+    "semdedup_keep",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "knn_graph",
+    "kmeans_clusters",
+    "knn_graph_auto",
+    "semdedup_auto",
+    "knn_graph_lsh",
+]
+
+
+def generate(out_dir: str, mult: int, seed: int = 42) -> None:
+    """Write documents.parquet + embeddings.parquet at ``mult``x sf0.1 size:
+    ``mult`` structure-preserving shards of the REAL sf0.1 tables."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs0 = pq.read_table(f"{BASE_SF_DIR}/documents.parquet")
+    emb0 = pq.read_table(f"{BASE_SF_DIR}/embeddings.parquet")
+    base_texts = docs0.column("text").to_pylist()
+    vocab = sorted({w for t in base_texts for w in t.split()})
+    base_ids = docs0.column("doc_id").to_pylist()
+    langs = docs0.column("lang").to_pylist()
+    sources = docs0.column("source").to_pylist()
+    vecs0 = np.array(emb0.column("embedding").to_pylist(), dtype=np.float32)
+    vids0 = np.array(emb0.column("vec_id").to_pylist())
+    labels0 = emb0.column("label").to_pylist()
+
+    doc_ids: list[int] = []
+    texts: list[str] = []
+    all_langs: list[str] = []
+    all_sources: list[str] = []
+    vec_parts = []
+    vid_parts = []
+    for r in range(mult):
+        rng = np.random.default_rng(seed * 1000 + r)
+        if r == 0:
+            shard_texts = base_texts
+        else:
+            perm = {w: p for w, p in zip(vocab, rng.permutation(vocab))}
+            shard_texts = [
+                " ".join(perm[w] for w in t.split()) for t in base_texts
+            ]
+        texts.extend(shard_texts)
+        doc_ids.extend(i + r * BASE_DOCS for i in base_ids)
+        all_langs.extend(langs)
+        all_sources.extend(sources)
+        if r == 0:
+            vec_parts.append(vecs0)
+        else:
+            cperm = rng.permutation(vecs0.shape[1])
+            signs = rng.choice([-1.0, 1.0], size=vecs0.shape[1]).astype(np.float32)
+            vec_parts.append(vecs0[:, cperm] * signs)  # orthogonal: cosines kept
+        vid_parts.append(vids0 + r * BASE_VECS)
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(all_langs, pa.string()),
+            "source": pa.array(all_sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(docs, f"{out_dir}/documents.parquet")
+    emb = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(vid_parts), pa.int64()),
+            "embedding": pa.array(
+                np.concatenate(vec_parts).tolist(), pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels0 * mult, pa.int32()),
+        }
+    )
+    pq.write_table(emb, f"{out_dir}/embeddings.parquet")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", default="1,4,16")
+    ap.add_argument("--queries", default=",".join(FAMILY))
+    args = ap.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+    names = args.queries.split(",")
+
+    from incremental_datapipeline_using_snowflake_spark.queries import all_queries
+    from incremental_datapipeline_using_snowflake_spark.session import get_session
+
+    spark = get_session("scale-validation")
+    qs = {n: fn for n, (fn, _sql) in all_queries().items() if n in names}
+
+    # auto-scaled ops forms (n_cells=None -> sqrt(n) IVF cells): the scale
+    # defaults the declared queries can't use (their oracles pin n_cells)
+    def _knn_auto(spark, d):
+        from incremental_datapipeline_using_snowflake_spark.ops import similarity as S
+
+        return S.knn_graph(spark.read.parquet(f"{d}/embeddings.parquet"), k=3, n_cells=None)
+
+    def _semdedup_auto(spark, d):
+        from incremental_datapipeline_using_snowflake_spark.ops import similarity as S
+
+        return S.semantic_dedup_keep(
+            spark.read.parquet(f"{d}/embeddings.parquet"), threshold=0.999, n_cells=None
+        )
+
+    def _knn_lsh(spark, d):
+        from incremental_datapipeline_using_snowflake_spark.ops import similarity as S
+
+        return S.knn_graph_lsh(spark.read.parquet(f"{d}/embeddings.parquet"), k=3)
+
+    for extra, fn in [
+        ("knn_graph_auto", _knn_auto),
+        ("semdedup_auto", _semdedup_auto),
+        ("knn_graph_lsh", _knn_lsh),
+    ]:
+        if extra in names:
+            qs[extra] = fn
+
+    results: dict[str, dict[int, tuple[float, float, int]]] = {n: {} for n in names}
+    with tempfile.TemporaryDirectory(prefix="scalegen_") as root:
+        for i, m in enumerate(mults):
+            d = os.path.join(root, f"m{m}")
+            t0 = time.time()
+            generate(d, m)
+            print(f"-- generated {m}x ({BASE_DOCS * m} docs / {BASE_VECS * m} vecs) "
+                  f"in {time.time() - t0:.1f}s")
+            if i == 0:
+                # JVM/codegen warmup on a THROWAWAY corpus (different dir +
+                # seed): warms JIT without priming the per-dir pair-table
+                # caches, so every timed run below pays its own build
+                w = os.path.join(root, "warmup")
+                generate(w, 1, seed=991)
+                for n in names:
+                    qs[n](spark, w).collect()
+            for n in names:
+                t0 = time.time()
+                df = qs[n](spark, d)
+                rows = len(df.collect())  # executes THIS plan (metrics attach)
+                wall = time.time() - t0
+                met = collect_metrics(df)
+                results[n][m] = (wall, met["shuffle_bytes"] / 1e6, rows)
+                print(f"  {n:26s} {wall:7.2f}s  {met['shuffle_bytes']/1e6:8.2f} MB  "
+                      f"{rows:>8,} rows")
+
+    lo, hi = mults[-2], mults[-1]
+    print(f"\nScaling exponents over the {lo}x -> {hi}x step "
+          f"(alpha: 1=linear, 2=quadratic; rows_alpha shows whether any "
+          f"growth is output-driven):")
+    print(f"{'query':28s} {'t_lo':>7} {'t_hi':>7} {'alpha_t':>8} "
+          f"{'MB_lo':>8} {'MB_hi':>8} {'alpha_B':>8} {'alpha_rows':>10}")
+    ratio = math.log(hi / lo)
+    for n in names:
+        (tl, bl, rl), (th, bh, rh) = results[n][lo], results[n][hi]
+        at = math.log(max(th, 1e-3) / max(tl, 1e-3)) / ratio
+        ab = (math.log(max(bh, 1e-4) / max(bl, 1e-4)) / ratio) if bl or bh else 0.0
+        ar = (math.log(max(rh, 1) / max(rl, 1)) / ratio) if rl or rh else 0.0
+        print(f"{n:28s} {tl:7.2f} {th:7.2f} {at:8.2f} {bl:8.2f} {bh:8.2f} "
+              f"{ab:8.2f} {ar:10.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -676,3 +676,85 @@ def test_repeated_passages_narrow_matches_wide(spark, sf_dir):
     narrow = [tuple(r) for r in repeated_passages(docs, strategy="narrow").collect()]
     assert wide == narrow
     assert len(wide) > 0
+
+
+def test_ngram_union_survives_vocab_saturation(spark):
+    """r05 scale fix: on a vocabulary-saturated corpus every anchor
+    shingle's DF exceeds the cap, so anchor-only candidate generation
+    silently finds NOTHING (the recall collapse scripts/scale_validation.py
+    measured at 16x). MinHash-band candidates are similarity-driven, so the
+    default 'union' strategy still recovers the planted duplicate pair."""
+    from incremental_datapipeline_using_snowflake_spark.ops.dedup import ngram_jaccard_pairs
+
+    base = " ".join(f"w{i % 4}" for i in range(30))  # 4-word vocab, all hot
+    rows = [(i, base + f" uniq{i}a uniq{i}b") for i in range(30)]
+    rows += [(100, base), (101, base)]  # planted exact pair, ALL shingles hot
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    anchor_only = ngram_jaccard_pairs(
+        df, candidates="anchor", max_anchor_df=5
+    ).collect()
+    assert not any(
+        (r["id_a"], r["id_b"]) == (100, 101) for r in anchor_only
+    ), "hot-shingle pair should be invisible to capped anchors"
+
+    union = ngram_jaccard_pairs(df, candidates="union", max_anchor_df=5).collect()
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in union}
+    assert found.get((100, 101)) == 1.0, f"union missed the planted pair: {sorted(found)[:5]}"
+
+
+def test_ivf_auto_cells_scale_with_corpus(spark):
+    """r05 scale fix: n_cells=None sizes the IVF quantizer at sqrt(n), so
+    within-cell pair spaces stop growing quadratically (knn_graph measured
+    alpha ~1.8 under fixed cells). The auto-scaled graph keeps the same
+    output contract: top-k in-cell neighbors per vector."""
+    from incremental_datapipeline_using_snowflake_spark.ops import similarity as S
+
+    n = 900
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 37 + d * 11) % 101 - 50) / 10 for d in range(4)])
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    assert S.auto_n_cells(emb) == 30  # sqrt(900)
+    g = S.knn_graph(emb, k=2, n_cells=None)
+    rows = g.collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["src_id"], []).append(r)
+    assert len(per_src) > n * 0.9  # nearly every vector has in-cell neighbors
+    assert all(len(v) <= 2 for v in per_src.values())
+    # assignment used ~sqrt(n) cells, not the fixed 16
+    assert g.select("cell").distinct().count() > 16
+
+
+def test_knn_graph_lsh_contract_and_recall(spark):
+    """knn_graph_lsh (the linear-scale kNN-graph path): per-source top-k
+    contract holds, and on a clustered corpus multi-table LSH recovers the
+    true nearest neighbor for most vectors (recall vs bruteforce)."""
+    import math
+
+    from incremental_datapipeline_using_snowflake_spark.ops import similarity as S
+
+    # 20 tight clusters x 10 members in 8 dims
+    rows = []
+    for c in range(20):
+        center = [math.sin(c * 1.7 + d) * 5 for d in range(8)]
+        for m in range(10):
+            rows.append(
+                (c * 10 + m, [center[d] + ((c * 10 + m) % 7 - 3) * 0.05 for d in range(8)])
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    g = {r["src_id"]: r for r in S.knn_graph_lsh(emb, k=1, n_tables=2).collect()}
+    assert all(r["rank"] == 1 for r in g.values())
+
+    bf = {
+        r["query_id"]: r["nbr_id"]
+        for r in S.bruteforce_topk(emb, emb, k=1).collect()
+    }
+    hits = sum(1 for i, r in g.items() if bf.get(i) == r["nbr_id"])
+    assert len(g) >= 190  # nearly every vector found in-bucket company
+    assert hits / len(g) >= 0.5, f"recall@1 {hits}/{len(g)}"
