@@ -449,6 +449,66 @@ ORDER BY src_id, rank
 """
 
 
+# knn_graph_lsh — the LINEAR-scale kNN-graph path (r05): multi-table
+# hyperplane LSH buckets instead of IVF cells. Here plane/table counts are
+# fixture-pinned for oracle replay; production sizing is
+# n_planes = log2(n / target_bucket) (see ops.similarity.knn_graph_lsh and
+# the alpha=0.92 measurement in BASELINE.md vs 1.46 for sqrt-cell IVF).
+KNN_LSH_PLANES = 5
+KNN_LSH_TABLES = 2
+
+
+def knn_graph_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.knn_graph_lsh(
+        emb, k=3, n_tables=KNN_LSH_TABLES, n_planes=KNN_LSH_PLANES
+    ).orderBy("src_id", "rank")
+
+
+_KNN_LSH_KEY = (
+    "CASE WHEN t = 0 THEN p || '_' || d ELSE 't' || t || '_' || p || '_' || d END"
+)
+
+KNN_LSH_SQL = f"""
+WITH planes AS (
+  SELECT t, p, d, ({_H.format(x=_KNN_LSH_KEY)} % 2001) - 1000 AS w
+  FROM (SELECT unnest(range(0, {KNN_LSH_TABLES})) AS t),
+       (SELECT unnest(range(0, {KNN_LSH_PLANES})) AS p),
+       (SELECT unnest(range(1, {EMB_DIM + 1})) AS d)
+),
+flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(floor(unnest(embedding::DOUBLE[]) * 1000000 + 0.5) AS BIGINT) AS xq
+  FROM embeddings
+),
+proj AS (
+  SELECT t, vec_id, p, sum(xq * w) AS s
+  FROM flat JOIN planes USING (d) GROUP BY t, vec_id, p
+),
+sig AS (
+  SELECT t, vec_id, CAST(sum(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY t, vec_id
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
+  FROM sig a JOIN sig b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+scored AS (
+  SELECT src_id, nbr_id,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = src_id
+  JOIN embeddings eb ON eb.vec_id = nbr_id
+)
+SELECT src_id, rank, nbr_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+ORDER BY src_id, rank
+"""
+
+
 def pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank over the IVF-blocked k-NN graph — graph
     centrality for corpus curation (central = representative of a dense
@@ -763,6 +823,7 @@ QUERIES: dict = {
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
     "semdedup_keep": (semdedup_keep, SEMDEDUP_SQL),
     "knn_graph": (knn_graph_q, KNN_GRAPH_SQL),
+    "knn_graph_lsh": (knn_graph_lsh_q, KNN_LSH_SQL),
     "pagerank_centrality": (pagerank_centrality, _pagerank_sql()),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_SQL),
     "multimodal_frames": (multimodal_frames, MULTIMODAL_FRAMES_SQL),

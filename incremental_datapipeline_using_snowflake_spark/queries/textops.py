@@ -317,8 +317,17 @@ SELECT canonical_id, n_copies FROM (
 # dedup_ngram_jaccard — anchor-bucketed shingle-Jaccard near-dup pairs.
 # ---------------------------------------------------------------------------
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # union form (r05): anchor-verified pairs ∪ the FAMILY-SHARED MinHash
+    # pair table. Verification is deterministic, so verify-each-then-union
+    # ≡ union-candidates-then-verify (ops ngram_jaccard_pairs
+    # candidates="union"), but this shape reuses the localCheckpoint-pinned
+    # pair table the cluster family already computes — the band/signature
+    # pass costs zero when any dedup_* query ran first.
+    anchor = D.ngram_jaccard_pairs(corpus_df(spark, sf_dir), candidates="anchor")
+    band_pairs, _comp = _shared_pairs_components(spark, sf_dir)
     return (
-        D.ngram_jaccard_pairs(corpus_df(spark, sf_dir))
+        anchor.unionByName(band_pairs)
+        .distinct()
         .orderBy("id_a", "id_b")
     )
 
