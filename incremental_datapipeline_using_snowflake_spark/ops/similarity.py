@@ -371,10 +371,13 @@ def knn_graph(
     assignment on rank-2 cells if needed.
     """
     _, assigned = ivf_assignments(corpus, n_cells, vec_col, id_col)
+    # norms precomputed per vector (one fold per pair at scoring instead
+    # of three — same doubles, the division tree is unchanged)
+    assigned = assigned.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     assigned = _materialize(assigned, checkpoint_dir, "knn_assigned")
 
-    a = assigned.withColumnsRenamed({"id": "src_id", "v": "va"})
-    b = assigned.withColumnsRenamed({"id": "nbr_id", "v": "vb"})
+    a = assigned.withColumnsRenamed({"id": "src_id", "v": "va", "nrm": "na"})
+    b = assigned.withColumnsRenamed({"id": "nbr_id", "v": "vb", "nrm": "nb"})
     scored = (
         a.join(b, "cell")
         .filter(F.col("src_id") != F.col("nbr_id"))
@@ -382,7 +385,9 @@ def knn_graph(
             "src_id",
             "nbr_id",
             "cell",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
@@ -429,12 +434,18 @@ def knn_graph_lsh(
     dim = len(corpus.select(vec_col).first()[0])
     pair_parts = []
     for t in range(n_tables):
+        # norms ride the materialized signature table: one fold per PAIR
+        # at scoring time (dot only) instead of three (dot + two norms) —
+        # the array aggregates are interpreted HOFs, so per-pair work is
+        # the hot loop here
         sigs = lsh_signatures(
             corpus, dim, vec_col, id_col, n_planes=n_planes, seed=t
-        ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket")
+        ).select(
+            F.col(id_col).alias("id"), _dvec(vec_col).alias("v"), "bucket"
+        ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
         sigs = _materialize(sigs, checkpoint_dir, f"knn_lsh_sigs_{t}")
-        a = sigs.withColumnsRenamed({"id": "src_id", "v": "va"})
-        b = sigs.withColumnsRenamed({"id": "nbr_id", "v": "vb"})
+        a = sigs.withColumnsRenamed({"id": "src_id", "v": "va", "nrm": "na"})
+        b = sigs.withColumnsRenamed({"id": "nbr_id", "v": "vb", "nrm": "nb"})
         # score INSIDE the bucket join (map-side after the bucket shuffle):
         # only (src, nbr, cosine) survives into the cross-table dedup, so
         # the wide vectors never cross the pair-dedup exchange (measured
@@ -445,7 +456,9 @@ def knn_graph_lsh(
             .select(
                 "src_id",
                 "nbr_id",
-                F.round(cosine(_dvec("va"), _dvec("vb")), 6).alias("cosine"),
+                F.round(
+                    dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+                ).alias("cosine"),
             )
         )
     pairs = pair_parts[0]
