@@ -645,3 +645,47 @@ def _band_rows(sigs: DataFrame) -> DataFrame:
         ]
     )
     return sigs.select("id", F.posexplode(band_hashes).alias("band", "bh"))
+
+
+def fuzzy_probe_join(
+    corpus: DataFrame,
+    probes: DataFrame,
+    text_col: str = "name",
+    id_col: str = "id",
+    probe_text_col: str = "probe_name",
+    probe_id_col: str = "probe_id",
+    max_distance: int = 2,
+) -> DataFrame:
+    """Entity-resolution probe: corpus strings within ``max_distance`` edit
+    operations of each probe string.
+
+    The probe set is the SMALL side (a watchlist, a query batch, a golden
+    entity table) and is broadcast; the corpus streams past it once —
+    never shuffled. Candidate pruning before the edit-distance kernel:
+    ``|len(a) - len(b)| <= d`` (a length difference is a lower bound on
+    edit distance) rides the join condition, and the kernel itself is
+    Spark's thresholded ``levenshtein(a, b, d)`` which abandons a row as
+    soon as the running minimum exceeds ``d`` (banded DP — O(d·n) per
+    pair instead of O(n²)).
+
+    For corpus-vs-corpus fuzzy matching (no small side to broadcast) this
+    shape is wrong — use the blocked generators (``ngram_jaccard_pairs``,
+    ``minhash_dedup_pairs``) whose candidate spaces don't grow with
+    |corpus|²; this probe form is the lookup half of that pipeline.
+
+    Output: (probe_id, probe_text, matched id, matched text, distance).
+    """
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"),
+        F.col(probe_text_col).alias("probe_text"),
+    )
+    c = corpus.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    joined = c.join(
+        F.broadcast(p),
+        F.abs(F.length("text") - F.length("probe_text")) <= max_distance,
+    )
+    dist = F.levenshtein(F.col("text"), F.col("probe_text"), max_distance)
+    return (
+        joined.select("probe_id", "probe_text", "id", "text", dist.alias("distance"))
+        .filter(F.col("distance") >= 0)  # thresholded form returns -1 past d
+    )

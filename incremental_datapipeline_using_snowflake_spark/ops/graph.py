@@ -237,3 +237,46 @@ def dedup_keep_best(
     )
     w = W.partitionBy("cluster_id").orderBy(F.desc("score"), F.asc(id_col))
     return labeled.withColumn("keep", F.row_number().over(w) == 1)
+
+
+def triangle_counts(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge set (pairs with
+    ``a < b``, already deduplicated — exactly what every ops.dedup pair
+    generator emits).
+
+    Triangles measure how clique-like a near-dup neighborhood is: a pair
+    component rich in triangles is a true duplicate cluster (every member
+    matches every other), while a triangle-poor chain is the transitive-
+    closure artifact (A~B~C but A!~C) that over-merges clusters — the
+    standard diagnostic for choosing between keep-one-per-component and
+    pairwise-verified pruning.
+
+    Plan shape (standard distributed node-iterator): each triangle
+    (a < b < c) is enumerated exactly once by joining wedges (a-b, b-c)
+    against the closing edge (a-c) — two hash-partition equi-joins on
+    node keys, never an all-pairs product; per-join fan-out is bounded by
+    per-node degree, which the upstream blocked pair generators already
+    bound. Output: (id, n_triangles) for every node in at least one
+    triangle.
+    """
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    ab = e.withColumnsRenamed({"a": "t_a", "b": "t_b"})
+    bc = e.withColumnsRenamed({"a": "t_b2", "b": "t_c"})
+    ac = e.withColumnsRenamed({"a": "t_a2", "b": "t_c2"})
+    tri = (
+        ab.join(bc, F.col("t_b") == F.col("t_b2"))
+        .join(
+            ac,
+            (F.col("t_a") == F.col("t_a2")) & (F.col("t_c") == F.col("t_c2")),
+            "left_semi",
+        )
+        .select("t_a", "t_b", "t_c")
+    )
+    members = (
+        tri.select(F.col("t_a").alias("id"))
+        .unionAll(tri.select(F.col("t_b").alias("id")))
+        .unionAll(tri.select(F.col("t_c").alias("id")))
+    )
+    return members.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -981,6 +981,83 @@ ORDER BY doc_id, bench_id
 """
 
 
+# ---------------------------------------------------------------------------
+# neardup_triangles — triangle counts over the MinHash near-dup graph: how
+# clique-like each duplicate neighborhood is (triangle-rich components are
+# true duplicate clusters; triangle-poor chains are transitive-closure
+# artifacts). Reuses the family-shared pair table; two node-keyed equi-joins
+# enumerate each a<b<c triangle exactly once (ops.graph.triangle_counts).
+# ---------------------------------------------------------------------------
+def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.graph import triangle_counts
+
+    pairs, _comp = _shared_pairs_components(spark, sf_dir)
+    return triangle_counts(pairs).orderBy(F.desc("n_triangles"), "id").limit(100)
+
+
+def _triangles_sql() -> str:
+    return f"""
+WITH {_minhash_pairs_cte()},
+tri AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.id_b = e2.id_a
+  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+),
+members AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+)
+SELECT id, count(*) AS n_triangles
+FROM members GROUP BY id
+ORDER BY n_triangles DESC, id
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_name_match — entity-resolution probe: every 37th customer name,
+# deterministically corrupted (one digit deleted at a key-dependent
+# position), matched back against the full name corpus within edit
+# distance 2. The probe set broadcasts; the corpus streams past it once
+# with a length-difference prune in the join condition and Spark's
+# THRESHOLDED levenshtein (banded DP, abandons past d) as the kernel.
+# Corpus-vs-corpus fuzzy matching uses the blocked pair generators instead
+# (see ops.dedup.fuzzy_probe_join docstring).
+# ---------------------------------------------------------------------------
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    probes = cust.filter(F.col("c_custkey") % 37 == 0).select(
+        F.col("c_custkey").alias("probe_id"),
+        F.concat(
+            F.expr("substring(c_name, 1, 9 + CAST(c_custkey % 9 AS INT))"),
+            F.expr("substring(c_name, 11 + CAST(c_custkey % 9 AS INT), 100)"),
+        ).alias("probe_name"),
+    )
+    corpus = cust.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    out = D.fuzzy_probe_join(
+        corpus, probes, text_col="name", id_col="id",
+        probe_text_col="probe_name", probe_id_col="probe_id", max_distance=2,
+    )
+    return out.select("probe_id", "id", "distance").orderBy("probe_id", "id")
+
+
+FUZZY_NAME_SQL = """
+WITH probes AS (
+  SELECT c_custkey AS probe_id,
+         substring(c_name, 1, CAST(9 + c_custkey % 9 AS INT))
+         || substring(c_name, CAST(11 + c_custkey % 9 AS INT), 100) AS probe_name
+  FROM customer WHERE c_custkey % 37 = 0
+)
+SELECT probe_id, c_custkey AS id, levenshtein(c_name, probe_name) AS distance
+FROM customer JOIN probes
+  ON abs(length(c_name) - length(probe_name)) <= 2
+WHERE levenshtein(c_name, probe_name) <= 2
+ORDER BY probe_id, id
+"""
+
+
 QUERIES: dict = {
     "text_profile": (text_profile, _text_profile_sql()),
     "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SQL),
@@ -1000,4 +1077,6 @@ QUERIES: dict = {
     "dedup_incremental": (dedup_incremental, _dedup_incremental_sql()),
     "dedup_keep_best": (dedup_keep_best, _dedup_keep_best_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
+    "neardup_triangles": (neardup_triangles, _triangles_sql()),
+    "fuzzy_name_match": (fuzzy_name_match, FUZZY_NAME_SQL),
 }

@@ -758,3 +758,32 @@ def test_knn_graph_lsh_contract_and_recall(spark):
     hits = sum(1 for i, r in g.items() if bf.get(i) == r["nbr_id"])
     assert len(g) >= 190  # nearly every vector found in-bucket company
     assert hits / len(g) >= 0.5, f"recall@1 {hits}/{len(g)}"
+
+
+def test_triangle_counts_on_known_graph(spark):
+    """Triangles on a hand-built graph: one 4-clique (every member in 3
+    triangles), one open chain (no triangles)."""
+    from incremental_datapipeline_using_snowflake_spark.ops.graph import triangle_counts
+
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]  # K4
+    edges += [(10, 11), (11, 12), (12, 13)]  # chain — triangle-free
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # C(3,2)=3 per K4 member; chain absent
+
+
+def test_fuzzy_probe_join_thresholds(spark):
+    """fuzzy_probe_join: distances computed exactly, threshold respected,
+    length prune never drops a within-threshold match."""
+    from incremental_datapipeline_using_snowflake_spark.ops.dedup import fuzzy_probe_join
+
+    corpus = spark.createDataFrame(
+        [(1, "spark"), (2, "spank"), (3, "sparkle"), (4, "duck")],
+        "id long, name string",
+    )
+    probes = spark.createDataFrame([(100, "spark")], "probe_id long, probe_name string")
+    got = {
+        r["id"]: r["distance"]
+        for r in fuzzy_probe_join(corpus, probes, max_distance=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}  # duck (distance 4) excluded
