@@ -12,6 +12,7 @@ comments, so a semicolon inside a literal never splits a statement.
 from __future__ import annotations
 
 import os
+import re as _re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -56,13 +57,196 @@ def split_sql_statements(text: str) -> list[str]:
     return [s.strip() for s in stmts if s.strip()]
 
 
-def run_sql_script(spark: SparkSession, text: str) -> DataFrame | None:
+def _code_segments(text: str) -> list[tuple[bool, str]]:
+    """Split SQL into (is_code, segment) runs where non-code segments are
+    string literals, quoted identifiers, and comments — so dialect
+    rewrites never touch the inside of a literal."""
+    segs: list[tuple[bool, str]] = []
+    buf: list[str] = []
+    i, n = 0, len(text)
+
+    def flush():
+        if buf:
+            segs.append((True, "".join(buf)))
+            buf.clear()
+
+    while i < n:
+        ch = text[i]
+        nxt = text[i + 1] if i + 1 < n else ""
+        if ch == "-" and nxt == "-":
+            j = text.find("\n", i)
+            j = n if j < 0 else j
+            flush()
+            segs.append((False, text[i:j]))
+            i = j
+        elif ch == "/" and nxt == "*":
+            j = text.find("*/", i + 2)
+            j = n - 2 if j < 0 else j
+            flush()
+            segs.append((False, text[i : j + 2]))
+            i = j + 2
+        elif ch in ("'", '"', "`"):
+            j = i + 1
+            while j < n:
+                if text[j] == ch:
+                    if ch == "'" and j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            flush()
+            segs.append((False, text[i : j + 1]))
+            i = j + 1
+        else:
+            buf.append(ch)
+            i += 1
+    flush()
+    return segs
+
+
+# Snowflake-ism -> Spark-SQL spelling, applied word-wise in code segments
+# only. Each entry is (compiled regex on code text, replacement).
+_SNOWFLAKE_FUNCS = [
+    (_re.compile(r"\bIFF\s*\(", _re.IGNORECASE), "if("),
+    (_re.compile(r"\bDATEADD\s*\(", _re.IGNORECASE), "timestampadd("),
+    (_re.compile(r"\bDATEDIFF\s*\(", _re.IGNORECASE), "timestampdiff("),
+    (_re.compile(r"\bTO_VARCHAR\s*\(", _re.IGNORECASE), "CAST_TO_STRING("),
+    (_re.compile(r"\bCREATE\s+OR\s+REPLACE\s+TRANSIENT\s+TABLE\b", _re.IGNORECASE),
+     "CREATE OR REPLACE TABLE"),
+    (_re.compile(r"\bCREATE\s+TRANSIENT\s+TABLE\b", _re.IGNORECASE), "CREATE TABLE"),
+]
+_QUALIFY_RE = _re.compile(r"\bQUALIFY\b", _re.IGNORECASE)
+_TAIL_RE = _re.compile(r"\b(ORDER\s+BY|LIMIT|OFFSET)\b", _re.IGNORECASE)
+_FROM_RE = _re.compile(r"\bFROM\b", _re.IGNORECASE)
+
+
+def _apply_func_maps(stmt: str) -> str:
+    out: list[str] = []
+    for is_code, seg in _code_segments(stmt):
+        if is_code:
+            for rx, rep in _SNOWFLAKE_FUNCS:
+                seg = rx.sub(rep, seg)
+            # TO_VARCHAR(x) -> CAST(x AS STRING): single-arg form only; the
+            # marker keeps the paren math simple
+            while "CAST_TO_STRING(" in seg:
+                k = seg.index("CAST_TO_STRING(")
+                depth, j = 0, k + len("CAST_TO_STRING(")
+                while j < len(seg):
+                    if seg[j] == "(":
+                        depth += 1
+                    elif seg[j] == ")":
+                        if depth == 0:
+                            break
+                        depth -= 1
+                    j += 1
+                inner = seg[k + len("CAST_TO_STRING(") : j]
+                seg = seg[:k] + f"CAST({inner} AS STRING)" + seg[j + 1 :]
+        out.append(seg)
+    return "".join(out)
+
+
+def _depth_positions(stmt: str):
+    """(position, paren_depth) for every code character; non-code regions
+    are skipped (depth carried through)."""
+    pos = 0
+    depth = 0
+    for is_code, seg in _code_segments(stmt):
+        if is_code:
+            for off, ch in enumerate(seg):
+                yield pos + off, ch, depth
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth = max(0, depth - 1)
+        pos += len(seg)
+
+
+def _rewrite_qualify(stmt: str) -> str:
+    """Rewrite a top-level Snowflake ``QUALIFY <pred>`` into standard SQL:
+
+        SELECT <list> FROM ... QUALIFY <pred> [ORDER BY/LIMIT tail]
+        ->
+        SELECT * EXCEPT (__qualify) FROM (
+            SELECT <list>, (<pred>) AS __qualify FROM ...
+        ) WHERE __qualify [tail]
+
+    Window functions are legal in a projection, so the predicate computes
+    as a projected boolean; Snowflake scoping (predicate sees the SELECT
+    scope) is preserved. Only the OUTERMOST query's QUALIFY is rewritten —
+    subquery QUALIFYs (depth > 0) are left untouched and will surface as a
+    parse error rather than a silent misrewrite.
+    """
+    code_text = "".join(s if c else " " * len(s) for c, s in _code_segments(stmt))
+    qpos = None
+    for pos, _ch, depth in _depth_positions(stmt):
+        if depth == 0 and _QUALIFY_RE.match(code_text, pos) and qpos is None:
+            qpos = pos
+    if qpos is None:
+        return stmt
+    head = stmt[:qpos].rstrip()
+    after = stmt[qpos + len("QUALIFY") :]
+    after_code = code_text[qpos + len("QUALIFY") :]
+    # find the top-level tail (ORDER BY / LIMIT / OFFSET) within `after`
+    tail_at = None
+    depth = 0
+    for off, ch in enumerate(after_code):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif depth == 0 and _TAIL_RE.match(after_code, off):
+            tail_at = off
+            break
+    pred = (after if tail_at is None else after[:tail_at]).strip()
+    tail = "" if tail_at is None else after[tail_at:]
+    # insert ", (pred) AS __qualify" before the first top-level FROM
+    from_at = None
+    for pos, _ch, depth in _depth_positions(head):
+        if depth == 0 and _FROM_RE.match(code_text, pos):
+            from_at = pos
+            break
+    if from_at is None:
+        return stmt  # not a SELECT...FROM shape; leave untouched
+    inner = f"{head[:from_at].rstrip()}, ({pred}) AS __qualify {head[from_at:]}"
+    return (
+        f"SELECT * EXCEPT (__qualify) FROM ({inner}) WHERE __qualify {tail}".rstrip()
+    )
+
+
+def translate_snowflake_sql(stmt: str) -> str:
+    """Best-effort Snowflake -> Spark SQL statement translation (the
+    dialect the reference's users actually write):
+
+    - ``QUALIFY <pred>`` -> subquery + WHERE (Spark has no QUALIFY);
+    - ``IFF`` -> ``if``, ``DATEADD``/``DATEDIFF`` -> ``timestampadd``/
+      ``timestampdiff`` (same argument order), single-arg ``TO_VARCHAR(x)``
+      -> ``CAST(x AS STRING)``;
+    - ``CREATE [OR REPLACE] TRANSIENT TABLE`` -> the non-transient form
+      (the engine's TableStore/temp views stand in for transience).
+
+    String literals, quoted identifiers, and comments are never touched.
+    Already-Spark-compatible constructs (``GROUP BY ALL``, ``ILIKE``,
+    ``::`` casts, ``LISTAGG`` — all native in Spark 4) pass through.
+    """
+    return _rewrite_qualify(_apply_func_maps(stmt))
+
+
+def run_sql_script(
+    spark: SparkSession, text: str, dialect: str = "spark"
+) -> DataFrame | None:
     """Execute every statement in ``text`` in order; returns the last
     statement's DataFrame (the reference runner returns only success, but a
     result handle costs nothing here — statements are lazy until acted on,
-    except DDL/commands which Spark executes eagerly)."""
+    except DDL/commands which Spark executes eagerly).
+
+    ``dialect="snowflake"`` routes each statement through
+    :func:`translate_snowflake_sql` first, so reference-style scripts
+    (QUALIFY / IFF / DATEADD / TRANSIENT tables) run unmodified.
+    """
     result: DataFrame | None = None
     for stmt in split_sql_statements(text):
+        if dialect == "snowflake":
+            stmt = translate_snowflake_sql(stmt)
         result = spark.sql(stmt)
     return result
 

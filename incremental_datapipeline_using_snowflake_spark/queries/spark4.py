@@ -208,10 +208,43 @@ ORDER BY segment
 """
 
 
+# ---------------------------------------------------------------------------
+# snowflake_dialect_qualify — the Snowflake-dialect entry point
+# (functions/sql_script.translate_snowflake_sql): the SAME Snowflake-style
+# statement text (QUALIFY + if()) runs on BOTH engines — DuckDB executes
+# QUALIFY natively, Spark through the dialect shim's subquery rewrite — so
+# the oracle checks the translation itself, not a hand-written twin.
+# Reference parity: the reference's users write Snowflake SQL
+# (udfs_and_spoc/*.sql, orchestrate_tasks.sql.j2); this is the migration
+# path for their QUALIFY/IFF/DATEADD scripts.
+# ---------------------------------------------------------------------------
+SNOWFLAKE_QUALIFY_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       if(o_totalprice > 250000, 'big', 'small') AS size_class
+FROM {orders}
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) = 1
+ORDER BY o_custkey
+"""
+
+
+def snowflake_dialect_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sql_script import run_sql_script
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sfq_orders")
+    return run_sql_script(
+        spark, SNOWFLAKE_QUALIFY_SQL.format(orders="sfq_orders"), dialect="snowflake"
+    )
+
+
 QUERIES: dict = {
     "recursive_cte": (recursive_cte, RECURSIVE_CTE_SQL),
     "lateral_join": (lateral_join, LATERAL_JOIN_SQL),
     "variant_extract": (variant_extract, VARIANT_SQL),
     "udtf_chunk": (udtf_chunk, UDTF_CHUNK_SQL),
     "collation_ops": (collation_ops, COLLATION_SQL),
+    "snowflake_dialect_qualify": (
+        snowflake_dialect_qualify,
+        SNOWFLAKE_QUALIFY_SQL.format(orders="orders"),
+    ),
 }

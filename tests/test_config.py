@@ -86,3 +86,39 @@ def test_profile_store_and_session(spark, tmp_path, monkeypatch):
     # restore the shared test session's sizing
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_translate_snowflake_sql_unit():
+    """Dialect shim: QUALIFY rewrite, function maps, literal protection."""
+    from incremental_datapipeline_using_snowflake_spark.functions.sql_script import (
+        translate_snowflake_sql as tr,
+    )
+
+    out = tr("SELECT a FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1")
+    assert out.startswith("SELECT * EXCEPT (__qualify) FROM (")
+    assert "(ROW_NUMBER() OVER (ORDER BY a) = 1) AS __qualify" in out
+    assert out.rstrip().endswith("WHERE __qualify")
+
+    # trailing ORDER BY / LIMIT stay OUTSIDE the subquery
+    out = tr("SELECT a FROM t QUALIFY rank() OVER (ORDER BY a) <= 2 ORDER BY a LIMIT 5")
+    assert out.rstrip().endswith("WHERE __qualify ORDER BY a LIMIT 5")
+
+    # function spellings
+    assert tr("SELECT IFF(x > 0, 'p', 'n') FROM t") == "SELECT if(x > 0, 'p', 'n') FROM t"
+    assert tr("SELECT DATEADD(day, 3, d) FROM t") == "SELECT timestampadd(day, 3, d) FROM t"
+    assert (
+        tr("SELECT TO_VARCHAR(x + f(y)) FROM t")
+        == "SELECT CAST(x + f(y) AS STRING) FROM t"
+    )
+    assert tr("CREATE OR REPLACE TRANSIENT TABLE t AS SELECT 1") == (
+        "CREATE OR REPLACE TABLE t AS SELECT 1"
+    )
+
+    # literals and comments are never rewritten
+    assert tr("SELECT 'QUALIFY IFF(' FROM t") == "SELECT 'QUALIFY IFF(' FROM t"
+    kept = tr("SELECT a -- QUALIFY in a comment\nFROM t")
+    assert "QUALIFY in a comment" in kept and "__qualify" not in kept
+
+    # a subquery-level QUALIFY is not touched (documented: outermost only)
+    sub = "SELECT * FROM (SELECT a FROM t QUALIFY r = 1) s"
+    assert tr(sub) == sub
