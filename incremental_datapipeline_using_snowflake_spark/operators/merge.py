@@ -242,3 +242,94 @@ def upsert_dataframe(
         .unionByName(matched.select(*target_cols))
         .unionByName(inserted)
     )
+
+
+def delete_where(
+    spark: SparkSession,
+    store: TableStore,
+    name: str,
+    condition: Column | str,
+) -> int:
+    """Standalone ``DELETE FROM <name> WHERE <condition>`` (the DML half
+    Snowflake users reach for outside MERGE; reference deployer scripts
+    issue these against staging tables).
+
+    One scan: the survivor set is staged through the store's atomic
+    overwrite, and the deleted-row count rides an ``Observation`` on the
+    same pass — no second count job. Time travel still sees the pre-delete
+    version until GC; call :func:`purge_versions` after a privacy-motivated
+    delete so retained history cannot resurrect the rows.
+    """
+    from pyspark.sql import Observation
+
+    # three-valued logic: DELETE removes only rows where the predicate is
+    # TRUE — NULL-valued predicates keep their rows (SQL semantics)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    cond = F.coalesce(cond, F.lit(False))
+    obs = Observation()
+    kept = store.read(spark, name).observe(
+        obs, F.sum(cond.cast("long")).alias("n_deleted")
+    ).filter(~cond)
+    store.overwrite(kept, name)
+    n = obs.get["n_deleted"]
+    return int(n) if n is not None else 0
+
+
+def update_where(
+    spark: SparkSession,
+    store: TableStore,
+    name: str,
+    condition: Column | str,
+    assignments: dict[str, Column],
+) -> int:
+    """Standalone ``UPDATE <name> SET col = expr, ... WHERE <condition>``.
+
+    Row-preserving rewrite: every assigned column becomes
+    ``CASE WHEN cond THEN new ELSE old END``; unmatched rows pass through
+    byte-identical. Same single-scan Observation counting and atomic
+    commit as :func:`delete_where`.
+    """
+    from pyspark.sql import Observation
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    cond = F.coalesce(cond, F.lit(False))  # NULL predicate -> row untouched
+    df = store.read(spark, name)
+    missing = [c for c in assignments if c not in df.columns]
+    if missing:
+        raise ValueError(f"update_where({name}): unknown column(s) {missing}")
+    obs = Observation()
+    updated = df.observe(obs, F.sum(cond.cast("long")).alias("n_updated")).select(
+        *[
+            (
+                F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+            )
+            for c in df.columns
+        ]
+    )
+    store.overwrite(updated, name)
+    n = obs.get["n_updated"]
+    return int(n) if n is not None else 0
+
+
+def purge_versions(store: TableStore, name: str) -> list[int]:
+    """Erase all RETAINED HISTORY of a table, keeping only the current
+    version — the right-to-be-forgotten companion to :func:`delete_where`
+    (a privacy delete is incomplete while time travel / RESTORE can
+    resurrect the rows). Returns the purged version numbers."""
+    import os
+    import shutil
+
+    current = store.current_version(name)
+    purged = []
+    for v in store.versions(name):
+        if v != current:
+            shutil.rmtree(
+                os.path.join(store.table_dir(name), f"v={v:06d}"),
+                ignore_errors=True,
+            )
+            purged.append(v)
+    live = set(store._all_version_dirs(name))
+    store._write_committed_set(name, store._committed_set(name) & live)
+    return purged

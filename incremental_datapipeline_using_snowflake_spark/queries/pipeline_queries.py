@@ -472,6 +472,65 @@ ORDER BY o_orderkey, _action
 """
 
 
+# ---------------------------------------------------------------------------
+# dml_update_delete — standalone DELETE/UPDATE DML through the versioned
+# store (operators/merge.delete_where / update_where): a scratch table takes
+# a DELETE (drop F-status orders with key % 4 == 0) then an UPDATE (+5% on
+# urgent orders over 300k), each an atomic single-scan rewrite with
+# Observation-carried affected-row counts. Oracle = the same two statements
+# as set algebra over the base data. Privacy purge (purge_versions) is
+# exercised in tests (side-effecting, not hashable).
+# ---------------------------------------------------------------------------
+_DML_STORE_CACHE: dict[tuple[str, str], object] = {}
+
+
+def dml_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.merge import delete_where, update_where
+    from ..operators.table_store import TableStore
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    store = _DML_STORE_CACHE.get(key)
+    if store is None:
+        store = TableStore(root=tempfile.mkdtemp(prefix="spark_dml_"))
+        base = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+        store.overwrite(base, "dml.orders_slice")
+        delete_where(
+            spark, store, "dml.orders_slice",
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 4 == 0),
+        )
+        # decimal-routed +5%: double*1.05 lands on scale-4 ties whose
+        # rounding mode differs between engines; exact decimal multiply +
+        # round(,2) is engine-identical (both half-up for positives)
+        update_where(
+            spark, store, "dml.orders_slice",
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 300000),
+            {"o_totalprice": F.expr(
+                "CAST(round(CAST(o_totalprice AS DECIMAL(30,8)) * 1.05, 2) AS DOUBLE)"
+            )},
+        )
+        _DML_STORE_CACHE[key] = store
+    return (
+        store.read(spark, "dml.orders_slice")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+DML_SQL = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority,
+       CASE WHEN o_orderpriority = '1-URGENT' AND o_totalprice > 300000
+            THEN CAST(round(CAST(o_totalprice AS DECIMAL(30,8)) * 1.05, 2) AS DOUBLE)
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 4 = 0)
+ORDER BY o_orderkey
+"""
+
+
 QUERIES: dict = {
     "daily_stats": (daily_stats, DAILY_STATS_SQL),
     "daily_stats_sql_udfs": (daily_stats_sql_udfs, DAILY_STATS_SQL),
@@ -480,5 +539,6 @@ QUERIES: dict = {
     "stream_sample": (stream_sample, STREAM_SAMPLE_SQL),
     "table_changes_cdf": (table_changes_cdf, TABLE_CHANGES_SQL),
     "decimal_typed_stats": (decimal_typed_stats, DECIMAL_TYPED_SQL),
+    "dml_update_delete": (dml_update_delete, DML_SQL),
     "cdc_apply_changes": (cdc_apply_changes, CDC_APPLY_SQL),
 }

@@ -657,3 +657,51 @@ def test_transaction_same_table_twice_keeps_last(spark, tmp_path):
         txn.overwrite(spark.createDataFrame([(1,)], "x long"), name)
         txn.overwrite(spark.createDataFrame([(2,)], "x long"), name)
     assert store.read(spark, name).first()["x"] == 2
+
+
+def test_delete_update_where_and_purge(spark, tmp_path):
+    """Standalone DML: DELETE/UPDATE rewrite atomically with
+    Observation-carried counts, NULL predicates follow SQL three-valued
+    logic (rows kept / untouched), and purge_versions erases retained
+    history so a privacy delete cannot be resurrected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.operators.merge import (
+        delete_where,
+        purge_versions,
+        update_where,
+    )
+
+    store = TableStore(root=str(tmp_path), keep_versions=4)
+    name = "ns.dml"
+    store.overwrite(
+        spark.createDataFrame(
+            [(1, 10.0, "a"), (2, None, "b"), (3, 30.0, "a"), (4, 40.0, "b")],
+            "k long, v double, g string",
+        ),
+        name,
+    )
+    # NULL predicate (v > 20 is NULL for k=2) keeps the row
+    n = delete_where(spark, store, name, F.col("v") > 20)
+    assert n == 2
+    assert sorted(r["k"] for r in store.read(spark, name).collect()) == [1, 2]
+
+    n = update_where(spark, store, name, F.col("v") > 5, {"g": F.lit("hit")})
+    assert n == 1  # NULL v row untouched
+    got = {r["k"]: r["g"] for r in store.read(spark, name).collect()}
+    assert got == {1: "hit", 2: "b"}
+
+    with _pytest.raises(ValueError, match="unknown column"):
+        update_where(spark, store, name, F.lit(True), {"nope": F.lit(1)})
+
+    # history still holds the deleted rows -> purge erases it
+    assert len(store.versions(name)) == 3
+    purged = purge_versions(store, name)
+    assert purged == [1, 2]
+    assert store.versions(name) == [store.current_version(name)]
+    with _pytest.raises(FileNotFoundError):
+        store.read_version(spark, name, 1)
+    # table itself is intact after the purge
+    assert store.read(spark, name).count() == 2
