@@ -40,6 +40,7 @@ def merge_upsert(
     count_rows: bool = True,
     broadcast_source: bool = True,
     observe_metrics: dict | None = None,
+    prune_partitions: bool = False,
     txn=None,
 ) -> dict:
     """Upsert ``source`` into ``target_table`` on ``keys``.
@@ -61,6 +62,18 @@ def merge_upsert(
       is STAGED through it instead of committed immediately, so the merge
       publishes atomically with the caller's other writes (the pipeline
       pairs HARMONIZED with its min/max scalar cache this way).
+    - ``prune_partitions``: the 100 TB merge path for partitioned targets.
+      The touched first-level partition values are read off the (small)
+      source; the target scan is partition-pruned to them, the merge runs
+      over ONLY those partitions, and the store links every untouched
+      partition into the new version unchanged
+      (:meth:`TableStore.overwrite_partitions`) — merge cost becomes
+      proportional to the churned partitions, not the table. Requires
+      ``partition_by``; the first partition column must exist in the
+      source and must not be updated (a row changing partition would need
+      its destination partition rewritten too); incompatible with
+      ``observe_metrics`` (which promises full-table aggregates) and
+      ``txn`` (partition links commit directly).
 
     Returns ``{"updated": n, "inserted": n}`` row counts (-1 when skipped),
     plus ``"observed"`` when requested.
@@ -85,6 +98,48 @@ def merge_upsert(
         return res
 
     target = store.read(spark, target_table)
+    if prune_partitions:
+        if not partition_by:
+            raise ValueError("prune_partitions requires partition_by")
+        if observe_metrics or txn is not None:
+            raise ValueError(
+                "prune_partitions is incompatible with observe_metrics/txn"
+            )
+        pcol = partition_by[0]
+        if pcol not in source.columns:
+            raise ValueError(f"source lacks partition column {pcol!r}")
+        if update_cols and pcol in update_cols:
+            raise ValueError(f"partition column {pcol!r} cannot be updated")
+        # inserted rows MUST carry the partition column (the default
+        # insert set is keys + update set, which usually excludes it; a
+        # NULL partition would land outside every replaced dir and corrupt
+        # the link set)
+        ins = insert_cols
+        if ins is None:
+            upd_eff = update_cols or [
+                c for c in target.columns if c not in keys and c in source.columns
+            ]
+            ins = list(dict.fromkeys(keys + upd_eff))
+        if pcol not in ins:
+            ins = [pcol, *ins]
+        # the touched partition set is a bounded scalar list (days/years of
+        # one batch), not a data collect
+        pvals = [r[0] for r in source.select(pcol).distinct().collect()]
+        pruned = target.filter(F.col(pcol).isin(pvals))
+        matched, inserted, result = merge_branches(
+            pruned,
+            source,
+            keys,
+            update_cols=update_cols,
+            insert_cols=ins,
+            broadcast_source=broadcast_source,
+        )
+        n_upd = matched.count() if count_rows else -1
+        n_ins = inserted.count() if count_rows else -1
+        store.overwrite_partitions(
+            result, target_table, partition_by, [f"{pcol}={v}" for v in pvals]
+        )
+        return {"updated": n_upd, "inserted": n_ins}
     matched, inserted, result = merge_branches(
         target,
         source,

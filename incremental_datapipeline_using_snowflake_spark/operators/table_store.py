@@ -259,6 +259,61 @@ class TableStore:
         self._schema_cache.pop(name, None)
         self._gc_versions(name, new, prev)
 
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str],
+        replaced: list[str],
+    ) -> None:
+        """Partition-scoped overwrite (Delta ``replaceWhere`` / dynamic
+        partition overwrite): a NEW version whose ``replaced`` partition
+        dirs come from ``df`` and whose other partitions are HARDLINKED
+        from the current version — no data movement, no rewrite, and the
+        links keep inodes alive even after the old version dir is GC'd.
+
+        ``replaced`` holds relative partition paths (``"YEAR=2025"``);
+        ``df`` must contain only rows belonging to those partitions (the
+        caller computes the touched set — see merge_upsert's pruned path).
+        At 100 TB this is the difference between a daily merge rewriting
+        one day's partition and rewriting the table: cost ∝ churn.
+        Readers keep full snapshot isolation — the pointer flip is atomic
+        and old-version plans still resolve their files.
+        """
+        if not self.exists(name):
+            self.overwrite(df, name, partition_by=partition_by)
+            return
+        tdir = self.table_dir(name)
+        prev = self.current_version(name)
+        new = max([prev or 0, *self._all_version_dirs(name)]) + 1
+        target = os.path.join(tdir, f"v={new:06d}")
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(target)
+        replaced_set = set(replaced)
+        cur_dir = os.path.join(tdir, f"v={prev:06d}")
+        for root, _dirs, files in os.walk(cur_dir):
+            rel = os.path.relpath(root, cur_dir)
+            if rel == ".":
+                continue
+            # top-level partition component decides replacement (nested
+            # partition_by replaces whole subtrees of the first component)
+            top = rel.split(os.sep)[0]
+            if top in replaced_set or rel in replaced_set:
+                continue
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                dst_dir = os.path.join(target, rel)
+                os.makedirs(dst_dir, exist_ok=True)
+                src = os.path.join(root, fname)
+                dst = os.path.join(dst_dir, fname)
+                try:
+                    os.link(src, dst)  # zero-copy share across versions
+                except OSError:
+                    shutil.copy2(src, dst)  # cross-device fallback
+        self._commit_version(name, new)
+        self._schema_cache.pop(name, None)
+        self._gc_versions(name, new, prev)
+
     # -- time travel -------------------------------------------------------
     def _all_version_dirs(self, name: str) -> list[int]:
         """Every on-disk ``v=`` dir, committed or not (internal: allocation

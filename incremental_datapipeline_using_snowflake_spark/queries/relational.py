@@ -680,6 +680,88 @@ ORDER BY o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# merge_pruned_partitions — the 100 TB merge path through the REAL store:
+# a year-partitioned orders slice takes an incremental batch touching 1997
+# only, via merge_upsert(prune_partitions=True) — the target scan is
+# partition-pruned to the churned year and every other year's files are
+# hardlinked into the new version unchanged (TableStore.overwrite_partitions).
+# Oracle = the same upsert as set algebra. tests pin the inode sharing; this
+# query pins the RESULT through the driver's hash gate.
+# ---------------------------------------------------------------------------
+_PRUNED_MERGE_CACHE: dict[tuple[str, str], object] = {}
+
+
+def merge_pruned_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.merge import merge_upsert
+    from ..operators.table_store import TableStore
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    store = _PRUNED_MERGE_CACHE.get(key)
+    if store is None:
+        store = TableStore(root=tempfile.mkdtemp(prefix="spark_pmerge_"))
+        orders = load(spark, sf_dir, "orders")
+        target = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "o_orderkey", "o_totalprice", "o_orderstatus",
+        )
+        store.overwrite(target, "pm.orders_part", partition_by=["o_year"])
+        source = orders.filter(
+            (F.col("o_orderkey") % 3 == 0) & (F.year("o_orderdate") == 1997)
+        ).select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "o_orderkey",
+            # decimal-routed +10%: a 2dp price x 1.1 is exactly 3dp in
+            # decimal; double*1.1 lands on 4dp rounding ties that diverge
+            # between engines
+            F.expr(
+                "CAST(round(CAST(o_totalprice AS DECIMAL(30,8)) * 1.1, 4) AS DOUBLE)"
+            ).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        )
+        merge_upsert(
+            spark, store, "pm.orders_part", source,
+            keys=["o_orderkey"], update_cols=["o_totalprice", "o_orderstatus"],
+            partition_by=["o_year"], prune_partitions=True, count_rows=False,
+        )
+        _PRUNED_MERGE_CACHE[key] = store
+    return (
+        store.read(spark, "pm.orders_part")
+        .select(
+            "o_year", "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"), "o_orderstatus",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+MERGE_PRUNED_SQL = """
+WITH target AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+source AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderkey,
+         CAST(round(CAST(o_totalprice AS DECIMAL(30,8)) * 1.1, 4) AS DOUBLE) AS o_totalprice,
+         'U' AS o_orderstatus
+  FROM orders WHERE o_orderkey % 3 = 0 AND year(o_orderdate) = 1997
+)
+SELECT o_year, o_orderkey, round(o_totalprice, 4) AS o_totalprice, o_orderstatus FROM (
+  SELECT t.* FROM target t WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT s.o_year, s.o_orderkey, s.o_totalprice, s.o_orderstatus
+  FROM source s WHERE EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)
+  UNION ALL
+  SELECT s.o_year, s.o_orderkey, s.o_totalprice, s.o_orderstatus
+  FROM source s WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)
+)
+ORDER BY o_orderkey
+"""
+
+
 QUERIES: dict = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_revenue": (q3_top_revenue, Q3_SQL),
@@ -701,4 +783,5 @@ QUERIES: dict = {
     "window_family": (window_family, WINDOW_FAMILY_SQL),
     "rollup_agg": (rollup_agg, ROLLUP_SQL),
     "merge_upsert_rewrite": (merge_upsert_rewrite, MERGE_UPSERT_SQL),
+    "merge_pruned_partitions": (merge_pruned_partitions, MERGE_PRUNED_SQL),
 }

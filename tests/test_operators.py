@@ -705,3 +705,98 @@ def test_delete_update_where_and_purge(spark, tmp_path):
         store.read_version(spark, name, 1)
     # table itself is intact after the purge
     assert store.read(spark, name).count() == 2
+
+
+def test_overwrite_partitions_links_untouched(spark, tmp_path):
+    """Partition-scoped overwrite: replaced partitions come from the new
+    frame, untouched partitions are HARDLINKED from the previous version
+    (same inode — zero copy), and the result reads correctly."""
+    import os
+
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+
+    store = TableStore(root=str(tmp_path))
+    name = "ns.pover"
+    base = spark.createDataFrame(
+        [(2024, 1, 10.0), (2024, 2, 20.0), (2025, 1, 30.0)],
+        "year int, k int, v double",
+    )
+    store.overwrite(base, name, partition_by=["year"])
+    v1_dir = store.data_path(name)
+    v1_inodes = {
+        f: os.stat(os.path.join(r, f)).st_ino
+        for r, _d, fs in os.walk(os.path.join(v1_dir, "year=2024"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+
+    repl = spark.createDataFrame([(2025, 1, 99.0), (2025, 2, 98.0)],
+                                 "year int, k int, v double")
+    store.overwrite_partitions(repl, name, ["year"], ["year=2025"])
+
+    got = sorted(tuple(r) for r in store.read(spark, name).select("year", "k", "v").collect())
+    assert got == [(2024, 1, 10.0), (2024, 2, 20.0), (2025, 1, 99.0), (2025, 2, 98.0)]
+    v2_dir = store.data_path(name)
+    assert v2_dir != v1_dir
+    v2_inodes = {
+        f: os.stat(os.path.join(r, f)).st_ino
+        for r, _d, fs in os.walk(os.path.join(v2_dir, "year=2024"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert v2_inodes == v1_inodes  # untouched partition shared by inode
+
+
+def test_merge_upsert_prune_partitions_equivalent(spark, tmp_path):
+    """prune_partitions merge == full merge row-for-row, while only the
+    churned partition is rewritten (untouched partition files keep their
+    inodes across the new version)."""
+    import os
+
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.operators.merge import merge_upsert
+
+    rows = [(y, k, float(k + y)) for y in (2023, 2024, 2025) for k in range(50)]
+    source_rows = [(2025, k, 1000.0 + k) for k in range(25, 75)]  # updates + inserts
+
+    full_store = TableStore(root=str(tmp_path / "full"))
+    pruned_store = TableStore(root=str(tmp_path / "pruned"))
+    target = spark.createDataFrame(rows, "year int, k int, v double")
+    source = spark.createDataFrame(source_rows, "year int, k int, v double")
+    for st in (full_store, pruned_store):
+        st.overwrite(target, "ns.t", partition_by=["year"])
+
+    res_full = merge_upsert(
+        spark, full_store, "ns.t", source, keys=["year", "k"],
+        partition_by=["year"],
+    )
+    before_inodes = {
+        f: os.stat(os.path.join(r, f)).st_ino
+        for r, _d, fs in os.walk(os.path.join(pruned_store.data_path("ns.t"), "year=2023"))
+        for f in fs if f.endswith(".parquet")
+    }
+    res_pruned = merge_upsert(
+        spark, pruned_store, "ns.t", source, keys=["year", "k"],
+        partition_by=["year"], prune_partitions=True,
+    )
+    assert (res_full["updated"], res_full["inserted"]) == (25, 25)
+    assert (res_pruned["updated"], res_pruned["inserted"]) == (25, 25)
+    a = sorted(tuple(r) for r in full_store.read(spark, "ns.t").select("year", "k", "v").collect())
+    b = sorted(tuple(r) for r in pruned_store.read(spark, "ns.t").select("year", "k", "v").collect())
+    assert a == b and len(a) == 175
+    after_inodes = {
+        f: os.stat(os.path.join(r, f)).st_ino
+        for r, _d, fs in os.walk(os.path.join(pruned_store.data_path("ns.t"), "year=2023"))
+        for f in fs if f.endswith(".parquet")
+    }
+    assert after_inodes == before_inodes  # 2023 not rewritten
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires partition_by"):
+        merge_upsert(spark, pruned_store, "ns.t", source, keys=["year", "k"],
+                     prune_partitions=True)
+    with _pytest.raises(ValueError, match="cannot be updated"):
+        merge_upsert(spark, pruned_store, "ns.t", source, keys=["k"],
+                     partition_by=["year"], update_cols=["year", "v"],
+                     prune_partitions=True)
