@@ -24,6 +24,17 @@ from __future__ import annotations
 # r04-green rest. Within blocks, cheap queries lead — the driver's run is
 # time-budgeted, so cost-ascending order maximizes hard rows per round.
 _RED_R4 = ["join_right_outer", "decimal_typed_stats"]
+# Queries new in r05, cost-ascending (cheap first maximizes hard rows in
+# the driver's time-budgeted prefix; the scratch-store and pair-cache
+# queries trail their block).
+_NEW_R5 = [
+    "snowflake_dialect_qualify", "q14_promo_revenue", "q22_sales_opportunity",
+    "q15_top_supplier", "q19_disjunctive", "q17_small_quantity",
+    "q7_volume_shipping", "q4_order_priority", "q18_large_orders",
+    "q16_supplier_variety", "fuzzy_name_match", "dml_update_delete",
+    "knn_graph_lsh", "merge_pruned_partitions", "neardup_triangles",
+]
+_NEW_R5_RANK = {n: i for i, n in enumerate(_NEW_R5)}
 # Everything green in CORRECTNESS_r04.json (checked most recently).
 _GREEN_R4 = [
     "q5_local_supplier_volume", "q10_returned_items", "table_changes_cdf",
@@ -84,7 +95,7 @@ def all_queries() -> dict:
             return (3, _RECENT_R4[name])
         if name in _RECENT_R3:  # last checked r03 — stalest green block
             return (2, _RECENT_R3[name])
-        return (1, 0)  # brand-new this round: no history yet
+        return (1, _NEW_R5_RANK.get(name, len(_NEW_R5)))  # new: cost-ascending
 
     return dict(sorted(out.items(), key=rank))
 
