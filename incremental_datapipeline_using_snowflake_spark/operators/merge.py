@@ -304,6 +304,7 @@ def delete_where(
     store: TableStore,
     name: str,
     condition: Column | str,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Standalone ``DELETE FROM <name> WHERE <condition>`` (the DML half
     Snowflake users reach for outside MERGE; reference deployer scripts
@@ -325,7 +326,12 @@ def delete_where(
     kept = store.read(spark, name).observe(
         obs, F.sum(cond.cast("long")).alias("n_deleted")
     ).filter(~cond)
-    store.overwrite(kept, name)
+    # preserve the table's recorded partition layout unless the caller
+    # overrides it — an unpartitioned rewrite of a partitioned table would
+    # silently flatten the layout
+    store.overwrite(
+        kept, name, partition_by=partition_by or store.partitioning(name)
+    )
     n = obs.get["n_deleted"]
     return int(n) if n is not None else 0
 
@@ -336,6 +342,7 @@ def update_where(
     name: str,
     condition: Column | str,
     assignments: dict[str, Column],
+    partition_by: list[str] | None = None,
 ) -> int:
     """Standalone ``UPDATE <name> SET col = expr, ... WHERE <condition>``.
 
@@ -363,7 +370,9 @@ def update_where(
             for c in df.columns
         ]
     )
-    store.overwrite(updated, name)
+    store.overwrite(
+        updated, name, partition_by=partition_by or store.partitioning(name)
+    )
     n = obs.get["n_updated"]
     return int(n) if n is not None else 0
 

@@ -130,6 +130,32 @@ class TableStore:
             schema="col_name string, data_type string, nullable boolean",
         )
 
+    # -- partition layout ---------------------------------------------------
+    def _partitioning_file(self, name: str) -> str:
+        return os.path.join(self.table_dir(name), "_PARTITIONING")
+
+    def partitioning(self, name: str) -> list[str] | None:
+        """The partition columns the current version was written with
+        (recorded by overwrite/overwrite_partitions). Lets rewrite-shaped
+        operators (DML, compaction) preserve the layout without every
+        caller re-stating it."""
+        pf = self._partitioning_file(name)
+        if not os.path.exists(pf):
+            return None
+        with open(pf) as f:
+            cols = json.load(f)
+        return cols or None
+
+    def _record_partitioning(self, name: str, partition_by: list[str] | None) -> None:
+        pf = self._partitioning_file(name)
+        if partition_by:
+            tmp = pf + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(list(partition_by), f)
+            os.replace(tmp, pf)
+        elif os.path.exists(pf):
+            os.remove(pf)
+
     # -- table comments ----------------------------------------------------
     def _comment_file(self, name: str) -> str:
         return os.path.join(self.table_dir(name), "_COMMENT")
@@ -246,6 +272,7 @@ class TableStore:
         """Full-table replace via stage-and-swap; keeps one previous version."""
         new, prev = self._stage_version(df, name, partition_by)
         self._commit_version(name, new)
+        self._record_partitioning(name, partition_by)
         # a full rewrite has one uniform footer schema again — drop any
         # schema pinned by a past evolving append so it can't go stale.
         # Removal comes AFTER the pointer flip: a stale _SCHEMA against the
@@ -311,6 +338,7 @@ class TableStore:
                 except OSError:
                     shutil.copy2(src, dst)  # cross-device fallback
         self._commit_version(name, new)
+        self._record_partitioning(name, partition_by)
         self._schema_cache.pop(name, None)
         self._gc_versions(name, new, prev)
 
@@ -537,6 +565,7 @@ class TableStore:
         # staged version must be committed before the first one's gc runs
         for table, version in txn.staged:
             self._commit_version(table, version)
+            self._record_partitioning(table, txn._partitioning.get(table))
             sf = self._schema_file(table)
             if os.path.exists(sf):
                 os.remove(sf)
@@ -649,6 +678,8 @@ class TableStore:
             if f.endswith(".parquet")
         ]
         n_out = max(1, ceil(sum(sizes) / target_file_bytes))
+        # preserve the recorded layout unless the caller overrides it
+        partition_by = partition_by or self.partitioning(name)
         df = self.read(spark, name)
         if sort_by:
             df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
@@ -702,6 +733,7 @@ class _StagedTransaction:
         self._store = store
         self.staged: list[tuple[str, int]] = []
         self._prev: dict[str, int | None] = {}
+        self._partitioning: dict[str, list[str] | None] = {}
 
     def overwrite(
         self, df: DataFrame, name: str, partition_by: list[str] | None = None
@@ -709,6 +741,7 @@ class _StagedTransaction:
         new, prev = self._store._stage_version(df, name, partition_by)
         self.staged.append((name, new))
         self._prev.setdefault(name, prev)
+        self._partitioning[name] = partition_by
 
     def abort(self) -> None:
         for name, version in self.staged:

@@ -800,3 +800,36 @@ def test_merge_upsert_prune_partitions_equivalent(spark, tmp_path):
         merge_upsert(spark, pruned_store, "ns.t", source, keys=["k"],
                      partition_by=["year"], update_cols=["year", "v"],
                      prune_partitions=True)
+
+
+def test_partition_layout_recorded_and_preserved(spark, tmp_path):
+    """The store records partition_by at overwrite; DML rewrites and
+    compaction preserve the layout automatically (no caller re-statement);
+    a plain full overwrite without partition_by clears it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.operators.merge import delete_where
+
+    store = TableStore(root=str(tmp_path))
+    name = "ns.layout"
+    df = spark.createDataFrame(
+        [(y, k, float(k)) for y in (2024, 2025) for k in range(10)],
+        "year int, k int, v double",
+    )
+    store.overwrite(df, name, partition_by=["year"])
+    assert store.partitioning(name) == ["year"]
+
+    delete_where(spark, store, name, F.col("k") > 7)
+    assert store.partitioning(name) == ["year"]
+    assert os.path.isdir(os.path.join(store.data_path(name), "year=2024"))
+    assert store.read(spark, name).count() == 16
+
+    store.compact(spark, name)
+    assert os.path.isdir(os.path.join(store.data_path(name), "year=2025"))
+
+    # unpartitioned full rewrite clears the record
+    store.overwrite(store.read(spark, name), name)
+    assert store.partitioning(name) is None
