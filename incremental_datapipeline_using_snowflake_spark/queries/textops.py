@@ -1025,8 +1025,10 @@ LIMIT 100
 # (see ops.dedup.fuzzy_probe_join docstring).
 # ---------------------------------------------------------------------------
 def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     cust = load(spark, sf_dir, "customer")
-    probes = cust.filter(F.col("c_custkey") % 37 == 0).select(
+    probes = cust.filter(F.col("c_custkey") % 149 == 0).select(
         F.col("c_custkey").alias("probe_id"),
         F.concat(
             F.expr("substring(c_name, 1, 9 + CAST(c_custkey % 9 AS INT))"),
@@ -1040,7 +1042,17 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, probes, text_col="name", id_col="id",
         probe_text_col="probe_name", probe_id_col="probe_id", max_distance=2,
     )
-    return out.select("probe_id", "id", "distance").orderBy("probe_id", "id")
+    # ER resolution step: keep the 5 BEST candidates per probe (the
+    # digit-string name space is deliberately ambiguous — hundreds of
+    # names sit within 2 edits — so the useful output is the ranked
+    # shortlist, not the full candidate dump)
+    w = Window.partitionBy("probe_id").orderBy("distance", "id")
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("probe_id", "rnk", "id", "distance")
+        .orderBy("probe_id", "rnk")
+    )
 
 
 FUZZY_NAME_SQL = """
@@ -1048,13 +1060,19 @@ WITH probes AS (
   SELECT c_custkey AS probe_id,
          substring(c_name, 1, CAST(9 + c_custkey % 9 AS INT))
          || substring(c_name, CAST(11 + c_custkey % 9 AS INT), 100) AS probe_name
-  FROM customer WHERE c_custkey % 37 = 0
+  FROM customer WHERE c_custkey % 149 = 0
+),
+cand AS (
+  SELECT probe_id, c_custkey AS id, levenshtein(c_name, probe_name) AS distance
+  FROM customer JOIN probes
+    ON abs(length(c_name) - length(probe_name)) <= 2
+  WHERE levenshtein(c_name, probe_name) <= 2
 )
-SELECT probe_id, c_custkey AS id, levenshtein(c_name, probe_name) AS distance
-FROM customer JOIN probes
-  ON abs(length(c_name) - length(probe_name)) <= 2
-WHERE levenshtein(c_name, probe_name) <= 2
-ORDER BY probe_id, id
+SELECT probe_id, rnk, id, distance FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY distance, id) AS rnk
+  FROM cand
+) WHERE rnk <= 5
+ORDER BY probe_id, rnk
 """
 
 
