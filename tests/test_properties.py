@@ -273,3 +273,67 @@ def test_table_changes_reconstructs_target_version(sp, tmp_path_factory, v1, v2)
     # churn-proportionality: unchanged keys emit nothing
     unchanged = {k for k, v in v1 if (k, v) in set(v2)}
     assert all(r["k"] not in unchanged for r in ch)
+
+
+# ---------------------------------------------------------------------------
+# Codec laws (pure Python/numpy — no Spark in the loop, so hypothesis can
+# run hundreds of cases): PPM encode/decode roundtrip, resize geometry, WAV
+# metadata exactness.
+# ---------------------------------------------------------------------------
+dims = st.integers(min_value=1, max_value=24)
+
+
+@given(w=dims, h=dims, seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_ppm_roundtrip_law(w, h, seed):
+    import numpy as np
+
+    from incremental_datapipeline_using_snowflake_spark.ops import codecs as C
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    w2, h2, maxval, back = C.decode_ppm(C.encode_ppm(px))
+    assert (w2, h2, maxval) == (w, h, 255)
+    assert np.array_equal(back, px)
+
+
+@given(w=dims, h=dims, tw=dims, th=dims, seed=st.integers(min_value=0, max_value=999))
+@settings(max_examples=60, deadline=None)
+def test_ppm_resize_laws(w, h, tw, th, seed):
+    """Resize geometry: output dims are exact; every output pixel VALUE
+    exists in the source (nearest-neighbor never invents colors); identity
+    resize is a pixel-exact no-op."""
+    import numpy as np
+
+    from incremental_datapipeline_using_snowflake_spark.ops import codecs as C
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = C.encode_ppm(px)
+    rw, rh, _mv, rpx = C.decode_ppm(C.resize_ppm(payload, tw, th))
+    assert (rw, rh) == (tw, th)
+    src_colors = {tuple(p) for row in px for p in row}
+    assert all(tuple(p) in src_colors for row in rpx for p in row)
+    same = C.decode_ppm(C.resize_ppm(payload, w, h))[3]
+    assert np.array_equal(same, px)
+
+
+@given(
+    n=st.integers(min_value=0, max_value=4000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    ch=st.integers(min_value=1, max_value=2),
+    seed=st.integers(min_value=0, max_value=999),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_metadata_exact_law(n, rate, ch, seed):
+    import numpy as np
+
+    from incremental_datapipeline_using_snowflake_spark.ops import codecs as C
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+    meta = C.decode_wav(C.encode_wav(samples, sample_rate=rate, channels=ch))
+    assert meta["n_samples"] == n
+    assert meta["channels"] == ch
+    assert meta["sample_rate"] == rate
+    assert meta["bits_per_sample"] == 16
