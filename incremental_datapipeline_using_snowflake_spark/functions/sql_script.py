@@ -174,7 +174,10 @@ def _rewrite_qualify(stmt: str) -> str:
     as a projected boolean; Snowflake scoping (predicate sees the SELECT
     scope) is preserved. Only the OUTERMOST query's QUALIFY is rewritten —
     subquery QUALIFYs (depth > 0) are left untouched and will surface as a
-    parse error rather than a silent misrewrite.
+    parse error rather than a silent misrewrite. ``SELECT DISTINCT`` +
+    QUALIFY is REFUSED loudly: appending the predicate column inside the
+    DISTINCT would change which rows are distinct (Snowflake applies
+    QUALIFY after DISTINCT) — rewrite such statements by hand.
     """
     code_text = "".join(s if c else " " * len(s) for c, s in _code_segments(stmt))
     qpos = None
@@ -207,6 +210,12 @@ def _rewrite_qualify(stmt: str) -> str:
             break
     if from_at is None:
         return stmt  # not a SELECT...FROM shape; leave untouched
+    if _re.search(r"\bSELECT\s+DISTINCT\b", code_text[:from_at], _re.IGNORECASE):
+        raise ValueError(
+            "translate_snowflake_sql: SELECT DISTINCT with QUALIFY cannot be "
+            "rewritten faithfully (the predicate column would join the "
+            "DISTINCT key set); restructure the statement"
+        )
     inner = f"{head[:from_at].rstrip()}, ({pred}) AS __qualify {head[from_at:]}"
     return (
         f"SELECT * EXCEPT (__qualify) FROM ({inner}) WHERE __qualify {tail}".rstrip()

@@ -122,3 +122,14 @@ def test_translate_snowflake_sql_unit():
     # a subquery-level QUALIFY is not touched (documented: outermost only)
     sub = "SELECT * FROM (SELECT a FROM t QUALIFY r = 1) s"
     assert tr(sub) == sub
+
+
+def test_translate_snowflake_distinct_qualify_refused():
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.functions.sql_script import (
+        translate_snowflake_sql as tr,
+    )
+
+    with _pytest.raises(ValueError, match="DISTINCT"):
+        tr("SELECT DISTINCT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1")
