@@ -1028,7 +1028,12 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     cust = load(spark, sf_dir, "customer")
-    probes = cust.filter(F.col("c_custkey") % 149 == 0).select(
+    # key-range cap: the probe set must stay FIXED-SIZE as the corpus
+    # grows (a corpus-derived probe set would make the probe join
+    # quadratic at scale; the ops contract is probe-side-small)
+    probes = cust.filter(
+        (F.col("c_custkey") % 149 == 0) & (F.col("c_custkey") < 15000)
+    ).select(
         F.col("c_custkey").alias("probe_id"),
         F.concat(
             F.expr("substring(c_name, 1, 9 + CAST(c_custkey % 9 AS INT))"),
@@ -1060,7 +1065,7 @@ WITH probes AS (
   SELECT c_custkey AS probe_id,
          substring(c_name, 1, CAST(9 + c_custkey % 9 AS INT))
          || substring(c_name, CAST(11 + c_custkey % 9 AS INT), 100) AS probe_name
-  FROM customer WHERE c_custkey % 149 = 0
+  FROM customer WHERE c_custkey % 149 = 0 AND c_custkey < 15000
 ),
 cand AS (
   SELECT probe_id, c_custkey AS id, levenshtein(c_name, probe_name) AS distance
