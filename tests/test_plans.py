@@ -251,3 +251,17 @@ def test_no_row_at_a_time_python_in_inventory(spark, sf_dir):
         if "BatchEvalPython" in plan or "PythonUDTF" in plan:
             offenders.append(name)
     assert not offenders, f"row-at-a-time Python in: {offenders}"
+
+
+def test_no_unintended_cartesian_products(spark, sf_dir):
+    """Inventory-wide invariant: no CartesianProduct in any declared plan.
+    BroadcastNestedLoopJoin is allowed only where a non-equi join against
+    a BROADCAST side is the intended shape (scalar thresholds, fuzzy
+    length-band probes, 1-row aggregates) — a cartesian between two
+    unbroadcast relations is always a bug at scale."""
+    offenders = []
+    for name, (fn, _sql) in all_queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
