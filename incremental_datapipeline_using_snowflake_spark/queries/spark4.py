@@ -237,12 +237,46 @@ def snowflake_dialect_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# sql_session_variables — Spark 4 session variables + EXECUTE IMMEDIATE:
+# the Snowflake-scripting parity surface (the reference's procedures build
+# SQL strings and bind parameters; Snowflake scripting uses variables —
+# DECLARE/SET VARIABLE + EXECUTE IMMEDIATE is the engine-native analogue).
+# The statement text is BUILT as a string and executed dynamically with the
+# threshold bound via a session variable; the oracle replays the semantics
+# with the literal inlined (it checks results, not API spelling).
+# ---------------------------------------------------------------------------
+SQLVAR_BIG_CUT = 400000.0
+
+
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sv_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE sv_big_cut DOUBLE")
+    spark.sql(f"SET VARIABLE sv_big_cut = {SQLVAR_BIG_CUT}")
+    report = (
+        "SELECT o_orderpriority, count(*) AS n_big, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS big_value "
+        "FROM sv_orders WHERE o_totalprice > sv_big_cut "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    return spark.sql("EXECUTE IMMEDIATE :stmt", args={"stmt": report})
+
+
+SQLVAR_SQL = f"""
+SELECT o_orderpriority, count(*) AS n_big,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS big_value
+FROM orders WHERE o_totalprice > {SQLVAR_BIG_CUT}
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES: dict = {
     "recursive_cte": (recursive_cte, RECURSIVE_CTE_SQL),
     "lateral_join": (lateral_join, LATERAL_JOIN_SQL),
     "variant_extract": (variant_extract, VARIANT_SQL),
     "udtf_chunk": (udtf_chunk, UDTF_CHUNK_SQL),
     "collation_ops": (collation_ops, COLLATION_SQL),
+    "sql_session_variables": (sql_session_variables, SQLVAR_SQL),
     "snowflake_dialect_qualify": (
         snowflake_dialect_qualify,
         SNOWFLAKE_QUALIFY_SQL.format(orders="orders"),
