@@ -4,6 +4,7 @@ from . import (
     dedup,
     graph,
     multimodal,
+    quality,
     sampling,
     similarity,
     sketches,
@@ -18,6 +19,7 @@ __all__ = [
     "graph",
     "codecs",
     "multimodal",
+    "quality",
     "sampling",
     "similarity",
     "sketches",

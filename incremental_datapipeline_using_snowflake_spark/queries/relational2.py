@@ -653,6 +653,71 @@ ORDER BY o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# data_quality_report — the dbt-tests / DLT-expectations surface
+# (ops/quality.py): NOT NULL + accepted_values + range + custom check fold
+# into ONE aggregation pass over orders; unique is its own keyed groupBy;
+# referential integrity is an anti join against the customer dim. Rules are
+# chosen so violations are genuinely nonzero (an all-pass report would make
+# the hash gate vacuous). The sample column is dropped from the compared
+# output (collect order is partition-dependent); counts are exact.
+# ---------------------------------------------------------------------------
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.quality import Rules, validate_constraints
+
+    orders = load(spark, sf_dir, "orders")
+    rich_cust = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 4500)
+    rules = Rules(
+        not_null=["o_orderpriority"],
+        unique=[["o_orderkey"], ["o_custkey"]],
+        accepted_values={"o_orderstatus": ["F", "O"]},
+        ranges={"o_totalprice": (0.0, 450000.0)},
+        checks={"priority_known": F.col("o_orderpriority").rlike("^[1-5]-")},
+        references={"o_custkey": (rich_cust, "c_custkey")},
+    )
+    return (
+        validate_constraints(orders, rules, id_col="o_orderkey")
+        .select("rule", "column", "n_violations")
+        .orderBy("rule", "column")
+    )
+
+
+DATA_QUALITY_SQL = """
+SELECT rule, "column", n_violations FROM (
+  SELECT 'not_null' AS rule, 'o_orderpriority' AS "column",
+         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'accepted_values', 'o_orderstatus',
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O') OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'range', 'o_totalprice',
+         CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.0 OR o_totalprice > 450000.0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'check:priority_known', '',
+         CAST(sum(CASE WHEN NOT coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'unique', 'o_orderkey',
+         CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+  FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+  UNION ALL
+  SELECT 'unique', 'o_custkey',
+         CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+  FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey HAVING count(*) > 1)
+  UNION ALL
+  SELECT 'references', 'o_custkey', CAST(count(*) AS BIGINT)
+  FROM orders o
+  WHERE o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_acctbal > 4500 AND c.c_custkey = o.o_custkey)
+)
+ORDER BY rule, "column"
+"""
+
+
 QUERIES: dict = {
     "pivot_agg": (pivot_agg, PIVOT_AGG_SQL),
     "unpivot_agg": (unpivot_agg, UNPIVOT_AGG_SQL),
@@ -667,5 +732,6 @@ QUERIES: dict = {
     "zorder_layout": (zorder_layout, _zorder_layout_sql()),
     "array_functions": (array_functions, ARRAY_FUNCS_SQL),
     "stats_moments": (stats_moments, STATS_MOMENTS_SQL),
+    "data_quality_report": (data_quality_report, DATA_QUALITY_SQL),
     "date_functions": (date_functions, DATE_FUNCS_SQL),
 }

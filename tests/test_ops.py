@@ -787,3 +787,50 @@ def test_fuzzy_probe_join_thresholds(spark):
         for r in fuzzy_probe_join(corpus, probes, max_distance=2).collect()
     }
     assert got == {1: 0, 2: 1, 3: 2}  # duck (distance 4) excluded
+
+
+def test_validate_constraints_all_rule_kinds(spark):
+    """ops.quality: every rule kind fires on planted violations, exact
+    counts, deterministic unique/reference samples; assert_constraints
+    raises with the offending rules listed."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from incremental_datapipeline_using_snowflake_spark.ops.quality import (
+        Rules,
+        assert_constraints,
+        validate_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0, 10), (2, None, -1.0, 10), (3, "z", 2.0, 99), (3, "a", 3.0, 10)],
+        "id long, cat string, v double, fk int",
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "k int")
+    rules = Rules(
+        not_null=["cat"],
+        unique=[["id"]],
+        accepted_values={"cat": ["a", "b"]},
+        ranges={"v": (0.0, None)},
+        checks={"v_lt_100": F.col("v") < 100},
+        references={"fk": (dim, "k")},
+    )
+    rep = {
+        (r["rule"], r["column"]): r
+        for r in validate_constraints(df, rules, id_col="id").collect()
+    }
+    assert rep[("not_null", "cat")]["n_violations"] == 1
+    assert rep[("accepted_values", "cat")]["n_violations"] == 2
+    assert rep[("range", "v")]["n_violations"] == 1
+    assert rep[("check:v_lt_100", "")]["n_violations"] == 0
+    assert rep[("unique", "id")]["n_violations"] == 1
+    assert rep[("unique", "id")]["sample"] == ["3"]
+    assert rep[("references", "fk")]["n_violations"] == 1
+    assert rep[("references", "fk")]["sample"] == ["99"]
+
+    with _pytest.raises(ValueError, match="unique\\(id\\)"):
+        assert_constraints(df, rules, id_col="id")
+
+    # a clean table passes the hard gate
+    clean = spark.createDataFrame([(1, "a", 5.0, 10)], "id long, cat string, v double, fk int")
+    assert_constraints(clean, rules, id_col="id")
