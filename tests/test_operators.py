@@ -833,3 +833,50 @@ def test_partition_layout_recorded_and_preserved(spark, tmp_path):
     # unpartitioned full rewrite clears the record
     store.overwrite(store.read(spark, name), name)
     assert store.partitioning(name) is None
+
+
+def test_overwrite_partitions_crash_before_commit(spark, tmp_path, monkeypatch):
+    """Crash injection: dying after the partition links are built but
+    before the pointer flip leaves the table untouched (old version still
+    served, staged dir invisible) and the next overwrite sweeps the
+    orphan."""
+    import os
+
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+
+    store = TableStore(root=str(tmp_path))
+    name = "ns.pcrash"
+    store.overwrite(
+        spark.createDataFrame([(2024, 1.0), (2025, 2.0)], "year int, v double"),
+        name, partition_by=["year"],
+    )
+    v_before = store.current_version(name)
+
+    def crash(self, n, v):
+        raise RuntimeError("died before flip")
+
+    monkeypatch.setattr(TableStore, "_commit_version", crash)
+    with _pytest.raises(RuntimeError, match="died before flip"):
+        store.overwrite_partitions(
+            spark.createDataFrame([(2025, 99.0)], "year int, v double"),
+            name, ["year"], ["year=2025"],
+        )
+    monkeypatch.undo()
+
+    assert store.current_version(name) == v_before
+    got = {r["year"]: r["v"] for r in store.read(spark, name).collect()}
+    assert got == {2024: 1.0, 2025: 2.0}  # old data intact
+    staged = [v for v in store._all_version_dirs(name) if v not in store.versions(name)]
+    assert staged  # orphan exists on disk...
+    store.overwrite_partitions(
+        spark.createDataFrame([(2025, 50.0)], "year int, v double"),
+        name, ["year"], ["year=2025"],
+    )
+    # ...and is swept by the next successful commit's GC
+    assert all(
+        v in store.versions(name) for v in store._all_version_dirs(name)
+    )
+    got = {r["year"]: r["v"] for r in store.read(spark, name).collect()}
+    assert got == {2024: 1.0, 2025: 50.0}
