@@ -23,7 +23,13 @@ from __future__ import annotations
 # history, then (2) queries last checked in r03 (stalest), then (3) the
 # r04-green rest. Within blocks, cheap queries lead — the driver's run is
 # time-budgeted, so cost-ascending order maximizes hard rows per round.
-_RED_R4 = ["join_right_outer", "decimal_typed_stats"]
+# r04-red (fixed r05) + r04-green queries whose RESULTS changed in r05
+# (sqrt-n auto-cells; union ngram candidates) — all must earn a fresh
+# driver row before anything else.
+_RED_R4 = [
+    "join_right_outer", "decimal_typed_stats",
+    "knn_graph", "semdedup_keep", "dedup_ngram_jaccard",
+]
 # Queries new in r05, cost-ascending (cheap first maximizes hard rows in
 # the driver's time-budgeted prefix; the scratch-store and pair-cache
 # queries trail their block).

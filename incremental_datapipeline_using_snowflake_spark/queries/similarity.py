@@ -374,7 +374,7 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
     ).unionByName(variants)
     return (
-        S.semantic_dedup_keep(corpus, threshold=0.999)
+        S.semantic_dedup_keep(corpus, threshold=0.999, n_cells=None)
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")
     )
@@ -388,7 +388,10 @@ WITH corpus AS (
   FROM embeddings WHERE vec_id % 5 = 0
 ),
 cents AS (
-  SELECT id AS cell, v AS cv FROM corpus ORDER BY id LIMIT {S.N_IVF_CELLS}
+  -- sqrt(n)-scaled cells (ops auto_n_cells): the r05 fix for the
+  -- fixed-cell quadratic pair space measured in scripts/scale_validation.py
+  SELECT id AS cell, v AS cv FROM corpus ORDER BY id
+  LIMIT (SELECT GREATEST(16, CAST(floor(sqrt(count(*))) AS INT)) FROM corpus)
 ),
 assigned AS (
   SELECT id, v, cell FROM (
@@ -415,8 +418,10 @@ ORDER BY vec_id
 
 
 def knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n_cells=None -> sqrt(n) auto-sizing (the r05 scale fix; the oracle
+    # computes the same cell count from its own COUNT)
     emb = load(spark, sf_dir, "embeddings")
-    return S.knn_graph(emb, k=3).orderBy("src_id", "rank")
+    return S.knn_graph(emb, k=3, n_cells=None).orderBy("src_id", "rank")
 
 
 KNN_GRAPH_SQL = f"""
@@ -424,7 +429,8 @@ WITH c AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
 ),
 cents AS (
-  SELECT id AS cell, v AS cv FROM c ORDER BY id LIMIT {S.N_IVF_CELLS}
+  SELECT id AS cell, v AS cv FROM c ORDER BY id
+  LIMIT (SELECT GREATEST(16, CAST(floor(sqrt(count(*))) AS INT)) FROM c)
 ),
 assigned AS (
   SELECT id, v, cell FROM (
