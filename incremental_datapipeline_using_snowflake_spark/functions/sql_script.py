@@ -140,6 +140,20 @@ def _apply_func_maps(stmt: str) -> str:
                         depth -= 1
                     j += 1
                 inner = seg[k + len("CAST_TO_STRING(") : j]
+                # two-arg TO_VARCHAR(x, 'fmt') has no direct Spark cast —
+                # refuse loudly instead of emitting CAST(x, 'fmt' AS STRING)
+                depth2 = 0
+                for ch2 in inner:
+                    if ch2 == "(":
+                        depth2 += 1
+                    elif ch2 == ")":
+                        depth2 -= 1
+                    elif ch2 == "," and depth2 == 0:
+                        raise NotImplementedError(
+                            "translate_snowflake_sql: two-argument "
+                            "TO_VARCHAR(expr, format) is not translated — "
+                            "rewrite with date_format()/format_number()"
+                        )
                 seg = seg[:k] + f"CAST({inner} AS STRING)" + seg[j + 1 :]
         out.append(seg)
     return "".join(out)

@@ -135,10 +135,23 @@ class TableStore:
         return os.path.join(self.table_dir(name), "_PARTITIONING")
 
     def partitioning(self, name: str) -> list[str] | None:
-        """The partition columns the current version was written with
-        (recorded by overwrite/overwrite_partitions). Lets rewrite-shaped
-        operators (DML, compaction) preserve the layout without every
-        caller re-stating it."""
+        """The partition columns the current version was written with.
+        Lets rewrite-shaped operators (DML, compaction) preserve the
+        layout without every caller re-stating it.
+
+        The record lives INSIDE the version directory (written while the
+        version is staged), so it becomes visible atomically with the
+        pointer flip — a table-level sidecar could go stale across a
+        crash between write and flip and silently re-layout the next DML
+        rewrite. The table-level ``_PARTITIONING`` file remains as a
+        legacy fallback for stores written before r05."""
+        try:
+            marker = os.path.join(self.data_path(name), "_PARTITIONING.json")
+        except FileNotFoundError:
+            return None
+        if os.path.exists(marker):
+            with open(marker) as f:
+                return json.load(f) or None
         pf = self._partitioning_file(name)
         if not os.path.exists(pf):
             return None
@@ -146,15 +159,12 @@ class TableStore:
             cols = json.load(f)
         return cols or None
 
-    def _record_partitioning(self, name: str, partition_by: list[str] | None) -> None:
-        pf = self._partitioning_file(name)
-        if partition_by:
-            tmp = pf + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(list(partition_by), f)
-            os.replace(tmp, pf)
-        elif os.path.exists(pf):
-            os.remove(pf)
+    def _mark_partitioning(self, version_dir: str, partition_by: list[str] | None) -> None:
+        """Drop the layout marker into a STAGED version dir (call after the
+        parquet write — Spark's overwrite clears the dir first)."""
+        marker = os.path.join(version_dir, "_PARTITIONING.json")
+        with open(marker, "w") as f:
+            json.dump(list(partition_by or []), f)
 
     # -- table comments ----------------------------------------------------
     def _comment_file(self, name: str) -> str:
@@ -242,6 +252,7 @@ class TableStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target)
+        self._mark_partitioning(target, partition_by)
         return new, prev
 
     def _gc_versions(self, name: str, new: int, prev: int | None) -> None:
@@ -272,7 +283,6 @@ class TableStore:
         """Full-table replace via stage-and-swap; keeps one previous version."""
         new, prev = self._stage_version(df, name, partition_by)
         self._commit_version(name, new)
-        self._record_partitioning(name, partition_by)
         # a full rewrite has one uniform footer schema again — drop any
         # schema pinned by a past evolving append so it can't go stale.
         # Removal comes AFTER the pointer flip: a stale _SCHEMA against the
@@ -315,6 +325,7 @@ class TableStore:
         new = max([prev or 0, *self._all_version_dirs(name)]) + 1
         target = os.path.join(tdir, f"v={new:06d}")
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(target)
+        self._mark_partitioning(target, partition_by)
         replaced_set = set(replaced)
         cur_dir = os.path.join(tdir, f"v={prev:06d}")
         for root, _dirs, files in os.walk(cur_dir):
@@ -338,7 +349,6 @@ class TableStore:
                 except OSError:
                     shutil.copy2(src, dst)  # cross-device fallback
         self._commit_version(name, new)
-        self._record_partitioning(name, partition_by)
         self._schema_cache.pop(name, None)
         self._gc_versions(name, new, prev)
 
@@ -565,7 +575,6 @@ class TableStore:
         # staged version must be committed before the first one's gc runs
         for table, version in txn.staged:
             self._commit_version(table, version)
-            self._record_partitioning(table, txn._partitioning.get(table))
             sf = self._schema_file(table)
             if os.path.exists(sf):
                 os.remove(sf)
@@ -733,7 +742,6 @@ class _StagedTransaction:
         self._store = store
         self.staged: list[tuple[str, int]] = []
         self._prev: dict[str, int | None] = {}
-        self._partitioning: dict[str, list[str] | None] = {}
 
     def overwrite(
         self, df: DataFrame, name: str, partition_by: list[str] | None = None
@@ -741,7 +749,6 @@ class _StagedTransaction:
         new, prev = self._store._stage_version(df, name, partition_by)
         self.staged.append((name, new))
         self._prev.setdefault(name, prev)
-        self._partitioning[name] = partition_by
 
     def abort(self) -> None:
         for name, version in self.staged:
