@@ -58,6 +58,7 @@ FAMILY = [
     "knn_graph_auto",
     "semdedup_auto",
     "knn_graph_lsh",
+    "neardup_triangles",
 ]
 
 
