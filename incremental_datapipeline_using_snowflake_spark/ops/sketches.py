@@ -196,3 +196,72 @@ def cms_heavy_hitters(
         )
         .orderBy(F.desc("exact_cnt"), F.asc("tok"))
     )
+
+
+def cms_heavy_hitters_grouped(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    top_k: int = 5,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Per-group heavy hitters from per-group count-min sketches (the
+    trending-per-category shape: one d*w counter grid PER GROUP, all built
+    in the same pass).
+
+    Same portable-md5 cells and exact-integer bound check as
+    :func:`cms_heavy_hitters`; the group key simply joins the sketch key
+    — partial aggregation still collapses each partition to at most
+    groups*d*w counters before the shuffle, and per-group totals replace
+    the global scalar (no driver-side collect at all in this form).
+
+    Output: (group, rk, tok, exact_cnt, cms_est, bound_ok), rk = 1..top_k
+    per group by (exact_cnt desc, tok).
+    """
+    from pyspark.sql import Window
+
+    from ..queries.util import md5_long
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    cells_arr = F.array(
+        *[
+            (md5_long(F.concat(F.lit(f"cms{j}:"), F.col("tok"))) % w).alias(f"c{j}")
+            for j in range(d)
+        ]
+    )
+    sketch = (
+        toks.select("grp", F.posexplode(cells_arr).alias("j", "cell"))
+        .groupBy("grp", "j", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    totals = exact.groupBy("grp").agg(F.sum("exact_cnt").alias("grp_tokens"))
+    wnd = Window.partitionBy("grp").orderBy(F.desc("exact_cnt"), F.asc("tok"))
+    cand = exact.withColumn("rk", F.row_number().over(wnd)).filter(
+        F.col("rk") <= top_k
+    )
+    cand_cells = cand.select(
+        "grp", "tok", "exact_cnt", "rk", F.posexplode(cells_arr).alias("j", "cell")
+    )
+    est = (
+        cand_cells.join(sketch, ["grp", "j", "cell"])
+        .groupBy("grp", "tok", "exact_cnt", "rk")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return (
+        est.join(F.broadcast(totals), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "rk",
+            "tok",
+            "exact_cnt",
+            "cms_est",
+            ((F.col("cms_est") - F.col("exact_cnt")) * w <= 2 * F.col("grp_tokens"))
+            .alias("bound_ok"),
+        )
+        .orderBy(group_col, "rk")
+    )

@@ -34,7 +34,7 @@ _RED_R4 = [
 # the driver's time-budgeted prefix; the scratch-store and pair-cache
 # queries trail their block).
 _NEW_R5 = [
-    "data_quality_report", "sql_session_variables", "snowflake_dialect_qualify", "q14_promo_revenue", "q22_sales_opportunity",
+    "cms_grouped_hitters", "data_quality_report", "sql_session_variables", "snowflake_dialect_qualify", "q14_promo_revenue", "q22_sales_opportunity",
     "q15_top_supplier", "q19_disjunctive", "q17_small_quantity",
     "q7_volume_shipping", "q4_order_priority", "q18_large_orders",
     "q16_supplier_variety", "fuzzy_name_match", "dml_update_delete",

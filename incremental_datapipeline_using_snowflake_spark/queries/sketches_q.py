@@ -98,9 +98,66 @@ FROM est ORDER BY exact_cnt DESC, tok
 """
 
 
+# ---------------------------------------------------------------------------
+# cms_grouped_hitters — per-language heavy hitters from PER-GROUP count-min
+# sketches (one d*w counter grid per lang, one pass): the trending-per-
+# category shape. Estimates replay bit-exactly in the oracle (portable md5
+# cells); the overcount bound uses each group's own token total, and no
+# scalar collect exists anywhere in the plan (per-group totals ride a
+# broadcast join).
+# ---------------------------------------------------------------------------
+def cms_grouped_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    return SK.cms_heavy_hitters_grouped(docs, group_col="lang", top_k=5)
+
+
+def _cms_grouped_sql() -> str:
+    from .util import ORACLE_MD5_LONG
+
+    cell = lambda j: (  # noqa: E731
+        ORACLE_MD5_LONG.format(x=f"('cms{j}:' || tok)") + f" % {SK.CMS_W}"
+    )
+    cells = ", ".join(f"{cell(j)} AS c{j}" for j in range(SK.CMS_D))
+    unpivot = " UNION ALL ".join(
+        f"SELECT lang, tok, exact_cnt, rk, {j} AS j, c{j} AS cell FROM cand"
+        for j in range(SK.CMS_D)
+    )
+    sk_unpivot = " UNION ALL ".join(
+        f"SELECT lang, {j} AS j, c{j} AS cell FROM tok_cells" for j in range(SK.CMS_D)
+    )
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+),
+tok_cells AS (SELECT lang, tok, {cells} FROM toks),
+sketch AS (
+  SELECT lang, j, cell, count(*) AS cnt FROM ({sk_unpivot}) GROUP BY lang, j, cell
+),
+exact AS (SELECT lang, tok, count(*) AS exact_cnt FROM toks GROUP BY lang, tok),
+totals AS (SELECT lang, CAST(sum(exact_cnt) AS BIGINT) AS grp_tokens FROM exact GROUP BY lang),
+cand AS (
+  SELECT lang, tok, exact_cnt, rk, {cells} FROM (
+    SELECT lang, tok, exact_cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY exact_cnt DESC, tok) AS rk
+    FROM exact
+  ) WHERE rk <= 5
+),
+est AS (
+  SELECT lang, tok, exact_cnt, rk, min(cnt) AS cms_est
+  FROM ({unpivot}) u JOIN sketch USING (lang, j, cell)
+  GROUP BY lang, tok, exact_cnt, rk
+)
+SELECT lang, rk, tok, exact_cnt, cms_est,
+       ((cms_est - exact_cnt) * {SK.CMS_W} <= 2 * t.grp_tokens) AS bound_ok
+FROM est JOIN totals t USING (lang)
+ORDER BY lang, rk
+"""
+
+
 QUERIES: dict = {
     "hll_distinct_users": (hll_distinct_users, HLL_DISTINCT_SQL),
     "hll_mergeable_rollup": (hll_mergeable_rollup, HLL_MERGE_SQL),
     "quantile_sketch_value": (quantile_sketch_value, QUANTILE_SQL),
     "cms_heavy_hitters": (cms_heavy_hitters, _cms_sql()),
+    "cms_grouped_hitters": (cms_grouped_hitters, _cms_grouped_sql()),
 }
