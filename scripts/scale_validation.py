@@ -174,6 +174,13 @@ def main() -> int:
     results: dict[str, dict[int, tuple[float, float, int]]] = {n: {} for n in names}
     with tempfile.TemporaryDirectory(prefix="scalegen_") as root:
         for i, m in enumerate(mults):
+            # hermetic per size: cached subtrees from the previous size
+            # (shingle tables, pair tables, IVF assignments) otherwise fill
+            # executor storage and eviction thrash distorts late-running
+            # queries by >10x (measured: identical knn_graph code at alpha
+            # 1.43 late-in-family vs 0.86 clean). WITHIN a size the family
+            # cache-sharing stays (that reuse is the production shape).
+            spark.catalog.clearCache()
             d = os.path.join(root, f"m{m}")
             t0 = time.time()
             generate(d, m)
