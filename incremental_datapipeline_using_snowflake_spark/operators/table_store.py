@@ -327,6 +327,23 @@ class TableStore:
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(target)
         self._mark_partitioning(target, partition_by)
         replaced_set = set(replaced)
+        # a row OUTSIDE the replaced set would coexist with that partition's
+        # links — silent duplication; the check is one listing of the (few)
+        # partition dirs just written, not a data scan
+        written = {
+            e for e in os.listdir(target)
+            if "=" in e and os.path.isdir(os.path.join(target, e))
+        }
+        stray = {
+            w for w in written
+            if w not in replaced_set and w.split(os.sep)[0] not in replaced_set
+        }
+        if stray:
+            shutil.rmtree(target, ignore_errors=True)
+            raise ValueError(
+                f"overwrite_partitions({name}): frame contains partitions "
+                f"{sorted(stray)} outside replaced={sorted(replaced_set)}"
+            )
         cur_dir = os.path.join(tdir, f"v={prev:06d}")
         for root, _dirs, files in os.walk(cur_dir):
             rel = os.path.relpath(root, cur_dir)

@@ -76,7 +76,10 @@ def validate_constraints(df: DataFrame, rules: Rules, id_col: str | None = None)
                 if id_col
                 else (F.col(colname) if colname else F.lit(None))
             )
-            aggs.append(F.sum(bad.cast("long")).alias(f"_n_{i}"))
+            # empty table -> SUM is NULL; the report must say 0
+            aggs.append(
+                F.coalesce(F.sum(bad.cast("long")), F.lit(0)).alias(f"_n_{i}")
+            )
             aggs.append(
                 F.slice(
                     F.collect_list(F.when(bad, src.cast("string"))), 1, 3
