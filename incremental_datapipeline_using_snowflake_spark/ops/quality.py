@@ -154,3 +154,18 @@ def assert_constraints(df: DataFrame, rules: Rules, id_col: str | None = None) -
             for r in bad
         )
         raise ValueError(f"constraint violations: {msgs}")
+
+
+def constraint_gated(batch_fn, rules: Rules, id_col: str | None = None):
+    """Wrap a ``foreachBatch`` function with a hard constraint gate: every
+    micro-batch is validated BEFORE the wrapped function runs, so a
+    poisoned batch fails the streaming query instead of polluting the
+    sink (the Delta Live Tables "expectation with FAIL" semantics). The
+    checkpoint does not advance past a failed batch — after fixing the
+    upstream data, the restarted query retries the same batch."""
+
+    def gated(batch_df: DataFrame, batch_id: int):
+        assert_constraints(batch_df, rules, id_col=id_col)
+        return batch_fn(batch_df, batch_id)
+
+    return gated

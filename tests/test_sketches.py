@@ -64,3 +64,24 @@ def test_cms_estimate_dominates_exact_and_finds_hitters(spark):
     assert rows[0]["tok"] == "hot" and rows[0]["exact_cnt"] == 50
     assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)
     assert all(r["bound_ok"] for r in rows)
+
+
+def test_cms_grouped_matches_per_group_exact(spark):
+    """Grouped CMS: per-group top-k and estimates match a per-group exact
+    count on a small planted corpus; the overcount bound holds per group."""
+    from incremental_datapipeline_using_snowflake_spark.ops import sketches as SK
+
+    rows = []
+    for g, words in [("a", "x x x y z"), ("a", "x y y"), ("b", "q q r")]:
+        rows.append((g, words))
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {
+        (r["lang"], r["rk"]): r
+        for r in SK.cms_heavy_hitters_grouped(df, group_col="lang", top_k=2).collect()
+    }
+    assert got[("a", 1)]["tok"] == "x" and got[("a", 1)]["exact_cnt"] == 4
+    assert got[("a", 2)]["tok"] == "y" and got[("a", 2)]["exact_cnt"] == 3
+    assert got[("b", 1)]["tok"] == "q" and got[("b", 1)]["exact_cnt"] == 2
+    for r in got.values():
+        assert r["cms_est"] >= r["exact_cnt"]  # CMS never undercounts
+        assert r["bound_ok"]

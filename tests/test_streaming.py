@@ -333,3 +333,54 @@ def test_stream_harmonize_bounded_batches_offset_safe(spark, store, tmp_path):
     assert committed == int(hi)
     # nothing pending afterwards
     assert stream_harmonize(spark, store, ckpt) == "No data in stream to process"
+
+
+def test_constraint_gated_stream_blocks_poisoned_batch(spark, tmp_path):
+    """ops.quality.constraint_gated on a foreachBatch drain: clean batches
+    flow to the sink; a batch violating the rules fails the query before
+    the sink sees it, and the checkpoint does not advance past it."""
+    import pyspark.sql.utils as _u
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.ops.quality import (
+        Rules,
+        constraint_gated,
+    )
+    from incremental_datapipeline_using_snowflake_spark.streaming.incremental import (
+        run_available_now,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, 5.0), (2, 6.0)], "id long, v double").write.parquet(src)
+
+    seen: list[int] = []
+    rules = Rules(not_null=["v"], ranges={"v": (0.0, None)})
+
+    def sink(batch_df, batch_id):
+        seen.append(batch_df.count())
+
+    stream = spark.readStream.schema("id long, v double").parquet(src)
+    n = run_available_now(stream, ckpt, constraint_gated(sink, rules, id_col="id"))
+    assert n == 1 and seen == [2]
+
+    # poisoned append: NULL v -> the gate must fail the query, sink unseen
+    spark.createDataFrame([(3, None)], "id long, v double").write.mode("append").parquet(src)
+    with _pytest.raises(Exception, match="constraint violations|StreamingQuery"):
+        run_available_now(
+            spark.readStream.schema("id long, v double").parquet(src),
+            ckpt,
+            constraint_gated(sink, rules, id_col="id"),
+        )
+    assert seen == [2]  # nothing new reached the sink
+
+    # fix upstream (rewrite the bad file away) is out of scope here; the
+    # key property is checkpoint non-advancement: a clean retry with the
+    # same checkpoint still sees the poisoned file and fails again
+    with _pytest.raises(Exception):
+        run_available_now(
+            spark.readStream.schema("id long, v double").parquet(src),
+            ckpt,
+            constraint_gated(sink, rules, id_col="id"),
+        )
+    assert seen == [2]
