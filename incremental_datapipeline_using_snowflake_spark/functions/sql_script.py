@@ -126,37 +126,47 @@ def _apply_func_maps(stmt: str) -> str:
         if is_code:
             for rx, rep in _SNOWFLAKE_FUNCS:
                 seg = rx.sub(rep, seg)
-            # TO_VARCHAR(x) -> CAST(x AS STRING): single-arg form only; the
-            # marker keeps the paren math simple
-            while "CAST_TO_STRING(" in seg:
-                k = seg.index("CAST_TO_STRING(")
-                depth, j = 0, k + len("CAST_TO_STRING(")
-                while j < len(seg):
-                    if seg[j] == "(":
-                        depth += 1
-                    elif seg[j] == ")":
-                        if depth == 0:
-                            break
-                        depth -= 1
-                    j += 1
-                inner = seg[k + len("CAST_TO_STRING(") : j]
+        out.append(seg)
+    stmt = "".join(out)
+    # TO_VARCHAR(x) -> CAST(x AS STRING), spliced over the REASSEMBLED
+    # statement: the paren scan must cross string-literal/comment segments
+    # (TO_VARCHAR(coalesce(x, 'none')) holds a literal inside the argument)
+    # so depth is tracked with _depth_positions, which carries it across
+    # non-code regions without counting parens inside literals.
+    while True:
+        code_text = "".join(
+            s if c else " " * len(s) for c, s in _code_segments(stmt)
+        )
+        k = code_text.find("CAST_TO_STRING(")
+        if k < 0:
+            return stmt
+        start = k + len("CAST_TO_STRING(")
+        base = None  # paren depth just inside CAST_TO_STRING's open paren
+        close = None
+        for pos, ch, d in _depth_positions(stmt):
+            if pos == start - 1:
+                base = d + 1
+                continue
+            if base is None or pos < start:
+                continue
+            if ch == ")" and d == base:
+                close = pos
+                break
+            if ch == "," and d == base:
                 # two-arg TO_VARCHAR(x, 'fmt') has no direct Spark cast —
                 # refuse loudly instead of emitting CAST(x, 'fmt' AS STRING)
-                depth2 = 0
-                for ch2 in inner:
-                    if ch2 == "(":
-                        depth2 += 1
-                    elif ch2 == ")":
-                        depth2 -= 1
-                    elif ch2 == "," and depth2 == 0:
-                        raise NotImplementedError(
-                            "translate_snowflake_sql: two-argument "
-                            "TO_VARCHAR(expr, format) is not translated — "
-                            "rewrite with date_format()/format_number()"
-                        )
-                seg = seg[:k] + f"CAST({inner} AS STRING)" + seg[j + 1 :]
-        out.append(seg)
-    return "".join(out)
+                raise NotImplementedError(
+                    "translate_snowflake_sql: two-argument "
+                    "TO_VARCHAR(expr, format) is not translated — "
+                    "rewrite with date_format()/format_number()"
+                )
+        if close is None:
+            raise ValueError(
+                "translate_snowflake_sql: unbalanced parentheses after "
+                "TO_VARCHAR("
+            )
+        inner = stmt[start:close]
+        stmt = stmt[:k] + f"CAST({inner} AS STRING)" + stmt[close + 1 :]
 
 
 def _depth_positions(stmt: str):

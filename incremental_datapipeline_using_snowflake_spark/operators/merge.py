@@ -41,6 +41,7 @@ def merge_upsert(
     broadcast_source: bool = True,
     observe_metrics: dict | None = None,
     prune_partitions: bool = False,
+    validate_pruning: bool = True,
     txn=None,
 ) -> dict:
     """Upsert ``source`` into ``target_table`` on ``keys``.
@@ -74,6 +75,15 @@ def merge_upsert(
       its destination partition rewritten too); incompatible with
       ``observe_metrics`` (which promises full-table aggregates) and
       ``txn`` (partition links commit directly).
+    - ``validate_pruning``: enforce the pruned path's precondition that no
+      source key already exists in the target under an UNTOUCHED partition
+      (such a row would be misclassified as an insert and its old image
+      would survive via the linked untouched partition — silent duplicate
+      keys). Skipped automatically when the partition column is part of
+      ``keys`` (a key match then implies the same partition). The check is
+      one key-column-pruned scan of the untouched partitions semi-joined
+      against the broadcast source keys — no shuffle; pass ``False`` only
+      when the caller structurally guarantees partition stability.
 
     Returns ``{"updated": n, "inserted": n}`` row counts (-1 when skipped),
     plus ``"observed"`` when requested.
@@ -110,35 +120,76 @@ def merge_upsert(
             raise ValueError(f"source lacks partition column {pcol!r}")
         if update_cols and pcol in update_cols:
             raise ValueError(f"partition column {pcol!r} cannot be updated")
+        # the partition column must never enter the update set — even the
+        # DEFAULT one (update_cols=None would otherwise include it since it
+        # exists on both sides): under the path's contract source pcol ==
+        # target pcol for matched rows, but if the contract is violated an
+        # updated pcol would silently move rows across partition dirs.
+        upd_eff = update_cols or [
+            c
+            for c in target.columns
+            if c not in keys and c != pcol and c in source.columns
+        ]
         # inserted rows MUST carry the partition column (the default
         # insert set is keys + update set, which usually excludes it; a
         # NULL partition would land outside every replaced dir and corrupt
         # the link set)
         ins = insert_cols
         if ins is None:
-            upd_eff = update_cols or [
-                c for c in target.columns if c not in keys and c in source.columns
-            ]
             ins = list(dict.fromkeys(keys + upd_eff))
         if pcol not in ins:
             ins = [pcol, *ins]
         # the touched partition set is a bounded scalar list (days/years of
         # one batch), not a data collect
         pvals = [r[0] for r in source.select(pcol).distinct().collect()]
+        if any(v is None for v in pvals):
+            raise ValueError(
+                f"merge_upsert({target_table}): source has NULL values in "
+                f"partition column {pcol!r} — the pruned scan cannot match "
+                f"the NULL partition (isin semantics); merge without "
+                f"prune_partitions or filter the NULLs"
+            )
         pruned = target.filter(F.col(pcol).isin(pvals))
+        if validate_pruning and pcol not in keys:
+            # precondition check: a source key living in an UNTOUCHED target
+            # partition would be misclassified as an insert (the pruned scan
+            # can't see its match) and duplicated via the partition links.
+            # Key-column-pruned scan + broadcast semi-join, no shuffle.
+            src_keys = F.broadcast(source.select(*keys).dropDuplicates(keys))
+            # NULL-partition target rows are untouched too (isin is NULL
+            # for them, and plain ~isin would drop them from the check)
+            n_moved = (
+                target.filter(~F.coalesce(F.col(pcol).isin(pvals), F.lit(False)))
+                .select(*keys)
+                .join(src_keys, on=keys, how="left_semi")
+                .count()
+            )
+            if n_moved:
+                raise ValueError(
+                    f"merge_upsert({target_table}): {n_moved} source key(s) "
+                    f"already exist in the target under partitions outside "
+                    f"the touched set {sorted(map(str, pvals))[:10]} — a "
+                    f"row's partition value may not change under "
+                    f"prune_partitions; merge without pruning or delete the "
+                    f"old rows first (validate_pruning=False skips this "
+                    f"check when partition stability is guaranteed)"
+                )
         matched, inserted, result = merge_branches(
             pruned,
             source,
             keys,
-            update_cols=update_cols,
+            update_cols=upd_eff,
             insert_cols=ins,
             broadcast_source=broadcast_source,
         )
         n_upd = matched.count() if count_rows else -1
         n_ins = inserted.count() if count_rows else -1
-        store.overwrite_partitions(
-            result, target_table, partition_by, [f"{pcol}={v}" for v in pvals]
-        )
+        # replaced partition specs are DERIVED from the directory names the
+        # staged write actually produces (overwrite_partitions(replaced=None))
+        # rather than formatted from collected Python values — str(v) does
+        # not reproduce Spark's partition-dir encoding for booleans
+        # ('True' vs 'true') or Hive percent-escaped characters (':' '/').
+        store.overwrite_partitions(result, target_table, partition_by, None)
         return {"updated": n_upd, "inserted": n_ins}
     matched, inserted, result = merge_branches(
         target,

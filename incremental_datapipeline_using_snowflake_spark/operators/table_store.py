@@ -200,17 +200,27 @@ class TableStore:
         :meth:`read_version` or resurrected by :meth:`restore`, even when
         a later commit allocates past them (a plain high-water mark would
         legitimize such gap orphans). GC prunes the set alongside the
-        dirs, so it stays ~keep_versions entries. Stores created before
-        the file existed fall back to "dirs at or below the pointer".
+        dirs, so it stays ~keep_versions entries.
+
+        Stores created before the file existed fall back to "every on-disk
+        ``v=`` dir is committed". A "dirs at or below the pointer"
+        heuristic looks safer (it excludes would-be orphans above the
+        pointer) but makes restore() destructive: after restore() parks
+        the pointer below newer committed versions, the next write would
+        snapshot a committed set EXCLUDING them into ``_COMMITS`` and GC
+        would then delete retained history — breaking the documented
+        "restore is itself reversible" guarantee. A legacy store cannot
+        distinguish a rolled-back-over commit from a crashed writer's
+        orphan, and preserving real history wins; the one-time cost is
+        that a pre-``_COMMITS`` orphan (if any) becomes readable history.
         """
         cf = self._commits_file(name)
         if os.path.exists(cf):
             with open(cf) as f:
                 return set(json.load(f))
-        cur = self.current_version(name)
-        if cur is None:
+        if self.current_version(name) is None:
             return set()
-        return {v for v in self._all_version_dirs(name) if v <= cur}
+        return set(self._all_version_dirs(name))
 
     def _write_committed_set(self, name: str, versions: set[int]) -> None:
         cf = self._commits_file(name)
@@ -301,7 +311,7 @@ class TableStore:
         df: DataFrame,
         name: str,
         partition_by: list[str],
-        replaced: list[str],
+        replaced: list[str] | None,
     ) -> None:
         """Partition-scoped overwrite (Delta ``replaceWhere`` / dynamic
         partition overwrite): a NEW version whose ``replaced`` partition
@@ -312,6 +322,14 @@ class TableStore:
         ``replaced`` holds relative partition paths (``"YEAR=2025"``);
         ``df`` must contain only rows belonging to those partitions (the
         caller computes the touched set — see merge_upsert's pruned path).
+        ``replaced=None`` is DERIVED mode (Spark's own dynamic-partition-
+        overwrite semantics): the replaced set is read off the directory
+        names the staged write actually produced, so it matches Spark's
+        partition-dir encoding exactly (booleans 'true'/'false', Hive
+        percent-escaping of ':' '/' '=', NULL as
+        ``__HIVE_DEFAULT_PARTITION__``) — formatting collected Python
+        values with str() cannot reproduce these. In derived mode a
+        partition for which ``df`` holds no rows survives unchanged.
         At 100 TB this is the difference between a daily merge rewriting
         one day's partition and rewriting the table: cost ∝ churn.
         Readers keep full snapshot isolation — the pointer flip is atomic
@@ -326,24 +344,28 @@ class TableStore:
         target = os.path.join(tdir, f"v={new:06d}")
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(target)
         self._mark_partitioning(target, partition_by)
-        replaced_set = set(replaced)
-        # a row OUTSIDE the replaced set would coexist with that partition's
-        # links — silent duplication; the check is one listing of the (few)
-        # partition dirs just written, not a data scan
         written = {
             e for e in os.listdir(target)
             if "=" in e and os.path.isdir(os.path.join(target, e))
         }
-        stray = {
-            w for w in written
-            if w not in replaced_set and w.split(os.sep)[0] not in replaced_set
-        }
-        if stray:
-            shutil.rmtree(target, ignore_errors=True)
-            raise ValueError(
-                f"overwrite_partitions({name}): frame contains partitions "
-                f"{sorted(stray)} outside replaced={sorted(replaced_set)}"
-            )
+        if replaced is None:
+            replaced_set = written  # derived: replace exactly what was written
+        else:
+            replaced_set = set(replaced)
+            # a row OUTSIDE the replaced set would coexist with that
+            # partition's links — silent duplication; the check is one
+            # listing of the (few) partition dirs just written, not a data
+            # scan
+            stray = {
+                w for w in written
+                if w not in replaced_set and w.split(os.sep)[0] not in replaced_set
+            }
+            if stray:
+                shutil.rmtree(target, ignore_errors=True)
+                raise ValueError(
+                    f"overwrite_partitions({name}): frame contains partitions "
+                    f"{sorted(stray)} outside replaced={sorted(replaced_set)}"
+                )
         cur_dir = os.path.join(tdir, f"v={prev:06d}")
         for root, _dirs, files in os.walk(cur_dir):
             rel = os.path.relpath(root, cur_dir)

@@ -133,3 +133,37 @@ def test_translate_snowflake_distinct_qualify_refused():
 
     with _pytest.raises(ValueError, match="DISTINCT"):
         tr("SELECT DISTINCT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1")
+
+
+def test_translate_to_varchar_with_literal_argument():
+    """ADVICE r05: the TO_VARCHAR paren scan crosses string-literal and
+    comment segments (depth carried through), so literals inside the
+    argument no longer truncate the splice."""
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.functions.sql_script import (
+        translate_snowflake_sql as tr,
+    )
+
+    assert (
+        tr("SELECT TO_VARCHAR(coalesce(x, 'none')) FROM t")
+        == "SELECT CAST(coalesce(x, 'none') AS STRING) FROM t"
+    )
+    # literal containing parens/commas must not disturb the depth math
+    assert (
+        tr("SELECT TO_VARCHAR(coalesce(x, '),(')) FROM t")
+        == "SELECT CAST(coalesce(x, '),(') AS STRING) FROM t"
+    )
+    # comment inside the argument
+    assert (
+        tr("SELECT TO_VARCHAR(x /* ) */ + 1) FROM t")
+        == "SELECT CAST(x /* ) */ + 1 AS STRING) FROM t"
+    )
+    # nested TO_VARCHAR, both rewritten
+    assert (
+        tr("SELECT TO_VARCHAR(TO_VARCHAR(x)) FROM t")
+        == "SELECT CAST(CAST(x AS STRING) AS STRING) FROM t"
+    )
+    # two-arg form still refused even when the second arg is a literal
+    with _pytest.raises(NotImplementedError, match="two-argument"):
+        tr("SELECT TO_VARCHAR(x, 'YYYY-MM') FROM t")

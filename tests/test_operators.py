@@ -880,3 +880,121 @@ def test_overwrite_partitions_crash_before_commit(spark, tmp_path, monkeypatch):
     )
     got = {r["year"]: r["v"] for r in store.read(spark, name).collect()}
     assert got == {2024: 1.0, 2025: 50.0}
+
+
+def test_merge_prune_partitions_rejects_moved_keys(spark, tmp_path):
+    """ADVICE r05: a source key that already exists in the target under an
+    UNTOUCHED partition would be misclassified as an insert by the pruned
+    scan and its old image would survive via the hardlinked partition —
+    silent duplicate keys. The pruned path now validates the partition-
+    stability precondition (key-pruned scan + broadcast semi-join) and
+    refuses; validate_pruning=False opts out for structurally-safe callers."""
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.operators.merge import merge_upsert
+
+    store = TableStore(root=str(tmp_path))
+    target = spark.createDataFrame(
+        [(2023, 1, 1.0), (2024, 2, 2.0)], "year int, k int, v double"
+    )
+    store.overwrite(target, "ns.t", partition_by=["year"])
+    # key k=1 lives under year=2023; the source claims it under year=2025
+    moved = spark.createDataFrame([(2025, 1, 9.0)], "year int, k int, v double")
+    with _pytest.raises(ValueError, match="outside the touched set"):
+        merge_upsert(
+            spark, store, "ns.t", moved, keys=["k"],
+            partition_by=["year"], prune_partitions=True,
+        )
+    # partition column inside the key set -> a key match implies the same
+    # partition; no validation scan needed and the merge proceeds
+    ok = spark.createDataFrame([(2025, 3, 3.0)], "year int, k int, v double")
+    merge_upsert(
+        spark, store, "ns.t", ok, keys=["year", "k"],
+        partition_by=["year"], prune_partitions=True,
+    )
+    assert store.read(spark, "ns.t").count() == 3
+    # opting out runs the (unsafe) merge without the guard
+    merge_upsert(
+        spark, store, "ns.t", moved, keys=["k"],
+        partition_by=["year"], prune_partitions=True, validate_pruning=False,
+    )
+    # NULL partition values in the source are rejected up front
+    null_src = spark.createDataFrame([(None, 7, 7.0)], "year int, k int, v double")
+    with _pytest.raises(ValueError, match="NULL values in partition column"):
+        merge_upsert(
+            spark, store, "ns.t", null_src, keys=["year", "k"],
+            partition_by=["year"], prune_partitions=True,
+        )
+
+
+def test_merge_prune_partitions_nonplain_partition_values(spark, tmp_path):
+    """ADVICE r05: replaced partition specs are derived from the staged
+    directory names (overwrite_partitions derived mode), so partition
+    values whose str() form differs from Spark's dir encoding — Hive
+    percent-escaped characters like ':' (%3A) and '/' (%2F) — merge fine
+    instead of tripping the stray-partition rejection. (Boolean partition
+    columns can't hit this: Spark's partition discovery reads them back as
+    strings, so a boolean-typed source never joins in the first place.)"""
+    import os
+
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.operators.merge import merge_upsert
+
+    store = TableStore(root=str(tmp_path))
+    t = spark.createDataFrame(
+        [("a:b", 1, 1.0), ("c/d", 2, 2.0)], "grp string, k int, v double"
+    )
+    store.overwrite(t, "ns.e", partition_by=["grp"])
+    # the escaped dir names are what's on disk — str(v) would never match
+    dirs = {e for e in os.listdir(store.data_path("ns.e")) if e.startswith("grp=")}
+    assert dirs == {"grp=a%3Ab", "grp=c%2Fd"}
+    before = {
+        f: os.stat(os.path.join(r, f)).st_ino
+        for r, _d, fs in os.walk(os.path.join(store.data_path("ns.e"), "grp=c%2Fd"))
+        for f in fs if f.endswith(".parquet")
+    }
+    s = spark.createDataFrame(
+        [("a:b", 1, 5.0), ("a:b", 3, 3.0)], "grp string, k int, v double"
+    )
+    res = merge_upsert(
+        spark, store, "ns.e", s, keys=["grp", "k"],
+        partition_by=["grp"], prune_partitions=True,
+    )
+    assert (res["updated"], res["inserted"]) == (1, 1)
+    got = sorted(
+        tuple(r) for r in store.read(spark, "ns.e").select("grp", "k", "v").collect()
+    )
+    assert got == [("a:b", 1, 5.0), ("a:b", 3, 3.0), ("c/d", 2, 2.0)]
+    after = {
+        f: os.stat(os.path.join(r, f)).st_ino
+        for r, _d, fs in os.walk(os.path.join(store.data_path("ns.e"), "grp=c%2Fd"))
+        for f in fs if f.endswith(".parquet")
+    }
+    assert after == before  # untouched escaped partition linked, not rewritten
+
+
+def test_legacy_store_restore_not_destructive(spark, tmp_path):
+    """ADVICE r05: for stores created before the _COMMITS journal existed,
+    restore() followed by the next write must NOT let GC delete the newer
+    committed versions that were rolled back over ('restore is itself
+    reversible')."""
+    import os
+
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+
+    store = TableStore(root=str(tmp_path), keep_versions=4)
+    name = "ns.legacy"
+    for i in (1, 2, 3):
+        store.overwrite(
+            spark.createDataFrame([(i,)], "v int"), name
+        )
+    assert store.versions(name) == [1, 2, 3]
+    # simulate a pre-_COMMITS store
+    os.remove(store._commits_file(name))
+    store.restore(name, 1)
+    assert store.current_version(name) == 1
+    # the next write used to snapshot {v <= pointer} and GC v2/v3 as orphans
+    store.overwrite(spark.createDataFrame([(4,)], "v int"), name)
+    assert {2, 3} <= set(store.versions(name))
+    assert store.read_version(spark, name, 3).collect()[0][0] == 3
