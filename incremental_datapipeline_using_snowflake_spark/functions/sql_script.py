@@ -185,8 +185,9 @@ def _depth_positions(stmt: str):
         pos += len(seg)
 
 
-def _rewrite_qualify(stmt: str) -> str:
-    """Rewrite a top-level Snowflake ``QUALIFY <pred>`` into standard SQL:
+def _rewrite_qualify_scope(stmt: str) -> str | None:
+    """Rewrite ONE SELECT scope's ``QUALIFY <pred>`` (at depth 0 of the
+    given text) into standard SQL:
 
         SELECT <list> FROM ... QUALIFY <pred> [ORDER BY/LIMIT tail]
         ->
@@ -196,9 +197,9 @@ def _rewrite_qualify(stmt: str) -> str:
 
     Window functions are legal in a projection, so the predicate computes
     as a projected boolean; Snowflake scoping (predicate sees the SELECT
-    scope) is preserved. Only the OUTERMOST query's QUALIFY is rewritten —
-    subquery QUALIFYs (depth > 0) are left untouched and will surface as a
-    parse error rather than a silent misrewrite. ``SELECT DISTINCT`` +
+    scope) is preserved. Returns None when the scope has no depth-0
+    QUALIFY or is not a SELECT...FROM shape (caller leaves the text for
+    the parser to reject rather than misrewriting). ``SELECT DISTINCT`` +
     QUALIFY is REFUSED loudly: appending the predicate column inside the
     DISTINCT would change which rows are distinct (Snowflake applies
     QUALIFY after DISTINCT) — rewrite such statements by hand.
@@ -209,7 +210,7 @@ def _rewrite_qualify(stmt: str) -> str:
         if depth == 0 and _QUALIFY_RE.match(code_text, pos) and qpos is None:
             qpos = pos
     if qpos is None:
-        return stmt
+        return None
     head = stmt[:qpos].rstrip()
     after = stmt[qpos + len("QUALIFY") :]
     after_code = code_text[qpos + len("QUALIFY") :]
@@ -233,7 +234,7 @@ def _rewrite_qualify(stmt: str) -> str:
             from_at = pos
             break
     if from_at is None:
-        return stmt  # not a SELECT...FROM shape; leave untouched
+        return None  # not a SELECT...FROM shape; leave untouched
     if _re.search(r"\bSELECT\s+DISTINCT\b", code_text[:from_at], _re.IGNORECASE):
         raise ValueError(
             "translate_snowflake_sql: SELECT DISTINCT with QUALIFY cannot be "
@@ -244,6 +245,59 @@ def _rewrite_qualify(stmt: str) -> str:
     return (
         f"SELECT * EXCEPT (__qualify) FROM ({inner}) WHERE __qualify {tail}".rstrip()
     )
+
+
+def _rewrite_qualify(stmt: str) -> str:
+    """Rewrite EVERY ``QUALIFY`` in the statement, deepest scope first
+    (r06: subquery-level QUALIFYs too, not just the outermost — a depth-d
+    QUALIFY's scope is the innermost parenthesized region containing it,
+    and within that region the same depth-0 scope rewrite applies).
+    Innermost-first ordering keeps outer offsets valid and lets an outer
+    QUALIFY see its subqueries already in standard SQL. A scope that is
+    not a SELECT...FROM shape stops the sweep and is left for the parser
+    to reject; the DISTINCT refusal raises per scope.
+
+    The inner ``__qualify`` helper column cannot collide across nesting
+    levels: each scope's rewrite drops its own helper via
+    ``* EXCEPT (__qualify)`` before the enclosing scope sees the rows.
+    """
+    for _ in range(64):  # progress-bounded (one QUALIFY consumed per pass)
+        code_text = "".join(
+            s if c else " " * len(s) for c, s in _code_segments(stmt)
+        )
+        occ = [
+            (pos, depth)
+            for pos, _ch, depth in _depth_positions(stmt)
+            if _QUALIFY_RE.match(code_text, pos)
+        ]
+        if not occ:
+            return stmt
+        pos, depth = max(occ, key=lambda t: (t[1], -t[0]))  # deepest, first
+        if depth == 0:
+            new = _rewrite_qualify_scope(stmt)
+            if new is None:
+                return stmt
+            stmt = new
+            continue
+        # enclosing paren span of the deepest QUALIFY: the last "(" before
+        # it that raised depth to `depth` (any earlier sibling group at the
+        # same depth closed before `pos`), and the first ")" after it that
+        # drops back below
+        open_pos = close_pos = None
+        for p2, ch, d in _depth_positions(stmt):
+            if p2 < pos:
+                if ch == "(" and d == depth - 1:
+                    open_pos = p2
+            elif ch == ")" and d == depth:
+                close_pos = p2
+                break
+        if open_pos is None or close_pos is None:
+            return stmt  # unbalanced; leave for the parser
+        inner = _rewrite_qualify_scope(stmt[open_pos + 1 : close_pos])
+        if inner is None:
+            return stmt
+        stmt = stmt[: open_pos + 1] + inner + stmt[close_pos:]
+    return stmt
 
 
 def translate_snowflake_sql(stmt: str) -> str:

@@ -351,6 +351,94 @@ def semantic_dedup_keep(
     )
 
 
+def semantic_dedup_keep_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.999,
+    target_bucket: int = 64,
+    n_tables: int = 2,
+    n_planes: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """LINEAR-scale SemDeDup — the production default for semantic
+    near-duplicate pruning (r06, closing the last Θ(n^1.5) default in the
+    inventory).
+
+    :func:`semantic_dedup_keep`'s seed-IVF cells are Θ(n^1.5) at their
+    sqrt(n) optimum (assignment work n·cells balances in-cell pairs
+    n²/cells — a law of the one-level-IVF shape, measured alpha ≈ 1.4 in
+    scripts/scale_validation.py). This variant swaps the cluster structure
+    for multi-table hyperplane LSH, the same composition proven linear for
+    :func:`knn_graph_lsh` (alpha ≈ 1.0): bucket ids are computed PER ROW
+    from ``n_planes = ceil(log2(n / target_bucket))`` hyperplane signs —
+    no assignment join at all — so expected bucket population stays
+    ~``target_bucket`` at any corpus size and total pair work is
+    Θ(n · target_bucket · n_tables).
+
+    Near-duplicate recall is a better fit for LSH than kNN is: vectors at
+    cosine ≥ 0.999 agree with every hyperplane sign except within float
+    noise of a plane, so a single table already catches almost all dup
+    pairs and ``n_tables`` independent plane tables drive the residual
+    miss probability down geometrically (the classic LSH recall knob).
+
+    Keep rule is identical to the IVF form: greedy by sorted id — a vector
+    is dropped iff some LOWER-id vector sharing a bucket (in ANY table)
+    matches at ``round(cosine, 6) >= threshold``. Output:
+    (id, n_earlier_dups, keep) for every corpus vector, where
+    ``n_earlier_dups`` counts DISTINCT lower-id near-dup partners (a pair
+    found by two tables counts once). No cell column — LSH has no cells.
+
+    Wire shape: only (id_a, id_b) survives each per-table bucket join into
+    the cross-table pair dedup (cosine is computed map-side and filtered
+    before the exchange), mirroring the knn_graph_lsh projection pushdown.
+    """
+    import math
+
+    if n_planes is None:
+        n = corpus.count()  # scalar probe, not a data collect
+        n_planes = max(4, math.ceil(math.log2(max(2.0, n / target_bucket))))
+    dim = len(corpus.select(vec_col).first()[0])
+    pair_parts = []
+    for t in range(n_tables):
+        sigs = lsh_signatures(
+            corpus, dim, vec_col, id_col, n_planes=n_planes, seed=t
+        ).select(
+            F.col(id_col).alias("id"), _dvec(vec_col).alias("v"), "bucket"
+        ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        sigs = _materialize(sigs, checkpoint_dir, f"semdedup_lsh_sigs_{t}")
+        a = sigs.withColumnsRenamed({"id": "id_a", "v": "va", "nrm": "na"})
+        b = sigs.withColumnsRenamed({"id": "id_b", "v": "vb", "nrm": "nb"})
+        pair_parts.append(
+            a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.round(
+                    dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+                )
+                >= threshold
+            )
+            .select("id_a", "id_b")
+        )
+    pairs = pair_parts[0]
+    for p in pair_parts[1:]:
+        pairs = pairs.unionByName(p)
+    dup = (
+        pairs.distinct()  # same pair from two tables counts once
+        .groupBy(F.col("id_b").alias("id"))
+        .agg(F.count(F.lit(1)).alias("_n_dups"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(dup, "id", "left")
+        .select(
+            "id",
+            F.coalesce("_n_dups", F.lit(0)).alias("n_earlier_dups"),
+            F.col("_n_dups").isNull().alias("keep"),
+        )
+    )
+
+
 def knn_graph(
     corpus: DataFrame,
     k: int = 3,

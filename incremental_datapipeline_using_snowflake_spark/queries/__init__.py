@@ -15,53 +15,63 @@ Determinism discipline (SURVEY.md §7.3 + FIXTURES.md §3):
 
 from __future__ import annotations
 
-# Driver-coverage ordering (round 5). The per-round driver oracle run covers a
-# bounded prefix of this dict (~50 entries/round), so emission order decides
-# which queries get a hard CORRECTNESS row. r03 ∪ r04 covered all 100
-# declared queries; priority now is: (0) the two r04-RED rows, fixed this
-# round and needing a green re-check, then (1) brand-new queries with no
-# history, then (2) queries last checked in r03 (stalest), then (3) the
-# r04-green rest. Within blocks, cheap queries lead — the driver's run is
-# time-budgeted, so cost-ascending order maximizes hard rows per round.
-# r04-red (fixed r05) + r04-green queries whose RESULTS changed in r05
-# (sqrt-n auto-cells; union ngram candidates) — all must earn a fresh
-# driver row before anything else.
-_RED_R4 = [
-    "join_right_outer", "decimal_typed_stats",
-    "knn_graph", "semdedup_keep", "dedup_ngram_jaccard",
+# Driver-coverage ordering (round 6). The per-round driver oracle run covers
+# a time-budgeted prefix of this dict (~50 entries/round), so emission order
+# decides which queries get a hard CORRECTNESS row. Union coverage r01-r05 is
+# 118/118 green; the rotation policy is LONGEST-UNCHECKED FIRST (VERDICT r05
+# ask #2): (0) the 23 queries whose latest driver row is r03 — code under
+# several has changed since (stats_moments skew/kurt columns, zorder
+# distributed ntile, shared pair-table cluster family); (1) queries new this
+# round with no driver history at all; (2) the r04-checked block; (3) the
+# r05-checked block (freshest — can wait a round). Within each block,
+# cost-ascending by BENCH_r05 wall time so the time-budgeted prefix lands
+# the most hard rows.
+_STALE_R3 = [
+    "stream_sample", "pandas_udf_normalize", "weekly_stats", "stats_moments",
+    "grouped_scale_pandas", "text_profile", "ngram_logprob", "zorder_layout",
+    "passage_dedup", "daily_stats", "date_construction", "event_window_agg",
+    "event_sliding_window", "event_sessions", "event_json_props",
+    "daily_stats_sql_udfs", "dataset_split", "array_functions",
+    "date_functions", "doc_quality_signals", "corpus_curation",
+    "corpus_mixture", "bpe_pair_counts",
 ]
-# Queries new in r05, cost-ascending (cheap first maximizes hard rows in
-# the driver's time-budgeted prefix; the scratch-store and pair-cache
-# queries trail their block).
-_NEW_R5 = [
-    "cms_grouped_hitters", "data_quality_report", "sql_session_variables", "snowflake_dialect_qualify", "q14_promo_revenue", "q22_sales_opportunity",
-    "q15_top_supplier", "q19_disjunctive", "q17_small_quantity",
-    "q7_volume_shipping", "q4_order_priority", "q18_large_orders",
-    "q16_supplier_variety", "fuzzy_name_match", "dml_update_delete",
-    "knn_graph_lsh", "merge_pruned_partitions", "neardup_triangles",
-]
-_NEW_R5_RANK = {n: i for i, n in enumerate(_NEW_R5)}
-# Everything green in CORRECTNESS_r04.json (checked most recently).
-_GREEN_R4 = [
-    "q5_local_supplier_volume", "q10_returned_items", "table_changes_cdf",
-    "cdc_apply_changes", "pandas_udaf_quartiles", "ann_recall_eval",
-    "asof_cogrouped", "stratified_sample_n", "asof_view_purchase",
-    "range_join_windows", "rolling_user_stats", "calendar_gapfill",
-    "doc_chunking", "sequence_packing", "pii_redaction", "tfidf_terms",
-    "bm25_search", "hll_distinct_users", "hll_mergeable_rollup",
-    "quantile_sketch_value", "cms_heavy_hitters", "recursive_cte",
-    "lateral_join", "variant_extract", "udtf_chunk", "collation_ops",
-    "semdedup_keep", "knn_graph", "pagerank_centrality",
-    "multimodal_embed_ann", "ann_pq_topk", "ann_ivfpq_topk",
+_CHECKED_R4 = [
+    "variant_extract", "stratified_sample_n", "rolling_user_stats",
+    "sequence_packing", "multimodal_frames", "multimodal_meta",
+    "pii_redaction", "pandas_udaf_quartiles", "hll_distinct_users",
+    "udtf_chunk", "range_join_windows", "quantile_sketch_value",
+    "hll_mergeable_rollup", "lateral_join", "q10_returned_items",
+    "tfidf_terms", "recursive_cte", "q5_local_supplier_volume",
+    "table_changes_cdf", "multimodal_embed_ann", "kmeans_clusters",
+    "pagerank_centrality", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "ann_bruteforce_topk", "ann_lsh_bucketed",
+    "ann_ivf_topk", "dedup_embedding_cosine", "contamination_check",
+    "cdc_apply_changes", "ann_recall_eval", "asof_cogrouped",
+    "asof_view_purchase", "calendar_gapfill", "doc_chunking", "bm25_search",
+    "cms_heavy_hitters", "collation_ops", "ann_pq_topk", "ann_ivfpq_topk",
     "dedup_incremental", "dedup_clusters", "dedup_keep_summary",
-    "dedup_keep_best", "contamination_check", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "ann_bruteforce_topk", "kmeans_clusters", "ann_lsh_bucketed",
-    "ann_ivf_topk", "dedup_embedding_cosine", "multimodal_meta",
-    "multimodal_frames",
+    "dedup_keep_best",
 ]
-_PRIORITY = {n: i for i, n in enumerate(_RED_R4)}
-_RECENT_R4 = {n: i for i, n in enumerate(_GREEN_R4)}
+_CHECKED_R5 = [
+    "watermark_filter", "order_limit", "q6_forecast_revenue",
+    "sql_session_variables", "window_family2", "join_anti", "join_semi",
+    "neardup_triangles", "q14_promo_revenue", "percentile_stats",
+    "pivot_agg", "set_ops", "q15_top_supplier", "subquery_family",
+    "join_right_outer", "q22_sales_opportunity", "snowflake_dialect_qualify",
+    "join_left_outer", "q19_disjunctive", "q17_small_quantity",
+    "window_family", "merge_upsert_rewrite", "skew_two_phase_agg",
+    "q18_large_orders", "join_full_outer", "q4_order_priority",
+    "q7_volume_shipping", "skew_salted_join", "q1_pricing_summary",
+    "unpivot_agg", "rollup_agg", "grouping_sets_agg", "q16_supplier_variety",
+    "q3_top_revenue", "merge_pruned_partitions", "semdedup_keep",
+    "knn_graph", "region_revenue", "knn_graph_lsh", "fuzzy_name_match",
+    "agg_global_minmax", "case_string_funcs", "cast_coercion", "cube_agg",
+    "distinct_agg", "dedup_ngram_jaccard", "decimal_typed_stats",
+    "cms_grouped_hitters", "data_quality_report", "dml_update_delete",
+]
+_STALE_R3_RANK = {n: i for i, n in enumerate(_STALE_R3)}
+_R4_RANK = {n: i for i, n in enumerate(_CHECKED_R4)}
+_R5_RANK = {n: i for i, n in enumerate(_CHECKED_R5)}
 
 
 def all_queries() -> dict:
@@ -94,35 +104,13 @@ def all_queries() -> dict:
         out.update(mod.QUERIES)
 
     def rank(item):
-        name, (_fn, sql) = item
-        if name in _PRIORITY:  # r04-red, fixed — must re-check first
-            return (0, _PRIORITY[name])
-        if name in _RECENT_R4:  # green in the most recent round — trail
-            return (3, _RECENT_R4[name])
-        if name in _RECENT_R3:  # last checked r03 — stalest green block
-            return (2, _RECENT_R3[name])
-        return (1, _NEW_R5_RANK.get(name, len(_NEW_R5)))  # new: cost-ascending
+        name, (_fn, _sql) = item
+        if name in _STALE_R3_RANK:  # stalest: no driver row since r03
+            return (0, _STALE_R3_RANK[name])
+        if name in _R4_RANK:
+            return (2, _R4_RANK[name])
+        if name in _R5_RANK:  # freshest — can wait a round
+            return (3, _R5_RANK[name])
+        return (1, name)  # new this round: no driver history yet
 
     return dict(sorted(out.items(), key=rank))
-
-
-_RECENT_R3 = {
-    n: i
-    for i, n in enumerate([
-        "q1_pricing_summary", "q3_top_revenue", "region_revenue",
-        "join_left_outer", "join_full_outer", "window_family2", "join_semi",
-        "join_anti", "set_ops", "order_limit", "agg_global_minmax",
-        "watermark_filter", "case_string_funcs", "cast_coercion",
-        "window_family", "rollup_agg", "merge_upsert_rewrite", "pivot_agg",
-        "unpivot_agg", "grouping_sets_agg", "skew_salted_join",
-        "skew_two_phase_agg", "q6_forecast_revenue", "cube_agg",
-        "subquery_family", "percentile_stats", "distinct_agg", "zorder_layout",
-        "array_functions", "stats_moments", "date_functions", "daily_stats",
-        "daily_stats_sql_udfs", "weekly_stats", "date_construction",
-        "stream_sample", "event_window_agg", "grouped_scale_pandas",
-        "event_sliding_window", "event_sessions", "event_json_props",
-        "pandas_udf_normalize", "text_profile", "doc_quality_signals",
-        "ngram_logprob", "corpus_curation", "dataset_split", "corpus_mixture",
-        "passage_dedup", "bpe_pair_counts",
-    ])
-}

@@ -515,6 +515,84 @@ ORDER BY src_id, rank
 """
 
 
+# semdedup_keep_lsh — the LINEAR-scale SemDeDup path (r06): multi-table
+# hyperplane LSH buckets instead of IVF cells (removing the last Θ(n^1.5)
+# default from the inventory — see ops.similarity.semantic_dedup_keep_lsh).
+# Plane/table counts fixture-pinned for oracle replay, same as knn_graph_lsh;
+# production sizing is n_planes = log2(n / target_bucket).
+SEMDEDUP_LSH_PLANES = 5
+SEMDEDUP_LSH_TABLES = 2
+
+
+def semdedup_keep_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the same augmented corpus as ``semdedup_keep`` (planted
+    ×1.001 variants, cosine ≈ 1.0 with their originals) — LSH-bucketed
+    candidate generation, greedy-by-id keep decisions."""
+    emb = load(spark, sf_dir, "embeddings")
+    variants = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * 1.001).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(variants)
+    return (
+        S.semantic_dedup_keep_lsh(
+            corpus,
+            threshold=0.999,
+            n_tables=SEMDEDUP_LSH_TABLES,
+            n_planes=SEMDEDUP_LSH_PLANES,
+        )
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    )
+
+
+SEMDEDUP_LSH_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS id, list_transform(embedding::DOUBLE[], x -> x * 1.001) AS v
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+planes AS (
+  SELECT t, p, d, ({_H.format(x=_KNN_LSH_KEY)} % 2001) - 1000 AS w
+  FROM (SELECT unnest(range(0, {SEMDEDUP_LSH_TABLES})) AS t),
+       (SELECT unnest(range(0, {SEMDEDUP_LSH_PLANES})) AS p),
+       (SELECT unnest(range(1, {EMB_DIM + 1})) AS d)
+),
+flat AS (
+  SELECT id, generate_subscripts(v, 1) AS d,
+         CAST(floor(unnest(v) * 1000000 + 0.5) AS BIGINT) AS xq
+  FROM corpus
+),
+proj AS (
+  SELECT t, id, p, sum(xq * w) AS s
+  FROM flat JOIN planes USING (d) GROUP BY t, id, p
+),
+sig AS (
+  SELECT t, id, CAST(sum(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY t, id
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id
+  JOIN corpus ca ON ca.id = a.id
+  JOIN corpus cb ON cb.id = b.id
+  WHERE round(list_cosine_similarity(ca.v, cb.v), 6) >= 0.999
+),
+dup AS (SELECT id_b AS id, count(*) AS n FROM pairs GROUP BY 1)
+SELECT c.id AS vec_id,
+       CAST(coalesce(d.n, 0) AS BIGINT) AS n_earlier_dups,
+       d.n IS NULL AS keep
+FROM corpus c LEFT JOIN dup d USING (id)
+ORDER BY vec_id
+"""
+
+
 def pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank over the IVF-blocked k-NN graph — graph
     centrality for corpus curation (central = representative of a dense
@@ -828,6 +906,7 @@ QUERIES: dict = {
     "ann_ivfpq_topk": (ann_ivfpq_topk, _ivfpq_sql()),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
     "semdedup_keep": (semdedup_keep, SEMDEDUP_SQL),
+    "semdedup_keep_lsh": (semdedup_keep_lsh_q, SEMDEDUP_LSH_SQL),
     "knn_graph": (knn_graph_q, KNN_GRAPH_SQL),
     "knn_graph_lsh": (knn_graph_lsh_q, KNN_LSH_SQL),
     "pagerank_centrality": (pagerank_centrality, _pagerank_sql()),

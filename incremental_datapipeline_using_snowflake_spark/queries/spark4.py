@@ -237,6 +237,40 @@ def snowflake_dialect_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Nested QUALIFY (r06): a depth-1 QUALIFY inside a derived table (top-3
+# orders per customer) feeding an aggregation, plus a depth-0 QUALIFY over
+# the aggregate (top-50 customers by their top-3 spend). DuckDB executes the
+# Snowflake-ish text natively; Spark goes through the shim's deepest-first
+# scope rewrite — the oracle checks the nested translation itself.
+SNOWFLAKE_QUALIFY_NESTED_SQL = """
+SELECT o_custkey, n_top, top_value
+FROM (
+  SELECT o_custkey, count(*) AS n_top,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS top_value
+  FROM (
+    SELECT o_custkey, o_totalprice
+    FROM {orders}
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 3
+  ) top3
+  GROUP BY o_custkey
+) agg
+QUALIFY ROW_NUMBER() OVER (ORDER BY top_value DESC, o_custkey) <= 50
+ORDER BY top_value DESC, o_custkey
+"""
+
+
+def snowflake_dialect_qualify_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sql_script import run_sql_script
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sfqn_orders")
+    return run_sql_script(
+        spark,
+        SNOWFLAKE_QUALIFY_NESTED_SQL.format(orders="sfqn_orders"),
+        dialect="snowflake",
+    )
+
+
 # ---------------------------------------------------------------------------
 # sql_session_variables — Spark 4 session variables + EXECUTE IMMEDIATE:
 # the Snowflake-scripting parity surface (the reference's procedures build
@@ -280,5 +314,9 @@ QUERIES: dict = {
     "snowflake_dialect_qualify": (
         snowflake_dialect_qualify,
         SNOWFLAKE_QUALIFY_SQL.format(orders="orders"),
+    ),
+    "snowflake_dialect_qualify_nested": (
+        snowflake_dialect_qualify_nested,
+        SNOWFLAKE_QUALIFY_NESTED_SQL.format(orders="orders"),
     ),
 }

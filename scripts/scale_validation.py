@@ -58,6 +58,7 @@ FAMILY = [
     "knn_graph_auto",
     "semdedup_auto",
     "knn_graph_lsh",
+    "semdedup_lsh_auto",
     "neardup_triangles",
 ]
 
@@ -163,10 +164,18 @@ def main() -> int:
 
         return S.knn_graph_lsh(spark.read.parquet(f"{d}/embeddings.parquet"), k=3)
 
+    def _semdedup_lsh(spark, d):
+        from incremental_datapipeline_using_snowflake_spark.ops import similarity as S
+
+        return S.semantic_dedup_keep_lsh(
+            spark.read.parquet(f"{d}/embeddings.parquet"), threshold=0.999
+        )
+
     for extra, fn in [
         ("knn_graph_auto", _knn_auto),
         ("semdedup_auto", _semdedup_auto),
         ("knn_graph_lsh", _knn_lsh),
+        ("semdedup_lsh_auto", _semdedup_lsh),
     ]:
         if extra in names:
             qs[extra] = fn

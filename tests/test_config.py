@@ -119,9 +119,12 @@ def test_translate_snowflake_sql_unit():
     kept = tr("SELECT a -- QUALIFY in a comment\nFROM t")
     assert "QUALIFY in a comment" in kept and "__qualify" not in kept
 
-    # a subquery-level QUALIFY is not touched (documented: outermost only)
+    # a subquery-level QUALIFY is rewritten too (r06: deepest scope first)
     sub = "SELECT * FROM (SELECT a FROM t QUALIFY r = 1) s"
-    assert tr(sub) == sub
+    assert tr(sub) == (
+        "SELECT * FROM (SELECT * EXCEPT (__qualify) FROM "
+        "(SELECT a, (r = 1) AS __qualify FROM t) WHERE __qualify) s"
+    )
 
 
 def test_translate_snowflake_distinct_qualify_refused():
@@ -167,3 +170,35 @@ def test_translate_to_varchar_with_literal_argument():
     # two-arg form still refused even when the second arg is a literal
     with _pytest.raises(NotImplementedError, match="two-argument"):
         tr("SELECT TO_VARCHAR(x, 'YYYY-MM') FROM t")
+
+
+def test_translate_nested_qualify():
+    """r06: depth>0 QUALIFY scopes rewrite innermost-first; the DISTINCT
+    refusal still raises (now from any scope); unrewritable scopes are left
+    for the parser."""
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.functions.sql_script import (
+        translate_snowflake_sql as tr,
+    )
+
+    # inner + outer QUALIFY in one statement, both rewritten
+    out = tr(
+        "SELECT c, n FROM (SELECT c, count(*) AS n FROM "
+        "(SELECT c, v FROM t QUALIFY row_number() OVER (PARTITION BY c ORDER BY v DESC) <= 3) x "
+        "GROUP BY c) y QUALIFY rank() OVER (ORDER BY n DESC) <= 5 ORDER BY c"
+    )
+    assert out.count("__qualify") >= 4  # two scopes, each projects + filters
+    assert "QUALIFY" not in out.upper().replace("__QUALIFY", "")
+    assert out.rstrip().endswith("ORDER BY c")
+
+    # QUALIFY inside a string literal in a subquery still untouched
+    lit = "SELECT * FROM (SELECT 'QUALIFY x' AS s FROM t) q"
+    assert tr(lit) == lit
+
+    # DISTINCT refusal propagates from an inner scope
+    with _pytest.raises(ValueError, match="DISTINCT"):
+        tr(
+            "SELECT * FROM (SELECT DISTINCT a FROM t "
+            "QUALIFY row_number() OVER (ORDER BY a) = 1) s"
+        )

@@ -834,3 +834,34 @@ def test_validate_constraints_all_rule_kinds(spark):
     # a clean table passes the hard gate
     clean = spark.createDataFrame([(1, "a", 5.0, 10)], "id long, cat string, v double, fk int")
     assert_constraints(clean, rules, id_col="id")
+
+
+def test_semantic_dedup_lsh_drops_planted_variants(spark):
+    """The linear LSH SemDeDup (r06 production default) makes the same keep
+    decisions as the IVF form on planted x1.001 variants: every variant is
+    dropped (its lower-id twin shares every hyperplane sign), every
+    original kept."""
+    from incremental_datapipeline_using_snowflake_spark.ops.similarity import (
+        semantic_dedup_keep_lsh,
+    )
+
+    import random
+
+    rng = random.Random(42)
+    base = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    variants = [(i + 1000, [x * 1.001 for x in v]) for i, v in base if i % 4 == 0]
+    df = spark.createDataFrame(base + variants, "vec_id long, embedding array<double>")
+    rows = {
+        r["id"]: r
+        for r in semantic_dedup_keep_lsh(
+            df, threshold=0.999, n_tables=2, n_planes=3
+        ).collect()
+    }
+    assert len(rows) == len(base) + len(variants)  # every vector reported
+    for i, _ in base:
+        if i % 4 == 0:
+            assert not rows[i + 1000]["keep"] and rows[i + 1000]["n_earlier_dups"] >= 1
+            assert rows[i]["keep"]  # the original (lower id) survives
+    # non-variant vectors are random directions — none within 0.999
+    dropped = [i for i, r in rows.items() if not r["keep"]]
+    assert sorted(dropped) == [i + 1000 for i, _ in base if i % 4 == 0]
