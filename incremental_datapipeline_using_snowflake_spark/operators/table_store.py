@@ -229,6 +229,34 @@ class TableStore:
             json.dump(sorted(versions), f)
         os.replace(tmp, cf)
 
+    def _pointer_log_file(self, name: str) -> str:
+        return os.path.join(self.table_dir(name), "_POINTER_LOG")
+
+    def _pointer_log(self, name: str) -> list[tuple[float, int]]:
+        """(wall_time, version) per pointer flip, append order == time
+        order. This is the table's EXACT currency history — which version
+        was being served at any past instant — including restore() flips
+        (a restored old version becomes current again from its flip time).
+        Powers :meth:`read_at_timestamp` (Snowflake ``AT (TIMESTAMP =>)``).
+        Entries are O(commits) scalars; GC never trims the log (a served
+        read still fails cleanly if the version dir itself was GC'd)."""
+        lf = self._pointer_log_file(name)
+        if not os.path.exists(lf):
+            return []
+        with open(lf) as f:
+            return [(float(t), int(v)) for t, v in json.load(f)]
+
+    def _append_pointer_log(self, name: str, version: int) -> None:
+        import time
+
+        log = self._pointer_log(name)
+        log.append((time.time(), version))
+        lf = self._pointer_log_file(name)
+        tmp = lf + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(log, f)
+        os.replace(tmp, lf)
+
     def _commit_version(self, name: str, version: int) -> None:
         # Mark committed BEFORE the pointer flip: a crash between the two
         # writes only marks a fully-staged, internally-consistent dir as
@@ -243,6 +271,10 @@ class TableStore:
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, vf)  # atomic pointer flip
+        # record the flip time AFTER the flip: a crash between them loses
+        # only the newest timestamp entry (timestamp reads then resolve to
+        # the previous flip — conservative, never wrong data)
+        self._append_pointer_log(name, version)
 
     def _stage_version(
         self, df: DataFrame, name: str, partition_by: list[str] | None = None
@@ -437,6 +469,70 @@ class TableStore:
             .option("mergeSchema", "true")
             .parquet(path)
         )
+
+    def version_at_timestamp(self, name: str, ts: float) -> int:
+        """The version that was CURRENT (pointer-served) at wall time
+        ``ts`` (epoch seconds) — resolved off the pointer-flip log, so
+        restore() history is honored exactly: a table restored to v1 at
+        t5 answers v1 for ts >= t5 even though v3 committed at t3."""
+        log = self._pointer_log(name)
+        if not log:
+            raise FileNotFoundError(
+                f"{name}: no pointer history (table predates timestamp "
+                f"tracking or does not exist)"
+            )
+        served = [v for t, v in log if t <= ts]
+        if not served:
+            raise ValueError(
+                f"{name}: no version existed at timestamp {ts} (first "
+                f"commit was at {log[0][0]})"
+            )
+        return served[-1]
+
+    def read_at_timestamp(self, spark: SparkSession, name: str, ts: float) -> DataFrame:
+        """Snowflake ``SELECT ... AT (TIMESTAMP => ...)`` / Delta
+        ``timestampAsOf`` analogue: read the table as it was being served
+        at wall time ``ts``. Raises if that version has been GC'd (raise
+        ``keep_versions`` for deeper timestamp-travel)."""
+        return self.read_version(spark, name, self.version_at_timestamp(name, ts))
+
+    def clone(self, src: str, dst: str) -> None:
+        """``CREATE TABLE dst CLONE src`` — Snowflake's headline zero-copy
+        catalog feature (reference README's Snowflake feature set). The
+        clone's first version HARDLINKS every data file of ``src``'s
+        current version: no data movement, cost = one directory walk, and
+        the shared inodes stay alive for whichever table keeps them even
+        after the other GC's or drops its version. The tables then diverge
+        independently (every later write goes through normal stage-and-swap
+        on immutable files — a clone can never see the other's edits).
+        Metadata (partition layout marker, pinned evolved schema, comment)
+        is copied so the clone reads identically to the source."""
+        if not self.exists(src):
+            raise FileNotFoundError(f"clone: source table {src!r} does not exist")
+        if self.exists(dst):
+            raise ValueError(f"clone: target table {dst!r} already exists")
+        src_data = self.data_path(src)
+        target = os.path.join(self.table_dir(dst), "v=000001")
+        for root, _dirs, files in os.walk(src_data):
+            rel = os.path.relpath(root, src_data)
+            dst_dir = target if rel == "." else os.path.join(target, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fname in files:
+                s, d = os.path.join(root, fname), os.path.join(dst_dir, fname)
+                if fname.endswith(".parquet"):
+                    try:
+                        os.link(s, d)  # zero-copy share
+                    except OSError:
+                        shutil.copy2(s, d)  # cross-device fallback
+                else:
+                    shutil.copy2(s, d)  # tiny markers (_PARTITIONING.json, _SUCCESS)
+        sf = self._schema_file(src)
+        if os.path.exists(sf):
+            shutil.copy2(sf, self._schema_file(dst))
+        cf = self._comment_file(src)
+        if os.path.exists(cf):
+            shutil.copy2(cf, self._comment_file(dst))
+        self._commit_version(dst, 1)
 
     def restore(self, name: str, version: int) -> None:
         """Roll the table back to a retained committed version by pointer

@@ -531,6 +531,84 @@ ORDER BY o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# table_clone_changes — zero-copy CLONE + divergence + change-data-feed
+# (r06): an orders-derived table is CLONEd (TableStore.clone hardlinks the
+# current version — Snowflake's CREATE TABLE ... CLONE), the clone diverges
+# through DELETE / UPDATE DML and an append, and table_changes diffs the
+# clone's v1 (the shared-inode snapshot of the source) against its final
+# version. Oracle = the same divergence as set algebra over orders.
+# ---------------------------------------------------------------------------
+_CLONE_STORE_CACHE: dict[tuple[str, str], object] = {}
+
+
+def table_clone_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.merge import delete_where, update_where
+    from ..operators.table_store import TableStore
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    store = _CLONE_STORE_CACHE.get(key)
+    if store is None:
+        store = TableStore(root=tempfile.mkdtemp(prefix="spark_clone_"), keep_versions=4)
+        base = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 2 == 0
+        ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+        store.overwrite(base, "cl.src")
+        store.clone("cl.src", "cl.dup")  # zero-copy: v1 shares inodes
+        delete_where(spark, store, "cl.dup", F.col("o_orderkey") % 10 == 0)
+        update_where(
+            spark, store, "cl.dup",
+            F.col("o_orderkey") % 7 == 0,
+            {"o_totalprice": F.expr(
+                "CAST(round(CAST(o_totalprice AS DECIMAL(30,8)) * 1.1, 2) AS DOUBLE)"
+            )},
+        )
+        inserts = load(spark, sf_dir, "orders").filter(
+            (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 997 == 0)
+        ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+        store.append(inserts, "cl.dup")
+        _CLONE_STORE_CACHE[key] = store
+    return store.table_changes(
+        spark, "cl.dup", 1, 3, key_cols=["o_orderkey"]
+    ).orderBy("o_orderkey", "_action")
+
+
+TABLE_CLONE_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+),
+v3 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN CAST(round(CAST(o_totalprice AS DECIMAL(30,8)) * 1.1, 2) AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice
+  FROM v1 WHERE o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 2 = 1 AND o_orderkey % 997 = 0
+)
+SELECT * FROM (
+  SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice,
+         'INSERT' AS _action, 3 AS _version
+  FROM v3 b WHERE NOT EXISTS (SELECT 1 FROM v1 a WHERE a.o_orderkey = b.o_orderkey)
+  UNION ALL
+  SELECT a.o_orderkey, a.o_orderstatus, a.o_totalprice, 'DELETE', 1
+  FROM v1 a WHERE NOT EXISTS (SELECT 1 FROM v3 b WHERE b.o_orderkey = a.o_orderkey)
+  UNION ALL
+  SELECT a.o_orderkey, a.o_orderstatus, a.o_totalprice, 'UPDATE_BEFORE', 1
+  FROM v1 a JOIN v3 b USING (o_orderkey)
+  WHERE (a.o_orderstatus, a.o_totalprice) IS DISTINCT FROM (b.o_orderstatus, b.o_totalprice)
+  UNION ALL
+  SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice, 'UPDATE_AFTER', 3
+  FROM v1 a JOIN v3 b USING (o_orderkey)
+  WHERE (a.o_orderstatus, a.o_totalprice) IS DISTINCT FROM (b.o_orderstatus, b.o_totalprice)
+)
+ORDER BY o_orderkey, _action
+"""
+
+
 QUERIES: dict = {
     "daily_stats": (daily_stats, DAILY_STATS_SQL),
     "daily_stats_sql_udfs": (daily_stats_sql_udfs, DAILY_STATS_SQL),
@@ -538,6 +616,7 @@ QUERIES: dict = {
     "date_construction": (date_construction, DATE_CONSTRUCTION_SQL),
     "stream_sample": (stream_sample, STREAM_SAMPLE_SQL),
     "table_changes_cdf": (table_changes_cdf, TABLE_CHANGES_SQL),
+    "table_clone_changes": (table_clone_changes, TABLE_CLONE_SQL),
     "decimal_typed_stats": (decimal_typed_stats, DECIMAL_TYPED_SQL),
     "dml_update_delete": (dml_update_delete, DML_SQL),
     "cdc_apply_changes": (cdc_apply_changes, CDC_APPLY_SQL),

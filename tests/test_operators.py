@@ -998,3 +998,93 @@ def test_legacy_store_restore_not_destructive(spark, tmp_path):
     store.overwrite(spark.createDataFrame([(4,)], "v int"), name)
     assert {2, 3} <= set(store.versions(name))
     assert store.read_version(spark, name, 3).collect()[0][0] == 3
+
+
+def test_clone_zero_copy_and_diverge(spark, tmp_path):
+    """CREATE TABLE ... CLONE parity (r06): the clone hardlinks the source's
+    current version (shared inodes, no data movement), copies metadata
+    (layout marker, comment), then diverges independently — and the shared
+    inodes keep the clone readable after the source is dropped."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.operators.merge import update_where
+
+    store = TableStore(root=str(tmp_path))
+    df = spark.createDataFrame(
+        [(y, k, float(k)) for y in (2024, 2025) for k in range(20)],
+        "year int, k int, v double",
+    )
+    store.overwrite(df, "ns.src", partition_by=["year"])
+    store.set_comment("ns.src", "the source")
+
+    store.clone("ns.src", "ns.dup")
+    assert store.read(spark, "ns.dup").count() == 40
+    assert store.partitioning("ns.dup") == ["year"]
+    assert store.get_comment("ns.dup") == "the source"
+
+    def inodes(name):
+        return {
+            f: os.stat(os.path.join(r, f)).st_ino
+            for r, _d, fs in os.walk(store.data_path(name))
+            for f in fs if f.endswith(".parquet")
+        }
+
+    assert inodes("ns.dup") == inodes("ns.src")  # zero-copy
+
+    # diverge the clone; source is untouched
+    n = update_where(spark, store, "ns.dup", F.col("k") < 5, {"v": F.lit(-1.0)})
+    assert n == 10
+    assert store.read(spark, "ns.src").filter(F.col("v") < 0).count() == 0
+    assert store.read(spark, "ns.dup").filter(F.col("v") < 0).count() == 10
+
+    # clone-of-clone refusals
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        store.clone("ns.src", "ns.dup")
+    with _pytest.raises(FileNotFoundError, match="does not exist"):
+        store.clone("ns.ghost", "ns.x")
+
+    # dropping the source leaves the clone fully readable (shared inodes)
+    store.drop("ns.src")
+    assert store.read(spark, "ns.dup").count() == 40
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """AT (TIMESTAMP =>) parity (r06): reads resolve against the pointer-
+    flip log, so restore() history is honored — a restored old version is
+    what timestamp reads see after the restore instant."""
+    import time
+
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+
+    store = TableStore(root=str(tmp_path), keep_versions=4)
+    name = "ns.tt"
+    t_before = time.time()
+    time.sleep(0.02)
+    store.overwrite(spark.createDataFrame([(1,)], "v int"), name)
+    time.sleep(0.02)
+    t1 = time.time()
+    time.sleep(0.02)
+    store.overwrite(spark.createDataFrame([(2,)], "v int"), name)
+    time.sleep(0.02)
+    t2 = time.time()
+    time.sleep(0.02)
+    store.restore(name, 1)
+    time.sleep(0.02)
+    t3 = time.time()
+
+    assert store.version_at_timestamp(name, t1) == 1
+    assert store.version_at_timestamp(name, t2) == 2
+    assert store.version_at_timestamp(name, t3) == 1  # restore honored
+    assert store.read_at_timestamp(spark, name, t2).collect()[0][0] == 2
+    assert store.read_at_timestamp(spark, name, t1).collect()[0][0] == 1
+    with _pytest.raises(ValueError, match="no version existed"):
+        store.version_at_timestamp(name, t_before)
+    with _pytest.raises(FileNotFoundError, match="no pointer history"):
+        store.version_at_timestamp("ns.ghost", t1)
