@@ -337,6 +337,29 @@ def passage_windows_col(text: Column | str, k: int = 8) -> Column:
     return F.filter(sh, lambda x: x.isNotNull())
 
 
+def passage_keys_col(text: Column | str, k: int = 8) -> Column:
+    """64-bit keys for ALL k-word sliding windows WITHOUT building the
+    passage strings (r06 constant-shave for the narrow strategy): per-word
+    ``xxhash64`` values combined by a position-dependent rotate(7)-xor
+    chain over LONG arrays — k-1 zip_withs of longs instead of k-1 string
+    concatenations per document, so the counting pass never allocates a
+    passage string. Entry i is the key of the window starting at word i;
+    windows running past the end are NULL (zip_with's shorter-side
+    padding), always at the tail, so positions of valid windows are
+    stable for the recovery pass. Rotation keeps the combine
+    position-sensitive (non-commutative) and pure-bitwise (no ANSI-mode
+    arithmetic overflow)."""
+    wh = F.transform(words_col(text), lambda w: F.xxhash64(w))
+
+    def rot_xor(a: Column, b: Column) -> Column:
+        return F.shiftleft(a, 7).bitwiseOR(F.shiftrightunsigned(a, 57)).bitwiseXOR(b)
+
+    sh = wh
+    for j in range(1, k):
+        sh = F.zip_with(sh, F.slice(wh, j + 1, F.size(wh)), rot_xor)
+    return sh
+
+
 def repeated_passages(
     df: DataFrame,
     text_col: str = "text",
@@ -392,10 +415,17 @@ def repeated_passages(
         )
     if strategy != "narrow":
         raise ValueError(f"strategy must be 'wide' or 'narrow', got {strategy!r}")
+    # r06 fused form: pass 1 never BUILDS a passage string — window keys
+    # are rolling rotate-xor combinations of per-word xxhash64 longs
+    # (passage_keys_col), so the counting pass is long-array arithmetic
+    # end-to-end; pass 2 re-derives the keys (cheap) and builds the string
+    # ONLY for windows surviving the broadcast candidate join, by slicing
+    # the doc's word array at the window position. Measured same-session
+    # A/B at sf0.1 in SHUFFLE.md.
+    keys = passage_keys_col(F.col(text_col), k)
     hashed = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(passage_windows_col(F.col(text_col), k)).alias("passage"),
-    ).select("_id", F.xxhash64(F.col("passage")).alias("_pkey"))
+        F.col(id_col).alias("_id"), F.explode(keys).alias("_pkey")
+    ).filter(F.col("_pkey").isNotNull())
     cand = (
         hashed.groupBy("_pkey")
         .agg(
@@ -406,9 +436,21 @@ def repeated_passages(
         .filter(F.col("n_docs") >= min_docs)
     )
     strings = (
-        df.select(F.explode(passage_windows_col(F.col(text_col), k)).alias("passage"))
-        .select(F.xxhash64(F.col("passage")).alias("_pkey"), "passage")
+        df.select(
+            words_col(F.col(text_col)).alias("_w"),
+            F.posexplode(keys).alias("_pos", "_pkey"),
+        )
+        .filter(F.col("_pkey").isNotNull())
         .join(F.broadcast(cand), "_pkey")
+        .select(
+            "_pkey",
+            "n_occurrences",
+            "n_docs",
+            "first_doc",
+            F.array_join(
+                F.slice(F.col("_w"), F.col("_pos") + F.lit(1), F.lit(k)), " "
+            ).alias("passage"),
+        )
         .groupBy("_pkey", "n_occurrences", "n_docs", "first_doc")
         .agg(F.min("passage").alias("passage"))
     )
