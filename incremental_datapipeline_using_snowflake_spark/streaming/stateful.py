@@ -120,11 +120,12 @@ def tws_available() -> bool:
     needs ``protobuf`` on the Python workers; report whether this
     environment can run it.
 
-    Environment probe (r05, 2026-08): ``import google.protobuf`` fails in
-    this container and package installs are out of scope, so the gate
-    stays and the live-equality twin test skips here; on any cluster with
-    protobuf installed (every real Spark 4 deployment), the gate opens and
-    ``tests/test_stateful.py`` runs the v2 path live with no code change.
+    Environment probe (re-run r06, 2026-08-14): ``import google.protobuf``
+    still fails in this container (ModuleNotFoundError: google) and package
+    installs are out of scope, so the gate stays and the live-equality twin
+    test skips here; on any cluster with protobuf installed (every real
+    Spark 4 deployment), the gate opens and ``tests/test_stateful.py`` runs
+    the v2 path live with no code change.
     """
     try:
         from google.protobuf import descriptor  # noqa: F401

@@ -204,3 +204,78 @@ def test_real_codec_strict_contract():
 
     with _pytest.raises(NotImplementedError, match="video"):
         C.media_decoder(b"\x00\x01", "video")
+
+
+def test_jpeg_codec_roundtrip_properties():
+    """r06: dependency-free baseline JPEG (numpy Huffman+DCT). quant=1 is
+    near-lossless — decode(encode(x)) within a few gray levels for color
+    and grayscale, any dimensions (block padding cropped back); coarser
+    quant stays bounded and compresses smaller; malformed/progressive
+    payloads fail loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.ops import codecs as C
+
+    rng = np.random.default_rng(42)
+    for shape in [(37, 53, 3), (8, 8, 3), (17, 9, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, nc, out = C.decode_jpeg(C.encode_jpeg(img, quant=1))
+        assert (w, h, nc) == (shape[1], shape[0], 3)
+        assert int(np.max(np.abs(out.astype(int) - img.astype(int)))) <= 3
+
+    gray = rng.integers(0, 256, size=(24, 31), dtype=np.uint8)
+    w, h, nc, out = C.decode_jpeg(C.encode_jpeg(gray, quant=1))
+    assert (w, h, nc) == (31, 24, 1)
+    assert int(np.max(np.abs(out[:, :, 0].astype(int) - gray.astype(int)))) <= 2
+
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    fine, coarse = C.encode_jpeg(img, quant=1), C.encode_jpeg(img, quant=16)
+    assert len(coarse) < len(fine)  # coarser quant compresses
+    _, _, _, out16 = C.decode_jpeg(coarse)
+    assert int(np.max(np.abs(out16.astype(int) - img.astype(int)))) <= 64
+
+    with _pytest.raises(ValueError, match="SOI"):
+        C.decode_jpeg(b"not a jpeg")
+    # progressive frame marker (SOF2) refused loudly
+    prog = bytearray(C.encode_jpeg(gray))
+    sof = prog.index(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="non-baseline"):
+        C.decode_jpeg(bytes(prog))
+
+
+def test_jpeg_through_spark_decode_and_resize(spark):
+    """JPEG payloads flow through the SAME mapInPandas plumbing as PPM:
+    media_decoder sniffs the SOI magic and reports true pixel dims;
+    image_resizer re-encodes a genuinely resized JPEG."""
+    import numpy as np
+
+    from incremental_datapipeline_using_snowflake_spark.ops import codecs as C
+
+    img = np.zeros((48, 64, 3), dtype=np.uint8)
+    img[..., 0] = (np.arange(64) * 4)[None, :] % 256
+    jpg = C.encode_jpeg(img, quant=1)
+    ppm = C.encode_ppm(img)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(jpg)), (2, "image", bytearray(ppm))],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in M.decode_media(media, decoder=C.media_decoder).collect()
+    }
+    assert (rows[1]["width"], rows[1]["height"]) == (64, 48)
+    assert (rows[2]["width"], rows[2]["height"]) == (64, 48)
+
+    out = {
+        r["doc_id"]: r
+        for r in M.resize_media(media, 16, 12, resizer=C.image_resizer).collect()
+    }
+    w, h, nc, px = C.decode_jpeg(bytes(out[1]["payload"]))
+    assert (w, h, nc) == (16, 12, 3)
+    assert (out[1]["width"], out[1]["height"]) == (16, 12)
+    # both formats sample the same pixel-center grid -> same R channel
+    w2, h2, _mv, px2 = C.decode_ppm(bytes(out[2]["payload"]))
+    assert (w2, h2) == (16, 12)
+    assert int(np.max(np.abs(px[..., 0].astype(int) - px2[..., 0].astype(int)))) <= 3
