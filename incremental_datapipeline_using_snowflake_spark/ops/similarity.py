@@ -315,6 +315,13 @@ def semantic_dedup_keep(
     """SemDeDup (Abbas et al. 2023) re-expressed Spark-first: semantic
     near-duplicate pruning over an embedding column.
 
+    **Exact-small-corpus form.** At its sqrt(n)-cell optimum this shape is
+    Θ(n^1.5) (assignment work n·cells balances in-cell pairs n²/cells — a
+    law of one-level IVF, measured alpha ≈ 1.4 in
+    scripts/scale_validation.py). For production corpora beyond ~10M
+    vectors use :func:`semantic_dedup_keep_lsh` — same keep semantics,
+    measured linear (alpha 0.99).
+
     Cluster structure = the deterministic seed-IVF cells (broadcast
     centroid join, oracle-replayable); candidate pairs = within-cell only,
     so the pair space is sum(|cell|^2), never |corpus|^2; keep rule =
@@ -450,6 +457,11 @@ def knn_graph(
     """Approximate k-NN graph: every vector's top-k cosine neighbors within
     its IVF cell — the standard primitive under graph-based semantic dedup,
     agglomerative clustering, and label propagation.
+
+    **Exact-small-corpus form.** Θ(n^1.5) at the sqrt(n)-cell optimum
+    (same one-level-IVF law as :func:`semantic_dedup_keep`, measured
+    alpha ≈ 1.46); beyond ~10M vectors use :func:`knn_graph_lsh` — same
+    output contract minus the cell column, measured linear (alpha 0.92).
 
     Scale shape: one broadcast centroid join for assignment, then ONE
     cell-keyed self-join — pair space is sum(|cell|^2), never |corpus|^2 —
