@@ -120,6 +120,52 @@ _TAIL_RE = _re.compile(r"\b(ORDER\s+BY|LIMIT|OFFSET)\b", _re.IGNORECASE)
 _FROM_RE = _re.compile(r"\bFROM\b", _re.IGNORECASE)
 
 
+# Snowflake datetime-format tokens -> Spark (SimpleDateFormat-style)
+# patterns, longest-first so HH24 wins over HH. Case-insensitive on the
+# Snowflake side (Snowflake format elements are case-insensitive).
+_SF_DT_TOKENS = [
+    ("YYYY", "yyyy"), ("YY", "yy"),
+    ("MON", "MMM"), ("MM", "MM"),
+    ("DY", "EEE"), ("DD", "dd"),
+    ("HH24", "HH"), ("HH12", "hh"), ("HH", "HH"),
+    ("MI", "mm"), ("SS", "ss"),
+    ("FF9", "SSSSSSSSS"), ("FF6", "SSSSSS"), ("FF3", "SSS"), ("FF", "SSS"),
+    ("AM", "a"), ("PM", "a"),
+]
+
+
+def _snowflake_datetime_format(fmt: str) -> str:
+    """Translate a Snowflake datetime format string to Spark's pattern
+    (``TO_VARCHAR(ts, 'YYYY-MM-DD') -> date_format(ts, 'yyyy-MM-dd')``).
+    Separators (``- / : . ,`` space) pass through; any alphabetic run that
+    is not a known datetime element raises NotImplementedError (numeric
+    TO_VARCHAR formats like '9,999.00' have no date_format analogue)."""
+    out: list[str] = []
+    i, n = 0, len(fmt)
+    while i < n:
+        ch = fmt[i]
+        if not ch.isalpha():
+            if ch.isdigit():
+                raise NotImplementedError(
+                    f"translate_snowflake_sql: TO_VARCHAR numeric format "
+                    f"{fmt!r} is not translated — rewrite with format_number()"
+                )
+            out.append(ch)
+            i += 1
+            continue
+        for sf, sp in _SF_DT_TOKENS:
+            if fmt[i : i + len(sf)].upper() == sf:
+                out.append(sp)
+                i += len(sf)
+                break
+        else:
+            raise NotImplementedError(
+                f"translate_snowflake_sql: unknown TO_VARCHAR format element "
+                f"at {fmt[i:]!r} in {fmt!r}"
+            )
+    return "".join(out)
+
+
 def _apply_func_maps(stmt: str) -> str:
     out: list[str] = []
     for is_code, seg in _code_segments(stmt):
@@ -143,6 +189,7 @@ def _apply_func_maps(stmt: str) -> str:
         start = k + len("CAST_TO_STRING(")
         base = None  # paren depth just inside CAST_TO_STRING's open paren
         close = None
+        comma = None  # first top-level comma: the two-argument form
         for pos, ch, d in _depth_positions(stmt):
             if pos == start - 1:
                 base = d + 1
@@ -152,21 +199,32 @@ def _apply_func_maps(stmt: str) -> str:
             if ch == ")" and d == base:
                 close = pos
                 break
-            if ch == "," and d == base:
-                # two-arg TO_VARCHAR(x, 'fmt') has no direct Spark cast —
-                # refuse loudly instead of emitting CAST(x, 'fmt' AS STRING)
-                raise NotImplementedError(
-                    "translate_snowflake_sql: two-argument "
-                    "TO_VARCHAR(expr, format) is not translated — "
-                    "rewrite with date_format()/format_number()"
-                )
+            if ch == "," and d == base and comma is None:
+                comma = pos
         if close is None:
             raise ValueError(
                 "translate_snowflake_sql: unbalanced parentheses after "
                 "TO_VARCHAR("
             )
-        inner = stmt[start:close]
-        stmt = stmt[:k] + f"CAST({inner} AS STRING)" + stmt[close + 1 :]
+        if comma is None:
+            inner = stmt[start:close]
+            stmt = stmt[:k] + f"CAST({inner} AS STRING)" + stmt[close + 1 :]
+            continue
+        # two-arg TO_VARCHAR(expr, 'fmt') (r06): datetime formats translate
+        # to date_format(); numeric/unknown formats still refuse loudly
+        # rather than emitting mangled SQL
+        arg1 = stmt[start:comma].strip()
+        fmt_raw = stmt[comma + 1 : close].strip()
+        m = _re.fullmatch(r"'((?:[^']|'')*)'", fmt_raw)
+        if m is None:
+            raise NotImplementedError(
+                "translate_snowflake_sql: two-argument TO_VARCHAR needs a "
+                "string-literal format — rewrite by hand"
+            )
+        spark_fmt = _snowflake_datetime_format(m.group(1).replace("''", "'"))
+        stmt = (
+            stmt[:k] + f"date_format({arg1}, '{spark_fmt}')" + stmt[close + 1 :]
+        )
 
 
 def _depth_positions(stmt: str):
@@ -307,7 +365,8 @@ def translate_snowflake_sql(stmt: str) -> str:
     - ``QUALIFY <pred>`` -> subquery + WHERE (Spark has no QUALIFY);
     - ``IFF`` -> ``if``, ``DATEADD``/``DATEDIFF`` -> ``timestampadd``/
       ``timestampdiff`` (same argument order), single-arg ``TO_VARCHAR(x)``
-      -> ``CAST(x AS STRING)``;
+      -> ``CAST(x AS STRING)``, datetime-format ``TO_VARCHAR(x, 'fmt')``
+      -> ``date_format(x, '<translated fmt>')`` (numeric formats refused);
     - ``CREATE [OR REPLACE] TRANSIENT TABLE`` -> the non-transient form
       (the engine's TableStore/temp views stand in for transience).
 

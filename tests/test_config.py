@@ -167,9 +167,22 @@ def test_translate_to_varchar_with_literal_argument():
         tr("SELECT TO_VARCHAR(TO_VARCHAR(x)) FROM t")
         == "SELECT CAST(CAST(x AS STRING) AS STRING) FROM t"
     )
-    # two-arg form still refused even when the second arg is a literal
-    with _pytest.raises(NotImplementedError, match="two-argument"):
-        tr("SELECT TO_VARCHAR(x, 'YYYY-MM') FROM t")
+    # two-arg datetime form translates to date_format (r06)
+    assert (
+        tr("SELECT TO_VARCHAR(ts, 'YYYY-MM-DD') FROM t")
+        == "SELECT date_format(ts, 'yyyy-MM-dd') FROM t"
+    )
+    assert (
+        tr("SELECT TO_VARCHAR(ts, 'DD Mon YYYY HH24:MI:SS.FF3') FROM t")
+        == "SELECT date_format(ts, 'dd MMM yyyy HH:mm:ss.SSS') FROM t"
+    )
+    # ...but numeric formats and non-literal formats still refuse loudly
+    with _pytest.raises(NotImplementedError, match="numeric format"):
+        tr("SELECT TO_VARCHAR(x, '9,999.00') FROM t")
+    with _pytest.raises(NotImplementedError, match="string-literal"):
+        tr("SELECT TO_VARCHAR(x, some_col) FROM t")
+    with _pytest.raises(NotImplementedError, match="unknown TO_VARCHAR"):
+        tr("SELECT TO_VARCHAR(x, 'QQQ') FROM t")
 
 
 def test_translate_nested_qualify():
