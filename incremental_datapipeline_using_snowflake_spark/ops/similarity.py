@@ -498,6 +498,99 @@ def knn_graph(
     )
 
 
+def knn_graph_ivf2(
+    corpus: DataFrame,
+    k: int = 3,
+    n_cells1: int | None = None,
+    n_cells2: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """TWO-LEVEL IVF k-NN graph — Θ(n^{4/3}) (r06), between the one-level
+    form's Θ(n^1.5) and the LSH twin's Θ(n).
+
+    One-level IVF cannot beat n^1.5: assignment work n·cells balances
+    within-cell pairs n²/cells at cells = sqrt(n). Adding a second level
+    re-balances: with ``cells1 = cells2 = n^{1/3}``, level-1 assignment is
+    n·n^{1/3} (broadcast centroid join), level-2 assignment is ALSO
+    n·n^{1/3} — each vector scores only its OWN coarse cell's n^{1/3}
+    sub-seeds via a cell-keyed join, never the global sub-seed table — and
+    the final (cell, subcell)-blocked pair space is n²/(cells1·cells2) =
+    n^{4/3}. Every stage is deterministic (seed centroids = lowest-id
+    members, cosine ranking with id tie-breaks), so the DuckDB oracle
+    replays the full two-level composition.
+
+    Positioning: :func:`knn_graph_lsh` stays the production default
+    (linear, no assignment joins); this form is for corpora where
+    IVF-style locality (every vector compared against its full sub-cell,
+    recall bounded by cell geometry rather than hash collisions) matters
+    more than the n^{1/3} overhead factor. Output contract matches
+    :func:`knn_graph_lsh`: (src_id, rank, nbr_id, cosine).
+    """
+    if n_cells1 is None or n_cells2 is None:
+        n = corpus.count()  # scalar probe, not a data collect
+        # floor(cbrt+0.5): half-up, oracle-replayable as
+        # GREATEST(4, CAST(floor(cbrt(n) + 0.5) AS INT)) — python round()
+        # would bankers-round and diverge from SQL on exact halves
+        side = max(4, int(n ** (1.0 / 3.0) + 0.5))
+        n_cells1 = n_cells1 or side
+        n_cells2 = n_cells2 or side
+    _, a1 = ivf_assignments(corpus, n_cells1, vec_col, id_col)
+    a1 = a1.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a1 = _materialize(a1, checkpoint_dir, "knn2_level1")
+
+    # level-2 seeds: the n_cells2 lowest-id members of EACH coarse cell
+    wseed = W.partitionBy("cell").orderBy("id")
+    sub = (
+        a1.withColumn("_rk", F.row_number().over(wseed))
+        .filter(F.col("_rk") <= n_cells2)
+        .select(
+            "cell",
+            F.col("id").alias("subcell"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+    )
+    # cell-keyed (NOT broadcast) sub-assignment join: each vector scores
+    # only its own cell's sub-seeds — n · n_cells2 pairs total
+    scored = a1.join(sub, "cell").select(
+        "id",
+        "v",
+        "nrm",
+        "cell",
+        "subcell",
+        (dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).alias("_sim"),
+    )
+    wassign = W.partitionBy("id").orderBy(F.desc("_sim"), F.asc("subcell"))
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(wassign))
+        .filter(F.col("_rk") == 1)
+        .select("id", "v", "nrm", "cell", "subcell")
+    )
+    assigned = _materialize(assigned, checkpoint_dir, "knn2_level2")
+
+    a = assigned.withColumnsRenamed({"id": "src_id", "v": "va", "nrm": "na"})
+    b = assigned.withColumnsRenamed({"id": "nbr_id", "v": "vb", "nrm": "nb"})
+    pairs = (
+        a.join(b, ["cell", "subcell"])
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select(
+            "src_id",
+            "nbr_id",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "rank", "nbr_id", "cosine")
+    )
+
+
 def knn_graph_lsh(
     corpus: DataFrame,
     k: int = 3,

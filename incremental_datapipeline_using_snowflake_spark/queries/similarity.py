@@ -455,6 +455,62 @@ ORDER BY src_id, rank
 """
 
 
+def knn_graph_ivf2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level IVF k-NN graph (r06, Θ(n^{4/3})): cbrt(n) coarse cells ×
+    cbrt(n) sub-cells, both auto-sized (the oracle replays the sizing from
+    its own COUNT); every stage deterministic seed-IVF."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.knn_graph_ivf2(emb, k=3).orderBy("src_id", "rank")
+
+
+KNN_IVF2_SQL = """
+WITH c AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+nn AS (SELECT GREATEST(4, CAST(floor(cbrt(count(*)) + 0.5) AS INT)) AS side FROM c),
+cents AS (
+  SELECT id AS cell, v AS cv FROM c ORDER BY id LIMIT (SELECT side FROM nn)
+),
+a1 AS (
+  SELECT id, v, cell FROM (
+    SELECT c.id, c.v, cents.cell,
+           row_number() OVER (
+             PARTITION BY c.id
+             ORDER BY list_cosine_similarity(c.v, cents.cv) DESC, cents.cell
+           ) AS rk
+    FROM c CROSS JOIN cents
+  ) WHERE rk = 1
+),
+sub AS (
+  SELECT cell, id AS subcell, v AS cv FROM (
+    SELECT cell, id, v, row_number() OVER (PARTITION BY cell ORDER BY id) AS rk
+    FROM a1
+  ) WHERE rk <= (SELECT side FROM nn)
+),
+a2 AS (
+  SELECT id, v, cell, subcell FROM (
+    SELECT a1.id, a1.v, a1.cell, sub.subcell,
+           row_number() OVER (
+             PARTITION BY a1.id
+             ORDER BY list_cosine_similarity(a1.v, sub.cv) DESC, sub.subcell
+           ) AS rk
+    FROM a1 JOIN sub ON a1.cell = sub.cell
+  ) WHERE rk = 1
+),
+scored AS (
+  SELECT a.id AS src_id, b.id AS nbr_id,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+  FROM a2 a JOIN a2 b
+    ON a.cell = b.cell AND a.subcell = b.subcell AND a.id != b.id
+)
+SELECT src_id, rank, nbr_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+ORDER BY src_id, rank
+"""
+
+
 # knn_graph_lsh — the LINEAR-scale kNN-graph path (r05): multi-table
 # hyperplane LSH buckets instead of IVF cells. Here plane/table counts are
 # fixture-pinned for oracle replay; production sizing is
@@ -909,6 +965,7 @@ QUERIES: dict = {
     "semdedup_keep_lsh": (semdedup_keep_lsh_q, SEMDEDUP_LSH_SQL),
     "knn_graph": (knn_graph_q, KNN_GRAPH_SQL),
     "knn_graph_lsh": (knn_graph_lsh_q, KNN_LSH_SQL),
+    "knn_graph_ivf2": (knn_graph_ivf2_q, KNN_IVF2_SQL),
     "pagerank_centrality": (pagerank_centrality, _pagerank_sql()),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_SQL),
     "multimodal_frames": (multimodal_frames, MULTIMODAL_FRAMES_SQL),

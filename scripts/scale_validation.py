@@ -58,6 +58,7 @@ FAMILY = [
     "knn_graph_auto",
     "semdedup_auto",
     "knn_graph_lsh",
+    "knn_graph_ivf2",
     "semdedup_lsh_auto",
     "neardup_triangles",
 ]

@@ -865,3 +865,23 @@ def test_semantic_dedup_lsh_drops_planted_variants(spark):
     # non-variant vectors are random directions — none within 0.999
     dropped = [i for i, r in rows.items() if not r["keep"]]
     assert sorted(dropped) == [i + 1000 for i, _ in base if i % 4 == 0]
+
+
+def test_knn_graph_ivf2_nearest_is_scaled_twin(spark):
+    """Two-level IVF k-NN (r06): a x1.01-scaled twin shares its original's
+    coarse cell AND sub-cell (same direction), so the nearest neighbor of
+    most originals is their twin — same recall contract as the one-level
+    form at Theta(n^{4/3}) cost."""
+    from incremental_datapipeline_using_snowflake_spark.ops.similarity import knn_graph_ivf2
+
+    import random
+
+    rng = random.Random(7)
+    base = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    twins = [(i + 100, [x * 1.01 for x in v]) for i, v in base[:10]]
+    df = spark.createDataFrame(base + twins, "vec_id long, embedding array<double>")
+    got = {r["src_id"]: r for r in knn_graph_ivf2(df, k=1, n_cells1=4, n_cells2=3).collect()}
+    hits = sum(1 for i in range(10) if got.get(i) and got[i]["nbr_id"] == i + 100)
+    assert hits >= 8  # cell-boundary misses possible, not the norm
+    # every vector that got a neighbor reports exactly rank 1
+    assert all(r["rank"] == 1 for r in got.values())
