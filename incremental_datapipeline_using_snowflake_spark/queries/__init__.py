@@ -85,6 +85,7 @@ def all_queries() -> dict:
         streamops,
         temporal_prep,
         textops,
+        tpch22,
         tpch_more,
     )
 
@@ -100,6 +101,7 @@ def all_queries() -> dict:
         sketches_q,
         spark4,
         tpch_more,
+        tpch22,
     ):
         out.update(mod.QUERIES)
 
