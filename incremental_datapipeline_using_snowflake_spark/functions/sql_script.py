@@ -111,6 +111,8 @@ _SNOWFLAKE_FUNCS = [
     (_re.compile(r"\bDATEADD\s*\(", _re.IGNORECASE), "timestampadd("),
     (_re.compile(r"\bDATEDIFF\s*\(", _re.IGNORECASE), "timestampdiff("),
     (_re.compile(r"\bTO_VARCHAR\s*\(", _re.IGNORECASE), "CAST_TO_STRING("),
+    (_re.compile(r"\bTO_DATE\s*\(", _re.IGNORECASE), "SF_TO_DATE("),
+    (_re.compile(r"\bTO_TIMESTAMP\s*\(", _re.IGNORECASE), "SF_TO_TIMESTAMP("),
     (_re.compile(r"\bCREATE\s+OR\s+REPLACE\s+TRANSIENT\s+TABLE\b", _re.IGNORECASE),
      "CREATE OR REPLACE TABLE"),
     (_re.compile(r"\bCREATE\s+TRANSIENT\s+TABLE\b", _re.IGNORECASE), "CREATE TABLE"),
@@ -166,6 +168,57 @@ def _snowflake_datetime_format(fmt: str) -> str:
     return "".join(out)
 
 
+def _literal_fmt(arg: str, fn: str) -> str:
+    """Extract a string-literal format argument and translate it to a
+    Spark datetime pattern; refuse non-literals loudly."""
+    m = _re.fullmatch(r"'((?:[^']|'')*)'", arg.strip())
+    if m is None:
+        raise NotImplementedError(
+            f"translate_snowflake_sql: {fn} needs a string-literal format — "
+            "rewrite by hand"
+        )
+    return _snowflake_datetime_format(m.group(1).replace("''", "'"))
+
+
+def _h_to_varchar(args: list[str]) -> str:
+    if len(args) == 1:
+        return f"CAST({args[0]} AS STRING)"
+    if len(args) == 2:
+        return f"date_format({args[0]}, '{_literal_fmt(args[1], 'TO_VARCHAR')}')"
+    raise NotImplementedError(
+        "translate_snowflake_sql: TO_VARCHAR takes 1 or 2 arguments"
+    )
+
+
+def _h_to_date(args: list[str]) -> str:
+    if len(args) == 1:
+        return f"to_date({args[0]})"
+    if len(args) == 2:
+        return f"to_date({args[0]}, '{_literal_fmt(args[1], 'TO_DATE')}')"
+    raise NotImplementedError(
+        "translate_snowflake_sql: TO_DATE takes 1 or 2 arguments"
+    )
+
+
+def _h_to_timestamp(args: list[str]) -> str:
+    if len(args) == 1:
+        return f"to_timestamp({args[0]})"
+    if len(args) == 2:
+        return f"to_timestamp({args[0]}, '{_literal_fmt(args[1], 'TO_TIMESTAMP')}')"
+    raise NotImplementedError(
+        "translate_snowflake_sql: TO_TIMESTAMP takes 1 or 2 arguments"
+    )
+
+
+# marker (from _SNOWFLAKE_FUNCS rewrites) -> replacement builder over the
+# extracted top-level argument list
+_MARKER_HANDLERS = [
+    ("CAST_TO_STRING(", _h_to_varchar),
+    ("SF_TO_DATE(", _h_to_date),
+    ("SF_TO_TIMESTAMP(", _h_to_timestamp),
+]
+
+
 def _apply_func_maps(stmt: str) -> str:
     out: list[str] = []
     for is_code, seg in _code_segments(stmt):
@@ -174,22 +227,28 @@ def _apply_func_maps(stmt: str) -> str:
                 seg = rx.sub(rep, seg)
         out.append(seg)
     stmt = "".join(out)
-    # TO_VARCHAR(x) -> CAST(x AS STRING), spliced over the REASSEMBLED
-    # statement: the paren scan must cross string-literal/comment segments
-    # (TO_VARCHAR(coalesce(x, 'none')) holds a literal inside the argument)
-    # so depth is tracked with _depth_positions, which carries it across
-    # non-code regions without counting parens inside literals.
+    # Marker calls (TO_VARCHAR/TO_DATE/TO_TIMESTAMP) are spliced over the
+    # REASSEMBLED statement: the paren scan must cross string-literal and
+    # comment segments (TO_VARCHAR(coalesce(x, 'none')) holds a literal
+    # inside the argument) so depth is tracked with _depth_positions, which
+    # carries it across non-code regions without counting parens inside
+    # literals. Arguments split at top-level commas only.
     while True:
         code_text = "".join(
             s if c else " " * len(s) for c, s in _code_segments(stmt)
         )
-        k = code_text.find("CAST_TO_STRING(")
-        if k < 0:
+        k = None
+        marker = handler = None
+        for m, h in _MARKER_HANDLERS:
+            p = code_text.find(m)
+            if p >= 0 and (k is None or p < k):
+                k, marker, handler = p, m, h
+        if k is None:
             return stmt
-        start = k + len("CAST_TO_STRING(")
-        base = None  # paren depth just inside CAST_TO_STRING's open paren
+        start = k + len(marker)
+        base = None  # paren depth just inside the marker's open paren
         close = None
-        comma = None  # first top-level comma: the two-argument form
+        commas: list[int] = []
         for pos, ch, d in _depth_positions(stmt):
             if pos == start - 1:
                 base = d + 1
@@ -199,32 +258,18 @@ def _apply_func_maps(stmt: str) -> str:
             if ch == ")" and d == base:
                 close = pos
                 break
-            if ch == "," and d == base and comma is None:
-                comma = pos
+            if ch == "," and d == base:
+                commas.append(pos)
         if close is None:
             raise ValueError(
-                "translate_snowflake_sql: unbalanced parentheses after "
-                "TO_VARCHAR("
+                f"translate_snowflake_sql: unbalanced parentheses after "
+                f"{marker}"
             )
-        if comma is None:
-            inner = stmt[start:close]
-            stmt = stmt[:k] + f"CAST({inner} AS STRING)" + stmt[close + 1 :]
-            continue
-        # two-arg TO_VARCHAR(expr, 'fmt') (r06): datetime formats translate
-        # to date_format(); numeric/unknown formats still refuse loudly
-        # rather than emitting mangled SQL
-        arg1 = stmt[start:comma].strip()
-        fmt_raw = stmt[comma + 1 : close].strip()
-        m = _re.fullmatch(r"'((?:[^']|'')*)'", fmt_raw)
-        if m is None:
-            raise NotImplementedError(
-                "translate_snowflake_sql: two-argument TO_VARCHAR needs a "
-                "string-literal format — rewrite by hand"
-            )
-        spark_fmt = _snowflake_datetime_format(m.group(1).replace("''", "'"))
-        stmt = (
-            stmt[:k] + f"date_format({arg1}, '{spark_fmt}')" + stmt[close + 1 :]
-        )
+        bounds = [start, *[c + 1 for c in commas], close + 1]
+        args = [
+            stmt[a : b - 1].strip() for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        stmt = stmt[:k] + handler(args) + stmt[close + 1 :]
 
 
 def _depth_positions(stmt: str):

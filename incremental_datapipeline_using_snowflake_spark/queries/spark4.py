@@ -271,6 +271,48 @@ def snowflake_dialect_qualify_nested(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+# Datetime dialect surface (r06): TO_VARCHAR/TO_DATE/TO_TIMESTAMP with
+# Snowflake format strings, DATEADD/DATEDIFF — run through the shim on
+# Spark; the oracle is hand-written DuckDB (strftime/interval arithmetic),
+# so it pins the TRANSLATION SEMANTICS, not just the spelling.
+SNOWFLAKE_DATETIME_SQL = """
+SELECT o_orderkey,
+       TO_VARCHAR(o_orderdate, 'YYYY-MM-DD') AS od_str,
+       TO_VARCHAR(o_orderdate, 'DD Mon YYYY') AS od_pretty,
+       TO_DATE(TO_VARCHAR(o_orderdate, 'YYYY-MM-DD'), 'YYYY-MM-DD') AS od_roundtrip,
+       TO_TIMESTAMP(TO_VARCHAR(o_orderdate, 'YYYY-MM-DD HH24:MI:SS'),
+                    'YYYY-MM-DD HH24:MI:SS') AS ts_roundtrip,
+       DATEADD(day, 7, o_orderdate) AS due,
+       DATEDIFF(day, TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95
+FROM {orders}
+WHERE o_orderkey % 100 = 0
+ORDER BY o_orderkey
+"""
+
+
+def snowflake_dialect_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sql_script import run_sql_script
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sfdt_orders")
+    return run_sql_script(
+        spark, SNOWFLAKE_DATETIME_SQL.format(orders="sfdt_orders"), dialect="snowflake"
+    )
+
+
+SNOWFLAKE_DATETIME_ORACLE = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS od_str,
+       strftime(o_orderdate, '%d %b %Y') AS od_pretty,
+       CAST(o_orderdate AS DATE) AS od_roundtrip,
+       o_orderdate AS ts_roundtrip,
+       o_orderdate + INTERVAL 7 DAY AS due,
+       datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95
+FROM orders
+WHERE o_orderkey % 100 = 0
+ORDER BY o_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # sql_session_variables — Spark 4 session variables + EXECUTE IMMEDIATE:
 # the Snowflake-scripting parity surface (the reference's procedures build
@@ -318,5 +360,9 @@ QUERIES: dict = {
     "snowflake_dialect_qualify_nested": (
         snowflake_dialect_qualify_nested,
         SNOWFLAKE_QUALIFY_NESTED_SQL.format(orders="orders"),
+    ),
+    "snowflake_dialect_datetime": (
+        snowflake_dialect_datetime,
+        SNOWFLAKE_DATETIME_ORACLE,
     ),
 }

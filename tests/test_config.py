@@ -215,3 +215,31 @@ def test_translate_nested_qualify():
             "SELECT * FROM (SELECT DISTINCT a FROM t "
             "QUALIFY row_number() OVER (ORDER BY a) = 1) s"
         )
+
+
+def test_translate_to_date_timestamp_formats():
+    """r06: TO_DATE/TO_TIMESTAMP translate with Snowflake->Spark format
+    conversion; single-arg forms pass through to the Spark builtins."""
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.functions.sql_script import (
+        translate_snowflake_sql as tr,
+    )
+
+    assert (
+        tr("SELECT TO_DATE(s, 'YYYY-MM-DD') FROM t")
+        == "SELECT to_date(s, 'yyyy-MM-dd') FROM t"
+    )
+    assert tr("SELECT TO_DATE(s) FROM t") == "SELECT to_date(s) FROM t"
+    assert (
+        tr("SELECT TO_TIMESTAMP(s, 'YYYY-MM-DD HH24:MI:SS') FROM t")
+        == "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm:ss') FROM t"
+    )
+    assert tr("SELECT TO_TIMESTAMP(s) FROM t") == "SELECT to_timestamp(s) FROM t"
+    # literal inside the expression argument does not break the splice
+    assert (
+        tr("SELECT TO_DATE(coalesce(s, '1970-01-01'), 'YYYY-MM-DD') FROM t")
+        == "SELECT to_date(coalesce(s, '1970-01-01'), 'yyyy-MM-dd') FROM t"
+    )
+    with _pytest.raises(NotImplementedError, match="string-literal"):
+        tr("SELECT TO_DATE(s, fmt_col) FROM t")
