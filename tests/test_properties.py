@@ -337,3 +337,51 @@ def test_wav_metadata_exact_law(n, rate, ch, seed):
     assert meta["channels"] == ch
     assert meta["sample_rate"] == rate
     assert meta["bits_per_sample"] == 16
+
+
+@given(w=dims, h=dims, seed=st.integers(min_value=0, max_value=2**31 - 1),
+       quant=st.sampled_from([1, 2, 4]))
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_error_bound_law(w, h, seed, quant):
+    """r06 JPEG codec law: for ANY image and dims, decode(encode(x, q))
+    preserves shape exactly and every pixel within the DCT-quantization
+    error bound (~8*q/2 per coefficient column worst-case; empirically
+    <= 4*q + 3 across channels after color-convert rounding)."""
+    import numpy as np
+
+    from incremental_datapipeline_using_snowflake_spark.ops import codecs as C
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    w2, h2, nc, back = C.decode_jpeg(C.encode_jpeg(px, quant=quant))
+    assert (w2, h2, nc) == (w, h, 3)
+    assert int(np.max(np.abs(back.astype(int) - px.astype(int)))) <= 4 * quant + 3
+
+
+@given(st.text(
+    alphabet=st.sampled_from(list("ab(),' -\n*/QUALIFYIFFTO_VARCHAR=<>123")),
+    max_size=60,
+))
+@settings(max_examples=200, deadline=None)
+def test_translate_never_corrupts_literals_law(s):
+    """Fuzz law for the dialect shim: for any input, translation either
+    raises a loud NotImplementedError/ValueError or returns a string in
+    which every original single-quoted literal's CONTENT still appears
+    verbatim (literals are never rewritten)."""
+    import re
+
+    from incremental_datapipeline_using_snowflake_spark.functions.sql_script import (
+        _code_segments,
+        translate_snowflake_sql,
+    )
+
+    literals = [
+        seg for is_code, seg in _code_segments(s)
+        if not is_code and seg.startswith("'") and seg.endswith("'") and len(seg) >= 2
+    ]
+    try:
+        out = translate_snowflake_sql(s)
+    except (NotImplementedError, ValueError):
+        return  # loud refusal is within contract
+    for lit in literals:
+        assert lit in out, (s, lit, out)
