@@ -12,12 +12,14 @@ The fake decoder derives width/height/frames from the payload md5 — the
 same arithmetic as the oracle-checked ``multimodal_meta`` query, so the
 distributed plumbing is verifiable end-to-end.
 
-REAL codecs exist for two dependency-free formats: ``ops.codecs`` ships a
-PPM (P6) image parser/encoder/nearest-neighbor-resizer and a WAV (RIFF
-PCM) parser whose ``media_decoder`` / ``ppm_resizer`` plug straight into
+REAL codecs exist for three dependency-free formats: ``ops.codecs`` ships
+a PPM (P6) image parser/encoder/nearest-neighbor-resizer, a WAV (RIFF
+PCM) parser, and (r06) a full numpy baseline-JPEG decoder with a fixture
+encoder; ``media_decoder`` / ``image_resizer`` plug straight into
 ``decode_media(decoder=)`` / ``resize_media(resizer=)`` — the mapInPandas
-path is exercised with actual image/audio bytes in
-``tests/test_multimodal.py``, not only the deterministic fake.
+path is exercised with actual JPEG/PPM/WAV bytes in
+``tests/test_multimodal.py``, not only the deterministic fake. Only MP4
+video remains library-blocked.
 """
 
 from __future__ import annotations
