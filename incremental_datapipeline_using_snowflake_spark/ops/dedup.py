@@ -677,6 +677,90 @@ def incremental_minhash_pairs(
     return verified
 
 
+def incremental_embedding_pairs(
+    new_vecs: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.999,
+    n_tables: int = 2,
+    n_planes: int | None = None,
+    target_bucket: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic near-dup pairs between an incoming vector BATCH and an
+    existing corpus (plus batch-internal pairs) — the EMBEDDING analogue of
+    :func:`incremental_minhash_pairs`, completing the incremental-dedup
+    family (r06): a daily embedding shard is deduped against everything
+    already ingested WITHOUT ever re-pairing the corpus against itself.
+
+    Shape: multi-table hyperplane-LSH signatures are per-row literal folds
+    on both sides (zero joins to build); the candidate join is new-sigs x
+    all-sigs on the bucket — |new| is the small side, so AQE broadcasts it
+    and the corpus side is never shuffled; corpus x corpus collisions are
+    excluded by requiring the right side to be a batch row when both could
+    be old. Cosine is computed map-side inside the bucket join and only
+    (id_a, id_b, cosine, is_corpus_pair) survives into the cross-table
+    dedup. At warehouse scale the corpus signature tables are precomputed
+    once and stored (they are exactly ``lsh_signatures`` output), making
+    each run's cost proportional to the batch.
+
+    Output: (id_a, id_b, cosine, is_corpus_pair) where ``is_corpus_pair``
+    marks batch-vs-corpus pairs (batch id on the left) vs batch-internal
+    (canonicalized id_a < id_b). A pair found by several tables counts
+    once (same cosine — max() is a dedup).
+    """
+    import math
+
+    from .similarity import cosine as _cos
+    from .similarity import lsh_signatures
+
+    if n_planes is None:
+        n = corpus.count()  # scalar probe, not a data collect
+        n_planes = max(4, math.ceil(math.log2(max(2.0, n / target_bucket))))
+    parts = []
+    for t in range(n_tables):
+        nb = lsh_signatures(
+            new_vecs, dim, vec_col, id_col, n_planes=n_planes, seed=t
+        ).select(
+            F.col(id_col).alias("id_a"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("va"),
+            "bucket",
+            F.lit(True).alias("_na"),
+        )
+        cb = lsh_signatures(
+            corpus, dim, vec_col, id_col, n_planes=n_planes, seed=t
+        ).select(
+            F.col(id_col).alias("id_b"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vb"),
+            "bucket",
+            F.lit(False).alias("_nb"),
+        )
+        allb = cb.unionByName(
+            nb.withColumnsRenamed({"id_a": "id_b", "va": "vb", "_na": "_nb"})
+        )
+        parts.append(
+            nb.join(allb, "bucket")
+            .filter(F.col("id_a") != F.col("id_b"))
+            # canonicalize batch-internal pairs to id_a < id_b; batch-vs-
+            # corpus pairs keep the batch vector on the left regardless
+            .filter((~F.col("_nb")) | (F.col("id_a") < F.col("id_b")))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(_cos(F.col("va"), F.col("vb")), 6).alias("cosine"),
+                (~F.col("_nb")).alias("is_corpus_pair"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    return pairs.groupBy("id_a", "id_b", "is_corpus_pair").agg(
+        F.max("cosine").alias("cosine")
+    ).select("id_a", "id_b", "cosine", "is_corpus_pair")
+
+
 def _band_rows(sigs: DataFrame) -> DataFrame:
     """(id, band, bh) rows from a signature table — the exploded band form
     shared by the self-join and incremental variants."""

@@ -649,6 +649,83 @@ ORDER BY vec_id
 """
 
 
+# dedup_embedding_incremental — batch-vs-corpus semantic dedup (r06): the
+# embedding analogue of dedup_incremental. The planted ×1.001 variants play
+# the incoming batch; each must pair with its corpus original
+# (is_corpus_pair) without the corpus ever self-pairing.
+INC_EMB_PLANES = 5
+INC_EMB_TABLES = 2
+
+
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.dedup import incremental_embedding_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    batch = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * 1.001).alias(
+            "embedding"
+        ),
+    )
+    return incremental_embedding_pairs(
+        batch, corpus, dim=EMB_DIM, threshold=0.999,
+        n_tables=INC_EMB_TABLES, n_planes=INC_EMB_PLANES,
+    ).orderBy("id_a", "id_b")
+
+
+INC_EMB_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+batch AS (
+  SELECT vec_id + 100000 AS id, list_transform(embedding::DOUBLE[], x -> x * 1.001) AS v
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+planes AS (
+  SELECT t, p, d, ({_H.format(x=_KNN_LSH_KEY)} % 2001) - 1000 AS w
+  FROM (SELECT unnest(range(0, {INC_EMB_TABLES})) AS t),
+       (SELECT unnest(range(0, {INC_EMB_PLANES})) AS p),
+       (SELECT unnest(range(1, {EMB_DIM + 1})) AS d)
+),
+both_sides AS (
+  SELECT id, v, FALSE AS is_new FROM corpus
+  UNION ALL
+  SELECT id, v, TRUE AS is_new FROM batch
+),
+flat AS (
+  SELECT id, is_new, generate_subscripts(v, 1) AS d,
+         CAST(floor(unnest(v) * 1000000 + 0.5) AS BIGINT) AS xq
+  FROM both_sides
+),
+proj AS (
+  SELECT t, id, is_new, p, sum(xq * w) AS s
+  FROM flat JOIN planes USING (d) GROUP BY t, id, is_new, p
+),
+sig AS (
+  SELECT t, id, is_new,
+         CAST(sum(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY t, id, is_new
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, NOT b.is_new AS is_corpus_pair
+  FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket AND a.id != b.id
+  WHERE a.is_new AND ((NOT b.is_new) OR a.id < b.id)
+)
+SELECT id_a, id_b,
+       round(list_cosine_similarity(va.v, vb.v), 6) AS cosine,
+       is_corpus_pair
+FROM cand
+JOIN both_sides va ON va.id = id_a
+JOIN both_sides vb ON vb.id = id_b
+WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= 0.999
+ORDER BY id_a, id_b
+"""
+
+
 def pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank over the IVF-blocked k-NN graph — graph
     centrality for corpus curation (central = representative of a dense
@@ -963,6 +1040,7 @@ QUERIES: dict = {
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
     "semdedup_keep": (semdedup_keep, SEMDEDUP_SQL),
     "semdedup_keep_lsh": (semdedup_keep_lsh_q, SEMDEDUP_LSH_SQL),
+    "dedup_embedding_incremental": (dedup_embedding_incremental, INC_EMB_SQL),
     "knn_graph": (knn_graph_q, KNN_GRAPH_SQL),
     "knn_graph_lsh": (knn_graph_lsh_q, KNN_LSH_SQL),
     "knn_graph_ivf2": (knn_graph_ivf2_q, KNN_IVF2_SQL),

@@ -885,3 +885,39 @@ def test_knn_graph_ivf2_nearest_is_scaled_twin(spark):
     assert hits >= 8  # cell-boundary misses possible, not the norm
     # every vector that got a neighbor reports exactly rank 1
     assert all(r["rank"] == 1 for r in got.values())
+
+
+def test_incremental_embedding_pairs_batch_vs_corpus(spark):
+    """r06: the embedding analogue of incremental minhash dedup — every
+    planted batch variant pairs with its corpus original (is_corpus_pair),
+    corpus rows never self-pair, and batch-internal near-dups are
+    canonicalized id_a < id_b."""
+    from incremental_datapipeline_using_snowflake_spark.ops.dedup import (
+        incremental_embedding_pairs,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    corpus_rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    # batch: variants of corpus ids %4==0 plus one pair of mutual batch twins
+    batch_rows = [
+        (i + 1000, [x * 1.001 for x in v]) for i, v in corpus_rows if i % 4 == 0
+    ]
+    twin = [rng.uniform(-1, 1) for _ in range(8)]
+    batch_rows += [(2000, twin), (2001, [x * 1.001 for x in twin])]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<double>")
+    batch = spark.createDataFrame(batch_rows, "vec_id long, embedding array<double>")
+    got = incremental_embedding_pairs(
+        batch, corpus, dim=8, threshold=0.999, n_tables=2, n_planes=3
+    ).collect()
+    corpus_pairs = {(r["id_a"], r["id_b"]) for r in got if r["is_corpus_pair"]}
+    internal = {(r["id_a"], r["id_b"]) for r in got if not r["is_corpus_pair"]}
+    # every variant found its original; batch id on the left
+    assert {(i + 1000, i) for i, _ in corpus_rows if i % 4 == 0} <= corpus_pairs
+    # the mutual batch twins appear once, canonicalized
+    assert (2000, 2001) in internal
+    assert all(a < b for a, b in internal)
+    # corpus x corpus pairs are impossible by construction: id_a is a batch id
+    batch_ids = {r[0] for r in batch_rows}
+    assert all(r["id_a"] in batch_ids for r in got)
