@@ -649,6 +649,34 @@ ORDER BY vec_id
 """
 
 
+# ann_index_lifecycle — build-once/query-many IVF through the REAL store
+# (r06): the index structure (centroids + cell-partitioned assignments) is
+# materialized with build_ivf_index into a scratch TableStore, then queried
+# by VECTOR (not id) with a partition-pruned scan of only the probed cells.
+# The seed-IVF structure is deterministic, so the oracle is the SAME SQL as
+# ann_ivf_topk — the lifecycle query must reproduce the direct computation
+# exactly, proving the persisted index is lossless.
+_ANN_INDEX_CACHE: dict[tuple[str, str], object] = {}
+
+
+def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.table_store import TableStore
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    store = _ANN_INDEX_CACHE.get(key)
+    emb = load(spark, sf_dir, "embeddings")
+    if store is None:
+        store = TableStore(root=tempfile.mkdtemp(prefix="spark_annidx_"))
+        S.build_ivf_index(spark, store, emb, "idx.emb", n_cells=S.N_IVF_CELLS)
+        _ANN_INDEX_CACHE[key] = store
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.query_ivf_index(
+        spark, store, "idx.emb", queries, k=TOP_K, n_probe=S.N_PROBE
+    ).orderBy("query_id", "rank")
+
+
 # dedup_embedding_incremental — batch-vs-corpus semantic dedup (r06): the
 # embedding analogue of dedup_incremental. The planted ×1.001 variants play
 # the incoming batch; each must pair with its corpus original
@@ -1035,6 +1063,7 @@ QUERIES: dict = {
     "kmeans_clusters": (kmeans_clusters, _kmeans_sql()),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "ann_index_lifecycle": (ann_index_lifecycle, ANN_IVF_SQL),
     "ann_pq_topk": (ann_pq_topk, _pq_sql()),
     "ann_ivfpq_topk": (ann_ivfpq_topk, _ivfpq_sql()),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),

@@ -921,3 +921,34 @@ def test_incremental_embedding_pairs_batch_vs_corpus(spark):
     # corpus x corpus pairs are impossible by construction: id_a is a batch id
     batch_ids = {r[0] for r in batch_rows}
     assert all(r["id_a"] in batch_ids for r in got)
+
+
+def test_ann_index_lifecycle_lossless_and_pruned(spark, tmp_path):
+    """r06 index lifecycle: a stored IVF index reproduces the direct
+    ivf_topk computation row-for-row, and the query-side scan is
+    PARTITION-PRUNED to the probed cells (the plan carries partition
+    filters on `cell` — not a full-scan + filter)."""
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.ops import similarity as S
+
+    import random
+
+    rng = random.Random(3)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    store = TableStore(root=str(tmp_path))
+    meta = S.build_ivf_index(spark, store, corpus, "idx.t", n_cells=8)
+    assert meta == {"n_cells": 8, "n_vectors": 120}
+
+    queries = corpus.filter("vec_id < 4")
+    via_index = S.query_ivf_index(spark, store, "idx.t", queries, k=3, n_probe=2)
+    direct = S.ivf_topk(corpus, query_ids=[0, 1, 2, 3], k=3, n_cells=8, n_probe=2)
+    a = sorted(tuple(r) for r in via_index.collect())
+    b = sorted(tuple(r) for r in direct.collect())
+    assert a == b and len(a) > 0
+
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    # the assignment scan must prune on the partition column
+    assert "PartitionFilters" in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "cell" in ln]
+    assert pf, plan
