@@ -964,3 +964,48 @@ def query_ivf_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "nbr_id", "cell", "cosine")
     )
+
+
+def append_to_ivf_index(
+    spark: SparkSession,
+    store,
+    new_vecs: DataFrame,
+    name: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Incremental index maintenance: assign a NEW vector batch to the
+    STORED centroids (broadcast join — the index is never re-trained or
+    re-scanned) and append the assignments into the cell-partitioned
+    table. Cost ∝ batch; the daily-shard path that makes
+    :func:`build_ivf_index` a build-once structure. Centroids are frozen
+    (seed-IVF semantics — rebuild when drift warrants); returns the number
+    of vectors appended. Queries see the grown index atomically per
+    append (parquet append into the current version's cell directories).
+    """
+    cents = store.read(spark, f"{name}.centroids").select(
+        "cell", F.col("v").alias("cv")
+    ).withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    v = new_vecs.select(
+        F.col(id_col).alias("id"), _dvec(vec_col).alias("v")
+    ).withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"))))
+    scored = v.join(F.broadcast(cents)).select(
+        "id",
+        "v",
+        "cell",
+        (dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))).alias("_sim"),
+    )
+    w = W.partitionBy("id").orderBy(F.desc("_sim"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("id", "v", "cell")
+    )
+    # The stored assignment table's partition column comes back through
+    # parquet partition-value inference (int when cell ids fit), while the
+    # batch carries the centroid table's physical type — cast to the stored
+    # schema so the append's type guard sees an identical column.
+    stored = {f.name: f.dataType for f in store.read(spark, f"{name}.assignments").schema.fields}
+    assigned = assigned.select(*[F.col(c).cast(stored[c]).alias(c) for c in ("id", "v", "cell")])
+    store.append(assigned, f"{name}.assignments", partition_by=["cell"])
+    return assigned.count()

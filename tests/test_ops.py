@@ -952,3 +952,34 @@ def test_ann_index_lifecycle_lossless_and_pruned(spark, tmp_path):
     assert "PartitionFilters" in plan
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "cell" in ln]
     assert pf, plan
+
+
+def test_ann_index_incremental_append(spark, tmp_path):
+    """r06: appending a batch to a stored IVF index assigns against the
+    FROZEN centroids and lands in the cell partitions; queries immediately
+    see the new vectors (a planted near-twin of a query vector becomes its
+    top neighbor only after the append)."""
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.ops import similarity as S
+
+    import random
+
+    rng = random.Random(5)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(100)]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    store = TableStore(root=str(tmp_path))
+    S.build_ivf_index(spark, store, corpus, "idx.t", n_cells=8)
+
+    queries = corpus.filter("vec_id = 0")
+    before = {r["nbr_id"] for r in S.query_ivf_index(spark, store, "idx.t", queries, k=3).collect()}
+
+    twin = [(500, [x * 1.001 for x in vecs[0][1]])]
+    n = S.append_to_ivf_index(
+        spark, store,
+        spark.createDataFrame(twin, "vec_id long, embedding array<double>"),
+        "idx.t",
+    )
+    assert n == 1
+    after = S.query_ivf_index(spark, store, "idx.t", queries, k=3).collect()
+    assert 500 not in before
+    assert after[0]["nbr_id"] == 500 and after[0]["rank"] == 1  # twin is top-1
