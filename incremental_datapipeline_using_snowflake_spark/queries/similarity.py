@@ -677,6 +677,90 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+# ann_index_append — incremental index maintenance (r06): grow the stored
+# IVF index by one batch (planted ×1.001 variants of every 7th vector,
+# shifted ids) WITHOUT retraining: append_to_ivf_index assigns the batch
+# against the FROZEN corpus centroids and appends into the cell partitions.
+# Oracle replays the same rule in SQL — centroids from the CORPUS ONLY,
+# assignment over corpus ∪ batch — so the grown index must answer queries
+# exactly as a from-scratch computation over the union would (with frozen
+# seeds), proving append cost ∝ batch loses nothing.
+def ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.table_store import TableStore
+
+    key = (spark.sparkContext.applicationId, sf_dir, "append")
+    store = _ANN_INDEX_CACHE.get(key)
+    emb = load(spark, sf_dir, "embeddings")
+    if store is None:
+        store = TableStore(root=tempfile.mkdtemp(prefix="spark_annidx_"))
+        S.build_ivf_index(spark, store, emb, "idx.emb", n_cells=S.N_IVF_CELLS)
+        batch = emb.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 200000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") * 1.001
+            ).alias("embedding"),
+        )
+        S.append_to_ivf_index(spark, store, batch, "idx.emb")
+        _ANN_INDEX_CACHE[key] = store
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.query_ivf_index(
+        spark, store, "idx.emb", queries, k=TOP_K, n_probe=S.N_PROBE
+    ).orderBy("query_id", "rank")
+
+
+ANN_APPEND_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+b AS (
+  SELECT vec_id + 200000 AS id,
+         list_transform(embedding::DOUBLE[], x -> x * 1.001) AS v
+  FROM embeddings WHERE vec_id % 7 = 0
+),
+cents AS (
+  SELECT id AS cell, v AS cv FROM c ORDER BY id LIMIT {S.N_IVF_CELLS}
+),
+all_vecs AS (
+  SELECT id, v FROM c UNION ALL SELECT id, v FROM b
+),
+assigned AS (
+  SELECT id, v, cell FROM (
+    SELECT a.id, a.v, cents.cell,
+           row_number() OVER (
+             PARTITION BY a.id
+             ORDER BY list_cosine_similarity(a.v, cents.cv) DESC, cents.cell
+           ) AS rk
+    FROM all_vecs a CROSS JOIN cents
+  ) WHERE rk = 1
+),
+q AS (
+  SELECT id AS query_id, v AS qv FROM c WHERE id < {N_QUERIES}
+),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cents.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, cents.cv) DESC, cents.cell
+           ) AS rk
+    FROM q CROSS JOIN cents
+  ) WHERE rk <= {S.N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.id AS nbr_id, a.cell,
+         round(list_cosine_similarity(a.v, p.qv), 6) AS cosine
+  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.id != p.query_id
+)
+SELECT query_id, rank, nbr_id, cell, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 # dedup_embedding_incremental — batch-vs-corpus semantic dedup (r06): the
 # embedding analogue of dedup_incremental. The planted ×1.001 variants play
 # the incoming batch; each must pair with its corpus original
@@ -1064,6 +1148,7 @@ QUERIES: dict = {
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_index_lifecycle": (ann_index_lifecycle, ANN_IVF_SQL),
+    "ann_index_append": (ann_index_append, ANN_APPEND_SQL),
     "ann_pq_topk": (ann_pq_topk, _pq_sql()),
     "ann_ivfpq_topk": (ann_ivfpq_topk, _ivfpq_sql()),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
