@@ -281,3 +281,151 @@ def ngram_logprob_scores(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (FineWeb/CCNet-style classifier gates).
+# The reference pipeline has no ML scorer; these extend the curation surface
+# the way large-scale training-data pipelines actually filter: a cheap linear
+# model over hashed bag-of-words features, applied to every document.
+
+
+def classifier_words(text: Column | str) -> Column:
+    """Lowercased whitespace tokens with empties dropped — the feature
+    tokenizer shared by both classifier ops (and replayed verbatim by the
+    DuckDB oracles)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(words_col(F.lower(t)), lambda w: F.length(w) > 0)
+
+
+def hashed_feature(word: Column, n_features: int) -> Column:
+    """Hashing-trick feature index: 60-bit md5 of the token mod the feature
+    space. md5_long is non-negative, so plain ``%`` is portable."""
+    return md5_long(word) % F.lit(n_features)
+
+
+def hashed_weight(idx: Column, seed: int = 0) -> Column:
+    """Deterministic integer weight in [-1000, 1000] for a feature index —
+    the md5 stand-in for shipped model weights (same derivation as the LSH
+    hyperplanes, so the oracle reproduces it bit-for-bit)."""
+    return (
+        md5_long(F.concat_ws("_", F.lit(f"clf{seed}"), idx.cast("string")))
+        % F.lit(2001)
+        - F.lit(1000)
+    )
+
+
+def hashed_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 512,
+    seed: int = 0,
+    threshold: int = 0,
+) -> DataFrame:
+    """Linear classifier inference over hashing-trick bag-of-words.
+
+    100 TB shape: the whole computation is a per-row array fold
+    (``transform`` + ``aggregate`` inside whole-stage codegen) — ZERO
+    exchanges, no explode, no vocabulary relation, no Python workers. Each
+    document's margin is an exact BIGINT sum of integer per-token weights,
+    so the score is engine-portable with no float discipline at all.
+
+    Returns ``id_col, n_terms, margin, keep`` (keep = margin > threshold).
+    Weights default to the md5-derived stand-in (``hashed_weight``); real
+    deployments would broadcast-join a trained weight table keyed by the
+    same ``hashed_feature`` index — the plan shape is unchanged.
+    """
+    words = classifier_words(text_col)
+    contrib = F.transform(
+        words, lambda w: hashed_weight(hashed_feature(w, n_features), seed)
+    )
+    margin = F.aggregate(
+        contrib, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(words).alias("n_terms"),
+        margin.alias("margin"),
+        (margin > F.lit(threshold)).alias("keep"),
+    )
+
+
+def train_hashed_nb(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: Column | str = "label",
+    n_features: int = 512,
+) -> DataFrame:
+    """Train a binary multinomial Naive Bayes over hashed features.
+
+    Training is two integer aggregations — per-(feature, class) token
+    counts and per-class totals — i.e. one explode + one feature-keyed
+    shuffle of a feature-space-bounded relation (≤ ``n_features`` × 2 rows
+    out). Exact integers end-to-end; nothing about the model depends on
+    partitioning or summation order.
+
+    Returns the model as a DataFrame ``feature, c_pos, c_neg`` (Laplace
+    smoothing is applied at scoring time).
+    """
+    lbl = F.col(label_col) if isinstance(label_col, str) else label_col
+    toks = df.select(
+        lbl.alias("_y"),
+        F.explode(classifier_words(text_col)).alias("_w"),
+    ).select("_y", hashed_feature(F.col("_w"), n_features).alias("feature"))
+    return toks.groupBy("feature").agg(
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("c_neg"),
+    )
+
+
+def score_hashed_nb(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 512,
+) -> DataFrame:
+    """Score documents with a trained hashed-NB model: per-document sum of
+    per-feature log-likelihood ratios ``ln((c_pos+1)/(tot_pos+V)) -
+    ln((c_neg+1)/(tot_neg+V))``.
+
+    Plan: explode to (doc, feature) rows, join the model (feature-space
+    bounded — AQE broadcasts it), one doc-keyed shuffle for the final sum.
+    Float discipline per ngram_logprob_scores: each ln ratio is rounded to
+    6 dp then summed in DECIMAL, so parallel order cannot leak into the
+    hash; features absent from the model contribute the smoothing-only
+    ratio, which is 0 for a balanced prior — absent features are simply
+    dropped (exactly what the oracle does).
+
+    Returns ``id_col, n_scored, llr`` with llr a rounded double.
+    """
+    tot = model.agg(
+        F.sum("c_pos").alias("tp"), F.sum("c_neg").alias("tn")
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(classifier_words(text_col)).alias("_w"),
+    ).select(id_col, hashed_feature(F.col("_w"), n_features).alias("feature"))
+    v = float(n_features)
+    scored = (
+        toks.join(model, "feature")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log((F.col("c_pos") + 1) / (F.col("tp") + v))
+                - F.log((F.col("c_neg") + 1) / (F.col("tn") + v)),
+                6,
+            )
+            .cast("decimal(20,10)")
+            .alias("_llr"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.round(F.sum("_llr").cast("double"), 6).alias("llr"),
+        )
+    )

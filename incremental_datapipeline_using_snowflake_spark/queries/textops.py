@@ -1081,6 +1081,91 @@ ORDER BY probe_id, rnk
 """
 
 
+# ---------------------------------------------------------------------------
+# model-based quality filtering (r06): the classifier gates a FineWeb/CCNet
+# pipeline applies after the heuristic filters. Two declared forms:
+#   doc_classifier_margin — linear inference over hashing-trick features,
+#     integer-exact margins, ZERO exchanges (per-row array fold);
+#   doc_nb_quality — TRAIN a hashed Naive Bayes on the corpus's own lang
+#     labels, then score every document (train = integer count aggs, score
+#     = round-6 ln-ratio DECIMAL sums per the ngram_logprob discipline).
+CLF_FEATURES = 512
+CLF_SEED = 7
+
+
+def doc_classifier_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.hashed_classifier(
+        docs, n_features=CLF_FEATURES, seed=CLF_SEED
+    ).orderBy("doc_id")
+
+
+_CLF_FEAT = f"(({ORACLE_MD5_LONG.format(x='w')}) % {CLF_FEATURES})"
+CLASSIFIER_MARGIN_SQL = f"""
+WITH sp AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     w -> w != '') AS ws
+  FROM documents
+),
+contrib AS (
+  SELECT doc_id, len(ws) AS n_terms,
+         list_transform(ws, w ->
+           (({ORACLE_MD5_LONG.format(x=f"'clf{CLF_SEED}_' || {_CLF_FEAT}::VARCHAR")})
+            % 2001) - 1000) AS cs
+  FROM sp
+)
+SELECT doc_id,
+       CAST(n_terms AS INT) AS n_terms,
+       CAST(coalesce(list_aggregate(cs, 'sum'), 0) AS BIGINT) AS margin,
+       CAST(coalesce(list_aggregate(cs, 'sum'), 0) AS BIGINT) > 0 AS keep
+FROM contrib
+ORDER BY doc_id
+"""
+
+
+def doc_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    model = X.train_hashed_nb(
+        docs, label_col=(F.col("lang") == "en"), n_features=CLF_FEATURES
+    )
+    return X.score_hashed_nb(docs, model, n_features=CLF_FEATURES).orderBy(
+        "doc_id"
+    )
+
+
+NB_QUALITY_SQL = f"""
+WITH sp AS (
+  SELECT doc_id, lang = 'en' AS y,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     w -> w != '') AS ws
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, y, {_CLF_FEAT} AS feature
+  FROM (SELECT doc_id, y, unnest(ws) AS w FROM sp)
+),
+model AS (
+  SELECT feature,
+         SUM(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+         SUM(CASE WHEN y THEN 0 ELSE 1 END) AS c_neg
+  FROM toks GROUP BY feature
+),
+tot AS (SELECT SUM(c_pos) AS tp, SUM(c_neg) AS tn FROM model),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round(ln((m.c_pos + 1) / (tot.tp + {CLF_FEATURES}.0))
+                    - ln((m.c_neg + 1) / (tot.tn + {CLF_FEATURES}.0)), 6)
+              AS DECIMAL(20,10)) AS llr1
+  FROM toks t JOIN model m USING (feature) CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+       round(CAST(sum(llr1) AS DOUBLE), 6) AS llr
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict = {
     "text_profile": (text_profile, _text_profile_sql()),
     "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SQL),
@@ -1102,4 +1187,6 @@ QUERIES: dict = {
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "neardup_triangles": (neardup_triangles, _triangles_sql()),
     "fuzzy_name_match": (fuzzy_name_match, FUZZY_NAME_SQL),
+    "doc_classifier_margin": (doc_classifier_margin, CLASSIFIER_MARGIN_SQL),
+    "doc_nb_quality": (doc_nb_quality, NB_QUALITY_SQL),
 }

@@ -983,3 +983,40 @@ def test_ann_index_incremental_append(spark, tmp_path):
     after = S.query_ivf_index(spark, store, "idx.t", queries, k=3).collect()
     assert 500 not in before
     assert after[0]["nbr_id"] == 500 and after[0]["rank"] == 1  # twin is top-1
+
+
+def test_hashed_classifier_margin_exact(spark, docs):
+    """r06: hashing-trick linear inference — integer margins reproduce a
+    pure-Python reimplementation bit-for-bit, and the plan is a per-row
+    fold with ZERO exchanges (no explode, no vocabulary relation)."""
+
+    def md5_long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    res = X.hashed_classifier(docs, n_features=64, seed=3)
+    out = {r["doc_id"]: r for r in res.collect()}
+    for doc_id, text in DOCS:
+        ws = [w for w in text.lower().split() if w]
+        margin = sum(
+            md5_long(f"clf3_{md5_long(w) % 64}") % 2001 - 1000 for w in ws
+        )
+        assert out[doc_id]["margin"] == margin
+        assert out[doc_id]["n_terms"] == len(ws)
+        assert out[doc_id]["keep"] == (margin > 0)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_hashed_nb_train_score(spark, docs):
+    """r06: hashed Naive Bayes — trained on doc 4 (German) vs rest, the
+    German doc scores positive log-likelihood ratio and the English docs
+    negative; the model is a feature-bounded integer-count relation."""
+    labeled = docs.withColumn("label", F.col("doc_id") == 4)
+    model = X.train_hashed_nb(labeled, n_features=128)
+    assert model.count() <= 128
+    tot = model.agg(F.sum("c_pos"), F.sum("c_neg")).first()
+    n_words = sum(len(t.split()) for _, t in DOCS)
+    assert tot[0] + tot[1] == n_words  # every token counted exactly once
+    out = {r["doc_id"]: r["llr"] for r in X.score_hashed_nb(docs, model, n_features=128).collect()}
+    assert out[4] > 0  # the positive-class doc
+    assert out[1] < 0 and out[5] < 0  # negative-class docs
