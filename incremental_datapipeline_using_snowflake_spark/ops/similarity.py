@@ -1009,3 +1009,52 @@ def append_to_ivf_index(
     assigned = assigned.select(*[F.col(c).cast(stored[c]).alias(c) for c in ("id", "v", "cell")])
     store.append(assigned, f"{name}.assignments", partition_by=["cell"])
     return assigned.count()
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    quant: int = 1000,
+) -> DataFrame:
+    """Distributed Gram matrix X^T X over an embedding column — the
+    precursor to whitening / PCA / ZCA over a 100 TB corpus (eigendecompose
+    the d×d result on the driver, broadcast the projection back).
+
+    Plan: each Arrow batch contributes a PARTIAL Gram via ``mapInPandas``
+    (one int64 matmul per batch — vectorized, no per-row Python), emitting
+    only the d(d+1)/2 upper-triangle cells; the final reduce is a groupBy
+    over ≤ 2 080 keys (d=64). The exchange carries #batches × 2 080 tiny
+    rows no matter the corpus size — the canonical partial-aggregate shape.
+
+    Exactness: components are quantized to an integer grid
+    (``floor(x·quant + 0.5)`` on the float64 value — the same IEEE double
+    in any engine), so partial sums are exact int64 and summation order
+    cannot change the result. With ``quant=1000`` and |x| ≤ ~2, products
+    are ≤ 4·10^6 and the accumulated cell stays within int64 past 10^12
+    rows; raise ``quant`` only for small corpora needing finer grids.
+
+    Returns ``i, j, g`` (1-based, i ≤ j) — g = Σ xq_i · xq_j.
+    """
+    import pandas as pd
+
+    def partial(batches):
+        import numpy as np
+
+        iu_idx = np.triu_indices(dim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xq = np.floor(X * quant + 0.5).astype(np.int64)
+            G = Xq.T @ Xq
+            yield pd.DataFrame(
+                {
+                    "i": (iu_idx[0] + 1).astype("int32"),
+                    "j": (iu_idx[1] + 1).astype("int32"),
+                    "g": G[iu_idx],
+                }
+            )
+
+    partials = df.select(vec_col).mapInPandas(partial, schema="i int, j int, g long")
+    return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))

@@ -761,6 +761,32 @@ ORDER BY query_id, rank
 """
 
 
+# embedding_gram — distributed Gram matrix X^T X (r06): the whitening/PCA
+# precursor. Arrow-batched partial matmuls emit only upper-triangle cells;
+# integer quantization makes every cell an exact, order-independent int64
+# sum the oracle reproduces from an n·d² unnest.
+GRAM_QUANT = 1000
+
+
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.gram_matrix(emb, dim=EMB_DIM, quant=GRAM_QUANT).orderBy("i", "j")
+
+
+GRAM_SQL = f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(unnest(embedding)::DOUBLE * {GRAM_QUANT} + 0.5) AS BIGINT) AS xq
+  FROM embeddings
+)
+SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+       CAST(SUM(a.xq * b.xq) AS BIGINT) AS g
+FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+ORDER BY i, j
+"""
+
+
 # dedup_embedding_incremental — batch-vs-corpus semantic dedup (r06): the
 # embedding analogue of dedup_incremental. The planted ×1.001 variants play
 # the incoming batch; each must pair with its corpus original
@@ -1149,6 +1175,7 @@ QUERIES: dict = {
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_index_lifecycle": (ann_index_lifecycle, ANN_IVF_SQL),
     "ann_index_append": (ann_index_append, ANN_APPEND_SQL),
+    "embedding_gram": (embedding_gram, GRAM_SQL),
     "ann_pq_topk": (ann_pq_topk, _pq_sql()),
     "ann_ivfpq_topk": (ann_ivfpq_topk, _ivfpq_sql()),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),

@@ -1020,3 +1020,31 @@ def test_hashed_nb_train_score(spark, docs):
     out = {r["doc_id"]: r["llr"] for r in X.score_hashed_nb(docs, model, n_features=128).collect()}
     assert out[4] > 0  # the positive-class doc
     assert out[1] < 0 and out[5] < 0  # negative-class docs
+
+
+def test_gram_matrix_exact_and_whitening_roundtrip(spark):
+    """r06: distributed Gram equals the single-node quantized X^T X
+    bit-for-bit, and drives the intended whitening flow (driver-side eigh
+    of the d×d result)."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    X = rng.uniform(-1, 1, size=(300, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.gram_matrix(df, dim=8, quant=1000).collect()
+    Xq = np.floor(X.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+    G = Xq.T @ Xq
+    assert len(out) == 8 * 9 // 2
+    for r in out:
+        assert r["g"] == G[r["i"] - 1, r["j"] - 1], (r, G[r["i"] - 1, r["j"] - 1])
+    # whitening flow: rebuild the symmetric matrix, eigh must succeed with
+    # positive spectrum (full-rank random data)
+    M = np.zeros((8, 8))
+    for r in out:
+        M[r["i"] - 1, r["j"] - 1] = r["g"]
+        M[r["j"] - 1, r["i"] - 1] = r["g"]
+    vals = np.linalg.eigvalsh(M)
+    assert (vals > 0).all()
