@@ -172,11 +172,37 @@ def main() -> int:
             spark.read.parquet(f"{d}/embeddings.parquet"), threshold=0.999
         )
 
+    def _inc_emb_auto(spark, d):
+        from pyspark.sql import functions as F
+
+        from incremental_datapipeline_using_snowflake_spark.ops.dedup import (
+            incremental_embedding_pairs,
+        )
+
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        corpus = emb.select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+        )
+        batch = emb.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") * 1.001
+            ).alias("embedding"),
+        )
+        # n_planes=None -> log2(n/target_bucket) planes: bucket population
+        # stays constant as the corpus grows (the declared query pins 5
+        # planes for oracle replay, which goes quadratic past toy sizes)
+        return incremental_embedding_pairs(
+            batch, corpus, dim=64, threshold=0.999, n_tables=2, n_planes=None
+        )
+
     for extra, fn in [
         ("knn_graph_auto", _knn_auto),
         ("semdedup_auto", _semdedup_auto),
         ("knn_graph_lsh", _knn_lsh),
         ("semdedup_lsh_auto", _semdedup_lsh),
+        ("dedup_embedding_incremental_auto", _inc_emb_auto),
     ]:
         if extra in names:
             qs[extra] = fn
