@@ -709,6 +709,13 @@ def incremental_embedding_pairs(
     marks batch-vs-corpus pairs (batch id on the left) vs batch-internal
     (canonicalized id_a < id_b). A pair found by several tables counts
     once (same cosine — max() is a dedup).
+
+    Plane sizing: keep ``n_planes=None`` in production — log2(n/64) planes
+    hold bucket population constant as the corpus grows (measured alpha
+    0.69 at the 4x->16x step). A FIXED plane count goes quadratic (alpha
+    1.66 measured at 5 planes) because every bucket's population scales
+    with n; the declared query pins planes only so the DuckDB oracle can
+    replay the signatures.
     """
     import math
 
