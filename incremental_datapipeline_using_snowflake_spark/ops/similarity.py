@@ -1058,3 +1058,56 @@ def gram_matrix(
 
     partials = df.select(vec_col).mapInPandas(partial, schema="i int, j int, g long")
     return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))
+
+
+def stream_ingest_ivf(
+    stream_df: DataFrame,
+    store,
+    name: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Continuous index maintenance: drain a vector stream into a stored
+    IVF index, one :func:`append_to_ivf_index` per micro-batch.
+
+    Semantics: Structured Streaming's ``foreachBatch`` replays a batch
+    after a crash, so each appended batch is recorded in a
+    ``<name>.ingested_batches`` marker table and replayed batch ids are
+    skipped — the standard idempotent-foreachBatch pattern. The crash
+    window between append and marker write is at-least-once; production
+    sinks close it with a transactional target (here: re-run
+    ``query_ivf_index`` consumers tolerate it because duplicate
+    assignments carry identical (id, v, cell) rows and rank-dedup by
+    nbr_id collapses them).
+
+    Returns the started StreamingQuery (``availableNow`` trigger — call
+    ``awaitTermination()`` to drain).
+    """
+
+    marker_table = f"{name}.ingested_batches"
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        spark = bdf.sparkSession
+        if store.exists(marker_table):
+            seen = {
+                r["batch_id"]
+                for r in store.read(spark, marker_table).collect()
+            }
+            if batch_id in seen:
+                return
+        if bdf.isEmpty():
+            return
+        append_to_ivf_index(spark, store, bdf, name, vec_col, id_col)
+        marker = spark.createDataFrame([(batch_id,)], "batch_id long")
+        if store.exists(marker_table):
+            store.append(marker, marker_table)
+        else:
+            store.overwrite(marker, marker_table)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

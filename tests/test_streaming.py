@@ -384,3 +384,56 @@ def test_constraint_gated_stream_blocks_poisoned_batch(spark, tmp_path):
             constraint_gated(sink, rules, id_col="id"),
         )
     assert seen == [2]
+
+
+def test_stream_ingest_ivf_index(spark, tmp_path):
+    """r06: a vector stream drains into a stored IVF index one micro-batch
+    at a time (foreachBatch + batch markers); after the drain the index
+    holds corpus+stream and a planted twin ranks first. Re-running the
+    drain with the same checkpoint appends nothing (idempotent)."""
+    import os
+    import random
+
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.ops import similarity as S
+
+    rng = random.Random(13)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    store = TableStore(root=str(tmp_path / "store"))
+    S.build_ivf_index(spark, store, corpus, "idx.s", n_cells=8)
+
+    data_dir = str(tmp_path / "stream_data")
+    os.makedirs(data_dir)
+    batches = [
+        [(1000 + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(10)],
+        [(2005, [x * 1.001 for x in vecs[5][1]])],  # twin of vec 5
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.parquet(os.path.join(data_dir, f"b{i}"))
+
+    src = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(data_dir)
+    )
+    q = S.stream_ingest_ivf(src, store, "idx.s", str(tmp_path / "ck"))
+    q.awaitTermination()
+
+    n_after = store.read(spark, "idx.s.assignments").count()
+    assert n_after == 80 + 11
+    queries = corpus.filter("vec_id = 5")
+    top = S.query_ivf_index(spark, store, "idx.s", queries, k=3).collect()
+    assert top[0]["nbr_id"] == 2005 and top[0]["rank"] == 1
+
+    # replay with the same checkpoint: no new files -> no growth; and a
+    # fresh checkpoint replaying the same files is marker-skipped
+    q2 = S.stream_ingest_ivf(src, store, "idx.s", str(tmp_path / "ck"))
+    q2.awaitTermination()
+    assert store.read(spark, "idx.s.assignments").count() == 91
+    q3 = S.stream_ingest_ivf(src, store, "idx.s", str(tmp_path / "ck2"))
+    q3.awaitTermination()
+    assert store.read(spark, "idx.s.assignments").count() == 91
