@@ -176,12 +176,14 @@ def encode_wav(
 
 
 def media_decoder(payload: bytes, media_type: str) -> dict:
-    """REAL ``decode_media(decoder=)`` plug-in for PPM images and WAV audio.
+    """REAL ``decode_media(decoder=)`` plug-in for JPEG/PPM images, WAV
+    audio, and MJPEG-AVI video.
 
     Emits the same metadata contract as ``fake_decode`` (byte_len, fp,
     width, height, n_frames): images report true pixel dimensions, audio
-    reports sample count as ``n_frames``. Media types without a
-    dependency-free codec raise — the ``strict`` contract, fail loudly.
+    reports sample count as ``n_frames``, video reports frame dimensions
+    plus frame count. Media types without a dependency-free codec (MP4)
+    raise — the ``strict`` contract, fail loudly.
     """
     out = {
         "byte_len": len(payload),
@@ -198,10 +200,14 @@ def media_decoder(payload: bytes, media_type: str) -> dict:
         out["width"], out["height"] = w, h
     elif media_type == "audio":
         out["n_frames"] = decode_wav(payload)["n_samples"]
+    elif media_type == "video" and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        info = decode_avi(payload)
+        out["width"], out["height"] = info["width"], info["height"]
+        out["n_frames"] = info["n_frames"]
     else:
         raise NotImplementedError(
             f"no dependency-free codec for media_type={media_type!r} "
-            "(JPEG/PPM images and WAV audio are supported)"
+            "(JPEG/PPM images, WAV audio, MJPEG-AVI video are supported)"
         )
     return out
 
@@ -639,3 +645,123 @@ def encode_jpeg(pixels: np.ndarray, quant: int = 1) -> bytes:
     out.extend(wtr.flush())
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI video (r06): a REAL dependency-free video container path.
+# AVI is RIFF — plain length-prefixed chunks — and Motion-JPEG stores each
+# frame as an ordinary baseline JPEG in a '00dc' chunk, so the JPEG codec
+# above gives full decode. This closes the video modality for real bytes;
+# only MP4 (H.264 entropy coding) remains library-blocked.
+
+
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) walking a RIFF range."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def decode_avi(payload: bytes) -> dict:
+    """Parse an AVI container and return
+    ``{"width", "height", "n_frames", "frames": [jpeg_bytes, ...]}``.
+
+    Walks the RIFF tree for the 'movi' LIST and collects '00dc'/'00db'
+    (compressed/uncompressed stream-0 video) chunks; dimensions come from
+    the first frame's JPEG SOF. Only MJPG streams decode — anything else
+    raises (same fail-loudly contract as ``media_decoder``).
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/'AVI ') payload")
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        for fourcc, p, size in _riff_chunks(payload, start, end):
+            if fourcc == b"LIST":
+                list_type = payload[p : p + 4]
+                if list_type in (b"movi", b"hdrl", b"strl"):
+                    walk(p + 4, p + size)
+            elif fourcc in (b"00dc", b"00db") and size > 0:
+                frames.append(payload[p : p + size])
+
+    walk(12, len(payload))
+    if not frames:
+        raise ValueError("AVI contains no stream-0 video chunks")
+    if frames[0][:2] != b"\xff\xd8":
+        raise NotImplementedError("only MJPG (JPEG-per-frame) AVI streams decode")
+    w, h, _nc, _px = decode_jpeg(frames[0])
+    return {"width": w, "height": h, "n_frames": len(frames), "frames": frames}
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Minimal MJPEG AVI writer (fixture generator, like ``encode_jpeg``):
+    RIFF('AVI ') → LIST hdrl(avih + LIST strl(strh 'vids'/'MJPG' + strf))
+    → LIST movi('00dc' JPEG per frame) → idx1."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    jpegs = [encode_jpeg(f, quant=1) for f in frames]
+    h, w = frames[0].shape[:2]
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = chunk(
+        b"avih",
+        (10 ** 6 // fps).to_bytes(4, "little")  # usec per frame
+        + b"\x00" * 12
+        + len(jpegs).to_bytes(4, "little")  # total frames
+        + b"\x00" * 4
+        + (1).to_bytes(4, "little")  # streams
+        + b"\x00" * 4
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + b"\x00" * 16,
+    )
+    strh = chunk(
+        b"strh",
+        b"vids" + b"MJPG" + b"\x00" * 12
+        + (1).to_bytes(4, "little")  # scale
+        + fps.to_bytes(4, "little")  # rate
+        + b"\x00" * 4
+        + len(jpegs).to_bytes(4, "little")
+        + b"\x00" * 16,
+    )
+    strf = chunk(
+        b"strf",
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"MJPG"
+        + b"\x00" * 20,
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi_body = b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = lst(b"movi", movi_body)
+    # idx1: one entry per frame (offset relative to movi list-type start)
+    idx_entries = []
+    off = 4
+    for j in jpegs:
+        idx_entries.append(
+            b"00dc" + (0x10).to_bytes(4, "little")  # AVIIF_KEYFRAME
+            + off.to_bytes(4, "little") + len(j).to_bytes(4, "little")
+        )
+        off += 8 + len(j) + (len(j) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def avi_frame_extractor(payload: bytes, every_nth: int) -> list[bytes]:
+    """REAL ``sample_frames(extractor=)`` plug-in: every ``every_nth``-th
+    MJPEG frame of an AVI payload, as standalone JPEG bytes (each directly
+    decodable by :func:`decode_jpeg`)."""
+    return decode_avi(payload)["frames"][::every_nth]

@@ -1111,3 +1111,59 @@ def stream_ingest_ivf(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def pca_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    k: int = 8,
+    quant: int = 1000,
+) -> DataFrame:
+    """Project embeddings onto their top-k principal axes — the whitening /
+    dimensionality-reduction consumer of :func:`gram_matrix`.
+
+    Flow (the canonical big-data PCA split): the d×d Gram matrix is
+    computed DISTRIBUTED (constant-width partial aggregates), the
+    d(d+1)/2-cell result — ~2 kB for d=64 — is collected and
+    eigendecomposed on the driver (O(d³), microseconds), and the top-k
+    eigenvectors return to the executors as LITERAL weight arrays inside a
+    per-row fold: the projection itself is ZERO-exchange whole-stage
+    codegen, no Python workers, no broadcast variable machinery needed.
+
+    Determinism: eigenvectors get a fixed sign convention (the
+    largest-|component| coordinate is made positive); note the
+    eigendecomposition itself is float — downstream hash-compared outputs
+    should round (declared queries using this op would quantize; none do,
+    since no SQL oracle can replay eigh).
+
+    Returns ``id_col, pc1..pck`` (uncentered PCA — center upstream with a
+    mean-subtract select if required; the Gram op is linear either way).
+    """
+    import numpy as np
+
+    cells = gram_matrix(df, vec_col, dim, quant).collect()
+    G = np.zeros((dim, dim))
+    for r in cells:
+        G[r["i"] - 1, r["j"] - 1] = r["g"]
+        G[r["j"] - 1, r["i"] - 1] = r["g"]
+    vals, vecs = np.linalg.eigh(G)
+    order = np.argsort(vals)[::-1][:k]
+    Wm = vecs[:, order].copy()
+    for c in range(Wm.shape[1]):
+        j = int(np.argmax(np.abs(Wm[:, c])))
+        if Wm[j, c] < 0:
+            Wm[:, c] = -Wm[:, c]
+    xd = _dvec(vec_col)
+    comps = []
+    for c in range(Wm.shape[1]):
+        w = F.array(*[F.lit(float(Wm[d_, c])) for d_ in range(dim)])
+        comps.append(
+            F.aggregate(
+                F.zip_with(xd, w, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            ).alias(f"pc{c + 1}")
+        )
+    return df.select(F.col(id_col), *comps)

@@ -279,3 +279,43 @@ def test_jpeg_through_spark_decode_and_resize(spark):
     w2, h2, _mv, px2 = C.decode_ppm(bytes(out[2]["payload"]))
     assert (w2, h2) == (16, 12)
     assert int(np.max(np.abs(px[..., 0].astype(int) - px2[..., 0].astype(int)))) <= 3
+
+
+def test_avi_mjpeg_video_real_codec(spark):
+    """r06: MJPEG-AVI closes the video modality with real bytes — container
+    metadata decodes through decode_media, and sample_frames extracts
+    standalone JPEG frames whose pixels match the encoded source."""
+    from incremental_datapipeline_using_snowflake_spark.ops import codecs as C
+
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    frames = [
+        (rng.integers(0, 255, size=(16, 24, 3)) // 16 * 16).astype(np.uint8)
+        for _ in range(6)
+    ]
+    avi = C.encode_avi_mjpeg(frames, fps=10)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(avi))],
+        "doc_id long, media_type string, payload binary",
+    )
+
+    meta = M.decode_media(media, decoder=C.media_decoder).collect()[0]
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (24, 16, 6)
+
+    out = M.sample_frames(media, every_nth=2, extractor=C.avi_frame_extractor).collect()
+    assert [r["frame_idx"] for r in out] == [0, 1, 2]  # frames 0, 2, 4
+    for r, src in zip(out, frames[::2]):
+        w, h, nc, px = C.decode_jpeg(bytes(r["frame"]))
+        assert (w, h, nc) == (24, 16, 3)
+        assert np.abs(px.astype(int) - src.astype(int)).max() <= 4
+
+    # non-AVI video bytes still fail loudly (MP4 remains library-blocked)
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(2, "video", bytearray(b"\x00\x00\x00\x18ftypmp42"))],
+        "doc_id long, media_type string, payload binary",
+    )
+    with _pytest.raises(Exception):
+        M.decode_media(bad, decoder=C.media_decoder).collect()

@@ -1048,3 +1048,37 @@ def test_gram_matrix_exact_and_whitening_roundtrip(spark):
         M[r["j"] - 1, r["i"] - 1] = r["g"]
     vals = np.linalg.eigvalsh(M)
     assert (vals > 0).all()
+
+
+def test_pca_projection_matches_numpy(spark):
+    """r06: distributed-Gram PCA — projections equal numpy's X @ W for the
+    same quantized Gram's eigenvectors (sign-fixed), and component variance
+    is non-increasing."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    # anisotropic data so the spectrum is well separated
+    X = (rng.normal(size=(400, 6)) * np.array([5, 3, 2, 1, 0.5, 0.1])).astype(
+        np.float32
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.pca_projection(df, dim=6, k=3, quant=1000)
+    rows = {r["vec_id"]: [r["pc1"], r["pc2"], r["pc3"]] for r in out.collect()}
+
+    Xq = np.floor(X.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+    G = Xq.T @ Xq
+    vals, vecs = np.linalg.eigh(G.astype(np.float64))
+    order = np.argsort(vals)[::-1][:3]
+    W = vecs[:, order].copy()
+    for c in range(3):
+        j = int(np.argmax(np.abs(W[:, c])))
+        if W[j, c] < 0:
+            W[:, c] = -W[:, c]
+    P = X.astype(np.float64) @ W
+    got = np.array([rows[i] for i in range(len(X))])
+    assert np.allclose(got, P, atol=1e-9)
+    v = got.var(axis=0)
+    assert v[0] >= v[1] >= v[2]
