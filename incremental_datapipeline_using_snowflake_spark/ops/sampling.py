@@ -200,3 +200,55 @@ def stratified_exact_n(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n)
     )
+
+
+WS_MOD = 1_000_000_007  # uniform grid for the weighted-sampling keys
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (k per group) —
+    the Efraimidis–Spirakis A-ES scheme over md5-derived uniforms.
+
+    Each row gets the key ``-ln(u) / w`` with ``u = (md5(salt:id) % M + 1)
+    / (M + 1)`` — an exponential draw with rate ``w`` — and the k SMALLEST
+    keys per group win: inclusion probability is proportional to weight,
+    without replacement, in one pass. Because u derives from (salt, id),
+    the sample is identical across runs, partitionings, retries, and
+    engines (the oracle replays the same arithmetic), and appends never
+    reshuffle previously-sampled rows' keys — the same append-stability
+    as :func:`stratified_sample_n`, which this generalizes (uniform = all
+    weights equal).
+
+    Scale shape: a narrow map computes keys; ONE shuffle on the group key;
+    the rank filter cuts each group at k. The float key is internal —
+    output adds only the integer ``sample_rank`` (1-based by ascending
+    key), so compared outputs stay float-free.
+    """
+    from pyspark.sql import Window as W
+
+    h = md5_long(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    u = (h % WS_MOD + 1) / F.lit(float(WS_MOD + 1))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    w = W.partitionBy(group_col or F.lit(1)).orderBy(
+        key.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def weighted_sample_key_sql(id_expr: str, weight_expr: str, salt: str = "wsample") -> str:
+    """DuckDB twin of the A-ES key: ``-ln(u) / w`` over the same md5 grid."""
+    h = ORACLE_MD5_LONG.format(x=f"('{salt}:' || CAST({id_expr} AS VARCHAR))")
+    return (
+        f"(-ln((({h} % {WS_MOD}) + 1) / {float(WS_MOD + 1)!r}) "
+        f"/ CAST({weight_expr} AS DOUBLE))"
+    )

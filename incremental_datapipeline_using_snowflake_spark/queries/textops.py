@@ -1081,6 +1081,34 @@ ORDER BY probe_id, rnk
 """
 
 
+# weighted_sample_docs — deterministic weighted sampling without
+# replacement (r06): Efraimidis–Spirakis A-ES over md5-derived uniforms;
+# 5 docs per source, inclusion probability ∝ n_chars. The float key stays
+# internal — compared output is ints/strings only.
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.sampling import weighted_sample_k
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return (
+        weighted_sample_k(docs, 5, "n_chars", group_col="source")
+        .select("source", "sample_rank", "doc_id", "n_chars")
+        .orderBy("source", "sample_rank")
+    )
+
+
+def _weighted_sample_sql() -> str:
+    from ..ops.sampling import weighted_sample_key_sql
+
+    key = weighted_sample_key_sql("doc_id", "n_chars")
+    return f"""
+SELECT source, CAST(rk AS INT) AS sample_rank, doc_id, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY {key}, doc_id) AS rk
+  FROM documents
+) WHERE rk <= 5 ORDER BY source, sample_rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # model-based quality filtering (r06): the classifier gates a FineWeb/CCNet
 # pipeline applies after the heuristic filters. Two declared forms:
@@ -1188,5 +1216,6 @@ QUERIES: dict = {
     "neardup_triangles": (neardup_triangles, _triangles_sql()),
     "fuzzy_name_match": (fuzzy_name_match, FUZZY_NAME_SQL),
     "doc_classifier_margin": (doc_classifier_margin, CLASSIFIER_MARGIN_SQL),
+    "weighted_sample_docs": (weighted_sample_docs, _weighted_sample_sql()),
     "doc_nb_quality": (doc_nb_quality, NB_QUALITY_SQL),
 }

@@ -1082,3 +1082,38 @@ def test_pca_projection_matches_numpy(spark):
     assert np.allclose(got, P, atol=1e-9)
     v = got.var(axis=0)
     assert v[0] >= v[1] >= v[2]
+
+
+def test_weighted_sample_k_deterministic_and_biased(spark):
+    """r06: A-ES weighted sampling — matches a pure-Python replay of the
+    md5 key order, and weight-1000 rows dominate a mixed pool."""
+    import math
+
+    from incremental_datapipeline_using_snowflake_spark.ops.sampling import (
+        WS_MOD,
+        weighted_sample_k,
+    )
+
+    def md5_long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = [(i, 1000.0 if i < 20 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [
+        r["doc_id"]
+        for r in weighted_sample_k(df, 10, "w").orderBy("sample_rank").collect()
+    ]
+
+    def key(i, w):
+        u = (md5_long(f"wsample:{i}") % WS_MOD + 1) / float(WS_MOD + 1)
+        return (-math.log(u) / w, i)
+
+    expect = [i for i, w in sorted(rows, key=lambda r: key(*r))[:10]]
+    assert got == expect
+    assert sum(1 for i in got if i < 20) >= 8  # heavy weights dominate
+    # rerun -> identical (no RNG state)
+    again = [
+        r["doc_id"]
+        for r in weighted_sample_k(df, 10, "w").orderBy("sample_rank").collect()
+    ]
+    assert again == got
