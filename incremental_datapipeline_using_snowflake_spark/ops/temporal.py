@@ -204,3 +204,135 @@ def calendar_gapfill(
         if v is not None and col in out.columns:
             out = out.withColumn(col, F.coalesce(F.col(col), F.lit(v)))
     return out
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the earliest time each step can
+    be reached GIVEN the previous step happened strictly before it — the
+    classic product-analytics sequence query (view → click → purchase).
+
+    Plan: step 1 is a plain min-aggregate; each later step k is ONE
+    user-keyed join of the step-k events against the step-(k-1) reach
+    times followed by a conditional min — k-1 joins total, each shuffling
+    only (user, ts) pairs for a single event type, with map-side partial
+    mins. No per-user event arrays are ever materialized (the
+    collect_list-and-fold alternative breaks on power-law users: one hot
+    user's history must fit in one task).
+
+    Returns ``user_col, t_1..t_N`` (timestamp per step, NULL where the
+    funnel stalled).
+    """
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("et"),
+        F.col(ts_col).alias("t"),
+    )
+    reach = (
+        base.filter(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("t_1"))
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = (
+            base.filter(F.col("et") == step)
+            .join(reach.select("u", F.col(f"t_{k - 1}").alias("_prev")), "u")
+            .filter(F.col("t") > F.col("_prev"))
+            .groupBy("u")
+            .agg(F.min("t").alias(f"t_{k}"))
+        )
+        reach = reach.join(nxt, "u", "left")
+    return reach.withColumnRenamed("u", user_col)
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Funnel rollup: users reaching each step (in order) + conversion
+    from the previous step as parts-per-million (``floor(r·1e6 + 0.5)`` —
+    the int-grid idiom; a rounded raw double would be engine-fragile).
+
+    Output: ``step_idx, step, users, conv_ppm`` (conv_ppm NULL for step 1).
+    """
+    reach = funnel_steps(events, steps, user_col, type_col, ts_col)
+    counts = reach.agg(
+        *[
+            F.count(F.col(f"t_{k}")).alias(f"c_{k}")
+            for k in range(1, len(steps) + 1)
+        ]
+    )
+    rows = None
+    for k, step in enumerate(steps, start=1):
+        conv = (
+            F.lit(None).cast("long")
+            if k == 1
+            else F.floor(
+                F.col(f"c_{k}") / F.col(f"c_{k - 1}") * 1e6 + F.lit(0.5)
+            ).cast("long")
+        )
+        one = counts.select(
+            F.lit(k).alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.col(f"c_{k}").alias("users"),
+            conv.alias("conv_ppm"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows
+
+
+def cohort_retention(
+    events: DataFrame,
+    max_weeks: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their FIRST
+    event; retention at offset k = fraction of the cohort active in
+    cohort_week + k weeks.
+
+    Plan: first-seen week is one user-keyed min-aggregate; activity is a
+    distinct (user, week) projection; one join back on the user key, then
+    a (cohort, offset)-keyed count — every exchange carries ids and week
+    ints only. Ratios are parts-per-million ints (engine-portable).
+
+    Output: ``cohort_week, week_offset, active_users, retention_ppm``.
+    """
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    first = (
+        events.select(F.col(user_col).alias("u"), wk.alias("w"))
+        .groupBy("u")
+        .agg(F.min("w").alias("cohort_week"))
+    )
+    active = events.select(
+        F.col(user_col).alias("u"), wk.alias("w")
+    ).distinct()
+    sizes = first.groupBy("cohort_week").agg(F.count("u").alias("cohort_users"))
+    offs = (
+        active.join(first, "u")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .filter((F.col("week_offset") >= 0) & (F.col("week_offset") <= max_weeks))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("u").alias("active_users"))
+    )
+    return offs.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "active_users",
+        F.floor(
+            F.col("active_users") / F.col("cohort_users") * 1e6 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("retention_ppm"),
+    )

@@ -265,8 +265,91 @@ ORDER BY doc_id
 """
 
 
+# event_funnel / event_cohort_retention (r06): the two classic
+# product-analytics shapes over the events table. Funnel = ordered
+# view→click→purchase reach (strictly increasing timestamps per user);
+# retention = weekly cohorts by first-seen week. Ratios are
+# parts-per-million ints (int-grid idiom — raw rounded doubles are
+# engine-fragile).
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.temporal import funnel_conversion
+
+    ev = load(spark, sf_dir, "events")
+    return funnel_conversion(ev, FUNNEL_STEPS).orderBy("step_idx")
+
+
+EVENT_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.u
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+),
+c AS (
+  SELECT (SELECT count(*) FROM s1) AS c1,
+         (SELECT count(*) FROM s2) AS c2,
+         (SELECT count(*) FROM s3) AS c3
+)
+SELECT 1 AS step_idx, 'view' AS step, CAST(c1 AS BIGINT) AS users,
+       CAST(NULL AS BIGINT) AS conv_ppm FROM c
+UNION ALL
+SELECT 2, 'click', CAST(c2 AS BIGINT),
+       CAST(floor(c2 / c1 * 1000000 + 0.5) AS BIGINT) FROM c
+UNION ALL
+SELECT 3, 'purchase', CAST(c3 AS BIGINT),
+       CAST(floor(c3 / c2 * 1000000 + 0.5) AS BIGINT) FROM c
+ORDER BY step_idx
+"""
+
+
+def event_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.temporal import cohort_retention
+
+    ev = load(spark, sf_dir, "events")
+    return cohort_retention(ev, max_weeks=8).orderBy("cohort_week", "week_offset")
+
+
+EVENT_COHORT_SQL = """
+WITH wk AS (
+  SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w FROM events
+),
+first AS (
+  SELECT u, min(w) AS cohort_week FROM wk GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT u, w FROM wk
+),
+sizes AS (
+  SELECT cohort_week, count(*) AS cohort_users FROM first GROUP BY 1
+),
+offs AS (
+  SELECT f.cohort_week, CAST((a.w - f.cohort_week) // 7 AS INT) AS week_offset,
+         count(*) AS active_users
+  FROM active a JOIN first f ON a.u = f.u
+  WHERE (a.w - f.cohort_week) // 7 BETWEEN 0 AND 8
+  GROUP BY 1, 2
+)
+SELECT o.cohort_week, o.week_offset, CAST(o.active_users AS BIGINT) AS active_users,
+       CAST(floor(o.active_users / s.cohort_users * 1000000 + 0.5) AS BIGINT) AS retention_ppm
+FROM offs o JOIN sizes s ON o.cohort_week = s.cohort_week
+ORDER BY o.cohort_week, o.week_offset
+"""
+
+
 QUERIES: dict = {
     "event_window_agg": (event_window_agg, EVENT_WINDOW_AGG_SQL),
+    "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
+    "event_cohort_retention": (event_cohort_retention, EVENT_COHORT_SQL),
     "grouped_scale_pandas": (grouped_scale_pandas, GROUPED_SCALE_SQL),
     "event_sliding_window": (event_sliding_window, EVENT_SLIDING_WINDOW_SQL),
     "event_sessions": (event_sessions, EVENT_SESSIONS_SQL),

@@ -219,3 +219,73 @@ def test_cogrouped_asof_matches_column_asof(spark):
     b = {r["row_id"]: (r["matched_ts"], r["v"])
          for r in asof_join_cogrouped(left, right, "k", "ts", ["v"]).collect()}
     assert a == b and len(a) == 60
+
+
+def test_funnel_order_semantics(spark):
+    """r06: funnel steps require STRICTLY increasing timestamps — a user
+    who purchases before clicking does not convert; a straight-through
+    user reaches every step."""
+    from incremental_datapipeline_using_snowflake_spark.ops.temporal import (
+        funnel_conversion,
+        funnel_steps,
+    )
+
+    rows = [
+        # user 1: view -> click -> purchase (converts fully)
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:05:00"),
+        (1, "purchase", "2024-01-01 10:10:00"),
+        # user 2: purchase precedes the click, so step 3 never completes
+        (2, "view", "2024-01-01 09:00:00"),
+        (2, "purchase", "2024-01-01 09:30:00"),
+        (2, "click", "2024-01-01 10:00:00"),
+        # user 3: never views -> not even in the funnel
+        (3, "click", "2024-01-01 08:00:00"),
+        (3, "purchase", "2024-01-01 08:30:00"),
+    ]
+    ev = (
+        spark.createDataFrame(rows, "user_id long, event_type string, ts_s string")
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+    steps = ["view", "click", "purchase"]
+    reach = {r["user_id"]: r for r in funnel_steps(ev, steps).collect()}
+    assert reach[1]["t_3"] is not None
+    assert reach[2]["t_2"] is not None and reach[2]["t_3"] is None
+    assert 3 not in reach
+    conv = {r["step_idx"]: r for r in funnel_conversion(ev, steps).collect()}
+    assert [conv[k]["users"] for k in (1, 2, 3)] == [2, 2, 1]
+    assert conv[1]["conv_ppm"] is None
+    assert conv[2]["conv_ppm"] == 1_000_000  # 2/2
+    assert conv[3]["conv_ppm"] == 500_000  # 1/2
+
+
+def test_cohort_retention_weekly(spark):
+    """r06: cohorts key on the first-seen ISO week; retention counts a
+    user at most once per week offset."""
+    from incremental_datapipeline_using_snowflake_spark.ops.temporal import (
+        cohort_retention,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),  # Monday, week W0
+        (1, "2024-01-08 10:00:00"),  # W0+1
+        (1, "2024-01-08 11:00:00"),  # same week, counted once
+        (2, "2024-01-01 12:00:00"),  # W0 only
+        (3, "2024-01-10 10:00:00"),  # cohort W1
+    ]
+    ev = (
+        spark.createDataFrame(rows, "user_id long, ts_s string")
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+    out = {
+        (str(r["cohort_week"]), r["week_offset"]): r
+        for r in cohort_retention(ev).collect()
+    }
+    w0 = ("2024-01-01", 0)
+    assert out[w0]["active_users"] == 2 and out[w0]["retention_ppm"] == 1_000_000
+    w01 = ("2024-01-01", 1)
+    assert out[w01]["active_users"] == 1 and out[w01]["retention_ppm"] == 500_000
+    w1 = ("2024-01-08", 0)
+    assert out[w1]["active_users"] == 1 and out[w1]["retention_ppm"] == 1_000_000
