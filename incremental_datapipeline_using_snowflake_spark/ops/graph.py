@@ -280,3 +280,49 @@ def triangle_counts(
         .unionAll(tri.select(F.col("t_c").alias("id")))
     )
     return members.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def clustering_coefficients(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected deduped
+    edge set: ``cc = 2·T / (deg·(deg−1))`` — the continuous refinement of
+    the triangle diagnostic (:func:`triangle_counts`): cc ≈ 1 marks a node
+    inside a true duplicate clique, cc ≈ 0 a chain/star artifact of
+    transitive closure.
+
+    Plan: degree is one node-keyed count over the exploded endpoints;
+    triangles reuse the wedge+closing-edge joins; one left join stitches
+    them (nodes in no triangle score 0). Exchanges carry (id, count) pairs
+    only. The coefficient is emitted as parts-per-million BIGINT (the
+    int-grid idiom), never a raw double.
+
+    Output: ``id, degree, n_triangles, cc_ppm`` for nodes with degree ≥ 2
+    (cc is undefined below that).
+    """
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(pairs, a_col, b_col)
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.floor(
+                F.coalesce(F.col("n_triangles"), F.lit(0))
+                * 2.0
+                / (F.col("degree") * (F.col("degree") - 1))
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cc_ppm"),
+        )
+    )

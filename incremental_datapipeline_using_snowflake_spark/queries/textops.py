@@ -1014,6 +1014,47 @@ LIMIT 100
 """
 
 
+# neardup_clustering_coeff (r06) — the continuous refinement of the
+# triangle diagnostic: local cc = 2T / deg(deg-1) per node, ppm ints.
+def neardup_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.graph import clustering_coefficients
+
+    pairs, _comp = _shared_pairs_components(spark, sf_dir)
+    return clustering_coefficients(pairs).orderBy(
+        F.desc("cc_ppm"), F.desc("degree"), "id"
+    ).limit(100)
+
+
+def _clustering_coeff_sql() -> str:
+    return f"""
+WITH {_minhash_pairs_cte()},
+deg AS (
+  SELECT id, count(*) AS degree FROM (
+    SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs
+  ) GROUP BY id
+),
+tri AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.id_b = e2.id_a
+  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+),
+tcnt AS (
+  SELECT id, count(*) AS n_triangles FROM (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY id
+)
+SELECT d.id, CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(floor(coalesce(t.n_triangles, 0) * 2.0
+                  / (d.degree * (d.degree - 1)) * 1000000 + 0.5) AS BIGINT) AS cc_ppm
+FROM deg d LEFT JOIN tcnt t ON d.id = t.id
+WHERE d.degree >= 2
+ORDER BY cc_ppm DESC, degree DESC, d.id
+LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # fuzzy_name_match — entity-resolution probe: every 37th customer name,
 # deterministically corrupted (one digit deleted at a key-dependent
@@ -1214,6 +1255,7 @@ QUERIES: dict = {
     "dedup_keep_best": (dedup_keep_best, _dedup_keep_best_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "neardup_triangles": (neardup_triangles, _triangles_sql()),
+    "neardup_clustering_coeff": (neardup_clustering_coeff, _clustering_coeff_sql()),
     "fuzzy_name_match": (fuzzy_name_match, FUZZY_NAME_SQL),
     "doc_classifier_margin": (doc_classifier_margin, CLASSIFIER_MARGIN_SQL),
     "weighted_sample_docs": (weighted_sample_docs, _weighted_sample_sql()),

@@ -1117,3 +1117,22 @@ def test_weighted_sample_k_deterministic_and_biased(spark):
         for r in weighted_sample_k(df, 10, "w").orderBy("sample_rank").collect()
     ]
     assert again == got
+
+
+def test_clustering_coefficients_triangle_vs_chain(spark):
+    """r06: local cc separates a clique (cc=1 everywhere) from a chain
+    (cc=0 at the middle node); degree-1 endpoints are excluded."""
+    from incremental_datapipeline_using_snowflake_spark.ops.graph import (
+        clustering_coefficients,
+    )
+
+    # triangle 1-2-3 plus chain 10-11-12
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (11, 12)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r for r in clustering_coefficients(pairs).collect()}
+    for n in (1, 2, 3):
+        assert out[n]["degree"] == 2 and out[n]["n_triangles"] == 1
+        assert out[n]["cc_ppm"] == 1_000_000
+    assert out[11]["degree"] == 2 and out[11]["cc_ppm"] == 0
+    assert 10 not in out and 12 not in out  # degree 1: cc undefined
