@@ -265,3 +265,62 @@ def cms_heavy_hitters_grouped(
         )
         .orderBy(group_col, "rk")
     )
+
+
+def hll_overlap_check(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    rel_tol: float = 0.25,
+) -> DataFrame:
+    """Sketch set-algebra: pairwise audience overlap via inclusion-
+    exclusion — ``|A∩B| ≈ est(A) + est(B) − est(A∪B)`` with
+    ``hll_union`` merging the two group sketches.
+
+    This is the 100 TB shape for "users doing both X and Y" across many
+    segment pairs: raw rows are scanned ONCE to build one kB sketch per
+    segment; every pairwise overlap then derives from sketch algebra on a
+    |groups|-row relation — no per-pair raw-data joins. The subtraction
+    compounds the per-sketch rsd (~5% default), so the acceptance envelope
+    is wider than the single-estimate checks (25% of exact by default).
+
+    Emits per pair (a < b): exact overlap (one distinct self-join — the
+    verification cost, not the production path) + in-envelope flag.
+    Output: ``type_a, type_b, exact_overlap, overlap_ok``.
+    """
+    d = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("string").alias("v")
+    ).distinct()
+    sk = d.groupBy("g").agg(
+        F.hll_sketch_agg("v").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = sk.select(F.col("g").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("g").alias("type_b"), F.col("sk").alias("sk_b"))
+    est = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            (
+                F.hll_sketch_estimate("sk_a")
+                + F.hll_sketch_estimate("sk_b")
+                - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+            ).alias("_est"),
+        )
+    )
+    exact = (
+        d.alias("x")
+        .join(d.alias("y"), (F.col("x.v") == F.col("y.v")) & (F.col("x.g") < F.col("y.g")))
+        .groupBy(F.col("x.g").alias("type_a"), F.col("y.g").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return exact.join(est, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "exact_overlap",
+        (
+            F.abs(F.col("_est") - F.col("exact_overlap"))
+            <= F.col("exact_overlap") * rel_tol
+        ).alias("overlap_ok"),
+    )

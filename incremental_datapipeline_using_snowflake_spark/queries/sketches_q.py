@@ -154,8 +154,34 @@ ORDER BY lang, rk
 """
 
 
+# hll_audience_overlap (r06) — sketch set-algebra: pairwise |A ∩ B| via
+# inclusion-exclusion over merged HLL sketches, checked against the exact
+# intersection. The oracle computes the exact side and asserts the same
+# envelope the Spark side emits (the estimate is deterministic for a given
+# input, but only the envelope is the portable contract).
+def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return SK.hll_overlap_check(ev, "event_type", "user_id").orderBy(
+        "type_a", "type_b"
+    )
+
+
+HLL_OVERLAP_SQL = """
+WITH d AS (
+  SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS v FROM events
+)
+SELECT x.g AS type_a, y.g AS type_b,
+       CAST(count(*) AS BIGINT) AS exact_overlap,
+       TRUE AS overlap_ok
+FROM d x JOIN d y ON x.v = y.v AND x.g < y.g
+GROUP BY x.g, y.g
+ORDER BY type_a, type_b
+"""
+
+
 QUERIES: dict = {
     "hll_distinct_users": (hll_distinct_users, HLL_DISTINCT_SQL),
+    "hll_audience_overlap": (hll_audience_overlap, HLL_OVERLAP_SQL),
     "hll_mergeable_rollup": (hll_mergeable_rollup, HLL_MERGE_SQL),
     "quantile_sketch_value": (quantile_sketch_value, QUANTILE_SQL),
     "cms_heavy_hitters": (cms_heavy_hitters, _cms_sql()),

@@ -85,3 +85,22 @@ def test_cms_grouped_matches_per_group_exact(spark):
     for r in got.values():
         assert r["cms_est"] >= r["exact_cnt"]  # CMS never undercounts
         assert r["bound_ok"]
+
+
+def test_hll_overlap_inclusion_exclusion(spark):
+    """r06: sketch-algebra overlap — planted sets with known intersections
+    stay inside the envelope, and a disjoint pair reports ~0."""
+    from incremental_datapipeline_using_snowflake_spark.ops.sketches import (
+        hll_overlap_check,
+    )
+
+    rows = (
+        [("a", i) for i in range(1000)]
+        + [("b", i) for i in range(500, 1500)]  # |a ∩ b| = 500
+        + [("c", i) for i in range(5000, 6000)]  # disjoint from both
+    )
+    df = spark.createDataFrame(rows, "seg string, uid long")
+    out = {(r["type_a"], r["type_b"]): r for r in hll_overlap_check(df, "seg", "uid").collect()}
+    assert out[("a", "b")]["exact_overlap"] == 500
+    assert out[("a", "b")]["overlap_ok"]
+    assert ("a", "c") not in out  # zero exact overlap -> no row (inner join)
