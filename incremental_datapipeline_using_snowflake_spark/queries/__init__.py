@@ -73,6 +73,36 @@ _STALE_R3_RANK = {n: i for i, n in enumerate(_STALE_R3)}
 _R4_RANK = {n: i for i, n in enumerate(_CHECKED_R4)}
 _R5_RANK = {n: i for i, n in enumerate(_CHECKED_R5)}
 
+# r06-new queries, cost-ascending (measured sf0.01 bench seconds) — the
+# driver's sample is TIME-budgeted, so cheap new queries first maximizes
+# how many of this round's additions get a driver correctness row.
+_NEW_R6_COST = {
+    "snowflake_dialect_datetime": 0,
+    "doc_classifier_margin": 1,
+    "snowflake_dialect_qualify_nested": 2,
+    "q12_ship_priority": 3,
+    "embedding_gram": 4,
+    "q13_customer_distribution": 5,
+    "q11_important_parts": 6,
+    "q20_promo_suppliers": 7,
+    "weighted_sample_docs": 8,
+    "q9_product_profit": 9,
+    "q8_market_share": 10,
+    "q21_waiting_suppliers": 11,
+    "event_cohort_retention": 12,
+    "q2_min_cost_supplier": 13,
+    "doc_nb_quality": 14,
+    "table_clone_changes": 15,
+    "hll_audience_overlap": 16,
+    "knn_graph_ivf2": 17,
+    "event_funnel": 18,
+    "semdedup_keep_lsh": 19,
+    "ann_index_lifecycle": 20,
+    "dedup_embedding_incremental": 21,
+    "neardup_clustering_coeff": 22,
+    "ann_index_append": 23,
+}
+
 
 def all_queries() -> dict:
     from . import (
@@ -113,6 +143,8 @@ def all_queries() -> dict:
             return (2, _R4_RANK[name])
         if name in _R5_RANK:  # freshest — can wait a round
             return (3, _R5_RANK[name])
-        return (1, name)  # new this round: no driver history yet
+        # new this round: no driver history yet; cost-ascending so the
+        # time-budgeted sample covers as many new queries as possible
+        return (1, _NEW_R6_COST.get(name, len(_NEW_R6_COST)), name)
 
     return dict(sorted(out.items(), key=rank))
