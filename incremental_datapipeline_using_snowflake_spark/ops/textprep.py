@@ -277,3 +277,97 @@ def bpe_pair_counts(
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(top)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-vectorizer text similarity (r06): documents → sparse signed-hash
+# vectors → cosine kNN, with no model and no dense arrays. The sparse
+# (doc, component, weight) relation IS the vector representation — the
+# right 100 TB shape, since hash components per doc are bounded by the
+# doc's vocabulary, not the embedding dimension.
+
+
+def sparse_hash_vectors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+) -> DataFrame:
+    """Signed feature-hashing doc vectors in sparse form: component
+    ``j = md5(w) % dim``, sign from an independent salted hash, weight =
+    signed term count. One explode + one (doc, j)-keyed aggregation; all
+    integer arithmetic, engine-portable.
+
+    Returns ``id_col, j, val`` (val = Σ ±1 over the doc's tokens hashing
+    to j; zero-sum components drop out naturally — they contribute
+    nothing to dot products).
+    """
+    from ..queries.util import md5_long
+
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    toks = df.select(F.col(id_col), F.explode(words).alias("_w"))
+    j = md5_long(F.col("_w")) % F.lit(dim)
+    sgn = F.when(
+        md5_long(F.concat(F.lit("sgn:"), F.col("_w"))) % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select(F.col(id_col), j.alias("j"), sgn.alias("_s"))
+        .groupBy(id_col, "j")
+        .agg(F.sum("_s").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+
+
+def text_knn(
+    df: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+) -> DataFrame:
+    """Model-free text kNN: cosine top-k over :func:`sparse_hash_vectors`.
+
+    Plan: the probe slice of the sparse relation broadcasts; dot products
+    are ONE join on the hash component followed by a (probe, doc) sum —
+    integer-exact until the final ``dot / (√na·√nb)`` division; norms are
+    a per-doc sum of squares. No dense vectors are ever materialized and
+    nothing quadratic runs: cost ∝ corpus sparse size × probe count.
+
+    Output: ``query_id, rank, nbr_id, cosine`` (cosine rounded to 6 dp,
+    nbr_id tie-break).
+    """
+    v = sparse_hash_vectors(df, text_col, id_col, dim)
+    norms = v.groupBy(id_col).agg(F.sum(F.col("val") * F.col("val")).alias("n2"))
+    probes = v.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("query_id"), "j", F.col("val").alias("pval")
+    )
+    dots = (
+        v.join(F.broadcast(probes), "j")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("val") * F.col("pval")).alias("dot"))
+    )
+    pn = norms.select(F.col(id_col).alias("query_id"), F.col("n2").alias("pn2"))
+    scored = (
+        dots.join(norms, id_col)
+        .join(F.broadcast(pn), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("nbr_id"),
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("pn2").cast("double"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "cosine")
+    )

@@ -1150,6 +1150,66 @@ SELECT source, CAST(rk AS INT) AS sample_rank, doc_id, n_chars FROM (
 """
 
 
+# doc_text_knn (r06) — model-free text similarity capstone: documents →
+# sparse signed-hash vectors → cosine kNN, integer-exact until the final
+# division. No dense arrays; the sparse (doc, j, val) relation is the
+# vector representation.
+TKNN_DIM = 256
+TKNN_K = 5
+
+
+def doc_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.textprep import text_knn
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_knn(docs, probe_ids=list(range(5)), k=TKNN_K, dim=TKNN_DIM).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _text_knn_sql() -> str:
+    hw = ORACLE_MD5_LONG.format(x="w")
+    hs = ORACLE_MD5_LONG.format(x="('sgn:' || w)")
+    return f"""
+WITH sp AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            w -> w != '')) AS w
+  FROM documents
+),
+vec AS (
+  SELECT doc_id, j, val FROM (
+    SELECT doc_id, ({hw} % {TKNN_DIM}) AS j,
+           SUM(CASE WHEN {hs} % 2 = 0 THEN 1 ELSE -1 END) AS val
+    FROM sp GROUP BY doc_id, j
+  ) WHERE val != 0
+),
+norms AS (
+  SELECT doc_id, SUM(val * val) AS n2 FROM vec GROUP BY doc_id
+),
+probes AS (
+  SELECT doc_id AS query_id, j, val AS pval FROM vec WHERE doc_id < 5
+),
+dots AS (
+  SELECT p.query_id, v.doc_id AS nbr_id, SUM(v.val * p.pval) AS dot
+  FROM vec v JOIN probes p ON v.j = p.j AND v.doc_id != p.query_id
+  GROUP BY p.query_id, v.doc_id
+),
+scored AS (
+  SELECT d.query_id, d.nbr_id,
+         round(d.dot / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(pn.n2 AS DOUBLE))), 6) AS cosine
+  FROM dots d
+  JOIN norms n ON n.doc_id = d.nbr_id
+  JOIN norms pn ON pn.doc_id = d.query_id
+)
+SELECT query_id, rank, nbr_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+) WHERE rank <= {TKNN_K}
+ORDER BY query_id, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # model-based quality filtering (r06): the classifier gates a FineWeb/CCNet
 # pipeline applies after the heuristic filters. Two declared forms:
@@ -1259,5 +1319,6 @@ QUERIES: dict = {
     "fuzzy_name_match": (fuzzy_name_match, FUZZY_NAME_SQL),
     "doc_classifier_margin": (doc_classifier_margin, CLASSIFIER_MARGIN_SQL),
     "weighted_sample_docs": (weighted_sample_docs, _weighted_sample_sql()),
+    "doc_text_knn": (doc_text_knn, _text_knn_sql()),
     "doc_nb_quality": (doc_nb_quality, NB_QUALITY_SQL),
 }

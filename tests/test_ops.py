@@ -1136,3 +1136,20 @@ def test_clustering_coefficients_triangle_vs_chain(spark):
         assert out[n]["cc_ppm"] == 1_000_000
     assert out[11]["degree"] == 2 and out[11]["cc_ppm"] == 0
     assert 10 not in out and 12 not in out  # degree 1: cc undefined
+
+
+def test_text_knn_finds_near_duplicate(spark, docs):
+    """r06: hashing-vectorizer kNN — the exact duplicate of doc 1 is its
+    top neighbor at cosine 1.0; the near-dup ranks above unrelated text."""
+    from incremental_datapipeline_using_snowflake_spark.ops.textprep import (
+        sparse_hash_vectors,
+        text_knn,
+    )
+
+    out = sorted(text_knn(docs, probe_ids=[1], k=4, dim=128).collect(), key=lambda r: r["rank"])
+    ranked = [r["nbr_id"] for r in out]
+    assert ranked[0] == 2 and out[0]["cosine"] == 1.0  # exact dup
+    assert ranked.index(3) < ranked.index(5)  # near-dup beats unrelated
+    # sparse relation: val sums signed counts; 'the' appears 3x in doc 1
+    v = sparse_hash_vectors(docs.filter("doc_id = 1"), dim=128)
+    assert {abs(r["val"]) for r in v.collect()} >= {1, 3}
