@@ -96,3 +96,42 @@ def test_noaa_datasource_streaming_incremental(spark, tmp_path):
     assert drain() == 1
     # nothing new -> empty drain
     assert drain() == 0
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    """r06: JSONL corpus export/ingest — roundtrip preserves every row and
+    type; a malformed line quarantines with the raw payload intact while
+    clean rows flow; strict mode aborts."""
+    import os
+
+    import pytest
+
+    from incremental_datapipeline_using_snowflake_spark.sources import (
+        quarantine_split,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "corpus_jsonl")
+    write_jsonl(docs, out)
+    back = read_jsonl(spark, out)
+    assert back.schema == docs.schema or {f.name for f in back.schema} == {
+        f.name for f in docs.schema
+    }
+    assert back.count() == docs.count()
+    a = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    b = sorted(back.collect(), key=lambda r: r["doc_id"])
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+    # plant a malformed line among the part files
+    bad_dir = str(tmp_path / "with_bad")
+    os.makedirs(bad_dir)
+    with open(os.path.join(bad_dir, "part-0.json"), "w") as f:
+        f.write('{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n')
+        f.write("{not json at all\n")
+    good, bad = quarantine_split(read_jsonl(spark, bad_dir, keep_corrupt=True))
+    assert good.count() == 1 and good.first()["doc_id"] == 1
+    assert bad.count() == 1 and "not json" in bad.first()["_corrupt_record"]
+    with pytest.raises(Exception):
+        read_jsonl(spark, bad_dir, strict=True).collect()
