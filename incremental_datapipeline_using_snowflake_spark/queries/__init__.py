@@ -102,6 +102,7 @@ _NEW_R6_COST = {
     "neardup_clustering_coeff": 22,
     "ann_index_append": 23,
     "doc_text_knn": 18,  # ~2 s in-batch; ties into the funnel/knn band
+    "dedup_embedding_incremental_auto": 21,
 }
 
 

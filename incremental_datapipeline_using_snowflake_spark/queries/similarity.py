@@ -815,6 +815,88 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# dedup_embedding_incremental_auto (r06) — the LINEAR declared form: the
+# plane count derives from the corpus size in BOTH engines
+# (max(4, ceil(log2(n/64))) — constant bucket population as n grows;
+# measured alpha 0.69 vs 1.66 for the 5-plane pinned form). The oracle
+# recomputes the same formula from COUNT(*), so the hash check covers the
+# production configuration, not just the toy-pinned one.
+def dedup_embedding_incremental_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.dedup import incremental_embedding_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    batch = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * 1.001).alias(
+            "embedding"
+        ),
+    )
+    return incremental_embedding_pairs(
+        batch, corpus, dim=EMB_DIM, threshold=0.999,
+        n_tables=INC_EMB_TABLES, n_planes=None,
+    ).orderBy("id_a", "id_b")
+
+
+def _inc_emb_auto_sql() -> str:
+    return f"""
+WITH np AS (
+  SELECT GREATEST(4, CAST(ceil(log2(GREATEST(2.0, count(*) / 64.0))) AS INT)) AS n
+  FROM embeddings
+),
+corpus AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+batch AS (
+  SELECT vec_id + 100000 AS id, list_transform(embedding::DOUBLE[], x -> x * 1.001) AS v
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+planes AS (
+  SELECT t, p, d, ({_H.format(x=_KNN_LSH_KEY)} % 2001) - 1000 AS w
+  FROM (SELECT unnest(range(0, {INC_EMB_TABLES})) AS t),
+       (SELECT unnest(range(0, 63)) AS p),
+       (SELECT unnest(range(1, {EMB_DIM + 1})) AS d),
+       np
+  WHERE p < np.n
+),
+both_sides AS (
+  SELECT id, v, FALSE AS is_new FROM corpus
+  UNION ALL
+  SELECT id, v, TRUE AS is_new FROM batch
+),
+flat AS (
+  SELECT id, is_new, generate_subscripts(v, 1) AS d,
+         CAST(floor(unnest(v) * 1000000 + 0.5) AS BIGINT) AS xq
+  FROM both_sides
+),
+proj AS (
+  SELECT t, id, is_new, p, sum(xq * w) AS s
+  FROM flat JOIN planes USING (d) GROUP BY t, id, is_new, p
+),
+sig AS (
+  SELECT t, id, is_new,
+         CAST(sum(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY t, id, is_new
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, NOT b.is_new AS is_corpus_pair
+  FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket AND a.id != b.id
+  WHERE a.is_new AND ((NOT b.is_new) OR a.id < b.id)
+)
+SELECT id_a, id_b,
+       round(list_cosine_similarity(va.v, vb.v), 6) AS cosine,
+       is_corpus_pair
+FROM cand
+JOIN both_sides va ON va.id = id_a
+JOIN both_sides vb ON vb.id = id_b
+WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= 0.999
+ORDER BY id_a, id_b
+"""
+
+
 INC_EMB_SQL = f"""
 WITH corpus AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1182,6 +1264,10 @@ QUERIES: dict = {
     "semdedup_keep": (semdedup_keep, SEMDEDUP_SQL),
     "semdedup_keep_lsh": (semdedup_keep_lsh_q, SEMDEDUP_LSH_SQL),
     "dedup_embedding_incremental": (dedup_embedding_incremental, INC_EMB_SQL),
+    "dedup_embedding_incremental_auto": (
+        dedup_embedding_incremental_auto,
+        _inc_emb_auto_sql(),
+    ),
     "knn_graph": (knn_graph_q, KNN_GRAPH_SQL),
     "knn_graph_lsh": (knn_graph_lsh_q, KNN_LSH_SQL),
     "knn_graph_ivf2": (knn_graph_ivf2_q, KNN_IVF2_SQL),
