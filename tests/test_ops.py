@@ -1153,3 +1153,24 @@ def test_text_knn_finds_near_duplicate(spark, docs):
     # sparse relation: val sums signed counts; 'the' appears 3x in doc 1
     v = sparse_hash_vectors(docs.filter("doc_id = 1"), dim=128)
     assert {abs(r["val"]) for r in v.collect()} >= {1, 3}
+
+
+def test_compression_ratio_separates_repetition(spark):
+    """r06: the compressibility signal — boilerplate repetition compresses
+    far below varied prose; ratios are exact against a local zlib replay."""
+    import zlib
+
+    rows = [
+        (1, "the same line repeats " * 50),
+        (2, "Entropy varies: quartz jackdaws vex my big sphinx 1974 @ once."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in X.compression_ratio(df).collect()}
+    for i, t in rows:
+        raw = t.encode()
+        comp = zlib.compress(raw, 6)
+        assert out[i]["raw_bytes"] == len(raw)
+        assert out[i]["compressed_bytes"] == len(comp)
+        assert out[i]["ratio_ppm"] == int(len(comp) / len(raw) * 1e6 + 0.5)
+    assert out[1]["ratio_ppm"] < 100_000  # heavy repetition
+    assert out[2]["ratio_ppm"] > 500_000  # varied prose
