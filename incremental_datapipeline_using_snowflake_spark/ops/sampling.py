@@ -230,12 +230,33 @@ def weighted_sample_k(
     the rank filter cuts each group at k. The float key is internal —
     output adds only the integer ``sample_rank`` (1-based by ascending
     key), so compared outputs stay float-free.
+
+    Weights must be strictly positive: a NULL/zero/negative weight yields
+    a NULL or negative A-ES key that would deterministically rank FIRST
+    (NULLS FIRST under ascending order) — i.e. invalid rows would always
+    be sampled. The guard is inlined into the key expression
+    (``raise_error`` on the bad branch), so it fails loudly inside the
+    single existing pass with no extra validation scan — unlike a
+    driver-side pre-check, this costs nothing at 100 TB.
     """
     from pyspark.sql import Window as W
 
     h = md5_long(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
     u = (h % WS_MOD + 1) / F.lit(float(WS_MOD + 1))
-    key = -F.log(u) / F.col(weight_col).cast("double")
+    wcol = F.col(weight_col).cast("double")
+    wchecked = F.when(wcol > 0, wcol).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"weighted_sample_k: {weight_col!r} must be > 0 "
+                    "(NULL/zero/negative weights would deterministically "
+                    "rank first); offending id="
+                ),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    key = -F.log(u) / wchecked
     w = W.partitionBy(group_col or F.lit(1)).orderBy(
         key.asc(), F.col(id_col).asc()
     )

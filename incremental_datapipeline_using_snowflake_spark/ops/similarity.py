@@ -960,7 +960,14 @@ def query_ivf_index(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        # at-least-once index appends (stream_ingest_ivf crash window) can
+        # leave exact-duplicate (id, v, cell) rows; without this dedup a
+        # duplicate would occupy two top-k slots and displace a real
+        # neighbor. Duplicates are identical in every output column, so
+        # the drop is deterministic; cost is one exchange over the
+        # already cell-pruned candidate set.
+        scored.dropDuplicates(["query_id", "nbr_id", "cell", "cosine"])
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "nbr_id", "cell", "cosine")
     )
@@ -1073,13 +1080,19 @@ def stream_ingest_ivf(
 
     Semantics: Structured Streaming's ``foreachBatch`` replays a batch
     after a crash, so each appended batch is recorded in a
-    ``<name>.ingested_batches`` marker table and replayed batch ids are
-    skipped — the standard idempotent-foreachBatch pattern. The crash
-    window between append and marker write is at-least-once; production
-    sinks close it with a transactional target (here: re-run
-    ``query_ivf_index`` consumers tolerate it because duplicate
-    assignments carry identical (id, v, cell) rows and rank-dedup by
-    nbr_id collapses them).
+    ``<name>.ingested_batches`` marker table and replays are skipped.
+    Markers are keyed on a CONTENT FINGERPRINT of the batch (row count +
+    order-independent xxhash64 sum over (id, vector)), NOT on
+    ``batch_id`` alone: Structured Streaming batch ids restart at 0 for
+    every new checkpoint, so two streams draining the same index would
+    collide on batch_id and silently drop the later stream's data.
+    Fingerprinting also keeps the useful property that re-ingesting the
+    exact same files under a fresh checkpoint appends nothing — for an
+    index, an identical (id, vector) batch is a duplicate by definition.
+    The crash window between append and marker write is at-least-once;
+    ``query_ivf_index`` tolerates it because duplicate assignments carry
+    identical (id, v, cell) rows and the query drops exact-duplicate
+    candidates before ranking.
 
     Returns the started StreamingQuery (``availableNow`` trigger — call
     ``awaitTermination()`` to drain).
@@ -1089,20 +1102,39 @@ def stream_ingest_ivf(
 
     def _sink(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
-        if store.exists(marker_table):
-            seen = {
-                r["batch_id"]
-                for r in store.read(spark, marker_table).collect()
-            }
-            if batch_id in seen:
-                return
         if bdf.isEmpty():
             return
-        append_to_ivf_index(spark, store, bdf, name, vec_col, id_col)
-        marker = spark.createDataFrame([(batch_id,)], "batch_id long")
+        # order- and partitioning-independent batch fingerprint: one
+        # batch-bound aggregate (cost ∝ batch, never the corpus)
+        fp = bdf.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(
+                    F.col(id_col).cast("string"),
+                    F.col(vec_col).cast("array<double>").cast("string"),
+                )
+            ).alias("h"),
+        ).collect()[0]
+        fingerprint = f"{fp['n']}:{fp['h']}"
         if store.exists(marker_table):
+            mdf = store.read(spark, marker_table)
+            # legacy (r06) markers carried batch_id only — they cannot be
+            # attributed to a stream, so they never suppress an append
+            if "fingerprint" in mdf.columns:
+                seen = {r["fingerprint"] for r in mdf.collect()}
+                if fingerprint in seen:
+                    return
+        append_to_ivf_index(spark, store, bdf, name, vec_col, id_col)
+        marker = spark.createDataFrame(
+            [(fingerprint, batch_id)], "fingerprint string, batch_id long"
+        )
+        if store.exists(marker_table) and "fingerprint" in store.read(
+            spark, marker_table
+        ).columns:
             store.append(marker, marker_table)
         else:
+            # fresh table, or a legacy batch_id-only marker table — legacy
+            # rows can't suppress anything, so migrate by overwrite
             store.overwrite(marker, marker_table)
 
     return (

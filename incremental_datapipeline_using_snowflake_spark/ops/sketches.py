@@ -284,10 +284,23 @@ def hll_overlap_check(
     compounds the per-sketch rsd (~5% default), so the acceptance envelope
     is wider than the single-estimate checks (25% of exact by default).
 
-    Emits per pair (a < b): exact overlap (one distinct self-join — the
-    verification cost, not the production path) + in-envelope flag.
+    Emits EVERY pair (a < b) — including pairs with ZERO exact overlap
+    (the estimate side is a full pair cross of the |groups|-row sketch
+    relation; the exact side left-joins onto it with a 0 fill). A
+    disjoint pair whose sketch estimate is large is precisely the
+    interesting failure, so it must be reportable. Because the envelope
+    ``exact * rel_tol`` collapses to 0 there, the acceptance test adds an
+    absolute floor derived from the sketch's design error: each HLL
+    estimate at the default lgConfigK=12 has rsd ≈ 1.04/√4096 ≈ 1.6%,
+    the inclusion-exclusion subtraction compounds three estimates of
+    magnitude ≤ n_a + n_b, so |err| ≲ 6·rsd·(n_a+n_b) at ~3σ — a
+    healthy sketch on a disjoint pair passes, a wild one is flagged.
+
+    Exact overlap comes from one distinct self-join — the verification
+    cost, not the production path.
     Output: ``type_a, type_b, exact_overlap, overlap_ok``.
     """
+    HLL_RSD = 1.04 / (2.0**12) ** 0.5
     d = df.select(
         F.col(group_col).alias("g"), F.col(value_col).cast("string").alias("v")
     ).distinct()
@@ -295,8 +308,12 @@ def hll_overlap_check(
         F.hll_sketch_agg("v").alias("sk"),
         F.count(F.lit(1)).alias("n"),
     )
-    a = sk.select(F.col("g").alias("type_a"), F.col("sk").alias("sk_a"))
-    b = sk.select(F.col("g").alias("type_b"), F.col("sk").alias("sk_b"))
+    a = sk.select(
+        F.col("g").alias("type_a"), F.col("sk").alias("sk_a"), F.col("n").alias("n_a")
+    )
+    b = sk.select(
+        F.col("g").alias("type_b"), F.col("sk").alias("sk_b"), F.col("n").alias("n_b")
+    )
     est = (
         a.join(b, F.col("type_a") < F.col("type_b"))
         .select(
@@ -307,6 +324,7 @@ def hll_overlap_check(
                 + F.hll_sketch_estimate("sk_b")
                 - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
             ).alias("_est"),
+            (6.0 * HLL_RSD * (F.col("n_a") + F.col("n_b"))).alias("_abs_floor"),
         )
     )
     exact = (
@@ -315,12 +333,20 @@ def hll_overlap_check(
         .groupBy(F.col("x.g").alias("type_a"), F.col("y.g").alias("type_b"))
         .agg(F.count(F.lit(1)).alias("exact_overlap"))
     )
-    return exact.join(est, ["type_a", "type_b"]).select(
-        "type_a",
-        "type_b",
-        "exact_overlap",
-        (
-            F.abs(F.col("_est") - F.col("exact_overlap"))
-            <= F.col("exact_overlap") * rel_tol
-        ).alias("overlap_ok"),
+    # est has EVERY pair (cross of the sketch relation); left-join the
+    # exact side onto it so zero-overlap pairs are reported, not dropped
+    return (
+        est.join(exact, ["type_a", "type_b"], "left")
+        .withColumn("exact_overlap", F.coalesce("exact_overlap", F.lit(0)))
+        .select(
+            "type_a",
+            "type_b",
+            "exact_overlap",
+            (
+                F.abs(F.col("_est") - F.col("exact_overlap"))
+                <= F.greatest(
+                    F.col("exact_overlap") * rel_tol, F.col("_abs_floor")
+                )
+            ).alias("overlap_ok"),
+        )
     )

@@ -169,12 +169,21 @@ def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 HLL_OVERLAP_SQL = """
 WITH d AS (
   SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS v FROM events
+),
+grp AS (
+  SELECT g FROM d GROUP BY g
+),
+ex AS (
+  SELECT x.g AS a, y.g AS b, CAST(count(*) AS BIGINT) AS c
+  FROM d x JOIN d y ON x.v = y.v AND x.g < y.g
+  GROUP BY x.g, y.g
 )
-SELECT x.g AS type_a, y.g AS type_b,
-       CAST(count(*) AS BIGINT) AS exact_overlap,
+SELECT ga.g AS type_a, gb.g AS type_b,
+       COALESCE(ex.c, 0) AS exact_overlap,
        TRUE AS overlap_ok
-FROM d x JOIN d y ON x.v = y.v AND x.g < y.g
-GROUP BY x.g, y.g
+FROM grp ga
+JOIN grp gb ON ga.g < gb.g
+LEFT JOIN ex ON ex.a = ga.g AND ex.b = gb.g
 ORDER BY type_a, type_b
 """
 

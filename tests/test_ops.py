@@ -1119,6 +1119,21 @@ def test_weighted_sample_k_deterministic_and_biased(spark):
     assert again == got
 
 
+def test_weighted_sample_k_rejects_bad_weights(spark):
+    """r07 (ADVICE): NULL/zero/negative weights would rank FIRST under the
+    ascending A-ES key order (always-sampled instead of failing) — the op
+    must fail loudly instead."""
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.ops.sampling import weighted_sample_k
+
+    for bad in [0.0, -3.0, None]:
+        rows = [(1, 5.0), (2, 4.0), (3, bad)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        with _pytest.raises(Exception, match="weighted_sample_k"):
+            weighted_sample_k(df, 2, "w").collect()
+
+
 def test_clustering_coefficients_triangle_vs_chain(spark):
     """r06: local cc separates a clique (cc=1 everywhere) from a chain
     (cc=0 at the middle node); degree-1 endpoints are excluded."""

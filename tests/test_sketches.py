@@ -88,8 +88,10 @@ def test_cms_grouped_matches_per_group_exact(spark):
 
 
 def test_hll_overlap_inclusion_exclusion(spark):
-    """r06: sketch-algebra overlap — planted sets with known intersections
-    stay inside the envelope, and a disjoint pair reports ~0."""
+    """r06 (+r07 ADVICE fix): sketch-algebra overlap — planted sets with
+    known intersections stay inside the envelope, and DISJOINT pairs are
+    now reported with exact_overlap=0 (full pair coverage, not dropped by
+    an inner join); a healthy sketch passes via the absolute error floor."""
     from incremental_datapipeline_using_snowflake_spark.ops.sketches import (
         hll_overlap_check,
     )
@@ -101,6 +103,9 @@ def test_hll_overlap_inclusion_exclusion(spark):
     )
     df = spark.createDataFrame(rows, "seg string, uid long")
     out = {(r["type_a"], r["type_b"]): r for r in hll_overlap_check(df, "seg", "uid").collect()}
+    assert len(out) == 3  # every pair a<b, including disjoint ones
     assert out[("a", "b")]["exact_overlap"] == 500
     assert out[("a", "b")]["overlap_ok"]
-    assert ("a", "c") not in out  # zero exact overlap -> no row (inner join)
+    for pair in [("a", "c"), ("b", "c")]:
+        assert out[pair]["exact_overlap"] == 0
+        assert out[pair]["overlap_ok"]  # small estimate within abs floor

@@ -430,10 +430,30 @@ def test_stream_ingest_ivf_index(spark, tmp_path):
     assert top[0]["nbr_id"] == 2005 and top[0]["rank"] == 1
 
     # replay with the same checkpoint: no new files -> no growth; and a
-    # fresh checkpoint replaying the same files is marker-skipped
+    # fresh checkpoint replaying the same files is fingerprint-skipped
     q2 = S.stream_ingest_ivf(src, store, "idx.s", str(tmp_path / "ck"))
     q2.awaitTermination()
     assert store.read(spark, "idx.s.assignments").count() == 91
     q3 = S.stream_ingest_ivf(src, store, "idx.s", str(tmp_path / "ck2"))
     q3.awaitTermination()
     assert store.read(spark, "idx.s.assignments").count() == 91
+
+    # r07 (ADVICE): a SECOND stream with DIFFERENT data drains into the
+    # same index. Its batch ids restart at 0 — under batch_id-keyed
+    # markers these batches were silently skipped (data loss); content
+    # fingerprints must let them through.
+    data_dir2 = str(tmp_path / "stream_data2")
+    os.makedirs(data_dir2)
+    rows2 = [(3000 + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(7)]
+    spark.createDataFrame(
+        rows2, "vec_id long, embedding array<double>"
+    ).coalesce(1).write.parquet(os.path.join(data_dir2, "b0"))
+    src2 = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(data_dir2)
+    )
+    q4 = S.stream_ingest_ivf(src2, store, "idx.s", str(tmp_path / "ck3"))
+    q4.awaitTermination()
+    assert store.read(spark, "idx.s.assignments").count() == 91 + 7
