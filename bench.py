@@ -236,7 +236,28 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # The driver keeps only a ~2 KB tail of stdout, so a 150-query map
+    # overflows it and the recorded BENCH json ends up truncated/unparsed
+    # (r06 finding). stdout therefore carries ONE compact line sized to
+    # survive the tail: the per-query map is trimmed to the most expensive
+    # entries (the perf-grading signal — the cheap tail is noise-dominated
+    # anyway), tightest separators, and the full map goes to stderr.
+    print("FULL_BENCH_JSON: " + json.dumps(out), file=sys.stderr)
+    top_n = 45
+    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+    compact = dict(out)
+    compact["queries"] = dict(sorted(ranked[:top_n]))
+    compact["queries_total"] = len(timings)
+    compact["queries_omitted"] = max(0, len(timings) - top_n)
+    if errors:
+        compact["errors"] = {k: v[:60] for k, v in errors.items()}
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1800 and top_n > 10:
+        top_n -= 5
+        compact["queries"] = dict(sorted(ranked[:top_n]))
+        compact["queries_omitted"] = len(timings) - top_n
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,430 @@
+"""End-to-end incremental corpus curation — the nightly append job of a
+training-data pipeline, composed from the engine's proven parts into ONE
+transactional stage (round 7):
+
+    ingest batch
+      → quality gates       (ops.text.repetition_signals — Gopher-style)
+      → exact dedup         (md5 fingerprint vs corpus + batch-internal)
+      → textual near-dedup  (MinHash bands vs STORED corpus band table)
+      → semantic near-dedup (hyperplane-LSH vs STORED corpus signatures)
+      → keep decisions      (ops.graph connected components, min-id keep)
+      → MERGE into the versioned corpus (operators.merge.merge_upsert,
+        staged inside TableStore.transaction — all-or-none with the run
+        record)
+
+Reference shape: the reference's own nightly DAG is SP1 (load) → SP2
+(harmonize) → SP3 (analytics) chained by scheduled tasks
+(``templates/orchestrate_tasks.sql.j2:28-47``); this lifts the same
+stage-composition discipline to the LLM-data domain.
+
+Scale posture (the 100 TB question) — every per-run cost is proportional
+to the BATCH, never the corpus:
+
+- the corpus is consulted only through (a) a two-column (id, fingerprint)
+  scan for exact dedup — column-pruned at the parquet reader; (b) the
+  STORED ``<corpus>__bands`` MinHash band table (computed once at
+  bootstrap, appended per run — the corpus is never re-shingled); (c) the
+  STORED ``<corpus>__embsig`` LSH signature table (ditto); (d) a
+  candidate-bounded semi-join that re-shingles only corpus docs that
+  band-collided with the batch (|candidates| ≈ |batch| near-dup rate).
+- connected components run on batch-internal pairs only (∝ batch).
+- the MERGE broadcasts the kept batch against the corpus
+  (``merge_upsert`` default) — the corpus is scanned once, not shuffled.
+
+Aux-table consistency: band/signature rows for kept docs are appended
+AFTER the transaction commits (the staged transaction supports overwrite
+only, and rewriting the band table inside it would be O(corpus)). The
+crash window is the same at-least-once contract as
+``stream_ingest_ivf``'s marker append: a crash between commit and the aux
+appends leaves kept docs missing from the band table, so
+:func:`repair_aux` (an ids-only anti-join, narrow-column cost) backfills
+them; duplicate aux rows from a replayed append are harmless because both
+candidate generators ``.distinct()`` their pair sets.
+
+Structure freezing: the embedding-LSH plane count is pinned at bootstrap
+(``<corpus>__curation_meta``) — the same frozen-structure discipline as
+``append_to_ivf_index``'s frozen centroids. Re-bootstrap (re-index) when
+the corpus outgrows the plane count by ~16× (bucket population grows
+linearly with n at fixed planes; BASELINE.md quantifies the resulting
+quadratic at alpha 1.66).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import (
+    _band_rows,
+    _shingle_docs,
+    _signatures_from_shingles,
+    jaccard,
+)
+from .graph import dedup_keep_decisions
+from .similarity import cosine as _cosine
+from .similarity import lsh_signatures
+
+VERDICTS = (
+    "gate_fail",
+    "exact_dup_corpus",
+    "exact_dup_batch",
+    "near_dup_corpus",
+    "near_dup_batch",
+    "embedding_dup_corpus",
+    "embedding_dup_batch",
+    "kept",
+)
+
+_RUNS_SCHEMA = (
+    "run_id string, n_batch long, n_gate_fail long, n_exact_dup long, "
+    "n_near_dup long, n_embedding_dup long, n_kept long"
+)
+
+
+def _fingerprint(text_col: str) -> F.Column:
+    return F.md5(F.col(text_col))
+
+
+def _emb_signatures(
+    vecs: DataFrame, dim: int, n_tables: int, n_planes: int,
+    vec_col: str, id_col: str,
+) -> DataFrame:
+    """(id, v, buckets) — one row per vector, per-table LSH buckets as an
+    array (single-copy vector storage; consumers posexplode)."""
+    out = None
+    for t in range(n_tables):
+        s = lsh_signatures(vecs, dim, vec_col, id_col, n_planes=n_planes, seed=t)
+        s = s.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+            F.col("bucket").alias(f"b{t}"),
+        )
+        out = s if out is None else out.join(s.select("id", f"b{t}"), "id")
+    return out.select(
+        "id",
+        "v",
+        # explicit cast pins type AND element nullability so bootstrap-written
+        # and per-run-appended rows schema-match in the store
+        F.array(*[F.col(f"b{t}") for t in range(n_tables)])
+        .cast("array<long>")
+        .alias("buckets"),
+    )
+
+
+def bootstrap_corpus(
+    spark: SparkSession,
+    store,
+    docs: DataFrame,
+    corpus_table: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emb: DataFrame | None = None,
+    vec_col: str = "embedding",
+    emb_id_col: str = "vec_id",
+    dim: int | None = None,
+    n_tables: int = 2,
+    n_planes: int = 5,
+) -> None:
+    """One-time corpus registration: write the corpus table (with its
+    ``_fingerprint`` column), the precomputed MinHash band table, the LSH
+    signature table (when ``emb`` given), the curation meta (frozen LSH
+    structure), and an empty run log. After this, every
+    :func:`curate_append` run costs ∝ its batch."""
+    spark_docs = docs.withColumn("_fingerprint", _fingerprint(text_col))
+    store.overwrite(spark_docs, corpus_table)
+    sh = _shingle_docs(docs, text_col, id_col)
+    store.overwrite(
+        _band_rows(_signatures_from_shingles(sh)), corpus_table + "__bands"
+    )
+    if emb is not None:
+        if dim is None:
+            raise ValueError("bootstrap_corpus: emb requires dim")
+        store.overwrite(
+            _emb_signatures(emb, dim, n_tables, n_planes, vec_col, emb_id_col),
+            corpus_table + "__embsig",
+        )
+        store.overwrite(
+            spark.createDataFrame(
+                [(int(dim), int(n_tables), int(n_planes))],
+                "dim int, n_tables int, n_planes int",
+            ),
+            corpus_table + "__curation_meta",
+        )
+    store.overwrite(
+        spark.createDataFrame([], _RUNS_SCHEMA), corpus_table + "__runs"
+    )
+
+
+def repair_aux(spark: SparkSession, store, corpus_table: str,
+               *, text_col: str = "text", id_col: str = "doc_id") -> int:
+    """Backfill band rows for corpus docs missing from the band table (the
+    commit-to-aux-append crash window). Ids-only anti-join to find the gap
+    (narrow columns), re-shingle only the missing docs. Returns the number
+    of repaired docs."""
+    corpus = store.read(spark, corpus_table)
+    have = store.read(spark, corpus_table + "__bands").select(
+        F.col("id").alias(id_col)
+    ).distinct()
+    missing = corpus.join(have, id_col, "left_anti")
+    n = missing.count()
+    if n:
+        sh = _shingle_docs(missing, text_col, id_col)
+        store.append(
+            _band_rows(_signatures_from_shingles(sh)), corpus_table + "__bands"
+        )
+    return n
+
+
+def curate_append(
+    spark: SparkSession,
+    store,
+    batch: DataFrame,
+    corpus_table: str,
+    run_id: str,
+    *,
+    batch_emb: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    emb_id_col: str = "vec_id",
+    jaccard_threshold: float = 0.5,
+    cosine_threshold: float = 0.999,
+) -> DataFrame:
+    """Run one curation batch end-to-end and MERGE the survivors into the
+    versioned corpus. Returns the per-document verdict table
+    ``(id_col, verdict)`` with verdict ∈ :data:`VERDICTS` — materialized
+    (localCheckpoint) before the merge so collecting it later never
+    replays lineage against the post-merge corpus.
+
+    Stage semantics are SEQUENTIAL and deterministic (each stage sees only
+    the previous stage's survivors), so a DuckDB oracle can replay the
+    whole run over corpus ∪ batch:
+
+    1. quality gate — ``repetition_signals.quality_pass`` (NULL text
+       fails);
+    2. exact — md5 fingerprint: corpus match drops (including a re-run of
+       an already-ingested doc — the idempotency path); batch-internal
+       groups keep the minimum id;
+    3. textual near-dup — batch MinHash bands vs stored corpus bands
+       (corpus match drops), then batch-internal pairs → connected
+       components → min-id keep;
+    4. semantic near-dup (when ``batch_emb`` given and the corpus was
+       bootstrapped with embeddings) — same drop-then-resolve shape over
+       hyperplane-LSH buckets with cosine verification; docs without an
+       embedding row pass through;
+    5. survivors MERGE into ``corpus_table`` (keys=[id_col]) with the run
+       record appended to ``<corpus>__runs`` — both staged in ONE
+       :meth:`TableStore.transaction` (all-or-none), then band/signature
+       rows for the kept docs are appended (at-least-once, see module
+       docstring).
+
+    Replaying the same batch is a no-op: every doc exact-matches the
+    corpus (verdict ``exact_dup_corpus``), zero kept, the merge inserts
+    nothing.
+    """
+    from ..operators.merge import merge_upsert
+    from .text import repetition_signals
+
+    if "_fingerprint" in batch.columns:
+        raise ValueError("curate_append: batch must not carry _fingerprint")
+
+    b = batch.cache()
+    # one batch-bound guard pass: duplicate or NULL ids would double-merge
+    # (merge_upsert keys on id) and double-count verdicts — fail loudly,
+    # mirroring merge_upsert's NULL-partition guard
+    chk = b.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+        F.sum(F.col(id_col).isNull().cast("long")).alias("nn"),
+    ).collect()[0]
+    if chk["nn"] or chk["n"] != chk["nd"]:
+        raise ValueError(
+            f"curate_append({run_id}): batch ids must be unique and non-NULL "
+            f"(n={chk['n']}, distinct={chk['nd']}, nulls={chk['nn']})"
+        )
+
+    # -- stage 1: quality gate -------------------------------------------
+    gate = repetition_signals(b, text_col=text_col, id_col=id_col).select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col("quality_pass"), F.lit(False)).alias("ok"),
+    )
+    gate_fail = gate.filter(~F.col("ok")).select("id")
+    p1 = gate.filter(F.col("ok")).select("id")
+
+    # -- stage 2: exact dedup (fingerprints) -----------------------------
+    from pyspark.sql import Window as W
+
+    bfp = b.select(
+        F.col(id_col).alias("id"), _fingerprint(text_col).alias("fp")
+    ).join(p1, "id")
+    corpus_fp = store.read(spark, corpus_table).select(
+        F.col("_fingerprint").alias("fp")
+    ).distinct()
+    exact_corpus = bfp.join(corpus_fp, "fp", "left_semi").select("id")
+    p2a = bfp.join(corpus_fp, "fp", "left_anti")
+    wfp = W.partitionBy("fp").orderBy(F.asc("id"))
+    ranked = p2a.withColumn("_rk", F.row_number().over(wfp))
+    exact_batch = ranked.filter(F.col("_rk") > 1).select("id")
+    p2 = ranked.filter(F.col("_rk") == 1).select("id")
+
+    # -- stage 3: textual near-dup (MinHash vs stored bands) -------------
+    bdocs = b.join(p2.withColumnRenamed("id", id_col), id_col)
+    bsh = _shingle_docs(bdocs, text_col, id_col)
+    bbands = _band_rows(_signatures_from_shingles(bsh))
+    cbands = store.read(spark, corpus_table + "__bands")
+    cand_c = (
+        bbands.withColumnRenamed("id", "id_a")
+        .join(cbands.withColumnRenamed("id", "id_b"), ["band", "bh"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # candidate-bounded corpus re-shingle: only band-colliding corpus docs
+    cdocs = store.read(spark, corpus_table).join(
+        cand_c.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    csh = _shingle_docs(cdocs, text_col, id_col, checkpoint_name="cand_shingles")
+    near_c = (
+        cand_c.join(bsh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(csh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= jaccard_threshold)
+        .select("id_a")
+        .distinct()
+    )
+    near_corpus = p2.join(near_c.withColumnRenamed("id_a", "id"), "id", "left_semi")
+    p3a = p2.join(near_c.withColumnRenamed("id_a", "id"), "id", "left_anti")
+    # batch-internal pairs among stage-3 survivors → CC → min-id keep
+    a = bbands.withColumnRenamed("id", "id_a")
+    c = bbands.withColumnRenamed("id", "id_b")
+    cand_b = (
+        a.join(c, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .join(p3a.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
+        .join(p3a.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
+    )
+    pairs_b = (
+        cand_b.join(bsh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(bsh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= jaccard_threshold)
+        .select("id_a", "id_b")
+    )
+    keep3 = dedup_keep_decisions(
+        p3a.withColumnRenamed("id", id_col), pairs_b, id_col=id_col
+    )
+    near_batch = keep3.filter(~F.col("keep")).select(F.col(id_col).alias("id"))
+    p3 = keep3.filter(F.col("keep")).select(F.col(id_col).alias("id"))
+
+    # -- stage 4: semantic near-dup (LSH vs stored signatures) -----------
+    emb_corpus = spark.createDataFrame([], "id long").select(F.col("id"))
+    emb_batch = spark.createDataFrame([], "id long").select(F.col("id"))
+    p4 = p3
+    if batch_emb is not None and store.exists(corpus_table + "__embsig"):
+        meta = store.read(spark, corpus_table + "__curation_meta").collect()[0]
+        dim, n_tables, n_planes = meta["dim"], meta["n_tables"], meta["n_planes"]
+        mvec = batch_emb.join(
+            p3.withColumnRenamed("id", emb_id_col), emb_id_col, "left_semi"
+        )
+        bsig = _emb_signatures(mvec, dim, n_tables, n_planes, vec_col, emb_id_col)
+        bflat = bsig.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"),
+            F.posexplode("buckets").alias("t", "bucket"),
+        )
+        cflat = store.read(spark, corpus_table + "__embsig").select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"),
+            F.posexplode("buckets").alias("t", "bucket"),
+        )
+        hit_c = (
+            bflat.join(cflat, ["t", "bucket"])
+            .filter(F.col("id_a") != F.col("id_b"))
+            .filter(F.round(_cosine(F.col("va"), F.col("vb")), 6) >= cosine_threshold)
+            .select("id_a")
+            .distinct()
+        )
+        emb_corpus = p3.join(hit_c.withColumnRenamed("id_a", "id"), "id", "left_semi")
+        p4a = p3.join(hit_c.withColumnRenamed("id_a", "id"), "id", "left_anti")
+        pairs_e = (
+            bflat.join(
+                bsig.select(
+                    F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                    F.posexplode("buckets").alias("t", "bucket"),
+                ),
+                ["t", "bucket"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(F.round(_cosine(F.col("va"), F.col("vb")), 6) >= cosine_threshold)
+            .select("id_a", "id_b")
+            .distinct()
+            .join(p4a.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
+            .join(p4a.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
+        )
+        keep4 = dedup_keep_decisions(
+            p4a.withColumnRenamed("id", id_col), pairs_e, id_col=id_col
+        )
+        emb_batch = keep4.filter(~F.col("keep")).select(F.col(id_col).alias("id"))
+        p4 = keep4.filter(F.col("keep")).select(F.col(id_col).alias("id"))
+
+    # -- verdicts (materialized BEFORE the merge mutates the store) ------
+    verdicts = (
+        gate_fail.select("id", F.lit("gate_fail").alias("verdict"))
+        .unionByName(exact_corpus.select("id", F.lit("exact_dup_corpus").alias("verdict")))
+        .unionByName(exact_batch.select("id", F.lit("exact_dup_batch").alias("verdict")))
+        .unionByName(near_corpus.select("id", F.lit("near_dup_corpus").alias("verdict")))
+        .unionByName(near_batch.select("id", F.lit("near_dup_batch").alias("verdict")))
+        .unionByName(emb_corpus.select("id", F.lit("embedding_dup_corpus").alias("verdict")))
+        .unionByName(emb_batch.select("id", F.lit("embedding_dup_batch").alias("verdict")))
+        .unionByName(p4.select("id", F.lit("kept").alias("verdict")))
+        .withColumnRenamed("id", id_col)
+        .localCheckpoint(eager=True)
+    )
+
+    counts = {
+        r["verdict"]: r["n"]
+        for r in verdicts.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    kept_ids = verdicts.filter(F.col("verdict") == "kept").select(id_col)
+    kept_docs = b.join(kept_ids, id_col).withColumn(
+        "_fingerprint", _fingerprint(text_col)
+    )
+
+    # -- transactional publish: merged corpus + run record, all-or-none --
+    runs_old = store.read(spark, corpus_table + "__runs")
+    run_row = spark.createDataFrame(
+        [(
+            run_id,
+            sum(counts.values()),
+            counts.get("gate_fail", 0),
+            counts.get("exact_dup_corpus", 0) + counts.get("exact_dup_batch", 0),
+            counts.get("near_dup_corpus", 0) + counts.get("near_dup_batch", 0),
+            counts.get("embedding_dup_corpus", 0)
+            + counts.get("embedding_dup_batch", 0),
+            counts.get("kept", 0),
+        )],
+        _RUNS_SCHEMA,
+    )
+    with store.transaction(f"curate-{run_id}") as txn:
+        merge_upsert(
+            spark, store, corpus_table, kept_docs, keys=[id_col],
+            count_rows=False, txn=txn,
+        )
+        txn.overwrite(runs_old.unionByName(run_row), corpus_table + "__runs")
+
+    # -- aux appends (at-least-once; see module docstring) ---------------
+    if counts.get("kept", 0):
+        ksh = bsh.join(
+            kept_ids.withColumnRenamed(id_col, "id"), "id", "left_semi"
+        )
+        store.append(_band_rows(_signatures_from_shingles(ksh)),
+                     corpus_table + "__bands")
+        if batch_emb is not None and store.exists(corpus_table + "__embsig"):
+            kvec = batch_emb.join(
+                kept_ids.withColumnRenamed(id_col, emb_id_col),
+                emb_id_col, "left_semi",
+            )
+            store.append(
+                _emb_signatures(kvec, dim, n_tables, n_planes, vec_col, emb_id_col),
+                corpus_table + "__embsig",
+            )
+    return verdicts

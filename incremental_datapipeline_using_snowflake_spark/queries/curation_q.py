@@ -1,0 +1,355 @@
+"""Declared query for the end-to-end incremental curation stage (r07).
+
+``corpus_curate_append`` drives :func:`ops.curation.curate_append` through
+a REAL :class:`TableStore` — bootstrap a corpus (documents with
+``doc_id % 3 != 0`` plus their embeddings), then curate a planted batch:
+
+- fresh docs (``doc_id % 3 == 0``) — mostly kept;
+- exact copies of corpus docs (ids +500000, ``doc_id % 9 == 1``) →
+  ``exact_dup_corpus``;
+- textual near-dups (ids +600000, ``doc_id % 9 == 2``, first two words
+  dropped) → ``near_dup_corpus`` via MinHash;
+- semantic-only dups (ids +800000, ``doc_id % 9 == 4``, words REVERSED so
+  no 3-shingle survives, embedding × 1.001) → ``embedding_dup_corpus``
+  via hyperplane-LSH + cosine;
+- five repetitive spam docs (ids 900001+) → ``gate_fail``.
+
+The DuckDB oracle replays the ENTIRE sequential pipeline over
+corpus ∪ batch — Gopher gate, md5 exact dedup, MinHash bands + verified
+Jaccard, recursive-CTE connected components for batch-internal keeps,
+pinned-plane LSH + cosine for the semantic stage — and asserts the same
+per-document verdict. ``in_corpus`` is read back from the post-merge store
+table (the round-trip proof); the oracle derives it as ``verdict =
+'kept'`` (batch ids are disjoint from corpus ids by construction).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import EMB_DIM, INC_EMB_PLANES, INC_EMB_TABLES, _KNN_LSH_KEY
+from .textops import _incr_side_sql
+from .util import ORACLE_MD5_LONG, load
+
+_H = ORACLE_MD5_LONG
+
+_CURATE_CACHE: dict = {}
+
+
+def _planted_batch(spark: SparkSession, sf_dir: str):
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    fresh = docs.filter("doc_id % 3 = 0")
+    exact = docs.filter("doc_id % 9 = 1").select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near = docs.filter("doc_id % 9 = 2").select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.array_join(
+            F.slice(w, 3, F.greatest(F.size(w) - 2, F.lit(0))), " "
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    sem = docs.filter("doc_id % 9 = 4").select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        F.array_join(F.reverse(w), " ").alias("text"),
+        "lang", "source", "n_chars",
+    )
+    spam = spark.createDataFrame(
+        [(900001 + i, "spam " * 60, "en", "synthetic", 300) for i in range(5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    batch = (
+        fresh.unionByName(exact).unionByName(near).unionByName(sem).unionByName(spam)
+    )
+    batch_emb = (
+        emb.filter("vec_id % 3 = 0")
+        .unionByName(
+            emb.filter("vec_id % 9 = 2").select(
+                (F.col("vec_id") + 600000).alias("vec_id"),
+                F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+            )
+        )
+        .unionByName(
+            emb.filter("vec_id % 9 = 4").select(
+                (F.col("vec_id") + 800000).alias("vec_id"),
+                F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+            )
+        )
+    )
+    corpus = docs.filter("doc_id % 3 != 0")
+    corpus_emb = emb.filter("vec_id % 3 != 0")
+    return corpus, corpus_emb, batch, batch_emb
+
+
+def corpus_curate_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.table_store import TableStore
+    from ..ops import curation as C
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _CURATE_CACHE.get(key)
+    if got is None:
+        corpus, corpus_emb, batch, batch_emb = _planted_batch(spark, sf_dir)
+        store = TableStore(root=tempfile.mkdtemp(prefix="spark_curate_"))
+        C.bootstrap_corpus(
+            spark, store, corpus, "cur.docs",
+            emb=corpus_emb, dim=EMB_DIM,
+            n_tables=INC_EMB_TABLES, n_planes=INC_EMB_PLANES,
+        )
+        verdicts = C.curate_append(
+            spark, store, batch, "cur.docs", "r07", batch_emb=batch_emb
+        )
+        merged_ids = store.read(spark, "cur.docs").select("doc_id")
+        got = (
+            verdicts.join(
+                merged_ids.withColumn("_in", F.lit(True)), "doc_id", "left"
+            )
+            .select(
+                "doc_id",
+                "verdict",
+                F.coalesce("_in", F.lit(False)).alias("in_corpus"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _CURATE_CACHE[key] = got
+    return got.orderBy("doc_id")
+
+
+def _gate_sql(src: str) -> str:
+    """Gopher-gate CTE chain over ``{src}(doc_id, text)`` → ``gate(doc_id,
+    ok)`` — byte-identical thresholds to DOC_QUALITY_SQL / the hash-checked
+    ``doc_quality_signals`` query."""
+    return f"""g_base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS sp FROM {src}
+),
+g_narrow AS (
+  SELECT doc_id,
+         len(sp) AS n_words,
+         round(list_aggregate(list_transform(sp, w -> length(w)), 'sum')
+               / greatest(len(sp), 1), 4) AS mean_word_len,
+         round(len(list_distinct(sp)) / greatest(len(sp), 1), 4) AS distinct_word_frac,
+         round(1.0 - len(list_distinct(tri)) / greatest(len(tri), 1), 4) AS dup_trigram_frac,
+         round(len(list_filter(sp, w -> regexp_matches(w, '[A-Za-z]')))
+               / greatest(len(sp), 1), 4) AS alpha_word_frac
+  FROM (SELECT doc_id, sp,
+               CASE WHEN len(sp) >= 3
+                 THEN list_transform(range(1, len(sp) - 1),
+                                     i -> array_to_string(list_slice(sp, i, i + 2), ' '))
+                 ELSE [] END AS tri
+        FROM g_base)
+),
+g_bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(sp) >= 2
+           THEN list_transform(range(1, len(sp)),
+                               i -> array_to_string(list_slice(sp, i, i + 1), ' '))
+           ELSE [] END) AS bg
+  FROM g_base
+),
+g_bgc AS (SELECT doc_id, bg, count(*) AS c FROM g_bg GROUP BY 1, 2),
+g_top AS (SELECT doc_id, round(max(c) / sum(c), 4) AS top_bigram_frac FROM g_bgc GROUP BY doc_id),
+gate AS (
+  SELECT n.doc_id,
+         (n_words >= 10 AND n_words <= 100000
+          AND mean_word_len >= 2 AND mean_word_len <= 10
+          AND distinct_word_frac >= 0.2
+          AND dup_trigram_frac <= 0.85
+          AND coalesce(top_bigram_frac, 0.0) <= 0.25
+          AND alpha_word_frac >= 0.8) AS ok
+  FROM g_narrow n LEFT JOIN g_top USING (doc_id)
+)"""
+
+
+def _curate_sql() -> str:
+    jac = (
+        "len(list_intersect(da.sh, db.sh)) "
+        "/ (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))"
+    )
+    return f"""
+WITH RECURSIVE
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0),
+w_src AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS sp, text
+          FROM documents),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 500000, text FROM documents WHERE doc_id % 9 = 1
+  UNION ALL
+  SELECT doc_id + 600000,
+         array_to_string(list_slice(sp, 3, len(sp)), ' ')
+  FROM w_src WHERE doc_id % 9 = 2
+  UNION ALL
+  SELECT doc_id + 800000, array_to_string(list_reverse(sp), ' ')
+  FROM w_src WHERE doc_id % 9 = 4
+  UNION ALL
+  SELECT 900000 + i, repeat('spam ', 60) FROM range(1, 6) t(i)
+),
+{_gate_sql("batch")},
+p1 AS (SELECT doc_id FROM gate WHERE ok),
+bfp AS (SELECT b.doc_id, md5(b.text) AS fp FROM batch b JOIN p1 USING (doc_id)),
+cfp AS (SELECT DISTINCT md5(text) AS fp FROM corpus),
+exc AS (SELECT doc_id FROM bfp WHERE fp IN (SELECT fp FROM cfp)),
+p2a AS (SELECT doc_id, fp FROM bfp WHERE fp NOT IN (SELECT fp FROM cfp)),
+exb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+    FROM p2a
+  ) WHERE rk > 1
+),
+p2 AS (SELECT doc_id FROM p2a WHERE doc_id NOT IN (SELECT doc_id FROM exb)),
+s2src AS (SELECT b.doc_id, b.text FROM batch b JOIN p2 USING (doc_id)),
+{_incr_side_sql("corpus", "o_")},
+{_incr_side_sql("s2src", "n_")},
+candc AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM n_bands x JOIN o_bands y ON x.band = y.band AND x.bh = y.bh
+  WHERE x.id != y.id
+),
+nearc AS (
+  SELECT DISTINCT id_a FROM candc
+  JOIN n_docs2 da ON da.id = id_a
+  JOIN o_docs2 db ON db.id = id_b
+  WHERE {jac} >= 0.5
+),
+p3a AS (SELECT doc_id FROM p2 WHERE doc_id NOT IN (SELECT id_a FROM nearc)),
+candb AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM n_bands x JOIN n_bands y ON x.band = y.band AND x.bh = y.bh
+  WHERE x.id < y.id
+    AND x.id IN (SELECT doc_id FROM p3a) AND y.id IN (SELECT doc_id FROM p3a)
+),
+pairsb AS (
+  SELECT id_a, id_b FROM candb
+  JOIN n_docs2 da ON da.id = id_a
+  JOIN n_docs2 db ON db.id = id_b
+  WHERE {jac} >= 0.5
+),
+edges3 AS (
+  SELECT id_a AS src, id_b AS dst FROM pairsb
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairsb
+),
+walk3(id, r) AS (
+  SELECT src, src FROM edges3
+  UNION
+  SELECT w.id, e.dst FROM walk3 w JOIN edges3 e ON e.src = w.r
+),
+comp3 AS (SELECT id, min(r) AS c FROM walk3 GROUP BY id),
+nearb AS (SELECT id AS doc_id FROM comp3 WHERE id != c),
+p3 AS (SELECT doc_id FROM p3a WHERE doc_id NOT IN (SELECT doc_id FROM nearb)),
+bvec_raw AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 3 = 0
+  UNION ALL
+  SELECT vec_id + 600000, list_transform(embedding::DOUBLE[], x -> x * 1.001)
+  FROM embeddings WHERE vec_id % 9 = 2
+  UNION ALL
+  SELECT vec_id + 800000, list_transform(embedding::DOUBLE[], x -> x * 1.001)
+  FROM embeddings WHERE vec_id % 9 = 4
+),
+bvec AS (SELECT id, v FROM bvec_raw WHERE id IN (SELECT doc_id FROM p3)),
+cvec AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE vec_id % 3 != 0),
+planes AS (
+  SELECT t, p, d, ({_H.format(x=_KNN_LSH_KEY)} % 2001) - 1000 AS w
+  FROM (SELECT unnest(range(0, {INC_EMB_TABLES})) AS t),
+       (SELECT unnest(range(0, {INC_EMB_PLANES})) AS p),
+       (SELECT unnest(range(1, {EMB_DIM + 1})) AS d)
+),
+e_both AS (
+  SELECT id, v, TRUE AS is_new FROM bvec
+  UNION ALL
+  SELECT id, v, FALSE AS is_new FROM cvec
+),
+e_flat AS (
+  SELECT id, is_new, generate_subscripts(v, 1) AS d,
+         CAST(floor(unnest(v) * 1000000 + 0.5) AS BIGINT) AS xq
+  FROM e_both
+),
+e_proj AS (
+  SELECT t, id, is_new, p, sum(xq * w) AS s
+  FROM e_flat JOIN planes USING (d) GROUP BY t, id, is_new, p
+),
+e_sig AS (
+  SELECT t, id, is_new,
+         CAST(sum(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM e_proj GROUP BY t, id, is_new
+),
+hitc AS (
+  SELECT DISTINCT a.id AS doc_id
+  FROM e_sig a JOIN e_sig b ON a.t = b.t AND a.bucket = b.bucket
+  JOIN bvec va ON va.id = a.id
+  JOIN cvec vb ON vb.id = b.id
+  WHERE a.is_new AND NOT b.is_new AND a.id != b.id
+    AND round(list_cosine_similarity(va.v, vb.v), 6) >= 0.999
+),
+p4a AS (SELECT doc_id FROM p3 WHERE doc_id NOT IN (SELECT doc_id FROM hitc)),
+pairse AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM e_sig a JOIN e_sig b ON a.t = b.t AND a.bucket = b.bucket
+  JOIN bvec va ON va.id = a.id
+  JOIN bvec vb ON vb.id = b.id
+  WHERE a.is_new AND b.is_new AND a.id < b.id
+    AND a.id IN (SELECT doc_id FROM p4a) AND b.id IN (SELECT doc_id FROM p4a)
+    AND round(list_cosine_similarity(va.v, vb.v), 6) >= 0.999
+),
+edges4 AS (
+  SELECT id_a AS src, id_b AS dst FROM pairse
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairse
+),
+walk4(id, r) AS (
+  SELECT src, src FROM edges4
+  UNION
+  SELECT w.id, e.dst FROM walk4 w JOIN edges4 e ON e.src = w.r
+),
+comp4 AS (SELECT id, min(r) AS c FROM walk4 GROUP BY id),
+embb AS (SELECT id AS doc_id FROM comp4 WHERE id != c)
+SELECT b.doc_id,
+       CASE
+         WHEN b.doc_id NOT IN (SELECT doc_id FROM p1) THEN 'gate_fail'
+         WHEN b.doc_id IN (SELECT doc_id FROM exc) THEN 'exact_dup_corpus'
+         WHEN b.doc_id IN (SELECT doc_id FROM exb) THEN 'exact_dup_batch'
+         WHEN b.doc_id IN (SELECT id_a FROM nearc) THEN 'near_dup_corpus'
+         WHEN b.doc_id IN (SELECT doc_id FROM nearb) THEN 'near_dup_batch'
+         WHEN b.doc_id IN (SELECT doc_id FROM hitc) THEN 'embedding_dup_corpus'
+         WHEN b.doc_id IN (SELECT doc_id FROM embb) THEN 'embedding_dup_batch'
+         ELSE 'kept'
+       END AS verdict,
+       CASE
+         WHEN b.doc_id NOT IN (SELECT doc_id FROM p1) THEN FALSE
+         WHEN b.doc_id IN (SELECT doc_id FROM exc) THEN FALSE
+         WHEN b.doc_id IN (SELECT doc_id FROM exb) THEN FALSE
+         WHEN b.doc_id IN (SELECT id_a FROM nearc) THEN FALSE
+         WHEN b.doc_id IN (SELECT doc_id FROM nearb) THEN FALSE
+         WHEN b.doc_id IN (SELECT doc_id FROM hitc) THEN FALSE
+         WHEN b.doc_id IN (SELECT doc_id FROM embb) THEN FALSE
+         ELSE TRUE
+       END AS in_corpus
+FROM batch b
+ORDER BY doc_id
+"""
+
+
+def _materialize_ctes(sql: str) -> str:
+    """Force DuckDB to materialize every non-recursive CTE: the verdict
+    CASE references the stage CTEs many times, and DuckDB's default CTE
+    inlining would otherwise duplicate the parquet scan per reference —
+    observed as an fd blow-up ('Too many open files') before this pass.
+    The recursive walks are materialized by definition and are skipped."""
+    import re
+
+    return re.sub(
+        r"(?m)^(?!walk)(\w+) AS \(", r"\1 AS MATERIALIZED (", sql
+    )
+
+
+QUERIES: dict = {
+    "corpus_curate_append": (corpus_curate_append, _materialize_ctes(_curate_sql())),
+}

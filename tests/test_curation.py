@@ -1,0 +1,142 @@
+"""r07: end-to-end incremental curation stage (ops.curation)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _mk_doc(i, words):
+    text = " ".join(words)
+    return (i, text, "en", "src", len(text))
+
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _corpus_rows():
+    # 12+ distinct words each -> passes the Gopher gate
+    base = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split(),
+        "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray".split(),
+        "zulu apple banana cherry date elder fig grape honey iris jasmine kiwi".split(),
+    ]
+    return [_mk_doc(i, w) for i, w in enumerate(base)], base
+
+
+@pytest.fixture()
+def store(tmp_path):
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+
+    return TableStore(root=str(tmp_path / "store"))
+
+
+def test_curate_append_verdicts_and_idempotent_replay(spark, store):
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    rows, base = _corpus_rows()
+    corpus = spark.createDataFrame(rows, DOC_SCHEMA)
+    C.bootstrap_corpus(spark, store, corpus, "cur.docs")
+
+    batch = spark.createDataFrame(
+        [
+            _mk_doc(100, "one two three four five six seven eight nine ten eleven twelve".split()),
+            _mk_doc(101, base[0]),            # exact copy of corpus doc 0
+            _mk_doc(102, base[1][2:]),        # near-dup of corpus doc 1
+            _mk_doc(103, "one two three four five six seven eight nine ten eleven twelve".split()),
+            # ^ batch-internal exact copy of 100 -> min-id 100 wins
+            (104, "spam " * 40, "en", "src", 200),  # repetitive -> gate_fail
+        ],
+        DOC_SCHEMA,
+    )
+    v = C.curate_append(spark, store, batch, "cur.docs", "r1")
+    got = {r["doc_id"]: r["verdict"] for r in v.collect()}
+    assert got == {
+        100: "kept",
+        101: "exact_dup_corpus",
+        102: "near_dup_corpus",
+        103: "exact_dup_batch",
+        104: "gate_fail",
+    }
+    assert store.read(spark, "cur.docs").count() == 4  # 3 corpus + doc 100
+    run = store.read(spark, "cur.docs__runs").collect()[0]
+    assert (run["n_batch"], run["n_kept"], run["n_gate_fail"]) == (5, 1, 1)
+    # kept doc's bands were appended -> a later exact/near batch sees it
+    assert (
+        store.read(spark, "cur.docs__bands")
+        .filter(F.col("id") == 100)
+        .count()
+        > 0
+    )
+
+    # replay the same batch: everything is now a corpus dup or gated;
+    # corpus unchanged, second run row recorded
+    v2 = C.curate_append(spark, store, batch, "cur.docs", "r2")
+    got2 = {r["doc_id"]: r["verdict"] for r in v2.collect()}
+    assert got2[100] == "exact_dup_corpus" and got2[103] == "exact_dup_corpus"
+    assert "kept" not in set(got2.values())
+    assert store.read(spark, "cur.docs").count() == 4
+    assert store.read(spark, "cur.docs__runs").count() == 2
+
+
+def test_curate_append_embedding_stage(spark, store):
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    rows, base = _corpus_rows()
+    corpus = spark.createDataFrame(rows, DOC_SCHEMA)
+    dim = 8
+    emb_rows = [
+        (i, [float((i * 7 + d * 3) % 11 - 5) for d in range(dim)]) for i in range(3)
+    ]
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>")
+    C.bootstrap_corpus(
+        spark, store, corpus, "cur.docs", emb=emb, dim=dim, n_tables=2, n_planes=3
+    )
+
+    # doc 200: fresh text (reversed words of corpus doc 2 -> no shared
+    # 3-shingles) but embedding = corpus vec 2 scaled -> semantic dup
+    batch = spark.createDataFrame(
+        [
+            _mk_doc(200, list(reversed(base[2]))),
+            _mk_doc(201, "red orange yellow green blue indigo violet cyan magenta teal maroon navy".split()),
+        ],
+        DOC_SCHEMA,
+    )
+    batch_emb = spark.createDataFrame(
+        [
+            (200, [x * 1.001 for x in emb_rows[2][1]]),
+            (201, [float(-((d * 5 + 1) % 9) + 4.5) for d in range(dim)]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    v = C.curate_append(spark, store, batch, "cur.docs", "r1", batch_emb=batch_emb)
+    got = {r["doc_id"]: r["verdict"] for r in v.collect()}
+    assert got[200] == "embedding_dup_corpus"
+    assert got[201] == "kept"
+    # kept doc's signature was appended for future batches
+    assert (
+        store.read(spark, "cur.docs__embsig").filter(F.col("id") == 201).count() == 1
+    )
+
+
+def test_curate_append_rejects_duplicate_ids(spark, store):
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    rows, _ = _corpus_rows()
+    C.bootstrap_corpus(spark, store, spark.createDataFrame(rows, DOC_SCHEMA), "cur.docs")
+    dup = spark.createDataFrame([rows[0], rows[0]], DOC_SCHEMA)
+    with pytest.raises(ValueError, match="unique and non-NULL"):
+        C.curate_append(spark, store, dup, "cur.docs", "bad")
+
+
+def test_repair_aux_backfills_missing_bands(spark, store):
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    rows, _ = _corpus_rows()
+    corpus = spark.createDataFrame(rows, DOC_SCHEMA)
+    C.bootstrap_corpus(spark, store, corpus, "cur.docs")
+    # simulate the commit-to-aux crash window: drop doc 2's band rows
+    bands = store.read(spark, "cur.docs__bands")
+    store.overwrite(bands.filter(F.col("id") != 2), "cur.docs__bands")
+    assert C.repair_aux(spark, store, "cur.docs") == 1
+    assert store.read(spark, "cur.docs__bands").filter(F.col("id") == 2).count() > 0
+    assert C.repair_aux(spark, store, "cur.docs") == 0  # converged
