@@ -111,6 +111,7 @@ _SNOWFLAKE_FUNCS = [
     (_re.compile(r"\bDATEADD\s*\(", _re.IGNORECASE), "timestampadd("),
     (_re.compile(r"\bDATEDIFF\s*\(", _re.IGNORECASE), "timestampdiff("),
     (_re.compile(r"\bTO_VARCHAR\s*\(", _re.IGNORECASE), "CAST_TO_STRING("),
+    (_re.compile(r"\bTRY_TO_NUMBER\s*\(", _re.IGNORECASE), "SF_TRY_TO_NUMBER("),
     (_re.compile(r"\bTO_DATE\s*\(", _re.IGNORECASE), "SF_TO_DATE("),
     (_re.compile(r"\bTO_TIMESTAMP\s*\(", _re.IGNORECASE), "SF_TO_TIMESTAMP("),
     (_re.compile(r"\bCREATE\s+OR\s+REPLACE\s+TRANSIENT\s+TABLE\b", _re.IGNORECASE),
@@ -210,12 +211,49 @@ def _h_to_timestamp(args: list[str]) -> str:
     )
 
 
+def _h_try_to_number(args: list[str]) -> str:
+    """Snowflake TRY_TO_NUMBER (r07):
+
+    - 1 arg  -> ``try_cast(x AS DECIMAL(38, 0))`` (Snowflake's default
+      NUMBER(38,0); Spark's ``try_to_number`` REQUIRES a format string so
+      the bare form must become a cast);
+    - 2 args with a literal format -> Spark's native
+      ``try_to_number(x, 'fmt')`` (both dialects use Oracle-style numeric
+      format elements);
+    - 3 args (precision, scale) -> ``try_cast(x AS DECIMAL(p, s))``.
+    """
+    if len(args) == 1:
+        return f"try_cast({args[0]} AS DECIMAL(38, 0))"
+    if len(args) == 2:
+        a1 = args[1].strip()
+        if _re.fullmatch(r"'(?:[^']|'')*'", a1):
+            return f"try_to_number({args[0]}, {a1})"
+        raise NotImplementedError(
+            "translate_snowflake_sql: TRY_TO_NUMBER's second argument must "
+            "be a string-literal format (for precision/scale pass BOTH, "
+            "e.g. TRY_TO_NUMBER(x, 38, 0)) — rewrite by hand"
+        )
+    if len(args) == 3:
+        try:
+            p, s = int(args[1].strip()), int(args[2].strip())
+        except ValueError:
+            raise NotImplementedError(
+                "translate_snowflake_sql: TRY_TO_NUMBER precision/scale "
+                "must be integer literals — rewrite by hand"
+            ) from None
+        return f"try_cast({args[0]} AS DECIMAL({p}, {s}))"
+    raise NotImplementedError(
+        "translate_snowflake_sql: TRY_TO_NUMBER takes 1-3 arguments"
+    )
+
+
 # marker (from _SNOWFLAKE_FUNCS rewrites) -> replacement builder over the
 # extracted top-level argument list
 _MARKER_HANDLERS = [
     ("CAST_TO_STRING(", _h_to_varchar),
     ("SF_TO_DATE(", _h_to_date),
     ("SF_TO_TIMESTAMP(", _h_to_timestamp),
+    ("SF_TRY_TO_NUMBER(", _h_try_to_number),
 ]
 
 
@@ -412,12 +450,21 @@ def translate_snowflake_sql(stmt: str) -> str:
       ``timestampdiff`` (same argument order), single-arg ``TO_VARCHAR(x)``
       -> ``CAST(x AS STRING)``, datetime-format ``TO_VARCHAR(x, 'fmt')``
       -> ``date_format(x, '<translated fmt>')`` (numeric formats refused);
+    - ``TRY_TO_NUMBER(x)`` -> ``try_cast(x AS DECIMAL(38, 0))`` /
+      ``TRY_TO_NUMBER(x, p, s)`` -> ``try_cast(x AS DECIMAL(p, s))``
+      (Spark's ``try_to_number`` requires a format string; the 2-arg
+      literal-format form maps onto it directly);
     - ``CREATE [OR REPLACE] TRANSIENT TABLE`` -> the non-transient form
       (the engine's TableStore/temp views stand in for transience).
 
     String literals, quoted identifiers, and comments are never touched.
-    Already-Spark-compatible constructs (``GROUP BY ALL``, ``ILIKE``,
-    ``::`` casts, ``LISTAGG`` — all native in Spark 4) pass through.
+    Already-Spark-compatible constructs pass through UNCHANGED because
+    Spark 4 is natively compatible — probed and test-pinned
+    (``test_sql_script.py``): ``GROUP BY ALL``, ``ILIKE``, ``::`` casts,
+    ``NVL``/``NVL2``/``ZEROIFNULL``, and ``LISTAGG`` including
+    ``WITHIN GROUP (ORDER BY ...)`` and ``DISTINCT`` (bare LISTAGG keeps
+    both dialects' unspecified-order semantics — sort with WITHIN GROUP
+    when determinism matters).
     """
     return _rewrite_qualify(_apply_func_maps(stmt))
 

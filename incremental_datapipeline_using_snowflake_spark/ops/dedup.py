@@ -461,6 +461,77 @@ def repeated_passages(
     )
 
 
+def maximal_repeated_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """VARIABLE-LENGTH passage dedup (r07): merge adjacent surviving
+    fixed-k windows into MAXIMAL repeated passages — the per-document
+    spans Lee et al. 2022's suffix-array pass would excise, recovered from
+    the fixed-window approximation of :func:`repeated_passages`.
+
+    A window survives if its k-word content appears in >= ``min_docs``
+    distinct documents. Because :func:`passage_keys_col` emits one rolling
+    key per STARTING POSITION, adjacency of surviving windows is a ``+1``
+    check on the position — so maximal spans fall out of one
+    gaps-and-islands pass (``pos - row_number()`` constant per
+    consecutive run) over the survival table, a single window function
+    over pass-1 output. A doc whose words ``s .. e+k-1`` are all covered
+    by surviving windows yields ONE island ``(s, e)`` → the maximal span
+    of ``e - s + k`` words.
+
+    Scale shape: pass 1 is the narrow counting pass of
+    ``repeated_passages`` (long keys only cross the wire — never passage
+    strings); the survival semi-join broadcasts the candidate key set;
+    the islands window shuffles only (id, pos) pairs of DUPLICATED
+    regions; string recovery joins the (small) island table back to the
+    word arrays once. Same 64-bit-collision caveat as the narrow
+    strategy.
+
+    Output: ``(id_col, start_pos, n_words, passage)`` — one row per
+    maximal island, ``start_pos`` the 0-based word index.
+    """
+    from pyspark.sql import Window as W
+
+    keys = passage_keys_col(F.col(text_col), k)
+    hashed = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(keys).alias("_pos", "_pkey")
+    ).filter(F.col("_pkey").isNotNull())
+    cand = (
+        hashed.groupBy("_pkey")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_pkey")
+    )
+    surv = hashed.join(F.broadcast(cand), "_pkey").select("_id", "_pos")
+    w = W.partitionBy("_id").orderBy("_pos")
+    islands = (
+        surv.withColumn("_grp", F.col("_pos") - F.row_number().over(w))
+        .groupBy("_id", "_grp")
+        .agg(F.min("_pos").alias("_s"), F.max("_pos").alias("_e"))
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), words_col(F.col(text_col)).alias("_w"))
+        .join(islands, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_s").alias("start_pos"),
+            (F.col("_e") - F.col("_s") + k).alias("n_words"),
+            F.array_join(
+                F.slice(
+                    F.col("_w"),
+                    F.col("_s") + F.lit(1),
+                    F.col("_e") - F.col("_s") + F.lit(k),
+                ),
+                " ",
+            ).alias("passage"),
+        )
+    )
+
+
 def cross_corpus_overlap(
     corpus: DataFrame,
     bench: DataFrame,

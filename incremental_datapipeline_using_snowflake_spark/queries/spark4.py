@@ -314,6 +314,55 @@ ORDER BY o_orderkey
 
 
 # ---------------------------------------------------------------------------
+# snowflake_dialect_misc (r07) — the NVL-family / LISTAGG / TRY_TO_NUMBER
+# surface a Snowflake-SQL user hits immediately. NVL/NVL2/ZEROIFNULL and
+# LISTAGG (incl. WITHIN GROUP + DISTINCT) are NATIVE in Spark 4 and must
+# pass through the shim untouched; TRY_TO_NUMBER is translated (bare ->
+# try_cast DECIMAL(38,0), (p,s) -> try_cast DECIMAL(p,s)) because Spark's
+# try_to_number demands a format string. The oracle executes the
+# hand-rewritten standard SQL (string_agg / COALESCE / CASE / TRY_CAST).
+# ---------------------------------------------------------------------------
+SNOWFLAKE_MISC_SQL = """
+SELECT c_mktsegment,
+       LISTAGG(DISTINCT TO_VARCHAR(c_nationkey), ',')
+         WITHIN GROUP (ORDER BY TO_VARCHAR(c_nationkey)) AS nations,
+       SUM(ZEROIFNULL(TRY_TO_NUMBER(SUBSTR(c_name, 10, 9)))) AS custkey_sum,
+       SUM(ZEROIFNULL(TRY_TO_NUMBER(SUBSTR(c_name, 1, 4)))) AS alpha_sum,
+       NVL(MIN(NULLIF(c_mktsegment, c_mktsegment)), 'none') AS nvl_default,
+       NVL2(MAX(c_name), 'has_name', 'no_name') AS nvl2_flag,
+       TRY_TO_NUMBER(MIN(c_name), 4, 1) AS try_prec
+FROM {customer}
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def snowflake_dialect_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sql_script import run_sql_script
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("sfm_customer")
+    return run_sql_script(
+        spark, SNOWFLAKE_MISC_SQL.format(customer="sfm_customer"),
+        dialect="snowflake",
+    )
+
+
+SNOWFLAKE_MISC_ORACLE = """
+SELECT c_mktsegment,
+       string_agg(DISTINCT CAST(c_nationkey AS VARCHAR), ','
+                  ORDER BY CAST(c_nationkey AS VARCHAR)) AS nations,
+       SUM(COALESCE(TRY_CAST(substr(c_name, 10, 9) AS DECIMAL(38, 0)), 0)) AS custkey_sum,
+       SUM(COALESCE(TRY_CAST(substr(c_name, 1, 4) AS DECIMAL(38, 0)), 0)) AS alpha_sum,
+       COALESCE(MIN(NULLIF(c_mktsegment, c_mktsegment)), 'none') AS nvl_default,
+       CASE WHEN MAX(c_name) IS NOT NULL THEN 'has_name' ELSE 'no_name' END AS nvl2_flag,
+       TRY_CAST(MIN(c_name) AS DECIMAL(4, 1)) AS try_prec
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # sql_session_variables — Spark 4 session variables + EXECUTE IMMEDIATE:
 # the Snowflake-scripting parity surface (the reference's procedures build
 # SQL strings and bind parameters; Snowflake scripting uses variables —
@@ -365,4 +414,5 @@ QUERIES: dict = {
         snowflake_dialect_datetime,
         SNOWFLAKE_DATETIME_ORACLE,
     ),
+    "snowflake_dialect_misc": (snowflake_dialect_misc, SNOWFLAKE_MISC_ORACLE),
 }

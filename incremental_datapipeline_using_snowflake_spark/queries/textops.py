@@ -719,6 +719,51 @@ LIMIT {PASSAGE_TOP}
 
 
 # ---------------------------------------------------------------------------
+# passage_dedup_maximal (r07) — variable-length form: adjacent surviving
+# k-windows merged into MAXIMAL repeated passages (one gaps-and-islands
+# window pass over the counting-pass output); the per-doc excision spans of
+# Lee et al. 2022. Oracle replays window survival by string equality and
+# the same pos - row_number() island arithmetic.
+# ---------------------------------------------------------------------------
+def passage_dedup_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        D.maximal_repeated_passages(docs, k=PASSAGE_K, min_docs=2)
+        .orderBy(F.desc("n_words"), "doc_id", "start_pos")
+        .limit(PASSAGE_TOP)
+    )
+
+
+PASSAGE_MAXIMAL_SQL = f"""
+WITH sp AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(w, i, i + {PASSAGE_K - 1}), ' ') AS passage
+  FROM sp, LATERAL (SELECT unnest(range(1, len(w) - {PASSAGE_K - 2})) AS i)
+),
+cand AS (
+  SELECT passage FROM wins GROUP BY passage HAVING count(DISTINCT doc_id) >= 2
+),
+surv AS (SELECT doc_id, pos FROM wins WHERE passage IN (SELECT passage FROM cand)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM surv
+),
+islands AS (
+  SELECT doc_id, min(pos) AS s, max(pos) AS e FROM isl GROUP BY doc_id, grp
+)
+SELECT i.doc_id, s AS start_pos, e - s + {PASSAGE_K} AS n_words,
+       array_to_string(list_slice(d.w, s + 1, e + {PASSAGE_K}), ' ') AS passage
+FROM islands i JOIN sp d USING (doc_id)
+ORDER BY n_words DESC, doc_id, start_pos
+LIMIT {PASSAGE_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # bpe_pair_counts — corpus-wide adjacent-character-pair frequencies: the
 # argmax statistic of the first BPE merge (tokenizer induction primitive).
 # ---------------------------------------------------------------------------
@@ -1303,6 +1348,7 @@ QUERIES: dict = {
     "dataset_split": (dataset_split, _dataset_split_sql()),
     "corpus_mixture": (corpus_mixture, _corpus_mixture_sql()),
     "passage_dedup": (passage_dedup, PASSAGE_DEDUP_SQL),
+    "passage_dedup_maximal": (passage_dedup_maximal, PASSAGE_MAXIMAL_SQL),
     "bpe_pair_counts": (bpe_pair_counts_q, BPE_PAIRS_SQL),
     "stratified_sample_n": (stratified_sample_n, STRATIFIED_N_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),

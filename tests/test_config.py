@@ -185,6 +185,49 @@ def test_translate_to_varchar_with_literal_argument():
         tr("SELECT TO_VARCHAR(x, 'QQQ') FROM t")
 
 
+def test_translate_try_to_number_and_native_passthroughs(spark):
+    """r07: TRY_TO_NUMBER translation (bare -> DECIMAL(38,0) try_cast,
+    (p,s) -> DECIMAL(p,s), literal format -> native try_to_number) and the
+    PIN that NVL/NVL2/ZEROIFNULL/LISTAGG are Spark-4-native passthroughs —
+    if a Spark upgrade drops one, this test catches the shim gap."""
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.functions.sql_script import (
+        translate_snowflake_sql as tr,
+    )
+
+    assert (
+        tr("SELECT TRY_TO_NUMBER(x) FROM t")
+        == "SELECT try_cast(x AS DECIMAL(38, 0)) FROM t"
+    )
+    assert (
+        tr("SELECT TRY_TO_NUMBER(substr(x, 1, 2), 10, 2) FROM t")
+        == "SELECT try_cast(substr(x, 1, 2) AS DECIMAL(10, 2)) FROM t"
+    )
+    assert (
+        tr("SELECT TRY_TO_NUMBER(x, '999.99') FROM t")
+        == "SELECT try_to_number(x, '999.99') FROM t"
+    )
+    with _pytest.raises(NotImplementedError, match="string-literal format"):
+        tr("SELECT TRY_TO_NUMBER(x, some_col) FROM t")
+    with _pytest.raises(NotImplementedError, match="integer literals"):
+        tr("SELECT TRY_TO_NUMBER(x, p, s) FROM t")
+
+    # native passthroughs: the shim must NOT touch them, and Spark must
+    # actually execute them (both asserted)
+    for sf in [
+        "SELECT NVL(NULL, 3) AS v",
+        "SELECT NVL2(1, 'a', 'b') AS v",
+        "SELECT ZEROIFNULL(NULL) AS v",
+        "SELECT LISTAGG(c, ',') WITHIN GROUP (ORDER BY c DESC) AS v "
+        "FROM VALUES ('a'), ('b') t(c)",
+        "SELECT LISTAGG(DISTINCT c, ',') WITHIN GROUP (ORDER BY c) AS v "
+        "FROM VALUES ('a'), ('a'), ('b') t(c)",
+    ]:
+        assert tr(sf) == sf
+        spark.sql(sf).collect()
+
+
 def test_translate_nested_qualify():
     """r06: depth>0 QUALIFY scopes rewrite innermost-first; the DISTINCT
     refusal still raises (now from any scope); unrewritable scopes are left

@@ -614,6 +614,39 @@ def test_repeated_passages_finds_planted_boilerplate(spark):
     assert all("whatsoever" not in r["passage"] for r in got)
 
 
+def test_maximal_repeated_passages_merges_adjacent_windows(spark):
+    """r07: a shared 12-word run with k=8 survives as 5 adjacent windows
+    that must merge into ONE maximal island per doc; a doc sharing only a
+    prefix of the run gets its own shorter island."""
+    from incremental_datapipeline_using_snowflake_spark.ops.dedup import (
+        maximal_repeated_passages,
+    )
+
+    boiler = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"  # 12 words
+    prefix = "w1 w2 w3 w4 w5 w6 w7 w8 w9"  # first 9 -> 2 windows
+    rows = [
+        (1, "intro words here then " + boiler + " closing remark"),
+        (2, boiler + " trailing content words"),
+        (3, "other lead-in stuff goes right here " + prefix),
+        (4, "nothing shared with anything else in this tiny corpus at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["start_pos"]): r
+        for r in maximal_repeated_passages(df, k=8, min_docs=2).collect()
+    }
+    # docs 1+2: full 12-word run -> one island each, merged from 5 windows
+    assert got[(1, 4)]["n_words"] == 12 and got[(1, 4)]["passage"] == boiler
+    assert got[(2, 0)]["n_words"] == 12 and got[(2, 0)]["passage"] == boiler
+    # doc 3: only the 9-word prefix repeats (2 windows -> one 9-word island)
+    assert got[(3, 6)]["n_words"] == 9 and got[(3, 6)]["passage"] == prefix
+    # doc 1 and 2 do NOT emit a separate island for the prefix — it is
+    # subsumed by their maximal 12-word island
+    assert len([k for k in got if k[0] == 1]) == 1
+    assert len([k for k in got if k[0] == 2]) == 1
+    assert all(k[0] != 4 for k in got)
+
+
 def test_bpe_pair_counts_weighted_by_occurrence(spark):
     from incremental_datapipeline_using_snowflake_spark.ops.textprep import bpe_pair_counts
 
