@@ -18,8 +18,10 @@ PCM) parser, and (r06) a full numpy baseline-JPEG decoder with a fixture
 encoder; ``media_decoder`` / ``image_resizer`` plug straight into
 ``decode_media(decoder=)`` / ``resize_media(resizer=)`` — the mapInPandas
 path is exercised with actual JPEG/PPM/WAV bytes in
-``tests/test_multimodal.py``, not only the deterministic fake. Only MP4
-video remains library-blocked.
+``tests/test_multimodal.py``, not only the deterministic fake. Video is
+real for Motion-JPEG in both mainstream containers (RIFF/AVI r06, ISO
+BMFF/MP4 r07); only non-JPEG entropy coders (H.264/HEVC/AV1) remain
+library-blocked, refusing by codec name.
 """
 
 from __future__ import annotations

@@ -310,7 +310,7 @@ def test_avi_mjpeg_video_real_codec(spark):
         assert (w, h, nc) == (24, 16, 3)
         assert np.abs(px.astype(int) - src.astype(int)).max() <= 4
 
-    # non-AVI video bytes still fail loudly (MP4 remains library-blocked)
+    # truncated MP4 bytes (ftyp with no moov) still fail loudly
     import pytest as _pytest
 
     bad = spark.createDataFrame(
@@ -319,3 +319,46 @@ def test_avi_mjpeg_video_real_codec(spark):
     )
     with _pytest.raises(Exception):
         M.decode_media(bad, decoder=C.media_decoder).collect()
+
+
+def test_mp4_mjpeg_video_real_codec(spark):
+    """r07: Motion-JPEG MP4 closes the last stubbed container — ISO BMFF
+    sample tables (stsd/stsz/stsc/stco with multi-sample chunks) locate
+    real baseline-JPEG samples end-to-end through Spark, and H.264 sample
+    entries refuse by codec name instead of a generic stub."""
+    from incremental_datapipeline_using_snowflake_spark.ops import codecs as C
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    frames = [
+        (rng.integers(0, 255, size=(16, 24, 3)) // 16 * 16).astype(np.uint8)
+        for _ in range(5)  # odd count -> trailing 1-sample chunk, 2 stsc runs
+    ]
+    mp4 = C.encode_mp4_mjpeg(frames, fps=10)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(mp4))],
+        "doc_id long, media_type string, payload binary",
+    )
+
+    meta = M.decode_media(media, decoder=C.media_decoder).collect()[0]
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (24, 16, 5)
+
+    out = M.sample_frames(
+        media, every_nth=2, extractor=C.video_frame_extractor
+    ).collect()
+    assert [r["frame_idx"] for r in out] == [0, 1, 2]  # samples 0, 2, 4
+    for r, src in zip(out, frames[::2]):
+        w, h, nc, px = C.decode_jpeg(bytes(r["frame"]))
+        assert (w, h, nc) == (24, 16, 3)
+        assert np.abs(px.astype(int) - src.astype(int)).max() <= 4
+
+    # an H.264 track refuses with the codec named, not a generic error
+    import pytest as _pytest
+
+    avc = spark.createDataFrame(
+        [(2, "video", bytearray(mp4.replace(b"jpeg", b"avc1", 1)))],
+        "doc_id long, media_type string, payload binary",
+    )
+    with _pytest.raises(Exception, match="avc1"):
+        M.decode_media(avc, decoder=C.media_decoder).collect()
