@@ -893,3 +893,170 @@ def fuzzy_probe_join(
         joined.select("probe_id", "probe_text", "id", "text", dist.alias("distance"))
         .filter(F.col("distance") >= 0)  # thresholded form returns -1 past d
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter corpus membership (r07): the fast path for incremental EXACT
+# dedup. The incremental forms above join every batch against the corpus
+# fingerprint table; at 100 TB that join touches a ~10^11-row table nightly
+# even though ~99% of a typical crawl batch is new. A Bloom sketch over the
+# corpus fingerprints (16 bits/member -> ~0.1-1% false positives at k=5)
+# is ~1/40th the fingerprint table's bytes, is mergeable (bit_or by word,
+# the HLL/CMS discipline of ops/sketches.py), and has NO false negatives —
+# so "definitely new" rows skip the corpus entirely and only probable hits
+# pay the exact semi-join. Bit positions derive from the portable md5 hash,
+# so the whole sketch replays bit-exactly in the DuckDB oracle.
+#
+# Words pack 62 bits per BIGINT, not 64: DuckDB raises on 1::BIGINT << 63
+# (overflow) where Spark wraps, so shifts are capped at 61 to keep the two
+# engines' arithmetic identical. 97% packing density is kept.
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 5
+BLOOM_WORD_BITS = 62
+BLOOM_BITS_PER_MEMBER = 16
+
+
+def bloom_m_bits(n_members: int, bits_per_member: int = BLOOM_BITS_PER_MEMBER) -> int:
+    """Word-aligned sketch width for ``n_members`` expected members.
+
+    16 bits/member with k=5 gives a ~0.14% theoretical false-positive rate
+    ((1 - e^(-5/16))^5); the width is rounded UP to a whole number of
+    62-bit words so the Spark and SQL word arithmetic agree exactly.
+    """
+    words = (bits_per_member * max(n_members, 1) + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS
+    return words * BLOOM_WORD_BITS
+
+
+def _bloom_positions(fp: Column, m_bits: int, k: int) -> list[Column]:
+    """k independent bit positions in [0, m_bits) from the portable md5
+    hash. Oracle twin per position i:
+    ``('0x' || substr(md5('bf' || i || ':' || fp), 1, 15))::BIGINT % m``."""
+    from ..queries.util import md5_long
+
+    return [
+        md5_long(F.concat(F.lit(f"bf{i}:"), fp)) % m_bits for i in range(k)
+    ]
+
+
+def fingerprint_bloom(
+    fps: DataFrame,
+    m_bits: int,
+    fp_col: str = "fp",
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Build the Bloom word table ``(word BIGINT, bits BIGINT)`` over a
+    fingerprint column — the persisted form (store it next to the corpus
+    like the MinHash band table ``curation.bootstrap_corpus`` keeps).
+
+    One narrow projection -> explode(k positions) -> groupBy(word) with a
+    map-side-combining ``bit_or``: the shuffle carries at most
+    min(k*|fps|, m/62) word rows, never documents. Mergeable: the union
+    corpus's sketch is ``bit_or`` of the parts' sketches by word — append
+    batches without rebuilding (test-pinned).
+    """
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(fp_col), m_bits, k))
+    ).alias("pos")
+    return (
+        fps.select(pos)
+        .select(
+            F.floor(F.col("pos") / BLOOM_WORD_BITS).cast("long").alias("word"),
+            # shiftleft's Python wrapper takes only a literal shift count;
+            # the SQL form accepts a column (shift <= 61, so no overflow)
+            F.expr(f"shiftleft(1L, CAST(pos % {BLOOM_WORD_BITS} AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_maybe_member(
+    batch_fps: DataFrame,
+    bloom: DataFrame,
+    m_bits: int,
+    fp_col: str = "fp",
+    id_col: str = "id",
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Probe the sketch: ``(id, maybe_member)`` — ``maybe_member`` is TRUE
+    iff ALL k bits are set. FALSE is definitive (no false negatives);
+    TRUE is probabilistic at the documented ~0.1% envelope.
+
+    Cost ∝ batch: k probe rows per batch doc join the word table on
+    ``word`` (m/62 rows — at 10^11 members ~4 GB of words, a partitioned
+    equi-join; at toy scale AQE broadcasts it), then an all-bits
+    ``bool_and`` per id. The corpus itself is never touched.
+    """
+    probes = batch_fps.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(*_bloom_positions(F.col(fp_col), m_bits, k))
+        ).alias("pos"),
+    ).select(
+        "id",
+        F.floor(F.col("pos") / BLOOM_WORD_BITS).cast("long").alias("word"),
+        F.expr(f"shiftleft(1L, CAST(pos % {BLOOM_WORD_BITS} AS INT))").alias("mask"),
+    )
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(F.col("mask"))
+        == F.col("mask")
+    )
+    return (
+        probes.join(bloom, "word", "left")
+        .select("id", hit.alias("_hit"))
+        .groupBy("id")
+        .agg(F.bool_and("_hit").alias("maybe_member"))
+    )
+
+
+def incremental_exact_dedup_bloom(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bloom: DataFrame | None = None,
+    m_bits: int | None = None,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Exact-duplicate-of-corpus status for an incoming batch with a Bloom
+    pre-filter: ``(id, maybe_member, is_corpus_dup)``.
+
+    Rows the sketch rules out (``maybe_member`` FALSE — the ~99% fast path
+    of a real crawl batch) are marked new WITHOUT ever joining the corpus;
+    only probable hits pay the exact fingerprint join, so the expensive
+    side is bounded by true duplicates + the ~0.1% false-positive sliver
+    instead of |batch|. No false negatives means the output is EXACT —
+    identical to the plain batch-vs-corpus join, just cheaper — which is
+    what the oracle replay checks.
+
+    ``bloom``/``m_bits`` default to building the sketch from the corpus in
+    this call (the declared-query shape); production passes the persisted
+    sketch (``fingerprint_bloom`` output, maintained by ``bit_or``-merging
+    each appended batch's sketch) so per-run cost is ∝ batch.
+    """
+    corp_fp = corpus.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+    if m_bits is None:
+        m_bits = bloom_m_bits(corp_fp.count())
+    if bloom is None:
+        bloom = fingerprint_bloom(corp_fp, m_bits, k=k)
+    batch_fp = batch.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("fp")
+    )
+    probed = batch_fp.join(
+        bloom_maybe_member(batch_fp, bloom, m_bits, k=k), "id"
+    )
+    fresh = probed.filter(~F.col("maybe_member")).withColumn(
+        "is_corpus_dup", F.lit(False)
+    )
+    checked = (
+        probed.filter(F.col("maybe_member"))
+        .join(corp_fp.withColumn("_in", F.lit(True)), "fp", "left")
+        .select(
+            "id", "maybe_member",
+            F.coalesce(F.col("_in"), F.lit(False)).alias("is_corpus_dup"),
+        )
+    )
+    return fresh.select("id", "maybe_member", "is_corpus_dup").unionByName(checked)

@@ -1340,6 +1340,72 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_bloom_membership — Bloom-filter corpus membership, the fast path of
+# incremental EXACT dedup (ops/dedup.py r07). Corpus = documents with
+# doc_id % 10 >= 2; the probe batch plants guaranteed members (corpus rows
+# re-identified at +1000000) and guaranteed non-members (other documents
+# with a suffix no corpus text carries). The sketch — md5-derived bit
+# positions packed 62 per BIGINT word — replays bit-exactly in DuckDB, so
+# the hash compare pins maybe_member (sketch arithmetic) AND is_corpus_dup
+# (the exact verdict the Bloom merely accelerates) per row.
+# ---------------------------------------------------------------------------
+def dedup_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 >= 2)
+    batch = (
+        corpus.filter((F.col("doc_id") % 10).isin(2, 3))
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 < 2).select(
+                "doc_id", F.concat(F.col("text"), F.lit(" [novel-r07]")).alias("text")
+            )
+        )
+    )
+    out = D.incremental_exact_dedup_bloom(batch, corpus)
+    return out.select(
+        F.col("id").alias("doc_id"), "maybe_member", "is_corpus_dup"
+    ).orderBy("doc_id")
+
+
+def _bloom_sql() -> str:
+    k, wb, bpm = D.BLOOM_K, D.BLOOM_WORD_BITS, D.BLOOM_BITS_PER_MEMBER
+    pos = ORACLE_MD5_LONG.format(x="('bf' || i || ':' || fp)") + " % (SELECT m FROM params)"
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2),
+batch AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM corpus WHERE doc_id % 10 IN (2, 3)
+  UNION ALL
+  SELECT doc_id, text || ' [novel-r07]' AS text FROM documents WHERE doc_id % 10 < 2
+),
+corp_fp AS (SELECT DISTINCT md5(text) AS fp FROM corpus),
+params AS (
+  SELECT (({bpm} * greatest(count(*), 1) + {wb - 1}) // {wb}) * {wb} AS m FROM corp_fp
+),
+bloom AS (
+  SELECT pos // {wb} AS word, bit_or(1::BIGINT << (pos % {wb})::INT) AS bits
+  FROM (
+    SELECT {pos} AS pos FROM corp_fp, range({k}) t(i)
+  ) GROUP BY 1
+),
+batch_fp AS (SELECT doc_id, md5(text) AS fp FROM batch),
+probe AS (
+  SELECT doc_id, pos // {wb} AS word, 1::BIGINT << (pos % {wb})::INT AS mask
+  FROM (
+    SELECT doc_id, {pos} AS pos FROM batch_fp, range({k}) t(i)
+  )
+),
+probed AS (
+  SELECT doc_id, bool_and((coalesce(bits, 0) & mask) = mask) AS maybe_member
+  FROM probe LEFT JOIN bloom USING (word) GROUP BY doc_id
+)
+SELECT b.doc_id, p.maybe_member,
+       (p.maybe_member AND b.fp IN (SELECT fp FROM corp_fp)) AS is_corpus_dup
+FROM batch_fp b JOIN probed p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict = {
     "text_profile": (text_profile, _text_profile_sql()),
     "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SQL),
@@ -1367,4 +1433,5 @@ QUERIES: dict = {
     "weighted_sample_docs": (weighted_sample_docs, _weighted_sample_sql()),
     "doc_text_knn": (doc_text_knn, _text_knn_sql()),
     "doc_nb_quality": (doc_nb_quality, NB_QUALITY_SQL),
+    "dedup_bloom_membership": (dedup_bloom_membership, _bloom_sql()),
 }

@@ -1222,3 +1222,78 @@ def test_compression_ratio_separates_repetition(spark):
         assert out[i]["ratio_ppm"] == int(len(comp) / len(raw) * 1e6 + 0.5)
     assert out[1]["ratio_ppm"] < 100_000  # heavy repetition
     assert out[2]["ratio_ppm"] > 500_000  # varied prose
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter corpus membership (r07)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fp_envelope(spark):
+    """Every planted member is flagged maybe_member (the hard Bloom
+    guarantee), and the false-positive rate over planted non-members stays
+    within 3x the theoretical envelope for 16 bits/member, k=5."""
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} about topic {i % 17}") for i in range(400)],
+        "doc_id long, text string",
+    )
+    members = spark.createDataFrame(
+        [(10000 + i, f"corpus document number {i} about topic {i % 17}")
+         for i in range(0, 400, 4)],
+        "doc_id long, text string",
+    )
+    novel = spark.createDataFrame(
+        [(20000 + i, f"novel probe text {i} never ingested") for i in range(2000)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: (r["maybe_member"], r["is_corpus_dup"])
+        for r in D.incremental_exact_dedup_bloom(
+            members.unionByName(novel), corpus
+        ).collect()
+    }
+    for i in range(0, 400, 4):  # members: flagged AND exactly confirmed
+        assert out[10000 + i] == (True, True)
+    fps = sum(1 for i in range(2000) if out[20000 + i][0])
+    assert all(not out[20000 + i][1] for i in range(2000))  # exact verdict never lies
+    # theoretical p = (1 - e^(-k/16))^k ~= 0.0014 -> 3x envelope on 2000 probes
+    assert fps <= max(3 * 0.0014 * 2000, 12)
+
+
+def test_bloom_mergeable_by_bit_or(spark):
+    """bit_or-merging two half-corpus sketches equals the union sketch —
+    the append-without-rebuild property the persisted form relies on."""
+    fps_a = spark.createDataFrame([(f"fp{i}",) for i in range(100)], "fp string")
+    fps_b = spark.createDataFrame([(f"fp{i}",) for i in range(100, 200)], "fp string")
+    m = D.bloom_m_bits(200)
+    merged = (
+        D.fingerprint_bloom(fps_a, m)
+        .unionByName(D.fingerprint_bloom(fps_b, m))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    union = D.fingerprint_bloom(fps_a.unionByName(fps_b), m)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, union.collect()))
+
+
+def test_bloom_fast_path_skips_corpus_scan(spark):
+    """The definitely-new branch never references the corpus relation: with
+    a precomputed sketch, the plan for an all-novel batch resolved through
+    the fast-path filter contains no join against corpus fingerprints."""
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id long, text string"
+    )
+    m = D.bloom_m_bits(50)
+    corp_fp = corpus.select(F.md5("text").alias("fp")).distinct()
+    bloom = D.fingerprint_bloom(corp_fp, m).cache()
+    bloom.count()
+    batch = spark.createDataFrame(
+        [(1000 + i, f"unseen {i}") for i in range(20)], "doc_id long, text string"
+    )
+    batch_fp = batch.select(F.col("doc_id").alias("id"), F.md5("text").alias("fp"))
+    probed = D.bloom_maybe_member(batch_fp, bloom, m)
+    rows = probed.collect()
+    # the probe itself touched only the 20-row batch and the word table
+    assert len(rows) == 20
+    novel = [r["id"] for r in rows if not r["maybe_member"]]
+    assert len(novel) >= 19  # at most the fp envelope leaks into the slow path
