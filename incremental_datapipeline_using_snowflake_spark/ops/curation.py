@@ -20,8 +20,20 @@ stage-composition discipline to the LLM-data domain.
 Scale posture (the 100 TB question) — every per-run cost is proportional
 to the BATCH, never the corpus:
 
-- the corpus is consulted only through (a) a two-column (id, fingerprint)
-  scan for exact dedup — column-pruned at the parquet reader; (b) the
+- exact dedup consults the corpus through the STORED ``<corpus>__bloom``
+  membership sketch first (r07 — ``ops.dedup.fingerprint_bloom``, ~1/40th
+  the fingerprint column's bytes): batch rows the sketch rules out — the
+  ~99%-new common case — are marked new with ZERO corpus access, and when
+  an entire batch is ruled out the corpus fingerprint scan is skipped
+  outright; only probable hits (true dups + the ~0.1% false-positive
+  sliver) pay the exact two-column (id, fingerprint) corpus scan. The
+  sketch is sized at bootstrap for ``bloom_headroom``× corpus growth
+  (frozen-structure discipline, like the LSH plane count below — FP rate
+  degrades gracefully past that, costing fast-path coverage, never
+  correctness) and maintained per run by appending the kept batch's
+  sketch words (readers ``bit_or``-fold deltas by word);
+- when the exact join does run, it scans (a) that (id, fingerprint)
+  column-pruned projection; the other corpus touchpoints are (b) the
   STORED ``<corpus>__bands`` MinHash band table (computed once at
   bootstrap, appended per run — the corpus is never re-shingled); (c) the
   STORED ``<corpus>__embsig`` LSH signature table (ditto); (d) a
@@ -31,15 +43,20 @@ to the BATCH, never the corpus:
 - the MERGE broadcasts the kept batch against the corpus
   (``merge_upsert`` default) — the corpus is scanned once, not shuffled.
 
-Aux-table consistency: band/signature rows for kept docs are appended
-AFTER the transaction commits (the staged transaction supports overwrite
-only, and rewriting the band table inside it would be O(corpus)). The
-crash window is the same at-least-once contract as
+Aux-table consistency: band/signature/bloom rows for kept docs are
+appended AFTER the transaction commits (the staged transaction supports
+overwrite only, and rewriting the band table inside it would be
+O(corpus)). The crash window is the same at-least-once contract as
 ``stream_ingest_ivf``'s marker append: a crash between commit and the aux
 appends leaves kept docs missing from the band table, so
 :func:`repair_aux` (an ids-only anti-join, narrow-column cost) backfills
 them; duplicate aux rows from a replayed append are harmless because both
-candidate generators ``.distinct()`` their pair sets.
+candidate generators ``.distinct()`` their pair sets. The same window can
+leave kept docs out of the Bloom sketch — that costs only verdict labels
+on a replay (the doc re-merges idempotently and is re-marked kept instead
+of exact_dup_corpus; corpus content is unaffected), and
+:func:`rebuild_bloom` restores the sketch with one narrow corpus scan
+(also the periodic delta-compaction path).
 
 Structure freezing: the embedding-LSH plane count is pinned at bootstrap
 (``<corpus>__curation_meta``) — the same frozen-structure discipline as
@@ -58,6 +75,9 @@ from .dedup import (
     _band_rows,
     _shingle_docs,
     _signatures_from_shingles,
+    bloom_m_bits,
+    bloom_maybe_member,
+    fingerprint_bloom,
     jaccard,
 )
 from .graph import dedup_keep_decisions
@@ -125,14 +145,28 @@ def bootstrap_corpus(
     dim: int | None = None,
     n_tables: int = 2,
     n_planes: int = 5,
+    bloom_headroom: int = 4,
 ) -> None:
     """One-time corpus registration: write the corpus table (with its
-    ``_fingerprint`` column), the precomputed MinHash band table, the LSH
-    signature table (when ``emb`` given), the curation meta (frozen LSH
-    structure), and an empty run log. After this, every
-    :func:`curate_append` run costs ∝ its batch."""
+    ``_fingerprint`` column), the precomputed MinHash band table, the Bloom
+    membership sketch (sized for ``bloom_headroom``× growth; frozen width
+    recorded in ``__bloom_meta``), the LSH signature table (when ``emb``
+    given), the curation meta (frozen LSH structure), and an empty run
+    log. After this, every :func:`curate_append` run costs ∝ its batch."""
     spark_docs = docs.withColumn("_fingerprint", _fingerprint(text_col))
     store.overwrite(spark_docs, corpus_table)
+    n_corpus = spark_docs.count()
+    m_bits = bloom_m_bits(max(n_corpus, 1) * max(bloom_headroom, 1))
+    store.overwrite(
+        fingerprint_bloom(
+            spark_docs.select(F.col("_fingerprint").alias("fp")).distinct(), m_bits
+        ),
+        corpus_table + "__bloom",
+    )
+    store.overwrite(
+        spark.createDataFrame([(int(m_bits),)], "m_bits long"),
+        corpus_table + "__bloom_meta",
+    )
     sh = _shingle_docs(docs, text_col, id_col)
     store.overwrite(
         _band_rows(_signatures_from_shingles(sh)), corpus_table + "__bands"
@@ -174,6 +208,25 @@ def repair_aux(spark: SparkSession, store, corpus_table: str,
             _band_rows(_signatures_from_shingles(sh)), corpus_table + "__bands"
         )
     return n
+
+
+def rebuild_bloom(spark: SparkSession, store, corpus_table: str) -> int:
+    """Rebuild the ``__bloom`` membership sketch from the corpus's stored
+    ``_fingerprint`` column at the frozen ``__bloom_meta`` width — one
+    narrow two-column corpus scan. Two uses: (a) repair after the
+    commit-to-aux crash window (a missing member only costs verdict labels
+    on replay, never corpus content — module docstring); (b) periodic
+    delta compaction, collapsing the per-run appended word deltas that
+    readers otherwise ``bit_or``-fold back into one row per word. Returns
+    the sketch width in bits."""
+    m_bits = int(
+        store.read(spark, corpus_table + "__bloom_meta").collect()[0]["m_bits"]
+    )
+    fps = store.read(spark, corpus_table).select(
+        F.col("_fingerprint").alias("fp")
+    ).distinct()
+    store.overwrite(fingerprint_bloom(fps, m_bits), corpus_table + "__bloom")
+    return m_bits
 
 
 def curate_append(
@@ -258,11 +311,46 @@ def curate_append(
     bfp = b.select(
         F.col(id_col).alias("id"), _fingerprint(text_col).alias("fp")
     ).join(p1, "id")
-    corpus_fp = store.read(spark, corpus_table).select(
-        F.col("_fingerprint").alias("fp")
-    ).distinct()
-    exact_corpus = bfp.join(corpus_fp, "fp", "left_semi").select("id")
-    p2a = bfp.join(corpus_fp, "fp", "left_anti")
+    have_bloom = store.exists(corpus_table + "__bloom")
+    m_bits = None
+    if have_bloom:
+        # Bloom fast path: probe the stored membership sketch (bit_or-fold
+        # the per-run word deltas first — readers see one row per word).
+        # FALSE is definitive (no false negatives), so fresh rows are
+        # marked new with zero corpus access; only probable hits pay the
+        # exact fingerprint semi-join, and when the whole batch is ruled
+        # out the corpus scan is skipped outright. Verdicts are IDENTICAL
+        # to the plain join — the sketch only prunes work.
+        m_bits = int(
+            store.read(spark, corpus_table + "__bloom_meta").collect()[0]["m_bits"]
+        )
+        bloom = (
+            store.read(spark, corpus_table + "__bloom")
+            .groupBy("word")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        probed = bfp.join(bloom_maybe_member(bfp, bloom, m_bits), "id").cache()
+        maybe = probed.filter(F.col("maybe_member")).select("id", "fp")
+        if maybe.isEmpty():
+            exact_corpus = maybe.select("id")
+            p2a = bfp
+        else:
+            corpus_fp = store.read(spark, corpus_table).select(
+                F.col("_fingerprint").alias("fp")
+            ).distinct()
+            exact_corpus = maybe.join(corpus_fp, "fp", "left_semi").select("id")
+            p2a = (
+                probed.filter(~F.col("maybe_member"))
+                .select("id", "fp")
+                .unionByName(maybe.join(corpus_fp, "fp", "left_anti"))
+            )
+    else:
+        # pre-r07 corpora without a bootstrapped sketch: plain exact join
+        corpus_fp = store.read(spark, corpus_table).select(
+            F.col("_fingerprint").alias("fp")
+        ).distinct()
+        exact_corpus = bfp.join(corpus_fp, "fp", "left_semi").select("id")
+        p2a = bfp.join(corpus_fp, "fp", "left_anti")
     wfp = W.partitionBy("fp").orderBy(F.asc("id"))
     ranked = p2a.withColumn("_rk", F.row_number().over(wfp))
     exact_batch = ranked.filter(F.col("_rk") > 1).select("id")
@@ -413,6 +501,16 @@ def curate_append(
 
     # -- aux appends (at-least-once; see module docstring) ---------------
     if counts.get("kept", 0):
+        if have_bloom:
+            # delta words for the kept docs; readers bit_or-fold by word,
+            # rebuild_bloom compacts periodically
+            store.append(
+                fingerprint_bloom(
+                    kept_docs.select(F.col("_fingerprint").alias("fp")).distinct(),
+                    m_bits,
+                ),
+                corpus_table + "__bloom",
+            )
         ksh = bsh.join(
             kept_ids.withColumnRenamed(id_col, "id"), "id", "left_semi"
         )

@@ -61,6 +61,10 @@ FAMILY = [
     "knn_graph_ivf2",
     "semdedup_lsh_auto",
     "neardup_triangles",
+    # r07 additions
+    "dedup_bloom_membership",
+    "passage_dedup_maximal",
+    "corpus_curate_append",
 ]
 
 

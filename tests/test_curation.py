@@ -140,3 +140,79 @@ def test_repair_aux_backfills_missing_bands(spark, store):
     assert C.repair_aux(spark, store, "cur.docs") == 1
     assert store.read(spark, "cur.docs__bands").filter(F.col("id") == 2).count() > 0
     assert C.repair_aux(spark, store, "cur.docs") == 0  # converged
+
+def test_curate_append_bloom_fast_path_parity_and_maintenance(spark, store):
+    """Verdicts with the Bloom sketch are identical to the plain exact
+    join (no false negatives), the sketch is maintained per run (a later
+    replay sees run-1's kept doc as exact_dup_corpus THROUGH the sketch),
+    and dropping the sketch falls back to the pre-r07 plain-join path."""
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    rows, base = _corpus_rows()
+    corpus = spark.createDataFrame(rows, DOC_SCHEMA)
+    C.bootstrap_corpus(spark, store, corpus, "cur.a")
+    C.bootstrap_corpus(spark, store, corpus, "cur.b")
+    store.drop("cur.b__bloom")  # simulate a pre-r07 corpus
+
+    batch = spark.createDataFrame(
+        [
+            _mk_doc(100, "one two three four five six seven eight nine ten eleven twelve".split()),
+            _mk_doc(101, base[0]),  # exact corpus dup -> must survive the sketch
+        ],
+        DOC_SCHEMA,
+    )
+    va = {r["doc_id"]: r["verdict"]
+          for r in C.curate_append(spark, store, batch, "cur.a", "r1").collect()}
+    vb = {r["doc_id"]: r["verdict"]
+          for r in C.curate_append(spark, store, batch, "cur.b", "r1").collect()}
+    assert va == vb == {100: "kept", 101: "exact_dup_corpus"}
+
+    # maintenance: kept doc 100's fingerprint words were appended as a
+    # delta (row count grew), and a replay routes through the sketch
+    assert store.read(spark, "cur.a__bloom").count() > 0
+    va2 = {r["doc_id"]: r["verdict"]
+           for r in C.curate_append(spark, store, batch, "cur.a", "r2").collect()}
+    assert va2 == {100: "exact_dup_corpus", 101: "exact_dup_corpus"}
+
+
+def test_curate_append_all_new_batch_skips_corpus_scan(spark, store):
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    rows, _ = _corpus_rows()
+    C.bootstrap_corpus(spark, store, spark.createDataFrame(rows, DOC_SCHEMA), "cur.docs")
+    batch = spark.createDataFrame(
+        [_mk_doc(300, "cobalt copper silver golden platinum mercury bronze nickel zinc iron lead tin".split())],
+        DOC_SCHEMA,
+    )
+    v = {r["doc_id"]: r["verdict"]
+         for r in C.curate_append(spark, store, batch, "cur.docs", "r1").collect()}
+    assert v == {300: "kept"}
+
+
+def test_rebuild_bloom_repairs_and_compacts(spark, store):
+    """A tampered (emptied) sketch only costs verdict labels — the doc
+    re-merges idempotently — and rebuild_bloom restores membership and
+    compacts per-run deltas back to one row per word."""
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    rows, base = _corpus_rows()
+    C.bootstrap_corpus(spark, store, spark.createDataFrame(rows, DOC_SCHEMA), "cur.docs")
+    blm = store.read(spark, "cur.docs__bloom")
+    store.overwrite(blm.limit(0), "cur.docs__bloom")  # crash-window stand-in
+
+    batch = spark.createDataFrame([_mk_doc(400, base[0])], DOC_SCHEMA)  # true corpus dup
+    v = {r["doc_id"]: r["verdict"]
+         for r in C.curate_append(spark, store, batch, "cur.docs", "r1").collect()}
+    # sketch ruled it out (false negative by tampering), so the exact stage
+    # misses — but the MinHash stage catches the identical text (Jaccard
+    # 1.0) downstream: only the verdict LABEL shifts, the corpus is intact
+    assert v == {400: "near_dup_corpus"}
+    assert store.read(spark, "cur.docs").count() == 3
+
+    m_bits = C.rebuild_bloom(spark, store, "cur.docs")
+    assert m_bits > 0
+    rebuilt = store.read(spark, "cur.docs__bloom")
+    assert rebuilt.groupBy("word").count().filter(F.col("count") > 1).isEmpty()
+    v2 = {r["doc_id"]: r["verdict"]
+          for r in C.curate_append(spark, store, batch, "cur.docs", "r2").collect()}
+    assert v2 == {400: "exact_dup_corpus"}
