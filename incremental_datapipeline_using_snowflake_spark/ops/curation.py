@@ -229,6 +229,86 @@ def rebuild_bloom(spark: SparkSession, store, corpus_table: str) -> int:
     return m_bits
 
 
+def stream_curate(
+    stream_df: DataFrame,
+    store,
+    corpus_table: str,
+    checkpoint_dir: str,
+    *,
+    run_prefix: str = "stream",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    verdict_table: str | None = None,
+):
+    """Continuous corpus curation: drain a document stream through
+    :func:`curate_append`, one transactional run per micro-batch — the
+    streaming twin of the nightly batch stage, the shape a real pipeline
+    runs when crawl shards arrive continuously.
+
+    Idempotency: ``foreachBatch`` replays a batch after a crash, so each
+    micro-batch's ``run_id`` embeds a CONTENT FINGERPRINT (row count +
+    order-independent xxhash64 sum over (id, text) — the
+    ``stream_ingest_ivf`` marker discipline, which also dedups identical
+    batches across different checkpoints/streams), and a fingerprint
+    already present in ``<corpus>__runs`` is skipped. Unlike
+    ``stream_ingest_ivf``'s separate marker table, the runs table IS the
+    marker and :func:`curate_append` writes it in the SAME transaction as
+    the corpus merge — the marker crash window is empty: a crash before
+    commit replays the whole batch (nothing was published), a crash after
+    commit is caught by the fingerprint check. Only the aux band/
+    signature/bloom appends stay at-least-once (module docstring;
+    :func:`repair_aux` / :func:`rebuild_bloom` reconverge). Even a batch
+    that somehow slipped both guards re-curates to all-``exact_dup_corpus``
+    and merges nothing — three independent layers of replay safety.
+
+    ``verdict_table``: optional observability sink — per-run verdicts
+    appended with the ``run_id`` column (at-least-once, outside the
+    transaction). Embedding-stage curation needs a second aligned stream
+    and is batch-API-only (pass ``batch_emb`` to :func:`curate_append`).
+
+    Returns the started StreamingQuery (``availableNow`` trigger — call
+    ``awaitTermination()`` to drain).
+    """
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        spark = bdf.sparkSession
+        if bdf.isEmpty():
+            return
+        fp = bdf.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(F.col(id_col).cast("string"), F.col(text_col))
+            ).alias("h"),
+        ).collect()[0]
+        run_id = f"{run_prefix}-{fp['n']}:{fp['h']}"
+        already = (
+            store.read(spark, corpus_table + "__runs")
+            .filter(F.col("run_id") == run_id)
+            .limit(1)
+        )
+        if not already.isEmpty():
+            return
+        verdicts = curate_append(
+            spark, store, bdf, corpus_table, run_id,
+            text_col=text_col, id_col=id_col,
+            jaccard_threshold=jaccard_threshold,
+        )
+        if verdict_table is not None:
+            out = verdicts.withColumn("run_id", F.lit(run_id))
+            if store.exists(verdict_table):
+                store.append(out, verdict_table)
+            else:
+                store.overwrite(out, verdict_table)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def curate_append(
     spark: SparkSession,
     store,

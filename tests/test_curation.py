@@ -216,3 +216,64 @@ def test_rebuild_bloom_repairs_and_compacts(spark, store):
     v2 = {r["doc_id"]: r["verdict"]
           for r in C.curate_append(spark, store, batch, "cur.docs", "r2").collect()}
     assert v2 == {400: "exact_dup_corpus"}
+
+
+def test_stream_curate_drains_and_replays_idempotently(spark, store, tmp_path):
+    """Streaming twin: two micro-batch files drain through curate_append
+    (maxFilesPerTrigger=1 -> one transactional run each); a fresh
+    checkpoint re-drain of the same files appends nothing (content-
+    fingerprint run ids in the runs table are the marker); a third file
+    with one new + one corpus-dup doc curates incrementally."""
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    rows, base = _corpus_rows()
+    C.bootstrap_corpus(spark, store, spark.createDataFrame(rows, DOC_SCHEMA), "cur.docs")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = [
+        _mk_doc(500, "amber birch cedar dogwood elm fir ginkgo hazel ironwood juniper koa larch".split()),
+        _mk_doc(501, base[0]),  # exact corpus dup
+    ]
+    b2 = [
+        _mk_doc(510, "north south east west upward downward inward outward forward backward leftward rightward".split()),
+    ]
+    spark.createDataFrame(b1, DOC_SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2, DOC_SCHEMA).coalesce(1).write.parquet(str(src / "b2"))
+
+    def drain(ckpt, vt=None):
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        q = C.stream_curate(
+            stream, store, "cur.docs", str(tmp_path / ckpt), verdict_table=vt
+        )
+        q.awaitTermination()
+
+    drain("ck1", vt="cur.verdicts")
+    assert store.read(spark, "cur.docs").count() == 5  # 3 corpus + 500 + 510
+    assert store.read(spark, "cur.docs__runs").count() == 2
+    v = {
+        (r["run_id"].split("-")[0], r["doc_id"]): r["verdict"]
+        for r in store.read(spark, "cur.verdicts").collect()
+    }
+    assert v[("stream", 501)] == "exact_dup_corpus"
+    assert v[("stream", 500)] == "kept" and v[("stream", 510)] == "kept"
+
+    # fresh checkpoint, same files: fingerprints match -> all skipped
+    drain("ck2")
+    assert store.read(spark, "cur.docs").count() == 5
+    assert store.read(spark, "cur.docs__runs").count() == 2
+
+    # a later file curates incrementally against the grown corpus
+    b3 = [
+        _mk_doc(520, "ruby topaz opal garnet beryl zircon spinel agate onyx jasper pearl amber".split()),
+        _mk_doc(521, b1[0][1].split()),  # dup of streamed-in doc 500
+    ]
+    spark.createDataFrame(b3, DOC_SCHEMA).coalesce(1).write.parquet(str(src / "b3"))
+    drain("ck3")
+    corpus_ids = {r["doc_id"] for r in store.read(spark, "cur.docs").select("doc_id").collect()}
+    assert 520 in corpus_ids and 521 not in corpus_ids
+    assert store.read(spark, "cur.docs__runs").count() == 3
