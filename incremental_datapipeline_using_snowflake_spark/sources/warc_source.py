@@ -1,0 +1,208 @@
+"""WARC / WET corpus ingestion — the raw-crawl input format of LLM data
+pipelines (ISO 28500; what Common Crawl publishes: WARC for raw captures,
+WET for extracted plain text).
+
+The reference is CSV-centric (SURVEY.md S5/S7); JSONL (r06) covered the
+interchange format, this covers the UPSTREAM one — the files a curation
+pipeline ingests before :func:`ops.curation.curate_append` ever runs.
+
+Scale posture: WET files are gzip-compressed whole-file (NOT splittable),
+so the unit of parallelism is the FILE — exactly how production crawls
+shard (Common Crawl: ~90k files/crawl, ~150 MB each; 1000 executors chew
+a crawl file-per-task with zero coordination). The plan is Spark's
+``binaryFile`` datasource (distributed file listing, one content blob per
+row, ``pathGlobFilter`` pushdown) feeding an Arrow-batched ``mapInPandas``
+record parser — stdlib ``gzip`` + byte scanning, no external libs, no
+row-at-a-time Python. Record parsing is strictly linear in file bytes
+(``Content-Length`` jumps, never regex over the payload).
+
+Malformed records follow the JSONL quarantine contract
+(``jsonl_source.quarantine_split``): tolerant mode emits the record with
+``parse_error`` set and payload fields NULL (no silent drops — a 100 TB
+ingest must account for every record); ``strict=True`` fails the task
+loudly for validated stages.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_SCHEMA = (
+    "record_id string, warc_type string, target_uri string, warc_date string, "
+    "content_length long, text string, source_file string, parse_error string"
+)
+
+_MAX_HEADER_BYTES = 64 * 1024  # a sane WARC header block is < 1 KB
+
+
+def parse_warc_records(
+    data: bytes, source_file: str = "", strict: bool = False
+) -> Iterator[dict]:
+    """Yield one dict per WARC record in ``data`` (already decompressed).
+
+    Linear scan: version line → header lines until the empty line →
+    ``Content-Length`` payload bytes → the mandatory CRLF CRLF record
+    separator. Recovery in tolerant mode re-syncs on the next ``WARC/``
+    version line so one corrupt record never poisons the rest of the file.
+    """
+
+    def bad(pos: int, why: str) -> dict:
+        if strict:
+            raise ValueError(f"WARC parse error in {source_file!r} @ {pos}: {why}")
+        return {
+            "record_id": None,
+            "warc_type": None,
+            "target_uri": None,
+            "warc_date": None,
+            "content_length": None,
+            "text": None,
+            "source_file": source_file,
+            "parse_error": f"@{pos}: {why}",
+        }
+
+    i, n = 0, len(data)
+    while i < n:
+        # skip inter-record padding
+        while i < n and data[i : i + 1] in (b"\r", b"\n"):
+            i += 1
+        if i >= n:
+            return
+        if not data.startswith(b"WARC/", i):
+            yield bad(i, "expected WARC/ version line")
+            nxt = data.find(b"\nWARC/", i)
+            if nxt < 0:
+                return
+            i = nxt + 1
+            continue
+        hdr_end = data.find(b"\r\n\r\n", i, i + _MAX_HEADER_BYTES)
+        sep = 4
+        if hdr_end < 0:  # lenient: bare-LF producers exist
+            hdr_end = data.find(b"\n\n", i, i + _MAX_HEADER_BYTES)
+            sep = 2
+        if hdr_end < 0:
+            yield bad(i, "unterminated header block")
+            return
+        headers: dict[str, str] = {}
+        lines = data[i:hdr_end].decode("utf-8", errors="replace").splitlines()
+        for line in lines[1:]:  # lines[0] is the WARC/x.y version
+            k, _, v = line.partition(":")
+            if _:
+                headers[k.strip().lower()] = v.strip()
+        body_at = hdr_end + sep
+        try:
+            clen = int(headers["content-length"])
+            if clen < 0:
+                raise ValueError
+        except (KeyError, ValueError):
+            yield bad(i, "missing or invalid Content-Length")
+            nxt = data.find(b"\nWARC/", body_at)
+            if nxt < 0:
+                return
+            i = nxt + 1
+            continue
+        if body_at + clen > n:
+            yield bad(i, f"truncated payload (want {clen} bytes)")
+            return
+        payload = data[body_at : body_at + clen]
+        yield {
+            "record_id": headers.get("warc-record-id"),
+            "warc_type": headers.get("warc-type"),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "content_length": clen,
+            "text": payload.decode("utf-8", errors="replace"),
+            "source_file": source_file,
+            "parse_error": None,
+        }
+        i = body_at + clen
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str = "*.{warc,wet,warc.gz,wet.gz}",
+    strict: bool = False,
+    warc_types: tuple[str, ...] | None = ("conversion",),
+) -> DataFrame:
+    """Read WARC/WET files under ``path`` into :data:`WARC_SCHEMA` rows.
+
+    ``warc_types`` filters records post-parse (WET text lives in
+    ``conversion`` records; pass ``None`` to keep every type including
+    ``warcinfo`` preambles). Malformed records surface with
+    ``parse_error`` set (tolerant default) or abort the task
+    (``strict=True``). Gzip members are decompressed whole-file —
+    per-record gzip members (the Common Crawl layout) concatenate
+    transparently because stdlib gzip consumes multi-member streams.
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                if fpath.endswith(".gz"):
+                    data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+                for rec in parse_warc_records(data, fpath, strict=strict):
+                    if (
+                        warc_types is None
+                        or rec["parse_error"] is not None
+                        or (rec["warc_type"] or "").lower() in warc_types
+                    ):
+                        rows.append(rec)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "record_id", "warc_type", "target_uri", "warc_date",
+                    "content_length", "text", "source_file", "parse_error",
+                ],
+            )
+
+    return files.mapInPandas(parse, schema=WARC_SCHEMA)
+
+
+def warc_quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined) — the ingest gate, same contract as
+    ``jsonl_source.quarantine_split``: clean rows flow on to curation,
+    malformed records land in a review table with position + reason."""
+    from pyspark.sql import functions as F
+
+    bad = df.filter(F.col("parse_error").isNotNull()).select(
+        "source_file", "parse_error"
+    )
+    good = df.filter(F.col("parse_error").isNull()).drop("parse_error")
+    return good, bad
+
+
+def encode_wet(records: list[dict], compress: bool = False) -> bytes:
+    """Build valid WET bytes from ``[{uri, date, text}, ...]`` — the
+    fixture encoder (the ``codecs.py`` encoder discipline: tests
+    round-trip REAL bytes, never mock the parser). Export of curated
+    corpora stays JSONL (`jsonl_source`) — WET is an ingest format."""
+    out = bytearray()
+    for k, r in enumerate(records):
+        payload = r["text"].encode("utf-8")
+        hdr = (
+            "WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Record-ID: <urn:uuid:{k:08d}-0000-0000-0000-000000000000>\r\n"
+            f"WARC-Target-URI: {r['uri']}\r\n"
+            f"WARC-Date: {r['date']}\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+            "\r\n"
+        ).encode("utf-8")
+        out += hdr + payload + b"\r\n\r\n"
+    return gzip.compress(bytes(out)) if compress else bytes(out)

@@ -135,3 +135,76 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
     assert bad.count() == 1 and "not json" in bad.first()["_corrupt_record"]
     with pytest.raises(Exception):
         read_jsonl(spark, bad_dir, strict=True).collect()
+
+
+def test_warc_wet_roundtrip_quarantine_and_strict(spark, tmp_path):
+    """Real-bytes WET ingest: plain + gzip files parse file-per-task
+    through binaryFile -> mapInPandas; warcinfo preambles filter out;
+    a corrupt record quarantines with position+reason while the rest of
+    its file survives (re-sync on the next version line); strict mode
+    fails loudly."""
+    from incremental_datapipeline_using_snowflake_spark.sources.warc_source import (
+        encode_wet,
+        parse_warc_records,
+        read_warc,
+        warc_quarantine_split,
+    )
+
+    recs1 = [
+        {"uri": "http://a.example/1", "date": "2026-08-01T00:00:00Z",
+         "text": "alpha bravo charlie delta echo"},
+        {"uri": "http://a.example/2", "date": "2026-08-01T00:00:01Z",
+         "text": "naive cafe über snowman ☃ text"},
+    ]
+    recs2 = [
+        {"uri": "http://b.example/1", "date": "2026-08-02T00:00:00Z",
+         "text": "foxtrot golf hotel india juliet"},
+    ]
+    src = tmp_path / "crawl"
+    src.mkdir()
+    # file 1: warcinfo preamble + 2 conversion records, plain
+    warcinfo = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: <urn:uuid:w>\r\n"
+        b"Content-Length: 9\r\n\r\nrobots: x\r\n\r\n"
+    )
+    (src / "seg1.wet").write_bytes(warcinfo + encode_wet(recs1))
+    # file 2: gzip
+    (src / "seg2.wet.gz").write_bytes(encode_wet(recs2, compress=True))
+    # file 3: a corrupt record (bad Content-Length) then a good one
+    good_tail = encode_wet(
+        [{"uri": "http://c.example/ok", "date": "2026-08-03T00:00:00Z",
+          "text": "kilo lima mike november oscar"}]
+    )
+    (src / "seg3.wet").write_bytes(
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: nope\r\n\r\nxx\r\n\r\n"
+        + good_tail
+    )
+
+    df = read_warc(spark, str(src))
+    clean, bad = warc_quarantine_split(df)
+    rows = {r["target_uri"]: r for r in clean.collect()}
+    assert set(rows) == {
+        "http://a.example/1", "http://a.example/2",
+        "http://b.example/1", "http://c.example/ok",
+    }
+    assert rows["http://a.example/2"]["text"] == "naive cafe über snowman ☃ text"
+    assert all(r["warc_type"] == "conversion" for r in rows.values())
+    assert rows["http://b.example/1"]["source_file"].endswith("seg2.wet.gz")
+    q = bad.collect()
+    assert len(q) == 1 and "Content-Length" in q[0]["parse_error"]
+    assert q[0]["source_file"].endswith("seg3.wet")
+
+    # warc_types=None keeps the warcinfo preamble too
+    all_types = read_warc(spark, str(src), warc_types=None)
+    assert all_types.filter("warc_type = 'warcinfo'").count() == 1
+
+    # strict mode: the corrupt file fails the task loudly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="WARC parse error"):
+        read_warc(spark, str(src), strict=True).count()
+
+    # pure-python parser unit checks: truncated payload reported, not hung
+    trunc = b"WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 100\r\n\r\nshort"
+    out = list(parse_warc_records(trunc, "t"))
+    assert len(out) == 1 and "truncated" in out[0]["parse_error"]
