@@ -438,7 +438,12 @@ def curate_append(
 
     # -- stage 3: textual near-dup (MinHash vs stored bands) -------------
     bdocs = b.join(p2.withColumnRenamed("id", id_col), id_col)
-    bsh = _shingle_docs(bdocs, text_col, id_col)
+    # materialize the batch shingle relation ONCE (it feeds four branches:
+    # corpus verify, batch-internal candidates/verify, and the kept-doc aux
+    # append) — and, as important at scale, give AQE MEASURED size stats
+    # for it: the 16x scale run OOMed when a static under-estimate of this
+    # shingle-array relation picked the broadcast side of the verify join
+    bsh = _shingle_docs(bdocs, text_col, id_col).localCheckpoint(eager=True)
     bbands = _band_rows(_signatures_from_shingles(bsh))
     cbands = store.read(spark, corpus_table + "__bands")
     cand_c = (
@@ -605,4 +610,12 @@ def curate_append(
                 _emb_signatures(kvec, dim, n_tables, n_planes, vec_col, emb_id_col),
                 corpus_table + "__embsig",
             )
+    # release per-run caches: every output above is materialized (store
+    # writes are actions, verdicts are localCheckpointed), and a long-lived
+    # session running many curation batches would otherwise accumulate one
+    # batch cache per run until executor storage starves real work — the
+    # 16x scale session hit exactly that before this unpersist
+    b.unpersist()
+    if have_bloom:
+        probed.unpersist()
     return verdicts

@@ -371,3 +371,95 @@ def text_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "nbr_id", "cosine")
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+    min_len: int = 2,
+) -> DataFrame:
+    """Iterative BPE merge training (Sennrich et al. 2016) — the tokenizer
+    induction loop itself, extending the single-step argmax statistic of
+    :func:`bpe_pair_counts` to ``n_merges`` rounds.
+
+    Scale shape — the key trick is WHAT iterates: the corpus is scanned
+    ONCE into the distinct-word count relation (vocab-bounded — at 100 TB
+    the corpus is ~10^11 docs but the vocabulary plateaus around 10^7
+    words, a 4-order-of-magnitude reduction), and every merge round then
+    runs on that small relation only: one explode→groupBy for weighted
+    pair counts (map-side partial aggregation), a 1-row argmax collect
+    (deterministic tiebreak: count desc, left asc, right asc — both
+    engines sort identically), and one ``aggregate`` fold applying the
+    merge greedily left-to-right inside each word's token array (exact
+    BPE semantics: 'aaa' + merge(a,a) → [aa, a]). ``localCheckpoint``
+    per round truncates the lineage, the k-means / PageRank iterative
+    discipline.
+
+    Returns the merge table ``(merge_rank, lhs, rhs, merged, n)`` — what
+    a tokenizer build consumes (lhs/rhs, not left/right: the oracle twin
+    would otherwise need quoted SQL keywords in every engine).
+    """
+    words = (
+        df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
+        .filter(F.length("w") >= min_len)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "c",
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.substring(F.col("w"), i, F.lit(1)),
+            ).alias("toks"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        pair_counts = (
+            words.filter(F.size("toks") >= 2)
+            .select(
+                "c",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - 1),
+                        lambda i: F.struct(
+                            F.element_at("toks", i).alias("l"),
+                            F.element_at("toks", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("c").alias("n"))
+        )
+        top = pair_counts.orderBy(
+            F.desc("n"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b, n = top[0]["l"], top[0]["r"], top[0]["n"]
+        merges.append((rank, a, b, a + b, n))
+        la, lb = F.lit(a), F.lit(b)
+        words = words.select(
+            "c",
+            F.aggregate(
+                "toks",
+                F.array().cast("array<string>"),
+                lambda acc, t: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == la)
+                    & (t == lb),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.concat(la, lb)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(t))),
+            ).alias("toks"),
+        ).localCheckpoint(eager=False)
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, merged string, n long"
+    )

@@ -795,6 +795,65 @@ LIMIT {BPE_TOP}
 
 
 # ---------------------------------------------------------------------------
+# bpe_train_merges (r07) — the iterative BPE training loop itself: n_merges
+# rounds of weighted pair argmax + greedy left-to-right merge application
+# over the vocab-bounded word-count relation (the corpus is scanned once).
+# Oracle: unrolled per-round CTEs; the merge fold replays via list_reduce
+# over a chr(1)-joined token string (same greedy semantics, test-pinned).
+# ---------------------------------------------------------------------------
+BPE_MERGES = 4
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.textprep import bpe_train
+
+    docs = load(spark, sf_dir, "documents").select("text")
+    return bpe_train(docs, n_merges=BPE_MERGES).orderBy("merge_rank")
+
+
+def _bpe_train_sql(k: int = BPE_MERGES) -> str:
+    rounds = []
+    for r in range(1, k + 1):
+        rounds.append(f"""pr{r} AS (
+  SELECT p[1] AS lhs, p[2] AS rhs, sum(c)::BIGINT AS n
+  FROM (SELECT c,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> [toks[i], toks[i + 1]])) AS p
+        FROM v{r - 1} WHERE len(toks) >= 2)
+  GROUP BY 1, 2
+),
+m{r} AS (SELECT lhs, rhs, n FROM pr{r} ORDER BY n DESC, lhs, rhs LIMIT 1),
+v{r} AS (
+  SELECT c,
+         string_split(
+           list_reduce(toks, (acc, t) ->
+             CASE WHEN t = mr AND (acc = ml OR ends_with(acc, chr(1) || ml))
+             THEN acc || t ELSE acc || chr(1) || t END),
+           chr(1)) AS toks
+  FROM (SELECT v.c, v.toks, m.lhs AS ml, m.rhs AS mr
+        FROM v{r - 1} v CROSS JOIN m{r} m)
+)""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_rank, lhs, rhs, lhs || rhs AS merged, n FROM m{r}"
+        for r in range(1, k + 1)
+    )
+    joined_rounds = ",\n".join(rounds)
+    return f"""
+WITH v0 AS (
+  SELECT c, list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS toks
+  FROM (SELECT w, count(*) AS c
+        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+              FROM documents)
+        WHERE length(w) >= 2
+        GROUP BY w)
+),
+{joined_rounds}
+SELECT * FROM ({finals})
+ORDER BY merge_rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus_mixture — deterministic data mixing with upsampling: per-source
 # target weights (epochs) materialized as exact hash-Bernoulli copy counts,
 # then the mixed corpus summarized per source. The "mix CommonCrawl at 0.6,
@@ -1416,6 +1475,7 @@ QUERIES: dict = {
     "passage_dedup": (passage_dedup, PASSAGE_DEDUP_SQL),
     "passage_dedup_maximal": (passage_dedup_maximal, PASSAGE_MAXIMAL_SQL),
     "bpe_pair_counts": (bpe_pair_counts_q, BPE_PAIRS_SQL),
+    "bpe_train_merges": (bpe_train_merges, _bpe_train_sql()),
     "stratified_sample_n": (stratified_sample_n, STRATIFIED_N_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

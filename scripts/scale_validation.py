@@ -65,6 +65,7 @@ FAMILY = [
     "dedup_bloom_membership",
     "passage_dedup_maximal",
     "corpus_curate_append",
+    "bpe_train_merges",
 ]
 
 

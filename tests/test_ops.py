@@ -1297,3 +1297,33 @@ def test_bloom_fast_path_skips_corpus_scan(spark):
     assert len(rows) == 20
     novel = [r["id"] for r in rows if not r["maybe_member"]]
     assert len(novel) >= 19  # at most the fp envelope leaks into the slow path
+
+
+def test_bpe_train_classic_corpus_and_greedy_merge(spark):
+    """Sennrich-style corpus with a known merge sequence, plus the greedy
+    left-to-right pin: 'aaaa' under merge (a,a) yields [aa, aa], never the
+    overlapping [a, aa, a] split."""
+    from incremental_datapipeline_using_snowflake_spark.ops.textprep import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest newest "
+             "newest newest newest widest widest widest")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["n"])
+        for r in bpe_train(df, n_merges=4).orderBy("merge_rank").collect()
+    ]
+    # es: 6 (newest) + 3 (widest) = 9; est: 9; counts then 'lo' = 7
+    assert got[0] == (1, "e", "s", "es", 9)
+    assert got[1] == (2, "es", "t", "est", 9)
+    assert got[2] == (3, "l", "o", "lo", 7)
+    assert got[3] == (4, "lo", "w", "low", 7)
+
+    df2 = spark.createDataFrame([(1, "aaaa aaaa aa")], "doc_id long, text string")
+    m = bpe_train(df2, n_merges=2).orderBy("merge_rank").collect()
+    # round 1: pairs in 'aaaa' = 3 aa votes x2 words + 1 in 'aa' -> (a,a) n=7
+    assert (m[0]["merged"], m[0]["n"]) == ("aa", 7)
+    # round 2: words are [aa,aa] x2 and [aa] -> pair (aa,aa) n=2, proving
+    # greedy non-overlapping application in round 1
+    assert (m[1]["lhs"], m[1]["rhs"], m[1]["n"]) == ("aa", "aa", 2)
