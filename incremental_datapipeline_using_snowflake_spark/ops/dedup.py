@@ -583,6 +583,71 @@ def cross_corpus_overlap(
     )
 
 
+def decontaminate_ngram(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+) -> DataFrame:
+    """Eval-set decontamination at the PASSAGE level (the Lee et al. /
+    GPT-3-style 13-gram rule): corpus documents sharing ANY exact k-word
+    window with any benchmark document, with per-doc evidence counts —
+    ``(id_col, n_shared_windows, n_hit_positions)``. Complements
+    :func:`cross_corpus_overlap` (bag-of-shingles Jaccard evidence):
+    this is the strict verbatim-span rule a pretraining pipeline enforces
+    before a corpus ships.
+
+    Two-pass shape (the :func:`repeated_passages` narrow discipline):
+    pass 1 explodes only 64-bit rolling window KEYS (`passage_keys_col` —
+    no window strings are ever built for the full corpus) against the
+    broadcast benchmark key set; pass 2 rebuilds actual window STRINGS for
+    the surviving candidate docs only (|candidates| ≈ contamination rate ×
+    |corpus|) and verifies by exact string equality against the broadcast
+    benchmark window set — rolling-hash collisions only ever ADD
+    candidates, never drop one (equal strings hash equal), so the output
+    is EXACT and the DuckDB oracle replays it with pure string windows.
+    The benchmark side (an eval suite — thousands of rows, not billions)
+    is the justified broadcast, as in :func:`cross_corpus_overlap`.
+    """
+    bkeys = (
+        bench.select(F.explode(passage_keys_col(F.col(text_col), k)).alias("bk"))
+        .filter(F.col("bk").isNotNull())
+        .distinct()
+    )
+    ckeys = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.explode(passage_keys_col(F.col(text_col), k)).alias("ck"),
+    ).filter(F.col("ck").isNotNull())
+    cand = (
+        ckeys.join(F.broadcast(bkeys), ckeys["ck"] == bkeys["bk"], "left_semi")
+        .select("_cid")
+        .distinct()
+    )
+    bwin = (
+        bench.select(F.explode(passage_windows_col(F.col(text_col), k)).alias("w"))
+        .distinct()
+    )
+    cwin = (
+        corpus.join(cand.withColumnRenamed("_cid", id_col), id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("_cid"),
+            F.explode(passage_windows_col(F.col(text_col), k)).alias("w"),
+        )
+    )
+    return (
+        cwin.join(F.broadcast(bwin), "w")
+        .groupBy("_cid")
+        .agg(
+            F.count_distinct(F.col("w")).alias("n_shared_windows"),
+            F.count(F.lit(1)).alias("n_hit_positions"),
+        )
+        .select(
+            F.col("_cid").alias(id_col), "n_shared_windows", "n_hit_positions"
+        )
+    )
+
+
 SIMHASH_BITS = 16
 
 

@@ -1029,6 +1029,56 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# decontaminate_passages (r07) — eval-set decontamination at the passage
+# level: the strict verbatim k-gram rule (Lee et al. / GPT-3 13-gram, k=8
+# here to fit the synthetic doc lengths). Bench fixture: docs doc_id%17=3
+# with first+last word dropped — every bench row plants verbatim spans
+# back into the corpus. Oracle replays with pure string windows (the key
+# prefilter has no false negatives, so it is invisible to the result).
+# ---------------------------------------------------------------------------
+DECON_K = 8
+
+
+def decontaminate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    bench = docs.filter("doc_id % 17 = 3").select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.array_join(
+            F.slice(w, 2, F.greatest(F.size(w) - 2, F.lit(0))), " "
+        ).alias("text"),
+    )
+    return D.decontaminate_ngram(docs, bench, k=DECON_K).orderBy("doc_id")
+
+
+DECON_SQL = f"""
+WITH bench AS (
+  SELECT array_to_string(list_slice(sp, 2, len(sp) - 1), ' ') AS text
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS sp
+        FROM documents)
+  WHERE doc_id % 17 = 3
+),
+bwin AS (
+  SELECT DISTINCT array_to_string(list_slice(sp, i, i + {DECON_K - 1}), ' ') AS w
+  FROM (SELECT string_split_regex(trim(text), '\\s+') AS sp FROM bench),
+       LATERAL (SELECT unnest(range(1, len(sp) - {DECON_K - 2})) AS i)
+),
+cwin AS (
+  SELECT doc_id, array_to_string(list_slice(sp, i, i + {DECON_K - 1}), ' ') AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS sp
+        FROM documents),
+       LATERAL (SELECT unnest(range(1, len(sp) - {DECON_K - 2})) AS i)
+)
+SELECT doc_id,
+       count(DISTINCT w) AS n_shared_windows,
+       count(*) AS n_hit_positions
+FROM cwin JOIN bwin USING (w)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # stratified_sample_n — exactly 20 documents per language, chosen by
 # deterministic salted-hash order (stable across runs/partitionings).
 # ---------------------------------------------------------------------------
@@ -1476,6 +1526,7 @@ QUERIES: dict = {
     "passage_dedup_maximal": (passage_dedup_maximal, PASSAGE_MAXIMAL_SQL),
     "bpe_pair_counts": (bpe_pair_counts_q, BPE_PAIRS_SQL),
     "bpe_train_merges": (bpe_train_merges, _bpe_train_sql()),
+    "decontaminate_passages": (decontaminate_passages, DECON_SQL),
     "stratified_sample_n": (stratified_sample_n, STRATIFIED_N_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

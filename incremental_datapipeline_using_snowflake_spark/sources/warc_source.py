@@ -206,3 +206,23 @@ def encode_wet(records: list[dict], compress: bool = False) -> bytes:
         ).encode("utf-8")
         out += hdr + payload + b"\r\n\r\n"
     return gzip.compress(bytes(out)) if compress else bytes(out)
+
+
+def warc_to_documents(df: DataFrame) -> DataFrame:
+    """Map clean WET rows into the documents shape curation consumes
+    (``doc_id, text, lang, source, n_chars``): ``doc_id`` is the xxhash64
+    of (record_id, target_uri) — deterministic across re-reads, so a
+    re-ingested WET file produces the SAME ids and
+    :func:`ops.curation.curate_append` resolves it as pure corpus dups
+    (the idempotent-replay contract). Two records sharing (record_id, uri)
+    inside one batch collide by design — they ARE the same capture — and
+    curate_append's unique-id guard surfaces the malformed case loudly."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.xxhash64("record_id", "target_uri").alias("doc_id"),
+        "text",
+        F.lit(None).cast("string").alias("lang"),
+        F.coalesce("target_uri", F.lit("warc")).alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )

@@ -277,3 +277,44 @@ def test_stream_curate_drains_and_replays_idempotently(spark, store, tmp_path):
     corpus_ids = {r["doc_id"] for r in store.read(spark, "cur.docs").select("doc_id").collect()}
     assert 520 in corpus_ids and 521 not in corpus_ids
     assert store.read(spark, "cur.docs__runs").count() == 3
+
+
+def test_wet_ingest_composes_into_curation(spark, store, tmp_path):
+    """Product-shaped end-to-end: WET crawl bytes -> quarantine gate ->
+    documents shape -> transactional curate_append. A re-ingest of the
+    same WET file resolves as pure corpus dups (deterministic doc ids)."""
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+    from incremental_datapipeline_using_snowflake_spark.sources.warc_source import (
+        encode_wet,
+        read_warc,
+        warc_quarantine_split,
+        warc_to_documents,
+    )
+
+    rows, base = _corpus_rows()
+    C.bootstrap_corpus(spark, store, spark.createDataFrame(rows, DOC_SCHEMA), "cur.docs")
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    recs = [
+        {"uri": "http://x.example/fresh", "date": "2026-08-10T00:00:00Z",
+         "text": "quartz basalt gneiss shale slate marble granite pumice chalk flint obsidian schist"},
+        {"uri": "http://x.example/dup", "date": "2026-08-10T00:00:01Z",
+         "text": " ".join(base[0])},  # exact copy of corpus doc 0
+    ]
+    (crawl / "shard0.wet.gz").write_bytes(encode_wet(recs, compress=True))
+
+    clean, bad = warc_quarantine_split(read_warc(spark, str(crawl)))
+    assert bad.isEmpty()
+    docs = warc_to_documents(clean)
+    v1 = {r["verdict"] for r in
+          C.curate_append(spark, store, docs, "cur.docs", "wet1").collect()}
+    assert v1 == {"kept", "exact_dup_corpus"}
+    assert store.read(spark, "cur.docs").count() == 4
+
+    # re-ingest the same file: same ids -> all corpus dups, corpus unchanged
+    docs2 = warc_to_documents(warc_quarantine_split(read_warc(spark, str(crawl)))[0])
+    v2 = {r["verdict"] for r in
+          C.curate_append(spark, store, docs2, "cur.docs", "wet2").collect()}
+    assert v2 == {"exact_dup_corpus"}
+    assert store.read(spark, "cur.docs").count() == 4

@@ -1327,3 +1327,31 @@ def test_bpe_train_classic_corpus_and_greedy_merge(spark):
     # round 2: words are [aa,aa] x2 and [aa] -> pair (aa,aa) n=2, proving
     # greedy non-overlapping application in round 1
     assert (m[1]["lhs"], m[1]["rhs"], m[1]["n"]) == ("aa", "aa", 2)
+
+
+def test_decontaminate_ngram_verbatim_spans_only(spark):
+    """Only exact k-word spans count: a (k-1)-word overlap stays clean;
+    multiple span positions and repeated occurrences are both counted."""
+    from incremental_datapipeline_using_snowflake_spark.ops.dedup import (
+        decontaminate_ngram,
+    )
+
+    b = [f"b{i}" for i in range(1, 11)]  # 10-word bench doc
+    bench = spark.createDataFrame(
+        [(900, " ".join(b))], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x1 x2 " + " ".join(b[1:9]) + " x3"),          # span b2..b9
+            (2, " ".join(b[0:7]) + " y1 y2 y3 y4"),            # only 7 shared
+            (3, " ".join(b)),                                   # all 3 windows
+            (4, " ".join(b[1:9]) + " z1 z2 " + " ".join(b[1:9])),  # 1 window, 2 hits
+            (5, "clean words only nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shared_windows"], r["n_hit_positions"])
+        for r in decontaminate_ngram(corpus, bench, k=8).collect()
+    }
+    assert got == {1: (1, 1), 3: (3, 3), 4: (1, 2)}
