@@ -1079,6 +1079,85 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# url_dedup (r07) — URL canonicalization + URL-level dedup, the pre-content
+# step of a crawl pipeline (composes with sources.warc_source.target_uri).
+# Fixture: deterministic URL variants per doc (case/port/fragment/tracking-
+# param/param-order/trailing-slash noise) that canonicalize into groups;
+# the oracle replays the SAME regex normalization chain in DuckDB.
+# ---------------------------------------------------------------------------
+def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.urls import url_dedup_decisions
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    base = F.concat(F.lit("page"), (F.col("doc_id") % 50).cast("string"))
+    stem = F.concat(F.lit("http://"), F.col("source"), F.lit(".example.com/"), base)
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, stem)
+        .when(v == 1, F.concat(
+            F.lit("HTTP://"), F.upper(F.col("source")),
+            F.lit(".EXAMPLE.COM:80/"), base, F.lit("/#sec")))
+        .when(v == 2, F.concat(stem, F.lit("?utm_source=tw&b=2&a=1")))
+        .otherwise(F.concat(stem, F.lit("?a=1&b=2")))
+    )
+    return url_dedup_decisions(
+        docs.select("doc_id", url.alias("url"))
+    ).orderBy("doc_id")
+
+
+URL_DEDUP_SQL = r"""
+WITH urls AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'http://' || source || '.example.com/page' || (doc_id % 50)
+           WHEN 1 THEN 'HTTP://' || upper(source) || '.EXAMPLE.COM:80/page' || (doc_id % 50) || '/#sec'
+           WHEN 2 THEN 'http://' || source || '.example.com/page' || (doc_id % 50) || '?utm_source=tw&b=2&a=1'
+           ELSE 'http://' || source || '.example.com/page' || (doc_id % 50) || '?a=1&b=2'
+         END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         regexp_replace(url, '#.*$', '') AS u
+  FROM urls
+),
+comps AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+         regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest
+  FROM parts
+),
+comps2 AS (
+  SELECT doc_id, scheme,
+         regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)), ':(80|443)$', '') AS host,
+         regexp_replace(rest, '^[^/?]+', '') AS pathq
+  FROM comps
+),
+comps3 AS (
+  SELECT doc_id, scheme, host,
+         CASE WHEN regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') = ''
+              THEN '/'
+              ELSE regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') END AS path,
+         array_to_string(
+           list_sort(list_filter(string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+                                 p -> p != '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))),
+           '&') AS qs
+  FROM comps2
+),
+norm AS (
+  SELECT doc_id,
+         scheme || '://' || host || path ||
+         CASE WHEN qs != '' THEN '?' || qs ELSE '' END AS url_norm
+  FROM comps3
+)
+SELECT doc_id, url_norm,
+       row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1 AS keep
+FROM norm
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # stratified_sample_n — exactly 20 documents per language, chosen by
 # deterministic salted-hash order (stable across runs/partitionings).
 # ---------------------------------------------------------------------------
@@ -1527,6 +1606,7 @@ QUERIES: dict = {
     "bpe_pair_counts": (bpe_pair_counts_q, BPE_PAIRS_SQL),
     "bpe_train_merges": (bpe_train_merges, _bpe_train_sql()),
     "decontaminate_passages": (decontaminate_passages, DECON_SQL),
+    "url_dedup": (url_dedup, URL_DEDUP_SQL),
     "stratified_sample_n": (stratified_sample_n, STRATIFIED_N_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

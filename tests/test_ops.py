@@ -1355,3 +1355,30 @@ def test_decontaminate_ngram_verbatim_spans_only(spark):
         for r in decontaminate_ngram(corpus, bench, k=8).collect()
     }
     assert got == {1: (1, 1), 3: (3, 3), 4: (1, 2)}
+
+
+def test_url_normalize_and_dedup_decisions(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.urls import (
+        url_dedup_decisions,
+        url_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://Example.COM/a/b"),
+            (2, "HTTP://example.com:80/a/b/#frag"),          # = 1
+            (3, "https://example.com:443/a/b?utm_source=x"), # https != http
+            (4, "http://example.com/a/b?b=2&a=1&utm_campaign=y&fbclid=z"),
+            (5, "http://example.com/a/b?a=1&b=2"),           # = 4 (sorted params)
+            (6, "http://example.com"),                       # bare host -> '/'
+            (7, "http://example.com/"),                      # = 6
+        ],
+        "doc_id long, url string",
+    )
+    norm = {r["doc_id"]: r["n"] for r in df.select("doc_id", url_normalize("url").alias("n")).collect()}
+    assert norm[1] == norm[2] == "http://example.com/a/b"
+    assert norm[3] == "https://example.com/a/b"
+    assert norm[4] == norm[5] == "http://example.com/a/b?a=1&b=2"
+    assert norm[6] == norm[7] == "http://example.com/"
+    keep = {r["doc_id"]: r["keep"] for r in url_dedup_decisions(df).collect()}
+    assert keep == {1: True, 2: False, 3: True, 4: True, 5: False, 6: True, 7: False}
