@@ -463,3 +463,67 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, merged string, n long"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge sequence (:func:`bpe_train` output, in
+    rank order) to tokenize documents — the OTHER half of the tokenizer
+    loop, and the one that runs at full corpus scale on every training
+    refresh.
+
+    Scale shape mirrors training: the merge folds run on the DISTINCT
+    word relation only (vocab-bounded; merges are driver-side literals —
+    k pairs, no collect, no join per round), then each document
+    reassembles its token stream with one word-join and one doc-keyed
+    aggregation — ``sort_array(collect_list(struct(pos, toks)))`` keeps
+    word order exact under any partitioning. Emits
+    ``(id_col, n_tokens, tokens_fp)`` — the count a packing/budget stage
+    consumes plus an md5 fingerprint of the space-joined token stream
+    (tokens never contain spaces) so correctness is checkable without
+    shipping token arrays around.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    dw = words.select("w").distinct().select(
+        "w",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.substring(F.col("w"), i, F.lit(1)),
+        ).alias("toks"),
+    )
+    for a, b in merges:
+        la, lb = F.lit(a), F.lit(b)
+        dw = dw.select(
+            "w",
+            F.aggregate(
+                "toks",
+                F.array().cast("array<string>"),
+                lambda acc, t: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == la)
+                    & (t == lb),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.concat(la, lb)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(t))),
+            ).alias("toks"),
+        )
+    joined = words.join(dw, "w")
+    stream = F.flatten(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "toks"))),
+            lambda x: x["toks"],
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        F.size(stream).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(stream, " ")).alias("tokens_fp"),
+    )

@@ -1028,6 +1028,94 @@ ORDER BY id_a, id_b
 """
 
 
+def _bpe_encode_sql(k: int = BPE_MERGES) -> str:
+    """Oracle for bpe_encode_docs: the SAME train round CTEs (merge
+    selection), plus an encode fold chain over ALL distinct words (the
+    train chain votes with len>=2 words only; encoding touches every
+    word) and per-doc ordered stream reassembly."""
+    rounds = []
+    for r in range(1, k + 1):
+        rounds.append(f"""pr{r} AS (
+  SELECT p[1] AS lhs, p[2] AS rhs, sum(c)::BIGINT AS n
+  FROM (SELECT c,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> [toks[i], toks[i + 1]])) AS p
+        FROM v{r - 1} WHERE len(toks) >= 2)
+  GROUP BY 1, 2
+),
+m{r} AS (SELECT lhs, rhs, n FROM pr{r} ORDER BY n DESC, lhs, rhs LIMIT 1),
+v{r} AS (
+  SELECT c,
+         string_split(
+           list_reduce(toks, (acc, t) ->
+             CASE WHEN t = mr AND (acc = ml OR ends_with(acc, chr(1) || ml))
+             THEN acc || t ELSE acc || chr(1) || t END),
+           chr(1)) AS toks
+  FROM (SELECT v.c, v.toks, m.lhs AS ml, m.rhs AS mr
+        FROM v{r - 1} v CROSS JOIN m{r} m)
+),
+e{r} AS (
+  SELECT w,
+         string_split(
+           list_reduce(toks, (acc, t) ->
+             CASE WHEN t = mr AND (acc = ml OR ends_with(acc, chr(1) || ml))
+             THEN acc || t ELSE acc || chr(1) || t END),
+           chr(1)) AS toks
+  FROM (SELECT e.w, e.toks, m.lhs AS ml, m.rhs AS mr
+        FROM e{r - 1} e CROSS JOIN m{r} m)
+)""")
+    joined_rounds = ",\n".join(rounds)
+    return f"""
+WITH v0 AS (
+  SELECT c, list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS toks
+  FROM (SELECT w, count(*) AS c
+        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+              FROM documents)
+        WHERE length(w) >= 2
+        GROUP BY w)
+),
+e0 AS (
+  SELECT w, list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS toks
+  FROM (SELECT DISTINCT w
+        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+              FROM documents)
+        WHERE w != '')
+),
+{joined_rounds},
+exp AS (
+  SELECT doc_id, i AS pos, sp[i] AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS sp
+        FROM documents),
+       LATERAL (SELECT unnest(range(1, len(sp) + 1)) AS i)
+  WHERE sp[i] != ''
+),
+doctoks AS (
+  SELECT doc_id, flatten(list(toks ORDER BY pos)) AS stream
+  FROM exp JOIN e{k} USING (w)
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       len(stream)::BIGINT AS n_tokens,
+       md5(array_to_string(stream, ' ')) AS tokens_fp
+FROM doctoks
+ORDER BY doc_id
+"""
+
+
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.textprep import bpe_encode, bpe_train
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    m = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(docs.select("text"), n_merges=BPE_MERGES)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return bpe_encode(docs, m).orderBy("doc_id")
+
+
+
 # ---------------------------------------------------------------------------
 # decontaminate_passages (r07) — eval-set decontamination at the passage
 # level: the strict verbatim k-gram rule (Lee et al. / GPT-3 13-gram, k=8
@@ -1607,6 +1695,7 @@ QUERIES: dict = {
     "bpe_train_merges": (bpe_train_merges, _bpe_train_sql()),
     "decontaminate_passages": (decontaminate_passages, DECON_SQL),
     "url_dedup": (url_dedup, URL_DEDUP_SQL),
+    "bpe_encode_docs": (bpe_encode_docs, _bpe_encode_sql()),
     "stratified_sample_n": (stratified_sample_n, STRATIFIED_N_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

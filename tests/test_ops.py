@@ -1382,3 +1382,22 @@ def test_url_normalize_and_dedup_decisions(spark):
     assert norm[6] == norm[7] == "http://example.com/"
     keep = {r["doc_id"]: r["keep"] for r in url_dedup_decisions(df).collect()}
     assert keep == {1: True, 2: False, 3: True, 4: True, 5: False, 6: True, 7: False}
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.textprep import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "lowest low"), (2, "ow")], "doc_id long, text string"
+    )
+    # merges: (l,o)->lo, (lo,w)->low : 'lowest' -> [low,e,s,t], 'low' -> [low]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tokens_fp"])
+        for r in bpe_encode(df, [("l", "o"), ("lo", "w")]).collect()
+    }
+    import hashlib
+
+    fp1 = hashlib.md5("low e s t low".encode()).hexdigest()
+    fp2 = hashlib.md5("o w".encode()).hexdigest()  # no 'l' -> merges no-op
+    assert got[1] == (5, fp1)
+    assert got[2] == (2, fp2)
