@@ -273,3 +273,36 @@ def weighted_sample_key_sql(id_expr: str, weight_expr: str, salt: str = "wsample
         f"(-ln((({h} % {WS_MOD}) + 1) / {float(WS_MOD + 1)!r}) "
         f"/ CAST({weight_expr} AS DOUBLE))"
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Reproducible global training order for one epoch:
+    ``(id_col, shard, shard_rank)`` — every run, retry, and engine
+    produces the identical order for the same epoch.
+
+    The order key is the portable md5 hash of (epoch, id): a new epoch
+    reshuffles everything, the same epoch replays exactly (the data-order
+    reproducibility a training run needs for resume-from-step). Shards
+    are ``hash % n_shards`` — each trainer rank reads one shard and sorts
+    WITHIN it, so the global pattern is a deterministic interleave and no
+    stage ever needs a global sort: one shard-keyed exchange of
+    (id, hash) pairs, then per-shard window ranks. At 1000 executors the
+    shard count is the parallelism knob; a total order across shards
+    (repartitionByRange on the hash) is the zorder_layout path, not
+    needed for training order.
+    """
+    from pyspark.sql import Window as W
+
+    h = md5_long(F.concat(F.lit(f"epoch{epoch}:"), F.col(id_col).cast("string")))
+    keyed = df.select(F.col(id_col), h.alias("_h"), (h % n_shards).alias("shard"))
+    w = W.partitionBy("shard").orderBy(F.asc("_h"), F.asc(id_col))
+    return keyed.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("long").alias("shard_rank"),
+    )

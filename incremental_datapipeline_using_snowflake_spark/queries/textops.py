@@ -1117,6 +1117,35 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# epoch_shuffle_order (r07) — reproducible global training order: md5(epoch,
+# id) order key, shard = hash % n, per-shard window ranks. Same epoch ->
+# identical order in any engine (resume-from-step reproducibility); new
+# epoch -> full reshuffle.
+# ---------------------------------------------------------------------------
+EPOCH = 2
+EPOCH_SHARDS = 8
+
+
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.sampling import epoch_shuffle
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, EPOCH, n_shards=EPOCH_SHARDS).orderBy(
+        "shard", "shard_rank"
+    )
+
+
+EPOCH_SHUFFLE_SQL = f"""
+SELECT doc_id, shard, row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS shard_rank
+FROM (SELECT doc_id,
+             {ORACLE_MD5_LONG.format(x="('epoch" + str(EPOCH) + ":' || CAST(doc_id AS VARCHAR))")} AS h,
+             {ORACLE_MD5_LONG.format(x="('epoch" + str(EPOCH) + ":' || CAST(doc_id AS VARCHAR))")} % {EPOCH_SHARDS} AS shard
+      FROM documents)
+ORDER BY shard, shard_rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # decontaminate_passages (r07) — eval-set decontamination at the passage
 # level: the strict verbatim k-gram rule (Lee et al. / GPT-3 13-gram, k=8
 # here to fit the synthetic doc lengths). Bench fixture: docs doc_id%17=3
@@ -1696,6 +1725,7 @@ QUERIES: dict = {
     "decontaminate_passages": (decontaminate_passages, DECON_SQL),
     "url_dedup": (url_dedup, URL_DEDUP_SQL),
     "bpe_encode_docs": (bpe_encode_docs, _bpe_encode_sql()),
+    "epoch_shuffle_order": (epoch_shuffle_order, EPOCH_SHUFFLE_SQL),
     "stratified_sample_n": (stratified_sample_n, STRATIFIED_N_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

@@ -1401,3 +1401,22 @@ def test_bpe_encode_applies_merges_in_rank_order(spark):
     fp2 = hashlib.md5("o w".encode()).hexdigest()  # no 'l' -> merges no-op
     assert got[1] == (5, fp1)
     assert got[2] == (2, fp2)
+
+
+def test_epoch_shuffle_reproducible_per_epoch(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = [(r["shard"], r["shard_rank"], r["doc_id"])
+         for r in epoch_shuffle(df, 1, n_shards=4).orderBy("shard", "shard_rank").collect()]
+    b = [(r["shard"], r["shard_rank"], r["doc_id"])
+         for r in epoch_shuffle(df, 1, n_shards=4).orderBy("shard", "shard_rank").collect()]
+    c = [(r["shard"], r["shard_rank"], r["doc_id"])
+         for r in epoch_shuffle(df, 2, n_shards=4).orderBy("shard", "shard_rank").collect()]
+    assert a == b                      # same epoch -> identical order
+    assert a != c                      # new epoch -> reshuffled
+    assert {x[2] for x in a} == set(range(200))  # complete, no dup/loss
+    ranks = {}
+    for sh, rk, _ in a:
+        ranks.setdefault(sh, []).append(rk)
+    assert all(v == list(range(1, len(v) + 1)) for v in ranks.values())
