@@ -191,11 +191,18 @@ def bootstrap_corpus(
 
 
 def repair_aux(spark: SparkSession, store, corpus_table: str,
-               *, text_col: str = "text", id_col: str = "doc_id") -> int:
-    """Backfill band rows for corpus docs missing from the band table (the
-    commit-to-aux-append crash window). Ids-only anti-join to find the gap
-    (narrow columns), re-shingle only the missing docs. Returns the number
-    of repaired docs."""
+               *, text_col: str = "text", id_col: str = "doc_id",
+               emb: DataFrame | None = None, vec_col: str = "embedding",
+               emb_id_col: str = "vec_id") -> int:
+    """Backfill aux rows for corpus docs missing from the band table — and,
+    when ``emb`` is supplied, from the LSH signature table — the
+    commit-to-aux-append crash window. Ids-only anti-joins find the gaps
+    (narrow columns); only the missing docs re-shingle / re-sign. The
+    signature side NEEDS the caller's embeddings: a missing ``__embsig``
+    row means the vector itself never reached the store, so text alone
+    can't reconstruct it (pass the batch/corpus embedding table — extra
+    rows are harmless, only corpus-∩-missing ids are used). Returns the
+    total number of repaired rows (docs re-banded + vectors re-signed)."""
     corpus = store.read(spark, corpus_table)
     have = store.read(spark, corpus_table + "__bands").select(
         F.col("id").alias(id_col)
@@ -207,6 +214,27 @@ def repair_aux(spark: SparkSession, store, corpus_table: str,
         store.append(
             _band_rows(_signatures_from_shingles(sh)), corpus_table + "__bands"
         )
+    if emb is not None and store.exists(corpus_table + "__embsig"):
+        meta = store.read(spark, corpus_table + "__curation_meta").collect()[0]
+        have_sig = store.read(spark, corpus_table + "__embsig").select(
+            F.col("id").alias(emb_id_col)
+        ).distinct()
+        missing_vec = (
+            emb.join(
+                corpus.select(F.col(id_col).alias(emb_id_col)),
+                emb_id_col, "left_semi",
+            ).join(have_sig, emb_id_col, "left_anti")
+        )
+        n_sig = missing_vec.count()
+        if n_sig:
+            store.append(
+                _emb_signatures(
+                    missing_vec, meta["dim"], meta["n_tables"],
+                    meta["n_planes"], vec_col, emb_id_col,
+                ),
+                corpus_table + "__embsig",
+            )
+        n += n_sig
     return n
 
 

@@ -318,3 +318,28 @@ def test_wet_ingest_composes_into_curation(spark, store, tmp_path):
           C.curate_append(spark, store, docs2, "cur.docs", "wet2").collect()}
     assert v2 == {"exact_dup_corpus"}
     assert store.read(spark, "cur.docs").count() == 4
+
+
+def test_repair_aux_backfills_missing_embsig(spark, store):
+    """A crash between the band append and the signature append leaves a
+    kept doc without LSH signatures; repair_aux with the caller's
+    embeddings restores them at the frozen bootstrap structure."""
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    rows, _ = _corpus_rows()
+    corpus = spark.createDataFrame(rows, DOC_SCHEMA)
+    dim = 8
+    emb = spark.createDataFrame(
+        [(i, [float((i * 5 + d) % 7 - 3) for d in range(dim)]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    C.bootstrap_corpus(spark, store, corpus, "cur.docs",
+                       emb=emb, dim=dim, n_tables=2, n_planes=3)
+    sigs = store.read(spark, "cur.docs__embsig")
+    before = sigs.filter(F.col("id") == 1).collect()
+    store.overwrite(sigs.filter(F.col("id") != 1), "cur.docs__embsig")
+
+    assert C.repair_aux(spark, store, "cur.docs", emb=emb) == 1
+    after = store.read(spark, "cur.docs__embsig").filter(F.col("id") == 1).collect()
+    assert len(after) == 1 and after[0]["buckets"] == before[0]["buckets"]
+    assert C.repair_aux(spark, store, "cur.docs", emb=emb) == 0  # converged
