@@ -1125,3 +1125,37 @@ def incremental_exact_dedup_bloom(
         )
     )
     return fresh.select("id", "maybe_member", "is_corpus_dup").unionByName(checked)
+
+
+def lsh_plan(
+    threshold: float,
+    max_perms: int = 128,
+) -> tuple[int, int]:
+    """Choose (bands, rows_per_band) for a MinHash-LSH blocking stage at a
+    target Jaccard ``threshold`` — the standard S-curve calculus
+    (Leskovec/Rajaraman/Ullman ch. 3): a candidate pair at similarity s
+    collides with probability ``1 - (1 - s^r)^b``, and the curve's
+    steepest point sits near ``(1/b)^(1/r)``. This picks, over all
+    (b, r) with b*r <= max_perms, the pair minimizing the total error
+    mass (integrated false-positive area below the threshold + false-
+    negative area above it, 1000-point Riemann sum) — the tuning a user
+    re-derives by hand every time they change thresholds; here it is a
+    pure driver-side function (no data touched) whose output feeds the
+    band/signature builders.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"lsh_plan: threshold must be in (0,1), got {threshold}")
+    best: tuple[float, int, int] | None = None
+    for r in range(1, max_perms + 1):
+        for b in range(1, max_perms // r + 1):
+            err = 0.0
+            n = 1000
+            for i in range(n):
+                s = (i + 0.5) / n
+                p = 1.0 - (1.0 - s**r) ** b
+                err += (p if s < threshold else (1.0 - p)) / n
+            cand = (err, b, r)
+            if best is None or cand < best:
+                best = cand
+    assert best is not None
+    return best[1], best[2]

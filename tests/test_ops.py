@@ -1420,3 +1420,20 @@ def test_epoch_shuffle_reproducible_per_epoch(spark):
     for sh, rk, _ in a:
         ranks.setdefault(sh, []).append(rk)
     assert all(v == list(range(1, len(v) + 1)) for v in ranks.values())
+
+
+def test_lsh_plan_scurve_midpoint_tracks_threshold(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.dedup import lsh_plan
+
+    import pytest as _pytest
+
+    for t in (0.3, 0.5, 0.8):
+        b, r = lsh_plan(t, 32)
+        assert b * r <= 32
+        # the S-curve's 50%-collision point should land near the threshold
+        mid = (1.0 / b) ** (1.0 / r)
+        assert abs(mid - t) < 0.15, (t, b, r, mid)
+    # steeper thresholds need more rows per band
+    assert lsh_plan(0.8, 32)[1] > lsh_plan(0.3, 32)[1]
+    with _pytest.raises(ValueError, match="threshold"):
+        lsh_plan(1.5)
