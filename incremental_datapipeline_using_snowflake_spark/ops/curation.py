@@ -101,6 +101,18 @@ _RUNS_SCHEMA = (
 )
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint of a narrow (ids-only) stage-boundary frame.
+    Two jobs it does: (1) each pipeline stage becomes its own bounded job
+    instead of one 8-branch mega-plan — the r07 driver-sim OOMed a
+    default-1g session EXECUTING the verdict union over full-depth
+    lineages (50+ stages each shipping a ~14 MB serialized task binary);
+    shallow downstream plans keep task binaries small and let finished
+    stages' broadcasts be reclaimed. (2) At scale, a retried stage re-reads
+    a few KB of ids instead of re-running MinHash/LSH joins."""
+    return df.localCheckpoint(eager=True)
+
+
 def _fingerprint(text_col: str) -> F.Column:
     return F.md5(F.col(text_col))
 
@@ -410,8 +422,8 @@ def curate_append(
         F.col(id_col).alias("id"),
         F.coalesce(F.col("quality_pass"), F.lit(False)).alias("ok"),
     )
-    gate_fail = gate.filter(~F.col("ok")).select("id")
-    p1 = gate.filter(F.col("ok")).select("id")
+    gate_fail = _pin(gate.filter(~F.col("ok")).select("id"))
+    p1 = _pin(gate.filter(F.col("ok")).select("id"))
 
     # -- stage 2: exact dedup (fingerprints) -----------------------------
     from pyspark.sql import Window as W
@@ -459,10 +471,11 @@ def curate_append(
         ).distinct()
         exact_corpus = bfp.join(corpus_fp, "fp", "left_semi").select("id")
         p2a = bfp.join(corpus_fp, "fp", "left_anti")
+    exact_corpus = _pin(exact_corpus)
     wfp = W.partitionBy("fp").orderBy(F.asc("id"))
     ranked = p2a.withColumn("_rk", F.row_number().over(wfp))
-    exact_batch = ranked.filter(F.col("_rk") > 1).select("id")
-    p2 = ranked.filter(F.col("_rk") == 1).select("id")
+    exact_batch = _pin(ranked.filter(F.col("_rk") > 1).select("id"))
+    p2 = _pin(ranked.filter(F.col("_rk") == 1).select("id"))
 
     # -- stage 3: textual near-dup (MinHash vs stored bands) -------------
     bdocs = b.join(p2.withColumnRenamed("id", id_col), id_col)
@@ -470,8 +483,17 @@ def curate_append(
     # corpus verify, batch-internal candidates/verify, and the kept-doc aux
     # append) — and, as important at scale, give AQE MEASURED size stats
     # for it: the 16x scale run OOMed when a static under-estimate of this
-    # shingle-array relation picked the broadcast side of the verify join
-    bsh = _shingle_docs(bdocs, text_col, id_col).localCheckpoint(eager=True)
+    # shingle-array relation picked the broadcast side of the verify join.
+    # persist(MEMORY_AND_DISK) + count, NOT eager localCheckpoint: the
+    # driver-sim's default-1g session OOMed pinning checkpoint blocks on
+    # the heap — a persisted relation spills under pressure and releases
+    # deterministically at the end of the run
+    from pyspark import StorageLevel
+
+    bsh = _shingle_docs(bdocs, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bsh.count()
     bbands = _band_rows(_signatures_from_shingles(bsh))
     cbands = store.read(spark, corpus_table + "__bands")
     cand_c = (
@@ -493,8 +515,10 @@ def curate_append(
         .select("id_a")
         .distinct()
     )
-    near_corpus = p2.join(near_c.withColumnRenamed("id_a", "id"), "id", "left_semi")
-    p3a = p2.join(near_c.withColumnRenamed("id_a", "id"), "id", "left_anti")
+    near_corpus = _pin(
+        p2.join(near_c.withColumnRenamed("id_a", "id"), "id", "left_semi")
+    )
+    p3a = _pin(p2.join(near_c.withColumnRenamed("id_a", "id"), "id", "left_anti"))
     # batch-internal pairs among stage-3 survivors → CC → min-id keep
     a = bbands.withColumnRenamed("id", "id_a")
     c = bbands.withColumnRenamed("id", "id_b")
@@ -515,8 +539,10 @@ def curate_append(
     keep3 = dedup_keep_decisions(
         p3a.withColumnRenamed("id", id_col), pairs_b, id_col=id_col
     )
-    near_batch = keep3.filter(~F.col("keep")).select(F.col(id_col).alias("id"))
-    p3 = keep3.filter(F.col("keep")).select(F.col(id_col).alias("id"))
+    near_batch = _pin(
+        keep3.filter(~F.col("keep")).select(F.col(id_col).alias("id"))
+    )
+    p3 = _pin(keep3.filter(F.col("keep")).select(F.col(id_col).alias("id")))
 
     # -- stage 4: semantic near-dup (LSH vs stored signatures) -----------
     emb_corpus = spark.createDataFrame([], "id long").select(F.col("id"))
@@ -544,8 +570,12 @@ def curate_append(
             .select("id_a")
             .distinct()
         )
-        emb_corpus = p3.join(hit_c.withColumnRenamed("id_a", "id"), "id", "left_semi")
-        p4a = p3.join(hit_c.withColumnRenamed("id_a", "id"), "id", "left_anti")
+        emb_corpus = _pin(
+            p3.join(hit_c.withColumnRenamed("id_a", "id"), "id", "left_semi")
+        )
+        p4a = _pin(
+            p3.join(hit_c.withColumnRenamed("id_a", "id"), "id", "left_anti")
+        )
         pairs_e = (
             bflat.join(
                 bsig.select(
@@ -564,8 +594,10 @@ def curate_append(
         keep4 = dedup_keep_decisions(
             p4a.withColumnRenamed("id", id_col), pairs_e, id_col=id_col
         )
-        emb_batch = keep4.filter(~F.col("keep")).select(F.col(id_col).alias("id"))
-        p4 = keep4.filter(F.col("keep")).select(F.col(id_col).alias("id"))
+        emb_batch = _pin(
+            keep4.filter(~F.col("keep")).select(F.col(id_col).alias("id"))
+        )
+        p4 = _pin(keep4.filter(F.col("keep")).select(F.col(id_col).alias("id")))
 
     # -- verdicts (materialized BEFORE the merge mutates the store) ------
     verdicts = (
@@ -644,6 +676,7 @@ def curate_append(
     # batch cache per run until executor storage starves real work — the
     # 16x scale session hit exactly that before this unpersist
     b.unpersist()
+    bsh.unpersist()
     if have_bloom:
         probed.unpersist()
     return verdicts

@@ -96,6 +96,16 @@ def corpus_curate_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _CURATE_CACHE.get(key)
     if got is None:
+        # session hygiene before the heaviest declared query: a harness
+        # running the whole inventory in ONE default-1g session (the
+        # driver shape) reaches this point with dozens of queries' pinned
+        # frames on the heap — SQL cache alone was not enough (the r07
+        # driver-sim still OOMed on the localCheckpoint blocks held by
+        # module caches), so release every session frame the inventory
+        # pins; later family queries rebuild their caches deterministically
+        from . import release_session_frames
+
+        release_session_frames(spark)
         corpus, corpus_emb, batch, batch_emb = _planted_batch(spark, sf_dir)
         store = TableStore(root=tempfile.mkdtemp(prefix="spark_curate_"))
         C.bootstrap_corpus(

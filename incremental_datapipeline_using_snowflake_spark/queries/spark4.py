@@ -326,11 +326,11 @@ SNOWFLAKE_MISC_SQL = """
 SELECT c_mktsegment,
        LISTAGG(DISTINCT TO_VARCHAR(c_nationkey), ',')
          WITHIN GROUP (ORDER BY TO_VARCHAR(c_nationkey)) AS nations,
-       SUM(ZEROIFNULL(TRY_TO_NUMBER(SUBSTR(c_name, 10, 9)))) AS custkey_sum,
-       SUM(ZEROIFNULL(TRY_TO_NUMBER(SUBSTR(c_name, 1, 4)))) AS alpha_sum,
+       CAST(SUM(ZEROIFNULL(TRY_TO_NUMBER(SUBSTR(c_name, 10, 9)))) AS BIGINT) AS custkey_sum,
+       CAST(SUM(ZEROIFNULL(TRY_TO_NUMBER(SUBSTR(c_name, 1, 4)))) AS BIGINT) AS alpha_sum,
        NVL(MIN(NULLIF(c_mktsegment, c_mktsegment)), 'none') AS nvl_default,
        NVL2(MAX(c_name), 'has_name', 'no_name') AS nvl2_flag,
-       TRY_TO_NUMBER(MIN(c_name), 4, 1) AS try_prec
+       CAST(TRY_TO_NUMBER(MIN(c_name), 4, 1) AS DOUBLE) AS try_prec
 FROM {customer}
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -351,11 +351,11 @@ SNOWFLAKE_MISC_ORACLE = """
 SELECT c_mktsegment,
        string_agg(DISTINCT CAST(c_nationkey AS VARCHAR), ','
                   ORDER BY CAST(c_nationkey AS VARCHAR)) AS nations,
-       SUM(COALESCE(TRY_CAST(substr(c_name, 10, 9) AS DECIMAL(38, 0)), 0)) AS custkey_sum,
-       SUM(COALESCE(TRY_CAST(substr(c_name, 1, 4) AS DECIMAL(38, 0)), 0)) AS alpha_sum,
+       CAST(SUM(COALESCE(TRY_CAST(substr(c_name, 10, 9) AS DECIMAL(38, 0)), 0)) AS BIGINT) AS custkey_sum,
+       CAST(SUM(COALESCE(TRY_CAST(substr(c_name, 1, 4) AS DECIMAL(38, 0)), 0)) AS BIGINT) AS alpha_sum,
        COALESCE(MIN(NULLIF(c_mktsegment, c_mktsegment)), 'none') AS nvl_default,
        CASE WHEN MAX(c_name) IS NOT NULL THEN 'has_name' ELSE 'no_name' END AS nvl2_flag,
-       TRY_CAST(MIN(c_name) AS DECIMAL(4, 1)) AS try_prec
+       CAST(TRY_CAST(MIN(c_name) AS DECIMAL(4, 1)) AS DOUBLE) AS try_prec
 FROM customer
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
