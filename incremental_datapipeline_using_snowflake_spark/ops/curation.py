@@ -363,6 +363,7 @@ def curate_append(
     emb_id_col: str = "vec_id",
     jaccard_threshold: float = 0.5,
     cosine_threshold: float = 0.999,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Run one curation batch end-to-end and MERGE the survivors into the
     versioned corpus. Returns the per-document verdict table
@@ -487,13 +488,24 @@ def curate_append(
     # persist(MEMORY_AND_DISK) + count, NOT eager localCheckpoint: the
     # driver-sim's default-1g session OOMed pinning checkpoint blocks on
     # the heap — a persisted relation spills under pressure and releases
-    # deterministically at the end of the run
+    # deterministically at the end of the run. ``work_dir`` (the 100 TB
+    # path, _shingle_docs' checkpoint_dir discipline) routes it through a
+    # parquet round-trip instead: right when the batch's shingle table
+    # exceeds what executor storage should carry alongside the joins.
     from pyspark import StorageLevel
 
-    bsh = _shingle_docs(bdocs, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    bsh.count()
+    _bsh_persisted = work_dir is None
+    if _bsh_persisted:
+        bsh = _shingle_docs(bdocs, text_col, id_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        bsh.count()
+    else:
+        bsh = _shingle_docs(
+            bdocs, text_col, id_col,
+            checkpoint_dir=work_dir,
+            checkpoint_name=f"curate_{run_id}_batch_shingles",
+        )
     bbands = _band_rows(_signatures_from_shingles(bsh))
     cbands = store.read(spark, corpus_table + "__bands")
     cand_c = (
@@ -676,7 +688,8 @@ def curate_append(
     # batch cache per run until executor storage starves real work — the
     # 16x scale session hit exactly that before this unpersist
     b.unpersist()
-    bsh.unpersist()
+    if _bsh_persisted:
+        bsh.unpersist()
     if have_bloom:
         probed.unpersist()
     return verdicts

@@ -208,3 +208,27 @@ def test_warc_wet_roundtrip_quarantine_and_strict(spark, tmp_path):
     trunc = b"WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 100\r\n\r\nshort"
     out = list(parse_warc_records(trunc, "t"))
     assert len(out) == 1 and "truncated" in out[0]["parse_error"]
+
+
+def test_warc_multimember_gzip_concatenation(spark, tmp_path):
+    """Common Crawl gzips each record as its OWN member and concatenates;
+    the reader must consume the whole multi-member stream, not stop at
+    the first member boundary."""
+    import gzip as _gzip
+
+    from incremental_datapipeline_using_snowflake_spark.sources.warc_source import (
+        encode_wet,
+        read_warc,
+    )
+
+    r1 = [{"uri": "http://m.example/1", "date": "2026-08-01T00:00:00Z",
+           "text": "first member record text"}]
+    r2 = [{"uri": "http://m.example/2", "date": "2026-08-01T00:00:01Z",
+           "text": "second member record text"}]
+    src = tmp_path / "mm"
+    src.mkdir()
+    (src / "multi.wet.gz").write_bytes(
+        _gzip.compress(encode_wet(r1)) + _gzip.compress(encode_wet(r2))
+    )
+    uris = {r["target_uri"] for r in read_warc(spark, str(src)).collect()}
+    assert uris == {"http://m.example/1", "http://m.example/2"}
