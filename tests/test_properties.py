@@ -385,3 +385,119 @@ def test_translate_never_corrupts_literals_law(s):
         return  # loud refusal is within contract
     for lit in literals:
         assert lit in out, (s, lit, out)
+
+
+# ---------------------------------------------------------------------------
+# r07 ops laws
+# ---------------------------------------------------------------------------
+
+_URL_HOST = st.from_regex(r"[A-Za-z][A-Za-z0-9\-]{0,10}\.(com|org|io)", fullmatch=True)
+_URL_PATH = st.lists(
+    st.from_regex(r"[A-Za-z0-9._\-]{1,8}", fullmatch=True), max_size=3
+)
+_URL_PARAMS = st.lists(
+    st.tuples(
+        st.from_regex(r"[a-z][a-z0-9]{0,5}", fullmatch=True),
+        st.from_regex(r"[A-Za-z0-9]{0,6}", fullmatch=True),
+    ),
+    max_size=4,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+    host=_URL_HOST,
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=_URL_PATH,
+    params=_URL_PARAMS,
+    slash=st.booleans(),
+    frag=st.sampled_from(["", "#x", "#a/b?c=1"]),
+)
+def test_url_normalize_idempotent_law(sp, scheme, host, port, path, params, slash, frag):
+    """normalize(normalize(u)) == normalize(u) for generated URLs — the
+    canonical-form law; also case-of-host invariance."""
+    from incremental_datapipeline_using_snowflake_spark.ops.urls import url_normalize
+    from pyspark.sql import functions as F
+
+    url = f"{scheme}://{host}{port}/" + "/".join(path)
+    if slash:
+        url += "/"
+    if params:
+        url += "?" + "&".join(f"{k}={v}" for k, v in params)
+    url += frag
+    df = sp.createDataFrame([(url,), (url.replace(host, host.upper()),)], "u string")
+    out = df.select(
+        url_normalize("u").alias("n1"),
+    ).select("n1", url_normalize("n1").alias("n2")).collect()
+    assert out[0]["n1"] == out[0]["n2"]          # idempotent
+    assert out[0]["n1"] == out[1]["n1"]          # host case-invariant
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    recs=st.lists(
+        st.tuples(
+            st.from_regex(r"[a-z0-9/.:-]{1,20}", fullmatch=True),
+            st.text(
+                alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+                max_size=200,
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    compress=st.booleans(),
+)
+def test_warc_roundtrip_law(recs, compress):
+    """encode_wet -> parse_warc_records is lossless for any payload text
+    (incl. multi-byte UTF-8 whose byte length != char length) — pure
+    Python, no Spark session needed."""
+    import gzip as _gzip
+
+    from incremental_datapipeline_using_snowflake_spark.sources.warc_source import (
+        encode_wet,
+        parse_warc_records,
+    )
+
+    data = encode_wet(
+        [{"uri": u, "date": "2026-08-15T00:00:00Z", "text": t} for u, t in recs],
+        compress=compress,
+    )
+    if compress:
+        data = _gzip.decompress(data)
+    out = list(parse_warc_records(data, "f"))
+    assert [o["parse_error"] for o in out] == [None] * len(recs)
+    assert [(o["target_uri"], o["text"]) for o in out] == recs
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    members=st.lists(st.text(alphabet="abcdef ", min_size=1, max_size=30),
+                     min_size=1, max_size=15),
+    probes=st.lists(st.text(alphabet="abcdef ", min_size=1, max_size=30),
+                    min_size=1, max_size=10),
+)
+def test_bloom_no_false_negatives_law(sp, members, probes):
+    """Every true member is maybe_member=TRUE (zero false negatives) —
+    the property the curation fast path's exactness rests on."""
+    from pyspark.sql import functions as F
+
+    from incremental_datapipeline_using_snowflake_spark.ops.dedup import (
+        bloom_m_bits,
+        bloom_maybe_member,
+        fingerprint_bloom,
+    )
+
+    m = bloom_m_bits(len(set(members)))
+    fps = sp.createDataFrame([(t,) for t in set(members)], "t string").select(
+        F.md5("t").alias("fp")
+    )
+    bloom = fingerprint_bloom(fps, m)
+    batch = sp.createDataFrame(
+        [(i, t) for i, t in enumerate(members + probes)], "id long, t string"
+    ).select("id", F.md5("t").alias("fp"))
+    got = {r["id"]: r["maybe_member"]
+           for r in bloom_maybe_member(batch, bloom, m).collect()}
+    for i in range(len(members)):
+        assert got[i] is True
