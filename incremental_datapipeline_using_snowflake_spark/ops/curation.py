@@ -693,3 +693,105 @@ def curate_append(
     if have_bloom:
         probed.unpersist()
     return verdicts
+
+
+def export_corpus_snapshot(
+    spark: SparkSession,
+    store,
+    corpus_table: str,
+    out_dir: str,
+    *,
+    split_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compression: str | None = "gzip",
+) -> DataFrame:
+    """Publish the CURRENT corpus version as JSONL shards plus a
+    verifiable manifest — the ship-it step between curation and a
+    training run.
+
+    Layout: ``<out_dir>/data[/split=<v>]/part-*.json[.gz]`` written in
+    parallel (``jsonl_source.write_jsonl``), then
+    ``<out_dir>/_manifest.jsonl`` written LAST — its presence is the
+    completion marker (the ``_SUCCESS`` discipline: a consumer that sees
+    the manifest sees finished data).
+
+    The manifest carries, per split (or one ``all`` row): row count, total
+    text chars, and an ORDER-INDEPENDENT content checksum — the sum of
+    each record's 60-bit ``md5(id || ':' || md5(text))`` through a
+    DECIMAL(38,0) accumulator reduced mod 2^61 (exact at any corpus size,
+    immune to partitioning/write order, recomputable by ANY engine reading
+    the shards — the consumer re-derives it with one scan and compares).
+    Plus the snapshot's store VERSION, so a manifest pins exactly which
+    time-travelable corpus state shipped.
+    """
+    from ..queries.util import md5_long
+    from ..sources.jsonl_source import write_jsonl
+
+    corpus = store.read(spark, corpus_table)
+    version = store.current_version(corpus_table)
+    if "_fingerprint" in corpus.columns:
+        corpus = corpus.drop("_fingerprint")
+    write_jsonl(
+        corpus, f"{out_dir}/data", compression=compression,
+        partition_by=[split_col] if split_col else None,
+    )
+    grp = F.col(split_col) if split_col else F.lit("all")
+    rec = md5_long(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.md5(F.col(text_col)))
+    )
+    manifest = (
+        corpus.groupBy(grp.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.length(text_col).cast("decimal(38,0)")).cast("long").alias("n_chars"),
+            (F.sum(rec.cast("decimal(38,0)")) % F.lit(2 ** 61).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("content_checksum"),
+        )
+        .withColumn("store_version", F.lit(version).cast("long"))
+        .withColumn("table", F.lit(corpus_table))
+        .orderBy("split")
+    )
+    manifest.coalesce(1).write.mode("overwrite").json(f"{out_dir}/_manifest.jsonl")
+    return manifest
+
+
+def verify_corpus_snapshot(spark: SparkSession, out_dir: str,
+                           *, id_col: str = "doc_id",
+                           text_col: str = "text") -> bool:
+    """Consumer-side verification: re-derive the manifest's counts and
+    checksums from the shipped JSONL shards and compare. Returns True when
+    every split matches; raises with the failing splits otherwise."""
+    from ..queries.util import md5_long
+
+    man = {
+        r["split"]: (r["n_rows"], r["content_checksum"])
+        for r in spark.read.json(f"{out_dir}/_manifest.jsonl").collect()
+    }
+    # plain read: partition discovery recovers the split=<v> dirs when the
+    # export was split-partitioned (recursiveFileLookup would disable it)
+    data = spark.read.json(f"{out_dir}/data")
+    # the MANIFEST decides the grouping: a data column named 'split' in an
+    # unpartitioned export must not shadow the single 'all' row
+    grp = (
+        F.lit("all")
+        if set(man) == {"all"}
+        else F.col("split").cast("string")
+    )
+    rec = md5_long(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.md5(F.col(text_col)))
+    )
+    got = {
+        r["split"]: (r["n_rows"], r["content_checksum"])
+        for r in data.groupBy(grp.alias("split")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(rec.cast("decimal(38,0)")) % F.lit(2 ** 61).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("content_checksum"),
+        ).collect()
+    }
+    bad = [s for s in man if man[s] != got.get(s)]
+    if bad:
+        raise ValueError(f"snapshot verification failed for splits: {bad}")
+    return True

@@ -371,3 +371,37 @@ def test_curate_append_work_dir_spill_path_same_verdicts(spark, store, tmp_path)
     assert va == vb == {100: "kept", 101: "exact_dup_corpus", 102: "near_dup_corpus"}
     import os
     assert any("curate_r1_batch_shingles" in d for d in os.listdir(wd))
+
+
+def test_export_and_verify_corpus_snapshot(spark, store, tmp_path):
+    """Export -> manifest (order-independent checksum + store version) ->
+    consumer-side verification; a tampered shard set fails loudly."""
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    rows, _ = _corpus_rows()
+    corpus = spark.createDataFrame(rows, DOC_SCHEMA).withColumn(
+        "split", F.when(F.col("doc_id") < 2, "train").otherwise("val")
+    )
+    C.bootstrap_corpus(spark, store, corpus, "cur.docs")
+
+    out = tmp_path / "snap"
+    man = C.export_corpus_snapshot(
+        spark, store, "cur.docs", str(out), split_col="split", compression=None
+    )
+    rows_m = {r["split"]: r for r in man.collect()}
+    assert rows_m["train"]["n_rows"] == 2 and rows_m["val"]["n_rows"] == 1
+    assert rows_m["train"]["store_version"] is not None
+    assert (out / "_manifest.jsonl").exists()
+    assert C.verify_corpus_snapshot(spark, str(out)) is True
+
+    # tamper: drop the val shard dir -> verification must fail
+    import shutil
+
+    shutil.rmtree(str(out / "data" / "split=val"))
+    with pytest.raises(ValueError, match="val"):
+        C.verify_corpus_snapshot(spark, str(out))
+
+    # unpartitioned export round-trips too
+    out2 = tmp_path / "snap2"
+    C.export_corpus_snapshot(spark, store, "cur.docs", str(out2))
+    assert C.verify_corpus_snapshot(spark, str(out2)) is True
