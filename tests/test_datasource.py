@@ -232,3 +232,64 @@ def test_warc_multimember_gzip_concatenation(spark, tmp_path):
     )
     uris = {r["target_uri"] for r in read_warc(spark, str(src)).collect()}
     assert uris == {"http://m.example/1", "http://m.example/2"}
+
+
+def test_warc_datasource_batch_and_streaming_watermark(spark, tmp_path):
+    """format('warc'): batch reads file-per-partition; the streaming form
+    ingests only files named above the committed watermark per drain
+    (crawl-shard arrival semantics) and resumes from the checkpoint."""
+    from incremental_datapipeline_using_snowflake_spark.sources.warc_datasource import (
+        WarcDataSource,
+    )
+    from incremental_datapipeline_using_snowflake_spark.sources.warc_source import (
+        encode_wet,
+    )
+
+    spark.dataSource.register(WarcDataSource)
+    d = tmp_path / "crawl"
+    d.mkdir()
+
+    def shard(n, texts):
+        (d / f"shard-{n:05d}.wet.gz").write_bytes(
+            encode_wet(
+                [
+                    {"uri": f"http://s{n}.example/{i}",
+                     "date": "2026-08-15T00:00:00Z", "text": t}
+                    for i, t in enumerate(texts)
+                ],
+                compress=True,
+            )
+        )
+
+    shard(1, ["alpha bravo charlie", "delta echo foxtrot"])
+    shard(2, ["golf hotel india"])
+
+    batch = spark.read.format("warc").option("path", str(d)).load()
+    assert batch.rdd.getNumPartitions() == 2  # file-per-partition
+    assert batch.count() == 3
+
+    ckpt = str(tmp_path / "ckpt")
+    got: list[set] = []
+
+    def drain():
+        uris: set = set()
+        q = (
+            spark.readStream.format("warc").option("path", str(d)).load()
+            .writeStream.foreachBatch(
+                lambda df, _b: uris.update(r["target_uri"] for r in df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return uris
+
+    first = drain()
+    assert first == {
+        "http://s1.example/0", "http://s1.example/1", "http://s2.example/0"
+    }
+    shard(3, ["juliet kilo lima"])
+    second = drain()
+    assert second == {"http://s3.example/0"}  # only the new shard
+    assert drain() == set()                   # nothing new -> empty drain
