@@ -405,3 +405,62 @@ def test_export_and_verify_corpus_snapshot(spark, store, tmp_path):
     out2 = tmp_path / "snap2"
     C.export_corpus_snapshot(spark, store, "cur.docs", str(out2))
     assert C.verify_corpus_snapshot(spark, str(out2)) is True
+
+
+def test_streaming_crawl_to_curation_end_to_end(spark, store, tmp_path):
+    """The full continuous-crawl shape: format('warc') stream over
+    arriving WET shards -> quarantine filter -> documents mapping ->
+    stream_curate (one transactional run per micro-batch). A second shard
+    arriving later curates incrementally against the grown corpus; a
+    re-drain under the same checkpoint ingests nothing."""
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+    from incremental_datapipeline_using_snowflake_spark.sources.warc_datasource import (
+        WarcDataSource,
+    )
+    from incremental_datapipeline_using_snowflake_spark.sources.warc_source import (
+        encode_wet,
+        warc_to_documents,
+    )
+
+    spark.dataSource.register(WarcDataSource)
+    rows, base = _corpus_rows()
+    C.bootstrap_corpus(spark, store, spark.createDataFrame(rows, DOC_SCHEMA), "cur.docs")
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "shard-00001.wet.gz").write_bytes(encode_wet(
+        [
+            {"uri": "http://c.example/new1", "date": "2026-08-15T00:00:00Z",
+             "text": "amber birch cedar dogwood elm fir ginkgo hazel ironwood juniper koa larch"},
+            {"uri": "http://c.example/dup", "date": "2026-08-15T00:00:01Z",
+             "text": " ".join(base[0])},  # exact corpus dup
+        ],
+        compress=True,
+    ))
+
+    def drain(ckpt="ck"):
+        stream = spark.readStream.format("warc").option("path", str(d)).load()
+        docs = warc_to_documents(stream.filter("parse_error IS NULL"))
+        q = C.stream_curate(docs, store, "cur.docs", str(tmp_path / ckpt))
+        q.awaitTermination(180)
+
+    drain()
+    assert store.read(spark, "cur.docs").count() == 4  # 3 corpus + new1
+    assert store.read(spark, "cur.docs__runs").count() == 1
+
+    # second shard arrives: one new doc + a dup of shard 1's kept doc
+    (d / "shard-00002.wet.gz").write_bytes(encode_wet(
+        [
+            {"uri": "http://c.example/new2", "date": "2026-08-15T00:01:00Z",
+             "text": "quartz basalt gneiss shale slate marble granite pumice chalk flint obsidian schist"},
+            {"uri": "http://c.example/dup1", "date": "2026-08-15T00:01:01Z",
+             "text": "amber birch cedar dogwood elm fir ginkgo hazel ironwood juniper koa larch"},
+        ],
+        compress=True,
+    ))
+    drain()
+    assert store.read(spark, "cur.docs").count() == 5  # + new2 only
+    assert store.read(spark, "cur.docs__runs").count() == 2
+
+    drain()  # nothing new arrived: no batch fires at all
+    assert store.read(spark, "cur.docs__runs").count() == 2
