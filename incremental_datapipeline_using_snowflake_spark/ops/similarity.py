@@ -1199,3 +1199,30 @@ def pca_projection(
             ).alias(f"pc{c + 1}")
         )
     return df.select(F.col(id_col), *comps)
+
+
+def mine_hard_negatives(
+    emb: DataFrame,
+    positive_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR / sentence-
+    transformers data-prep step): for every positive anchor, the k nearest
+    vectors that are NOT themselves positives — the near-misses a
+    contrastive loss learns the most from, versus uninformative random
+    negatives. Returns ``(query_id, rank, nbr_id, cosine)``.
+
+    Shape: the positives are the query side (a labeled set — thousands,
+    not billions) and broadcast through :func:`bruteforce_topk`; the
+    corpus streams past them once with the positive set excluded by an
+    isin literal filter BEFORE the pair join (|positives| literals — the
+    same scalar-cache discipline as BM25's corpus stats). For larger
+    corpora swap the brute-force for :func:`query_ivf_index` per anchor;
+    the exclusion filter composes the same way.
+    """
+    pos = [int(p) for p in positive_ids]
+    queries = emb.filter(F.col(id_col).isin(pos))
+    corpus = emb.filter(~F.col(id_col).isin(pos))
+    return bruteforce_topk(corpus, queries, k=k, vec_col=vec_col, id_col=id_col)

@@ -51,6 +51,43 @@ ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# hard_negative_mining (r07) — contrastive-training data prep: for each
+# positive anchor (vec_id % 40 == 0), the k nearest NON-positive vectors.
+# Oracle: the bruteforce replay with the positive set excluded.
+# ---------------------------------------------------------------------------
+HN_K = 5
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    pos = [r["vec_id"] for r in
+           emb.filter("vec_id % 40 = 0").select("vec_id").collect()]
+    return S.mine_hard_negatives(emb, pos, k=HN_K).orderBy("query_id", "rank")
+
+
+HARD_NEG_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 40 = 0
+),
+neg AS (
+  SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS nv
+  FROM embeddings WHERE vec_id % 40 != 0
+),
+scored AS (
+  SELECT query_id, nbr_id,
+         round(list_cosine_similarity(nv, qv), 6) AS cosine
+  FROM neg CROSS JOIN q
+)
+SELECT query_id, rank, nbr_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+) WHERE rank <= {HN_K}
+ORDER BY query_id, rank
+"""
+
+
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return S.lsh_bucketed_topk(
@@ -1251,6 +1288,7 @@ ORDER BY e.query_id
 
 QUERIES: dict = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
+    "hard_negative_mining": (hard_negative_mining, HARD_NEG_SQL),
     "ann_recall_eval": (ann_recall_eval, ANN_RECALL_SQL),
     "kmeans_clusters": (kmeans_clusters, _kmeans_sql()),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),

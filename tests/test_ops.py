@@ -1437,3 +1437,30 @@ def test_lsh_plan_scurve_midpoint_tracks_threshold(spark):
     assert lsh_plan(0.8, 32)[1] > lsh_plan(0.3, 32)[1]
     with _pytest.raises(ValueError, match="threshold"):
         lsh_plan(1.5)
+
+
+def test_mine_hard_negatives_excludes_positives(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.similarity import (
+        mine_hard_negatives,
+    )
+
+    # anchors 0,1 point along axes; vec 10 is a near-miss of anchor 0,
+    # vec 11 of anchor 1; vec 1 (a positive) is even closer to 0 but must
+    # never be returned as a negative
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),        # positive, very close to anchor 0
+        (10, [0.8, 0.0, 0.2]),       # hard negative for 0
+        (11, [0.7, 0.3, 0.0]),       # hard negative for 1 (and 0)
+        (12, [0.0, 0.0, 1.0]),       # easy negative
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["query_id"], r["rank"]): r["nbr_id"]
+        for r in mine_hard_negatives(df, [0, 1], k=2).collect()
+    }
+    assert {q for q, _ in got} == {0, 1}
+    assert 1 not in got.values() and 0 not in got.values()  # positives excluded
+    # anchor 0: cos(10)=0.970 > cos(11)=0.919; anchor 1: cos(10)=0.964 > cos(11)=0.957
+    assert got[(0, 1)] == 10 and got[(1, 1)] == 10
+    assert got[(0, 2)] == 11 and got[(1, 2)] == 11
