@@ -18,8 +18,9 @@ from __future__ import annotations
 # Driver-coverage ordering (round 7). The per-round driver oracle run covers
 # a time-budgeted prefix of this dict (~50 entries/round), so emission order
 # decides which queries get a hard CORRECTNESS row. Union coverage r01-r06 is
-# 144/144 green; rotation policy is LONGEST-UNCHECKED FIRST (VERDICT r06 ask
-# #2), now data-driven: _LATEST_DRIVER_ROUND records each query's most recent
+# 144/144 green; r07 adds 10 queries (154 total), each locally hash-checked
+# (CORRECTNESS_LOCAL_r07.log) and driver-sim-checked (CORRECTNESS_SIM_r07.log).
+# Rotation policy is LONGEST-UNCHECKED FIRST (VERDICT r06 ask #2), data-driven: _LATEST_DRIVER_ROUND records each query's most recent
 # driver CORRECTNESS row (union of CORRECTNESS_r01-r06, clamped at r04 — all
 # older rows were superseded), and ordering is (latest round ascending, sf0.01
 # cost ascending). The 44 queries last checked in r04 — ann_*, the dedup
