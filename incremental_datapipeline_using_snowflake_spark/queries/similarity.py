@@ -53,27 +53,32 @@ ORDER BY query_id, rank
 
 # ---------------------------------------------------------------------------
 # hard_negative_mining (r07) — contrastive-training data prep: for each
-# positive anchor (vec_id % 40 == 0), the k nearest NON-positive vectors.
+# positive anchor, the k nearest NON-positive vectors. The anchor set is
+# FIXED-SIZE (vec_id % 40 == 0 AND vec_id < 2000 — the production contract:
+# positives are a labeled set, thousands of rows, NOT a corpus fraction), so
+# the pair space grows linearly with the corpus, never quadratically.
 # Oracle: the bruteforce replay with the positive set excluded.
 # ---------------------------------------------------------------------------
 HN_K = 5
+HN_ANCHOR_CAP = 2000
 
 
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     pos = [r["vec_id"] for r in
-           emb.filter("vec_id % 40 = 0").select("vec_id").collect()]
+           emb.filter(f"vec_id % 40 = 0 AND vec_id < {HN_ANCHOR_CAP}")
+           .select("vec_id").collect()]
     return S.mine_hard_negatives(emb, pos, k=HN_K).orderBy("query_id", "rank")
 
 
 HARD_NEG_SQL = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-  FROM embeddings WHERE vec_id % 40 = 0
+  FROM embeddings WHERE vec_id % 40 = 0 AND vec_id < {HN_ANCHOR_CAP}
 ),
 neg AS (
   SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS nv
-  FROM embeddings WHERE vec_id % 40 != 0
+  FROM embeddings WHERE NOT (vec_id % 40 = 0 AND vec_id < {HN_ANCHOR_CAP})
 ),
 scored AS (
   SELECT query_id, nbr_id,

@@ -66,6 +66,11 @@ FAMILY = [
     "passage_dedup_maximal",
     "corpus_curate_append",
     "bpe_train_merges",
+    "bpe_encode_docs",
+    "decontaminate_passages",
+    "url_dedup",
+    "epoch_shuffle_order",
+    "hard_negative_mining",
 ]
 
 
