@@ -474,3 +474,47 @@ def compression_ratio(
         batches,
         schema=f"{id_col} long, raw_bytes long, compressed_bytes long, ratio_ppm long",
     )
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical text form — the step BEFORE any fingerprinting or dedup in
+    a crawl pipeline, where byte-level noise (control chars, NBSP, CRLF,
+    run-on whitespace, zero-width marks) makes identical prose hash apart:
+
+    - C0/C1 control characters (except \\t \\n \\r) and zero-width marks
+      (ZWSP/ZWNJ/ZWJ/BOM) stripped;
+    - all Unicode whitespace (incl. NBSP, ideographic space) and CR/LF/tab
+      collapsed to single ASCII spaces;
+    - leading/trailing whitespace trimmed.
+
+    Pure Column regex chain (codegen; the oracle runs the same three
+    regexes). Deliberately NOT case-folding or NFKC-transliterating —
+    those lose signal the quality/lang-ID ops need; this is byte-noise
+    canonicalization, not linguistic normalization.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    t = F.regexp_replace(
+        t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u200B\\u200C\\u200D\\uFEFF]", ""
+    )
+    # \s alone is ASCII-only in both Java regex and RE2 — \p{Zs} adds the
+    # Unicode space separators (NBSP, ideographic space, thin spaces)
+    t = F.regexp_replace(t, "[\\s\\p{Zs}]+", " ")
+    return F.trim(t)
+
+
+def normalize_documents(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc normalization report: ``(id, norm_fp, n_chars_raw,
+    n_chars_norm, changed)`` — the narrow-output form (fingerprint instead
+    of the normalized text) so the relation stays small; dedup keys off
+    ``norm_fp`` exactly as :func:`exact_dedup_groups` keys off raw md5."""
+    t = F.col(text_col)
+    n = normalize_text(t)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.md5(n).alias("norm_fp"),
+        F.length(t).cast("long").alias("n_chars_raw"),
+        F.length(n).cast("long").alias("n_chars_norm"),
+        (t != n).alias("changed"),
+    )

@@ -1117,6 +1117,62 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text_normalization (r07) — byte-noise canonicalization before
+# fingerprinting: control chars / zero-width marks stripped, all Unicode
+# whitespace collapsed. Fixture plants deterministic noise per doc_id % 5
+# (clean testdata carries none); Spark and DuckDB construct the SAME noisy
+# text, normalize with the SAME two regexes, and must hash-match.
+# ---------------------------------------------------------------------------
+def text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.text import normalize_documents
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    v = F.col("doc_id") % 5
+    noisy = (
+        F.when(v == 0, F.concat(F.lit("​"), F.col("text")))
+        .when(v == 1, F.regexp_replace(F.col("text"), " ", "  "))
+        .when(v == 2, F.concat(F.col("text"), F.lit("\r\n\t")))
+        .when(v == 3, F.concat(F.lit("  "), F.col("text"), F.lit("﻿")))
+        .otherwise(F.col("text"))
+    )
+    return normalize_documents(
+        docs.select("doc_id", noisy.alias("text"))
+    ).orderBy("id")
+
+
+TEXT_NORM_SQL = r"""
+WITH noisy AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN chr(8203) || text
+           WHEN 1 THEN replace(text, ' ', chr(160) || chr(160))
+           WHEN 2 THEN text || chr(13) || chr(10) || chr(9)
+           WHEN 3 THEN '  ' || text || chr(65279)
+           ELSE text
+         END AS text
+  FROM documents
+),
+norm AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(text,
+             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F'
+               || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']',
+             '', 'g'),
+           '[\s\p{Zs}]+', ' ', 'g')) AS n
+  FROM noisy
+)
+SELECT doc_id AS id,
+       md5(n) AS norm_fp,
+       length(text) AS n_chars_raw,
+       length(n) AS n_chars_norm,
+       text != n AS changed
+FROM norm
+ORDER BY id
+"""
+
+
+# ---------------------------------------------------------------------------
 # epoch_shuffle_order (r07) — reproducible global training order: md5(epoch,
 # id) order key, shard = hash % n, per-shard window ranks. Same epoch ->
 # identical order in any engine (resume-from-step reproducibility); new
@@ -1726,6 +1782,7 @@ QUERIES: dict = {
     "url_dedup": (url_dedup, URL_DEDUP_SQL),
     "bpe_encode_docs": (bpe_encode_docs, _bpe_encode_sql()),
     "epoch_shuffle_order": (epoch_shuffle_order, EPOCH_SHUFFLE_SQL),
+    "text_normalization": (text_normalization, TEXT_NORM_SQL),
     "stratified_sample_n": (stratified_sample_n, STRATIFIED_N_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

@@ -1464,3 +1464,29 @@ def test_mine_hard_negatives_excludes_positives(spark):
     # anchor 0: cos(10)=0.970 > cos(11)=0.919; anchor 1: cos(10)=0.964 > cos(11)=0.957
     assert got[(0, 1)] == 10 and got[(1, 1)] == 10
     assert got[(0, 2)] == 11 and got[(1, 2)] == 11
+
+
+def test_normalize_text_strips_noise_preserves_case(spark):
+    from pyspark.sql import functions as F
+
+    from incremental_datapipeline_using_snowflake_spark.ops.text import (
+        normalize_documents,
+        normalize_text,
+    )
+
+    rows = [
+        (1, "Hello​   World\r\n"),   # ZWSP + NBSP + CRLF
+        (2, "Hello World"),                     # already clean
+        (3, "\t\t  　 "),                   # whitespace-only -> empty
+        (4, "café \x07bell"),              # control char; é KEPT
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n"]
+           for r in df.select("doc_id", normalize_text("text").alias("n")).collect()}
+    assert got[1] == "Hello World" == got[2]
+    assert got[3] == ""
+    assert got[4] == "café bell"   # no case folding, no transliteration
+    rep = {r["id"]: (r["changed"], r["norm_fp"])
+           for r in normalize_documents(df).collect()}
+    assert rep[1][0] is True and rep[2][0] is False
+    assert rep[1][1] == rep[2][1]       # noise variants converge to one fp
