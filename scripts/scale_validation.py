@@ -71,6 +71,7 @@ FAMILY = [
     "url_dedup",
     "epoch_shuffle_order",
     "hard_negative_mining",
+    "text_normalization",
 ]
 
 
