@@ -837,6 +837,11 @@ def _parse_stbl(data: bytes, start: int, end: int) -> dict | None:
             const_size = int.from_bytes(data[s + 4 : s + 8], "big")
             n = int.from_bytes(data[s + 8 : s + 12], "big")
             if const_size:
+                # bound the unvalidated 32-bit count BEFORE materializing:
+                # constant-size samples must all fit inside the file, else
+                # a malformed header allocates gigabytes instead of raising
+                if n * const_size > len(data):
+                    raise ValueError("MP4: stsz sample extent exceeds file size")
                 out["sizes"] = [const_size] * n
             else:
                 if s + 12 + 4 * n > e:

@@ -52,11 +52,18 @@ appends leaves kept docs missing from the band table, so
 :func:`repair_aux` (an ids-only anti-join, narrow-column cost) backfills
 them; duplicate aux rows from a replayed append are harmless because both
 candidate generators ``.distinct()`` their pair sets. The same window can
-leave kept docs out of the Bloom sketch — that costs only verdict labels
-on a replay (the doc re-merges idempotently and is re-marked kept instead
-of exact_dup_corpus; corpus content is unaffected), and
-:func:`rebuild_bloom` restores the sketch with one narrow corpus scan
-(also the periodic delta-compaction path).
+leave kept docs out of the Bloom sketch, and that window is WIDER than a
+verdict-label change: a replay of the SAME doc_id re-merges idempotently
+(merely labeled kept instead of exact_dup_corpus), but a later exact
+duplicate of that text under a DIFFERENT doc_id gets
+``maybe_member=false``, skips the exact corpus join, and — if its bands
+are also missing (same crash window) — can merge as duplicate corpus
+content until :func:`repair_aux` (bands) and :func:`rebuild_bloom`
+(sketch; one narrow corpus scan, also the periodic delta-compaction path)
+reconverge the aux tables. Run both after any crash between commit and
+the aux appends; until then the contract is at-least-once, not exactly-
+once, for duplicate SUPPRESSION (corpus rows already committed are never
+lost or doubled — merge keys on id).
 
 Structure freezing: the embedding-LSH plane count is pinned at bootstrap
 (``<corpus>__curation_meta``) — the same frozen-structure discipline as
@@ -710,11 +717,13 @@ def export_corpus_snapshot(
     verifiable manifest — the ship-it step between curation and a
     training run.
 
-    Layout: ``<out_dir>/data[/split=<v>]/part-*.json[.gz]`` written in
-    parallel (``jsonl_source.write_jsonl``), then
+    Layout: ``<out_dir>/data[/<split_col>=<v>]/part-*.json[.gz]`` written
+    in parallel (``jsonl_source.write_jsonl``), then
     ``<out_dir>/_manifest.jsonl`` written LAST — its presence is the
     completion marker (the ``_SUCCESS`` discipline: a consumer that sees
-    the manifest sees finished data).
+    the manifest sees finished data). The manifest records the partition
+    column name (``split_col``, '' when unpartitioned) so the verifier
+    groups by the SAME column the export partitioned by.
 
     The manifest carries, per split (or one ``all`` row): row count, total
     text chars, and an ORDER-INDEPENDENT content checksum — the sum of
@@ -751,6 +760,7 @@ def export_corpus_snapshot(
         )
         .withColumn("store_version", F.lit(version).cast("long"))
         .withColumn("table", F.lit(corpus_table))
+        .withColumn("split_col", F.lit(split_col or ""))
         .orderBy("split")
     )
     manifest.coalesce(1).write.mode("overwrite").json(f"{out_dir}/_manifest.jsonl")
@@ -765,20 +775,23 @@ def verify_corpus_snapshot(spark: SparkSession, out_dir: str,
     every split matches; raises with the failing splits otherwise."""
     from ..queries.util import md5_long
 
-    man = {
-        r["split"]: (r["n_rows"], r["content_checksum"])
-        for r in spark.read.json(f"{out_dir}/_manifest.jsonl").collect()
-    }
-    # plain read: partition discovery recovers the split=<v> dirs when the
-    # export was split-partitioned (recursiveFileLookup would disable it)
-    data = spark.read.json(f"{out_dir}/data")
-    # the MANIFEST decides the grouping: a data column named 'split' in an
-    # unpartitioned export must not shadow the single 'all' row
-    grp = (
-        F.lit("all")
-        if set(man) == {"all"}
-        else F.col("split").cast("string")
+    man_rows = spark.read.json(f"{out_dir}/_manifest.jsonl").collect()
+    man = {r["split"]: (r["n_rows"], r["content_checksum"]) for r in man_rows}
+    # the export records WHICH column it partitioned by ('' = none) — group
+    # verification by that same column; pre-r08 manifests lack the field,
+    # so fall back to the old single-'all' heuristic
+    split_col = (
+        man_rows[0]["split_col"]
+        if man_rows and "split_col" in man_rows[0].__fields__
+        else ("" if set(man) == {"all"} else "split")
     )
+    # plain read: partition discovery recovers the <split_col>=<v> dirs when
+    # the export was partitioned (recursiveFileLookup would disable it)
+    data = spark.read.json(f"{out_dir}/data")
+    # the MANIFEST decides the grouping: a data column coincidentally named
+    # like the split column in an unpartitioned export must not shadow the
+    # single 'all' row
+    grp = F.lit("all") if not split_col else F.col(split_col).cast("string")
     rec = md5_long(
         F.concat(F.col(id_col).cast("string"), F.lit(":"), F.md5(F.col(text_col)))
     )

@@ -10,7 +10,9 @@ DuckDB oracle replays normalization verbatim. Canonicalization rules
 (the conservative, semantics-preserving subset):
 
 - scheme and host lowercased (RFC 3986 §6.2.2.1); path case KEPT;
-- default ports ``:80``/``:443`` stripped;
+- default ports stripped ONLY when they match the scheme (``:80`` for
+  http, ``:443`` for https — ``http://h:443/`` is a distinct origin and
+  must stay distinct);
 - fragment dropped (never sent to the server);
 - tracking parameters removed (``utm_*``, ``fbclid``, ``gclid``,
   ``ref``) and the remaining query parameters SORTED (order-insensitive
@@ -34,7 +36,14 @@ def url_normalize(url: Column | str) -> Column:
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
     host = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
-    host = F.regexp_replace(host, r":(80|443)$", "")
+    # default-port stripping is scheme-CONDITIONAL: :80 is only the
+    # default for http and :443 for https; stripping cross-scheme would
+    # merge genuinely distinct origins (http://h:443/ vs http://h/)
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
     pathq = F.regexp_replace(rest, r"^[^/?]+", "")
     path = F.regexp_extract(pathq, r"^([^?]*)", 1)
     path = F.regexp_replace(path, r"/+$", "")

@@ -1302,7 +1302,11 @@ comps AS (
 ),
 comps2 AS (
   SELECT doc_id, scheme,
-         regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)), ':(80|443)$', '') AS host,
+         CASE scheme
+           WHEN 'http'  THEN regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)), ':80$', '')
+           WHEN 'https' THEN regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)), ':443$', '')
+           ELSE lower(regexp_extract(rest, '^([^/?]+)', 1))
+         END AS host,
          regexp_replace(rest, '^[^/?]+', '') AS pathq
   FROM comps
 ),

@@ -406,6 +406,25 @@ def test_export_and_verify_corpus_snapshot(spark, store, tmp_path):
     C.export_corpus_snapshot(spark, store, "cur.docs", str(out2))
     assert C.verify_corpus_snapshot(spark, str(out2)) is True
 
+    # a split column NOT named 'split' round-trips: the manifest records
+    # split_col and the verifier groups by it (r08 ADVICE fix — previously
+    # this raised a missing-column error instead of verifying)
+    corpus3 = spark.createDataFrame(rows, DOC_SCHEMA).withColumn(
+        "corpus_part", F.when(F.col("doc_id") < 2, "a").otherwise("b")
+    )
+    C.bootstrap_corpus(spark, store, corpus3, "cur.docs3")
+    out3 = tmp_path / "snap3"
+    man3 = C.export_corpus_snapshot(
+        spark, store, "cur.docs3", str(out3), split_col="corpus_part",
+        compression=None,
+    )
+    assert {r["split"] for r in man3.collect()} == {"a", "b"}
+    assert (out3 / "data" / "corpus_part=a").exists()
+    assert C.verify_corpus_snapshot(spark, str(out3)) is True
+    shutil.rmtree(str(out3 / "data" / "corpus_part=b"))
+    with pytest.raises(ValueError, match="b"):
+        C.verify_corpus_snapshot(spark, str(out3))
+
 
 def test_streaming_crawl_to_curation_end_to_end(spark, store, tmp_path):
     """The full continuous-crawl shape: format('warc') stream over

@@ -1372,6 +1372,8 @@ def test_url_normalize_and_dedup_decisions(spark):
             (5, "http://example.com/a/b?a=1&b=2"),           # = 4 (sorted params)
             (6, "http://example.com"),                       # bare host -> '/'
             (7, "http://example.com/"),                      # = 6
+            (8, "http://example.com:443/a/b"),               # cross-scheme port KEPT
+            (9, "https://example.com:80/a/b"),               # cross-scheme port KEPT
         ],
         "doc_id long, url string",
     )
@@ -1380,8 +1382,13 @@ def test_url_normalize_and_dedup_decisions(spark):
     assert norm[3] == "https://example.com/a/b"
     assert norm[4] == norm[5] == "http://example.com/a/b?a=1&b=2"
     assert norm[6] == norm[7] == "http://example.com/"
+    # a port that is NOT the scheme's default names a distinct origin and
+    # must survive canonicalization (http://h:443 != http://h)
+    assert norm[8] == "http://example.com:443/a/b"
+    assert norm[9] == "https://example.com:80/a/b"
     keep = {r["doc_id"]: r["keep"] for r in url_dedup_decisions(df).collect()}
-    assert keep == {1: True, 2: False, 3: True, 4: True, 5: False, 6: True, 7: False}
+    assert keep == {1: True, 2: False, 3: True, 4: True, 5: False, 6: True, 7: False,
+                    8: True, 9: True}
 
 
 def test_bpe_encode_applies_merges_in_rank_order(spark):
