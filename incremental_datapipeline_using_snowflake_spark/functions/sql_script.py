@@ -112,6 +112,9 @@ _SNOWFLAKE_FUNCS = [
     (_re.compile(r"\bDATEDIFF\s*\(", _re.IGNORECASE), "timestampdiff("),
     (_re.compile(r"\bTO_VARCHAR\s*\(", _re.IGNORECASE), "CAST_TO_STRING("),
     (_re.compile(r"\bTRY_TO_NUMBER\s*\(", _re.IGNORECASE), "SF_TRY_TO_NUMBER("),
+    (_re.compile(r"\bOBJECT_CONSTRUCT_KEEP_NULL\s*\(", _re.IGNORECASE), "SF_OBJ_KEEP("),
+    (_re.compile(r"\bOBJECT_CONSTRUCT\s*\(", _re.IGNORECASE), "SF_OBJ("),
+    (_re.compile(r"\bGET_PATH\s*\(", _re.IGNORECASE), "SF_GET_PATH("),
     (_re.compile(r"\bTO_DATE\s*\(", _re.IGNORECASE), "SF_TO_DATE("),
     (_re.compile(r"\bTO_TIMESTAMP\s*\(", _re.IGNORECASE), "SF_TO_TIMESTAMP("),
     (_re.compile(r"\bCREATE\s+OR\s+REPLACE\s+TRANSIENT\s+TABLE\b", _re.IGNORECASE),
@@ -211,6 +214,70 @@ def _h_to_timestamp(args: list[str]) -> str:
     )
 
 
+def _object_construct_pairs(args: list[str], fn: str) -> str:
+    """Validate OBJECT_CONSTRUCT-style (key, value, ...) arguments and
+    return the ``named_struct`` argument text. Keys must be string
+    literals (``named_struct`` needs foldable field names); the splat and
+    dynamic-key forms are refused loudly."""
+    if len(args) == 1 and args[0].strip() == "*":
+        raise NotImplementedError(
+            f"translate_snowflake_sql: {fn}(*) is not translated — list the "
+            "key/value pairs explicitly"
+        )
+    if len(args) % 2 != 0 or not args or not args[0].strip():
+        raise NotImplementedError(
+            f"translate_snowflake_sql: {fn} takes key/value PAIRS"
+        )
+    for k in args[::2]:
+        if not _re.fullmatch(r"'(?:[^']|'')*'", k.strip()):
+            raise NotImplementedError(
+                f"translate_snowflake_sql: {fn} keys must be string "
+                f"literals (got {k.strip()!r}) — dynamic keys have no "
+                "named_struct analogue; rewrite by hand"
+            )
+    return ", ".join(a.strip() for a in args)
+
+
+def _h_object_construct(args: list[str]) -> str:
+    """Snowflake ``OBJECT_CONSTRUCT(k1, v1, ...)`` builds a VARIANT object
+    and DROPS pairs whose value is NULL. The JSON round-trip reproduces
+    exactly that: ``to_json`` with ``ignoreNullFields`` omits null fields
+    (pinned explicitly — not left to the session default), and
+    ``parse_json`` lifts the result back to VARIANT."""
+    pairs = _object_construct_pairs(args, "OBJECT_CONSTRUCT")
+    return (
+        f"parse_json(to_json(named_struct({pairs}), "
+        f"map('ignoreNullFields', 'true')))"
+    )
+
+
+def _h_object_construct_keep(args: list[str]) -> str:
+    """``OBJECT_CONSTRUCT_KEEP_NULL`` keeps null-valued pairs — exactly
+    ``to_variant_object`` over a struct (nulls preserved)."""
+    pairs = _object_construct_pairs(args, "OBJECT_CONSTRUCT_KEEP_NULL")
+    return f"to_variant_object(named_struct({pairs}))"
+
+
+def _h_get_path(args: list[str]) -> str:
+    """``GET_PATH(v, 'a.b[0]')`` -> ``variant_get(v, '$.a.b[0]')`` —
+    Snowflake path expressions are JSON-path bodies; prefix ``$`` (and a
+    ``.`` unless the path starts with an index). Non-literal paths are
+    refused (variant_get needs a foldable path)."""
+    if len(args) != 2:
+        raise NotImplementedError(
+            "translate_snowflake_sql: GET_PATH takes (variant, 'path')"
+        )
+    m = _re.fullmatch(r"'((?:[^']|'')*)'", args[1].strip())
+    if m is None:
+        raise NotImplementedError(
+            "translate_snowflake_sql: GET_PATH needs a string-literal path "
+            "— rewrite by hand"
+        )
+    body = m.group(1)
+    sep = "" if body.startswith("[") else "."
+    return f"variant_get({args[0]}, '${sep}{body}')"
+
+
 def _h_try_to_number(args: list[str]) -> str:
     """Snowflake TRY_TO_NUMBER (r07):
 
@@ -254,6 +321,9 @@ _MARKER_HANDLERS = [
     ("SF_TO_DATE(", _h_to_date),
     ("SF_TO_TIMESTAMP(", _h_to_timestamp),
     ("SF_TRY_TO_NUMBER(", _h_try_to_number),
+    ("SF_OBJ_KEEP(", _h_object_construct_keep),
+    ("SF_OBJ(", _h_object_construct),
+    ("SF_GET_PATH(", _h_get_path),
 ]
 
 
@@ -324,6 +394,162 @@ def _depth_positions(stmt: str):
                 elif ch == ")":
                     depth = max(0, depth - 1)
         pos += len(seg)
+
+
+_FLATTEN_RE = _re.compile(r"\bFLATTEN\s*\(", _re.IGNORECASE)
+_LATERAL_BEFORE_RE = _re.compile(r"\bLATERAL\s*$", _re.IGNORECASE)
+_TABLE_BEFORE_RE = _re.compile(r"\bTABLE\s*\(\s*$", _re.IGNORECASE)
+_ALIAS_RE = _re.compile(r"\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)", _re.IGNORECASE)
+# tokens that can follow a table factor and must not be mistaken for an alias
+_NOT_ALIAS = {
+    "WHERE", "GROUP", "ORDER", "LIMIT", "OFFSET", "HAVING", "QUALIFY",
+    "WINDOW", "ON", "USING", "JOIN", "LEFT", "RIGHT", "FULL", "INNER",
+    "OUTER", "CROSS", "LATERAL", "UNION", "INTERSECT", "EXCEPT", "SELECT",
+    "TABLE",
+}
+
+
+def _parse_flatten_args(args: list[str]) -> tuple[str, bool]:
+    """(input_expr, outer) from FLATTEN's argument list. Arguments are
+    Snowflake named args (``NAME => value``) or one positional INPUT.
+    RECURSIVE => TRUE and MODE other than 'BOTH' are refused: recursion
+    has no variant_explode analogue, and ARRAY/OBJECT modes restrict the
+    exploded type (variant_explode always explodes both)."""
+    input_expr = None
+    path = None
+    outer = False
+    for i, raw in enumerate(args):
+        arg = raw.strip()
+        m = _re.match(r"^([A-Za-z_]+)\s*=>\s*(.*)$", arg, _re.DOTALL)
+        if m is None:
+            if i == 0:
+                input_expr = arg
+                continue
+            raise NotImplementedError(
+                "translate_snowflake_sql: FLATTEN arguments after the first "
+                "must be named (NAME => value)"
+            )
+        name, val = m.group(1).upper(), m.group(2).strip()
+        if name == "INPUT":
+            input_expr = val
+        elif name == "PATH":
+            lm = _re.fullmatch(r"'((?:[^']|'')*)'", val)
+            if lm is None:
+                raise NotImplementedError(
+                    "translate_snowflake_sql: FLATTEN PATH must be a string "
+                    "literal"
+                )
+            path = lm.group(1)
+        elif name == "OUTER":
+            outer = val.upper() == "TRUE"
+        elif name == "RECURSIVE":
+            if val.upper() == "TRUE":
+                raise NotImplementedError(
+                    "translate_snowflake_sql: FLATTEN(RECURSIVE => TRUE) has "
+                    "no variant_explode analogue — rewrite as chained "
+                    "FLATTENs or a recursive CTE"
+                )
+        elif name == "MODE":
+            if val.upper().strip("'") != "BOTH":
+                raise NotImplementedError(
+                    "translate_snowflake_sql: FLATTEN MODE other than 'BOTH' "
+                    "is not translated (variant_explode explodes arrays AND "
+                    "objects) — filter on the alias's key/index instead"
+                )
+        else:
+            raise NotImplementedError(
+                f"translate_snowflake_sql: unknown FLATTEN argument {name}"
+            )
+    if input_expr is None:
+        raise NotImplementedError(
+            "translate_snowflake_sql: FLATTEN needs an INPUT argument"
+        )
+    if path is not None:
+        sep = "" if path.startswith("[") else "."
+        input_expr = f"variant_get({input_expr}, '${sep}{path}')"
+    return input_expr, outer
+
+
+def _rewrite_flatten(stmt: str) -> str:
+    """Rewrite every ``LATERAL FLATTEN(...) [AS] f`` / ``TABLE(FLATTEN(...))
+    [AS] f`` table factor into Spark's lateral table-function join:
+
+        LATERAL variant_explode[_outer](CAST((<input>) AS VARIANT))
+            f(index, key, value)
+
+    ``f.index`` / ``f.key`` / ``f.value`` then resolve as in Snowflake
+    (``value`` is VARIANT in both dialects; cast to use). Deviations,
+    refused or documented: Snowflake's ``seq``/``path``/``this`` output
+    columns are not produced (references fail loudly at analysis);
+    object elements get ``index`` = ordinal position instead of NULL.
+    The CAST lets plain ARRAY columns flatten like Snowflake's implicit
+    VARIANT coercion; a non-castable input (e.g. MAP) fails at analysis.
+    """
+    search_from = 0
+    for _ in range(64):  # progress-bounded (one FLATTEN consumed per pass)
+        code_text = "".join(
+            s if c else " " * len(s) for c, s in _code_segments(stmt)
+        )
+        fm = _FLATTEN_RE.search(code_text, search_from)
+        if fm is None:
+            return stmt
+        open_paren = code_text.index("(", fm.start())
+        before = code_text[: fm.start()]
+        lat = _LATERAL_BEFORE_RE.search(before)
+        tab = _TABLE_BEFORE_RE.search(before)
+        if lat is None and tab is None:
+            # bare flatten(...) is Spark's own array-flatten scalar (legal
+            # Spark SQL; Snowflake's table FLATTEN always rides LATERAL or
+            # TABLE()) — pass it through untouched
+            search_from = fm.end()
+            continue
+        repl_start = lat.start() if lat is not None else tab.start()
+        # matching close paren of FLATTEN( via the literal-aware depth scan
+        base = None
+        close = None
+        commas: list[int] = []
+        for pos, ch, d in _depth_positions(stmt):
+            if pos == open_paren:
+                base = d + 1
+                continue
+            if base is None or pos <= open_paren:
+                continue
+            if ch == ")" and d == base:
+                close = pos
+                break
+            if ch == "," and d == base:
+                commas.append(pos)
+        if close is None:
+            raise ValueError(
+                "translate_snowflake_sql: unbalanced parentheses in FLATTEN"
+            )
+        bounds = [open_paren + 1, *[c + 1 for c in commas], close + 1]
+        args = [stmt[a : b - 1] for a, b in zip(bounds[:-1], bounds[1:])]
+        args = [a for a in args if a.strip()]
+        end = close + 1
+        if tab is not None:
+            # consume TABLE(...)'s own close paren
+            m2 = _re.match(r"\s*\)", code_text[end:])
+            if m2 is None:
+                raise ValueError(
+                    "translate_snowflake_sql: TABLE(FLATTEN(...)) missing "
+                    "its closing parenthesis"
+                )
+            end += m2.end()
+        am = _ALIAS_RE.match(code_text, end)
+        alias = "_flat"
+        if am is not None and am.group(1).upper() not in _NOT_ALIAS:
+            alias = am.group(1)
+            end = am.end()
+        input_expr, outer = _parse_flatten_args(args)
+        fn = "variant_explode_outer" if outer else "variant_explode"
+        stmt = (
+            stmt[:repl_start]
+            + f"LATERAL {fn}(CAST(({input_expr}) AS VARIANT)) "
+            + f"{alias}(index, key, value)"
+            + stmt[end:]
+        )
+    return stmt
 
 
 def _rewrite_qualify_scope(stmt: str) -> str | None:
@@ -457,6 +683,14 @@ def translate_snowflake_sql(stmt: str) -> str:
     - ``CREATE [OR REPLACE] TRANSIENT TABLE`` -> the non-transient form
       (the engine's TableStore/temp views stand in for transience).
 
+    - ``LATERAL FLATTEN(INPUT => x [, PATH/OUTER/...])`` and
+      ``TABLE(FLATTEN(...))`` -> ``LATERAL variant_explode[_outer]``
+      (``f.index``/``f.key``/``f.value``; RECURSIVE/non-BOTH MODE refused);
+    - ``OBJECT_CONSTRUCT(k, v, ...)`` -> null-dropping VARIANT object via
+      ``parse_json(to_json(named_struct(...)))``;
+      ``OBJECT_CONSTRUCT_KEEP_NULL`` -> ``to_variant_object``;
+    - ``GET_PATH(v, 'a.b[0]')`` -> ``variant_get(v, '$.a.b[0]')``.
+
     String literals, quoted identifiers, and comments are never touched.
     Already-Spark-compatible constructs pass through UNCHANGED because
     Spark 4 is natively compatible — probed and test-pinned
@@ -466,7 +700,7 @@ def translate_snowflake_sql(stmt: str) -> str:
     both dialects' unspecified-order semantics — sort with WITHIN GROUP
     when determinism matters).
     """
-    return _rewrite_qualify(_apply_func_maps(stmt))
+    return _rewrite_qualify(_apply_func_maps(_rewrite_flatten(stmt)))
 
 
 def run_sql_script(

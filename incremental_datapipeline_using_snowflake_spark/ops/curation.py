@@ -426,12 +426,18 @@ def curate_append(
         )
 
     # -- stage 1: quality gate -------------------------------------------
-    gate = repetition_signals(b, text_col=text_col, id_col=id_col).select(
-        F.col(id_col).alias("id"),
-        F.coalesce(F.col("quality_pass"), F.lit(False)).alias("ok"),
+    # pin the STAGE FRAME once, not its two filtered branches: pinning
+    # gate_fail and p1 separately executed the Gopher-signal lineage twice
+    # (r07 profile: 1.46s + 0.82s for the same computation); branches over
+    # the pinned frame are free filters
+    gate = _pin(
+        repetition_signals(b, text_col=text_col, id_col=id_col).select(
+            F.col(id_col).alias("id"),
+            F.coalesce(F.col("quality_pass"), F.lit(False)).alias("ok"),
+        )
     )
-    gate_fail = _pin(gate.filter(~F.col("ok")).select("id"))
-    p1 = _pin(gate.filter(F.col("ok")).select("id"))
+    gate_fail = gate.filter(~F.col("ok")).select("id")
+    p1 = gate.filter(F.col("ok")).select("id")
 
     # -- stage 2: exact dedup (fingerprints) -----------------------------
     from pyspark.sql import Window as W
@@ -463,27 +469,40 @@ def curate_append(
             exact_corpus = maybe.select("id")
             p2a = bfp
         else:
+            # ONE corpus touchpoint: a single left join against the
+            # (distinct) fingerprint projection serves both branches —
+            # the old left_semi + left_anti pair scanned the corpus twice
             corpus_fp = store.read(spark, corpus_table).select(
                 F.col("_fingerprint").alias("fp")
             ).distinct()
-            exact_corpus = maybe.join(corpus_fp, "fp", "left_semi").select("id")
+            marked = _pin(
+                maybe.join(
+                    corpus_fp.withColumn("_hit", F.lit(True)), "fp", "left"
+                )
+            )
+            exact_corpus = marked.filter(F.col("_hit")).select("id")
             p2a = (
                 probed.filter(~F.col("maybe_member"))
                 .select("id", "fp")
-                .unionByName(maybe.join(corpus_fp, "fp", "left_anti"))
+                .unionByName(
+                    marked.filter(F.col("_hit").isNull()).select("id", "fp")
+                )
             )
     else:
         # pre-r07 corpora without a bootstrapped sketch: plain exact join
         corpus_fp = store.read(spark, corpus_table).select(
             F.col("_fingerprint").alias("fp")
         ).distinct()
-        exact_corpus = bfp.join(corpus_fp, "fp", "left_semi").select("id")
-        p2a = bfp.join(corpus_fp, "fp", "left_anti")
-    exact_corpus = _pin(exact_corpus)
+        marked = _pin(
+            bfp.join(corpus_fp.withColumn("_hit", F.lit(True)), "fp", "left")
+        )
+        exact_corpus = marked.filter(F.col("_hit")).select("id")
+        p2a = marked.filter(F.col("_hit").isNull()).select("id", "fp")
+    # pin the RANKED frame once; its two branches are free filters
     wfp = W.partitionBy("fp").orderBy(F.asc("id"))
-    ranked = p2a.withColumn("_rk", F.row_number().over(wfp))
-    exact_batch = _pin(ranked.filter(F.col("_rk") > 1).select("id"))
-    p2 = _pin(ranked.filter(F.col("_rk") == 1).select("id"))
+    ranked = _pin(p2a.withColumn("_rk", F.row_number().over(wfp)))
+    exact_batch = ranked.filter(F.col("_rk") > 1).select("id")
+    p2 = ranked.filter(F.col("_rk") == 1).select("id")
 
     # -- stage 3: textual near-dup (MinHash vs stored bands) -------------
     bdocs = b.join(p2.withColumnRenamed("id", id_col), id_col)
@@ -527,17 +546,17 @@ def curate_append(
         cand_c.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
     )
     csh = _shingle_docs(cdocs, text_col, id_col, checkpoint_name="cand_shingles")
-    near_c = (
+    # pin the verified corpus-hit id list ONCE — the old pinned semi/anti
+    # pair re-ran the shingle-verify join twice
+    near_c = _pin(
         cand_c.join(bsh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(csh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
         .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= jaccard_threshold)
-        .select("id_a")
+        .select(F.col("id_a").alias("id"))
         .distinct()
     )
-    near_corpus = _pin(
-        p2.join(near_c.withColumnRenamed("id_a", "id"), "id", "left_semi")
-    )
-    p3a = _pin(p2.join(near_c.withColumnRenamed("id_a", "id"), "id", "left_anti"))
+    near_corpus = p2.join(near_c, "id", "left_semi")
+    p3a = _pin(p2.join(near_c, "id", "left_anti"))
     # batch-internal pairs among stage-3 survivors → CC → min-id keep
     a = bbands.withColumnRenamed("id", "id_a")
     c = bbands.withColumnRenamed("id", "id_b")
@@ -573,7 +592,12 @@ def curate_append(
         mvec = batch_emb.join(
             p3.withColumnRenamed("id", emb_id_col), emb_id_col, "left_semi"
         )
-        bsig = _emb_signatures(mvec, dim, n_tables, n_planes, vec_col, emb_id_col)
+        # pin the batch signature relation: it feeds FOUR consumers (both
+        # sides of pairs_e, hit_c's bflat, and the plans' size stats) —
+        # unpinned, each consumer re-ran the n_tables LSH self-joins
+        bsig = _pin(
+            _emb_signatures(mvec, dim, n_tables, n_planes, vec_col, emb_id_col)
+        )
         bflat = bsig.select(
             F.col("id").alias("id_a"), F.col("v").alias("va"),
             F.posexplode("buckets").alias("t", "bucket"),
@@ -582,19 +606,18 @@ def curate_append(
             F.col("id").alias("id_b"), F.col("v").alias("vb"),
             F.posexplode("buckets").alias("t", "bucket"),
         )
-        hit_c = (
+        # pin the cosine-verified corpus-hit id list ONCE (the pinned
+        # semi/anti pair re-ran the LSH bucket join + cosine verify twice
+        # — the two heaviest jobs of the r07 profile at 2.2s + 1.9s)
+        hit_c = _pin(
             bflat.join(cflat, ["t", "bucket"])
             .filter(F.col("id_a") != F.col("id_b"))
             .filter(F.round(_cosine(F.col("va"), F.col("vb")), 6) >= cosine_threshold)
-            .select("id_a")
+            .select(F.col("id_a").alias("id"))
             .distinct()
         )
-        emb_corpus = _pin(
-            p3.join(hit_c.withColumnRenamed("id_a", "id"), "id", "left_semi")
-        )
-        p4a = _pin(
-            p3.join(hit_c.withColumnRenamed("id_a", "id"), "id", "left_anti")
-        )
+        emb_corpus = p3.join(hit_c, "id", "left_semi")
+        p4a = _pin(p3.join(hit_c, "id", "left_anti"))
         pairs_e = (
             bflat.join(
                 bsig.select(

@@ -1119,11 +1119,14 @@ def stream_ingest_ivf(
         if store.exists(marker_table):
             mdf = store.read(spark, marker_table)
             # legacy (r06) markers carried batch_id only — they cannot be
-            # attributed to a stream, so they never suppress an append
-            if "fingerprint" in mdf.columns:
-                seen = {r["fingerprint"] for r in mdf.collect()}
-                if fingerprint in seen:
-                    return
+            # attributed to a stream, so they never suppress an append.
+            # Probe with a filtered limit(1), NOT a whole-table collect:
+            # the marker table grows with lifetime batch count, and a
+            # long-lived ingest stream must pay O(1) rows per batch here
+            if "fingerprint" in mdf.columns and not mdf.filter(
+                F.col("fingerprint") == F.lit(fingerprint)
+            ).limit(1).isEmpty():
+                return
         append_to_ivf_index(spark, store, bdf, name, vec_col, id_col)
         marker = spark.createDataFrame(
             [(fingerprint, batch_id)], "fingerprint string, batch_id long"
@@ -1207,6 +1210,7 @@ def mine_hard_negatives(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    method: str = "auto",
 ) -> DataFrame:
     """Hard-negative mining for contrastive training (the DPR / sentence-
     transformers data-prep step): for every positive anchor, the k nearest
@@ -1218,11 +1222,94 @@ def mine_hard_negatives(
     not billions) and broadcast through :func:`bruteforce_topk`; the
     corpus streams past them once with the positive set excluded by an
     isin literal filter BEFORE the pair join (|positives| literals — the
-    same scalar-cache discipline as BM25's corpus stats). For larger
-    corpora swap the brute-force for :func:`query_ivf_index` per anchor;
-    the exclusion filter composes the same way.
+    same scalar-cache discipline as BM25's corpus stats).
+
+    ``method``: ``"exact"`` = the brute-force scan (every anchor scores
+    the whole corpus — exact, linear in |corpus|·|anchors| comparisons);
+    ``"ivf"`` = :func:`mine_hard_negatives_ivf` (cell-probed approximate
+    search — comparisons ∝ |corpus|·n_probe/n_cells per anchor, the
+    default shape at index scale; adds a ``cell`` output column);
+    ``"auto"`` (default) routes by corpus size: exact below
+    ``HN_IVF_AUTO_THRESHOLD`` rows (where exactness is free), IVF above.
     """
     pos = [int(p) for p in positive_ids]
+    if method == "auto":
+        method = "exact" if emb.count() < HN_IVF_AUTO_THRESHOLD else "ivf"
+    if method == "ivf":
+        return mine_hard_negatives_ivf(
+            emb, pos, k=k, vec_col=vec_col, id_col=id_col
+        )
+    if method != "exact":
+        raise ValueError(f"mine_hard_negatives: unknown method {method!r}")
     queries = emb.filter(F.col(id_col).isin(pos))
     corpus = emb.filter(~F.col(id_col).isin(pos))
     return bruteforce_topk(corpus, queries, k=k, vec_col=vec_col, id_col=id_col)
+
+
+# above this corpus size, mine_hard_negatives(method="auto") switches from
+# the exact brute-force scan to IVF cell probing: at ~50k vectors the exact
+# anchors×corpus pair space starts to dominate the assignment cost the IVF
+# path pays once
+HN_IVF_AUTO_THRESHOLD = 50_000
+
+
+def mine_hard_negatives_ivf(
+    emb: DataFrame,
+    positive_ids: list[int],
+    k: int = 5,
+    n_cells: int | None = N_IVF_CELLS,
+    n_probe: int = N_PROBE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """ANN-indexed hard-negative mining (r08 — the scale path the exact
+    form's docstring planned): anchors probe their ``n_probe`` nearest IVF
+    cells and score ONLY those cells' members, with the positive set
+    excluded from candidates BEFORE ranking — so every returned row is a
+    true negative and each anchor still gets k of them. Comparisons per
+    anchor drop from |corpus| to ~|corpus|·n_probe/n_cells; with
+    ``auto_n_cells`` (``n_cells=None``) total work stays ~linear in the
+    corpus. Returns ``(query_id, rank, nbr_id, cell, cosine)``.
+
+    Approximation contract: a hard negative living outside the anchor's
+    probed cells is missed — ``tests`` gate the recall-vs-exact envelope
+    (the ``ann_recall_eval`` pattern), and a near-identical negative
+    shares the anchor's own cell by construction (same nearest centroid),
+    so the hardest negatives are exactly the ones cell probing keeps.
+    """
+    pos = [int(p) for p in positive_ids]
+    cents, assigned = ivf_assignments(emb, n_cells, vec_col, id_col)
+    # two consumers (anchor probe side + candidate side): materialize once
+    assigned = _materialize(assigned, checkpoint_dir, "hn_ivf_assigned")
+    q = assigned.filter(F.col("id").isin(pos)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    ).withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    qprobe = q.join(F.broadcast(cents)).select(
+        "query_id",
+        "qv",
+        "cell",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("_sim"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    probes = (
+        qprobe.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = (
+        assigned.filter(~F.col("id").isin(pos))
+        .withColumnsRenamed({"id": "nbr_id", "v": "cv"})
+    )
+    scored = cand.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        "nbr_id",
+        "cell",
+        F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "cell", "cosine")
+    )

@@ -93,6 +93,70 @@ ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# hard_negative_mining_ivf (r08) — the ANN-indexed scale path for the same
+# contract: anchors probe their N_PROBE nearest seed-IVF cells and score only
+# those cells' members, positives excluded from candidates BEFORE ranking.
+# The oracle replays the full deterministic IVF computation (seed centroids,
+# nearest-centroid assignment, probe ranking) with the anchor exclusion —
+# the ANN_IVF_SQL discipline composed with HARD_NEG_SQL's positive split.
+# Recall vs the exact form is envelope-gated in tests/test_ops.py.
+# ---------------------------------------------------------------------------
+def hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    pos = [r["vec_id"] for r in
+           emb.filter(f"vec_id % 40 = 0 AND vec_id < {HN_ANCHOR_CAP}")
+           .select("vec_id").collect()]
+    return S.mine_hard_negatives(
+        emb, pos, k=HN_K, method="ivf"
+    ).orderBy("query_id", "rank")
+
+
+HARD_NEG_IVF_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cents AS (
+  SELECT id AS cell, v AS cv FROM c ORDER BY id LIMIT {S.N_IVF_CELLS}
+),
+assigned AS (
+  SELECT id, v, cell FROM (
+    SELECT c.id, c.v, cents.cell,
+           row_number() OVER (
+             PARTITION BY c.id
+             ORDER BY list_cosine_similarity(c.v, cents.cv) DESC, cents.cell
+           ) AS rk
+    FROM c CROSS JOIN cents
+  ) WHERE rk = 1
+),
+q AS (
+  SELECT id AS query_id, v AS qv FROM assigned
+  WHERE id % 40 = 0 AND id < {HN_ANCHOR_CAP}
+),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cents.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, cents.cv) DESC, cents.cell
+           ) AS rk
+    FROM q CROSS JOIN cents
+  ) WHERE rk <= {S.N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.id AS nbr_id, a.cell,
+         round(list_cosine_similarity(a.v, p.qv), 6) AS cosine
+  FROM assigned a JOIN probes p ON a.cell = p.cell
+  WHERE NOT (a.id % 40 = 0 AND a.id < {HN_ANCHOR_CAP})
+)
+SELECT query_id, rank, nbr_id, cell, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+) WHERE rank <= {HN_K}
+ORDER BY query_id, rank
+"""
+
+
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return S.lsh_bucketed_topk(
@@ -1294,6 +1358,7 @@ ORDER BY e.query_id
 QUERIES: dict = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "hard_negative_mining": (hard_negative_mining, HARD_NEG_SQL),
+    "hard_negative_mining_ivf": (hard_negative_mining_ivf, HARD_NEG_IVF_SQL),
     "ann_recall_eval": (ann_recall_eval, ANN_RECALL_SQL),
     "kmeans_clusters": (kmeans_clusters, _kmeans_sql()),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),

@@ -363,6 +363,61 @@ ORDER BY c_mktsegment
 
 
 # ---------------------------------------------------------------------------
+# snowflake_dialect_flatten (r08) — the LATERAL FLATTEN / OBJECT_CONSTRUCT /
+# GET_PATH semi-structured surface, the single most common Snowflake idiom
+# not previously translated. The Snowflake-dialect text goes through the
+# shim (FLATTEN -> LATERAL variant_explode with (index, key, value);
+# OBJECT_CONSTRUCT -> null-dropping VARIANT object; GET_PATH ->
+# variant_get); the oracle executes the hand-rewritten standard SQL
+# (DuckDB zipped unnests + direct column access), so it pins the
+# TRANSLATION SEMANTICS — indices, element order, object path access.
+# Fixture: a deterministic JSON tag array per document (lang/source
+# variants), flattened back out with ordinals.
+# ---------------------------------------------------------------------------
+SNOWFLAKE_FLATTEN_SQL = """
+SELECT d.doc_id,
+       CAST(f.index AS BIGINT) AS idx,
+       CAST(f.value AS STRING) AS tok,
+       CAST(GET_PATH(OBJECT_CONSTRUCT('lang', d.lang, 'n', d.n_chars), 'n')
+            AS BIGINT) AS n_meta
+FROM {docs} d, LATERAL FLATTEN(INPUT => parse_json(d.tags)) f
+WHERE d.doc_id < 3000
+ORDER BY d.doc_id, idx
+"""
+
+
+def snowflake_dialect_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sql_script import run_sql_script
+
+    docs = load(spark, sf_dir, "documents")
+    docs.select(
+        "doc_id", "lang", "n_chars",
+        F.to_json(
+            F.array("lang", "source", F.concat_ws("-", "lang", "source"))
+        ).alias("tags"),
+    ).createOrReplaceTempView("sff_docs")
+    return run_sql_script(
+        spark, SNOWFLAKE_FLATTEN_SQL.format(docs="sff_docs"), dialect="snowflake"
+    )
+
+
+SNOWFLAKE_FLATTEN_ORACLE = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         [lang, source, lang || '-' || source] AS tags
+  FROM documents
+  WHERE doc_id < 3000
+)
+SELECT doc_id,
+       CAST(unnest(range(3)) AS BIGINT) AS idx,
+       unnest(tags) AS tok,
+       CAST(n_chars AS BIGINT) AS n_meta
+FROM d
+ORDER BY doc_id, idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # sql_session_variables — Spark 4 session variables + EXECUTE IMMEDIATE:
 # the Snowflake-scripting parity surface (the reference's procedures build
 # SQL strings and bind parameters; Snowflake scripting uses variables —
@@ -415,4 +470,8 @@ QUERIES: dict = {
         SNOWFLAKE_DATETIME_ORACLE,
     ),
     "snowflake_dialect_misc": (snowflake_dialect_misc, SNOWFLAKE_MISC_ORACLE),
+    "snowflake_dialect_flatten": (
+        snowflake_dialect_flatten,
+        SNOWFLAKE_FLATTEN_ORACLE,
+    ),
 }

@@ -228,6 +228,115 @@ def test_translate_try_to_number_and_native_passthroughs(spark):
         spark.sql(sf).collect()
 
 
+def test_translate_lateral_flatten(spark):
+    """r08: LATERAL FLATTEN / TABLE(FLATTEN(...)) -> LATERAL
+    variant_explode[_outer] with (index, key, value) alias columns;
+    PATH wraps the input in variant_get; RECURSIVE/non-BOTH MODE refuse;
+    bare flatten() (Spark's array scalar) passes through."""
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.functions.sql_script import (
+        translate_snowflake_sql as tr,
+    )
+
+    out = tr(
+        "SELECT t.id, f.value FROM t, LATERAL FLATTEN(INPUT => parse_json(js)) f"
+    )
+    assert "LATERAL variant_explode(CAST((parse_json(js)) AS VARIANT)) "
+    assert "f(index, key, value)" in out and "FLATTEN" not in out.upper()
+
+    # TABLE(FLATTEN(...)) form, AS alias, OUTER => TRUE
+    out = tr(
+        "SELECT f.index FROM t, TABLE(FLATTEN(INPUT => arr, OUTER => TRUE)) AS f"
+    )
+    assert "variant_explode_outer" in out and "TABLE" not in out.upper()
+    assert "f(index, key, value)" in out
+
+    # positional input + PATH
+    out = tr("SELECT f.value FROM t, LATERAL FLATTEN(js, PATH => 'a.b') f")
+    assert "variant_get(js, '$.a.b')" in out
+
+    # no alias -> default _flat; following WHERE not eaten as an alias
+    out = tr("SELECT value FROM t, LATERAL FLATTEN(INPUT => js) WHERE id = 1")
+    assert "_flat(index, key, value)" in out and "WHERE id = 1" in out
+
+    with _pytest.raises(NotImplementedError, match="RECURSIVE"):
+        tr("SELECT * FROM t, LATERAL FLATTEN(INPUT => js, RECURSIVE => TRUE) f")
+    with _pytest.raises(NotImplementedError, match="MODE"):
+        tr("SELECT * FROM t, LATERAL FLATTEN(INPUT => js, MODE => 'ARRAY') f")
+    # Spark's scalar array flatten is NOT Snowflake table-FLATTEN: untouched
+    sf = "SELECT flatten(array(array(1), array(2))) AS v"
+    assert tr(sf) == sf
+    spark.sql(sf).collect()
+
+    # end-to-end: Snowflake-style flatten over a JSON array executes
+    rows = spark.sql(tr(
+        "SELECT id, f.index AS i, CAST(f.value AS INT) AS v "
+        "FROM (SELECT 1 AS id, '[7, 8]' AS js) t, "
+        "LATERAL FLATTEN(INPUT => parse_json(js)) f ORDER BY i"
+    )).collect()
+    assert [(r["i"], r["v"]) for r in rows] == [(0, 7), (1, 8)]
+    # OUTER keeps rows whose input is empty
+    rows = spark.sql(tr(
+        "SELECT id, f.index AS i FROM (SELECT 1 AS id, '[]' AS js) t, "
+        "LATERAL FLATTEN(INPUT => parse_json(js), OUTER => TRUE) f"
+    )).collect()
+    assert [(r["id"], r["i"]) for r in rows] == [(1, None)]
+    # objects yield key/value pairs
+    rows = spark.sql(tr(
+        "SELECT f.key AS k, CAST(f.value AS INT) AS v "
+        "FROM (SELECT '{\"x\": 1, \"y\": 2}' AS js) t, "
+        "LATERAL FLATTEN(INPUT => parse_json(js)) f ORDER BY k"
+    )).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [("x", 1), ("y", 2)]
+
+
+def test_translate_object_construct_and_get_path(spark):
+    """r08: OBJECT_CONSTRUCT drops null-valued pairs (Snowflake contract),
+    OBJECT_CONSTRUCT_KEEP_NULL keeps them, GET_PATH maps onto variant_get
+    JSON paths; dynamic keys / non-literal paths refuse loudly."""
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.functions.sql_script import (
+        translate_snowflake_sql as tr,
+    )
+
+    out = tr("SELECT OBJECT_CONSTRUCT('a', 1, 'b', x) AS o FROM t")
+    assert "named_struct('a', 1, 'b', x)" in out and "ignoreNullFields" in out
+    out = tr("SELECT OBJECT_CONSTRUCT_KEEP_NULL('a', v) AS o FROM t")
+    assert out == "SELECT to_variant_object(named_struct('a', v)) AS o FROM t"
+    out = tr("SELECT GET_PATH(v, 'a.b[0]') FROM t")
+    assert out == "SELECT variant_get(v, '$.a.b[0]') FROM t"
+    assert "'$[1]'" in tr("SELECT GET_PATH(v, '[1]') FROM t")
+
+    with _pytest.raises(NotImplementedError, match="keys must be string"):
+        tr("SELECT OBJECT_CONSTRUCT(k, 1) FROM t")
+    with _pytest.raises(NotImplementedError, match=r"OBJECT_CONSTRUCT\(\*\)"):
+        tr("SELECT OBJECT_CONSTRUCT(*) FROM t")
+    with _pytest.raises(NotImplementedError, match="PAIRS"):
+        tr("SELECT OBJECT_CONSTRUCT('a', 1, 'b') FROM t")
+    with _pytest.raises(NotImplementedError, match="string-literal path"):
+        tr("SELECT GET_PATH(v, p) FROM t")
+
+    # execution: null pair dropped vs kept; GET_PATH round-trips through
+    # an OBJECT_CONSTRUCT result
+    row = spark.sql(tr(
+        "SELECT to_json(OBJECT_CONSTRUCT('a', 1, 'b', CAST(NULL AS INT))) AS d, "
+        "to_json(OBJECT_CONSTRUCT_KEEP_NULL('a', 1, 'b', CAST(NULL AS INT))) AS k, "
+        "CAST(GET_PATH(OBJECT_CONSTRUCT('p', ARRAY(5, 6)), 'p[1]') AS INT) AS g"
+    )).collect()[0]
+    assert row["d"] == '{"a":1}'
+    assert row["k"] == '{"a":1,"b":null}'
+    assert row["g"] == 6
+
+    # composition: FLATTEN over an OBJECT_CONSTRUCT result
+    rows = spark.sql(tr(
+        "SELECT f.key AS k FROM (SELECT 1 AS id) t, "
+        "LATERAL FLATTEN(INPUT => OBJECT_CONSTRUCT('m', 1, 'n', 2)) f ORDER BY k"
+    )).collect()
+    assert [r["k"] for r in rows] == ["m", "n"]
+
+
 def test_translate_nested_qualify():
     """r06: depth>0 QUALIFY scopes rewrite innermost-first; the DISTINCT
     refusal still raises (now from any scope); unrewritable scopes are left

@@ -1473,6 +1473,51 @@ def test_mine_hard_negatives_excludes_positives(spark):
     assert got[(0, 2)] == 11 and got[(1, 2)] == 11
 
 
+def test_mine_hard_negatives_ivf_recall_envelope(spark):
+    """r08: the IVF-indexed miner (a) never returns a positive, (b) finds
+    the SAME top negative as the exact form for a deterministic clustered
+    fixture (a hard negative shares its anchor's cell by construction),
+    and (c) holds a recall@k envelope vs exact over the whole fixture —
+    the ann_recall_eval pattern applied to mining."""
+    import math
+
+    from incremental_datapipeline_using_snowflake_spark.ops.similarity import (
+        mine_hard_negatives,
+        mine_hard_negatives_ivf,
+    )
+
+    # 4 well-separated direction clusters x 24 vectors; ids interleave so
+    # seed centroids (lowest ids) cover all clusters
+    base = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0),
+            (0.6, 0.6, 0.2)]
+    rows = []
+    for i in range(96):
+        b = base[i % 4]
+        eps = 0.02 * ((i // 4) % 5)
+        rows.append((i, [b[0] + eps, b[1] + eps / 2, b[2]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pos = [0, 1, 2, 3]
+    exact = {
+        (r["query_id"], r["nbr_id"])
+        for r in mine_hard_negatives(df, pos, k=4, method="exact").collect()
+    }
+    approx_rows = mine_hard_negatives_ivf(df, pos, k=4, n_cells=8, n_probe=3).collect()
+    approx = {(r["query_id"], r["nbr_id"]) for r in approx_rows}
+    assert not {n for _, n in approx} & set(pos)      # no positive leaks
+    assert {q for q, _ in approx} == set(pos)          # every anchor served
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.75, f"IVF mining recall {recall:.2f} below envelope"
+    # the hardest negative (same-cluster near-twin) is never missed: for
+    # each anchor the exact rank-1 neighbor appears in the IVF result
+    exact_top = {
+        r["query_id"]: r["nbr_id"]
+        for r in mine_hard_negatives(df, pos, k=1, method="exact").collect()
+    }
+    for q, n in exact_top.items():
+        assert (q, n) in approx, f"anchor {q} lost its hardest negative {n}"
+    assert all(not math.isnan(r["cosine"]) for r in approx_rows)
+
+
 def test_normalize_text_strips_noise_preserves_case(spark):
     from pyspark.sql import functions as F
 
