@@ -14,6 +14,10 @@ whose codecs need nothing beyond the stdlib + numpy:
   4:4:4/grayscale encoder used as the fixture generator — the compressed
   format the earlier rounds tracked as env-blocked, closed without any
   external library.
+- **PNG** (r08): stdlib-zlib inflate + full filter reconstruction
+  (None/Sub/Up/Average/Paeth), color types 0/2/3/4/6 at 8-bit depth with
+  palette expansion, plus an all-filters fixture encoder — the most
+  common real image format, same dependency-free discipline.
 
 ``media_decoder`` / ``ppm_resizer`` / ``image_resizer`` conform exactly to
 the ``decode_media(decoder=)`` / ``resize_media(resizer=)`` contracts, so
@@ -33,6 +37,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 
@@ -177,6 +182,197 @@ def encode_wav(
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# PNG (ISO/IEC 15948, r08): dependency-free decoder + fixture encoder.
+# stdlib zlib does the inflate/deflate; the engine owns chunk walking,
+# per-row filter reconstruction (None/Sub/Up/Average/Paeth), and palette
+# expansion. Scope: 8-bit samples, color types 0 (gray) / 2 (RGB) /
+# 3 (palette) / 4 (gray+alpha) / 6 (RGBA), non-interlaced; Adam7
+# interlacing, 1/2/4/16-bit depths, and tRNS transparency raise
+# NotImplementedError (fail-loud, like the JPEG decoder's SOF2 refusal).
+# None/Up rows reconstruct vectorized; Sub/Average/Paeth are sequential in
+# the left neighbor by spec, so those rows run a per-byte loop — per-row
+# CPU inside mapInPandas, like the JPEG Huffman bit loop.
+# ---------------------------------------------------------------------------
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(data: bytes):
+    """(type, payload) for each chunk after the signature; bounds-checked."""
+    pos = 8
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(data):
+            raise ValueError("PNG: truncated chunk")
+        yield ctype, data[pos + 8 : pos + 8 + ln]
+        if ctype == b"IEND":
+            return
+        pos += 12 + ln
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a PNG into (width, height, n_channels, uint8 pixels[h, w, c]).
+    Palette images expand to RGB through PLTE."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("PNG: bad signature")
+    ihdr = None
+    idat: list[bytes] = []
+    plte = None
+    for ctype, body in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"tRNS":
+            raise NotImplementedError(
+                "PNG: tRNS transparency is not supported — re-encode with a "
+                "full alpha channel (color type 4/6)"
+            )
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG: missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, comp, filt, interlace = ihdr[8:13]
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG: unknown compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError(
+            "PNG: Adam7 interlacing is not supported — re-encode "
+            "non-interlaced"
+        )
+    if bit_depth != 8:
+        raise NotImplementedError(
+            f"PNG: bit depth {bit_depth} is not supported (8-bit only)"
+        )
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"PNG: unknown color type {color_type}")
+    if w < 1 or h < 1 or w * h > 64_000_000:
+        raise ValueError("PNG: implausible dimensions")
+    nc = _PNG_CHANNELS[color_type]
+    stride = w * nc
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG: scanline payload size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        base = y * (stride + 1)
+        ft = raw[base]
+        rec = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=base + 1
+        ).astype(np.int32)
+        if ft == 0:
+            pass
+        elif ft == 2:  # Up — vectorized
+            rec = (rec + prev) & 0xFF
+        elif ft == 1:  # Sub
+            for i in range(nc, stride):
+                rec[i] = (rec[i] + rec[i - nc]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = rec[i - nc] if i >= nc else 0
+                rec[i] = (rec[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = rec[i - nc] if i >= nc else 0
+                b = prev[i]
+                c = prev[i - nc] if i >= nc else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (rec[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    px = out.reshape(h, w, nc)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("PNG: palette image missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        if len(pal) == 0 or len(pal) % 3:
+            raise ValueError("PNG: malformed PLTE")
+        pal = pal.reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max()) >= pal.shape[0]:
+            raise ValueError("PNG: palette index out of range")
+        return w, h, 3, pal[idx]
+    return w, h, nc, px
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal PNG encoder (the fixture generator): 8-bit gray / gray+alpha
+    / RGB / RGBA from a (h, w[, c]) uint8 array. Each row is forward-
+    filtered with filter type ``y % 5``, so a round-trip through
+    :func:`decode_png` exercises every reconstruction path."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nc = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(nc)
+    if color_type is None:
+        raise ValueError(f"encode_png: unsupported channel count {nc}")
+    flat = px.reshape(h, w * nc).astype(np.int32)
+    stride = w * nc
+    rows: list[bytes] = []
+    for y in range(h):
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        left = np.concatenate([np.zeros(nc, dtype=np.int32), cur[:-nc]]) \
+            if stride > nc else np.zeros(stride, dtype=np.int32)
+        upleft = np.concatenate([np.zeros(nc, dtype=np.int32), prev[:-nc]]) \
+            if stride > nc else np.zeros(stride, dtype=np.int32)
+        ft = y % 5
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = (cur - left) & 0xFF
+        elif ft == 2:
+            enc = (cur - prev) & 0xFF
+        elif ft == 3:
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = (cur - pred) & 0xFF
+        rows.append(bytes([ft]) + enc.astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(rows), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_png(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Nearest-neighbor PNG resize (decode -> the same pixel-center grid as
+    :func:`resize_ppm` -> lossless re-encode)."""
+    w, h, _nc, px = decode_png(payload)
+    rows = np.minimum((np.arange(target_h) + 0.5) * h / target_h, h - 1).astype(int)
+    cols = np.minimum((np.arange(target_w) + 0.5) * w / target_w, w - 1).astype(int)
+    return encode_png(px[rows][:, cols])
+
+
 def media_decoder(payload: bytes, media_type: str) -> dict:
     """REAL ``decode_media(decoder=)`` plug-in for JPEG/PPM images, WAV
     audio, and MJPEG-AVI video.
@@ -197,6 +393,8 @@ def media_decoder(payload: bytes, media_type: str) -> dict:
     if media_type == "image":
         if payload[:2] == b"\xff\xd8":  # JPEG SOI
             w, h, _nc, _px = decode_jpeg(payload)
+        elif payload[:8] == PNG_SIG:
+            w, h, _nc, _px = decode_png(payload)
         else:
             w, h, _maxval, _px = decode_ppm(payload)
         out["width"], out["height"] = w, h
@@ -236,9 +434,12 @@ def resize_jpeg(payload: bytes, target_w: int, target_h: int) -> bytes:
 
 def image_resizer(payload: bytes, target_w: int, target_h: int) -> bytes:
     """Format-sniffing ``resize_media(resizer=)`` plug-in: JPEG payloads
-    resize through the JPEG codec, PPM through the PPM codec."""
+    resize through the JPEG codec, PNG through the PNG codec (lossless),
+    PPM through the PPM codec."""
     if payload[:2] == b"\xff\xd8":
         return resize_jpeg(payload, target_w, target_h)
+    if payload[:8] == PNG_SIG:
+        return resize_png(payload, target_w, target_h)
     return resize_ppm(payload, target_w, target_h)
 
 

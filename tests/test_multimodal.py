@@ -281,6 +281,93 @@ def test_jpeg_through_spark_decode_and_resize(spark):
     assert int(np.max(np.abs(px[..., 0].astype(int) - px2[..., 0].astype(int)))) <= 3
 
 
+def test_png_codec_roundtrip_filters_and_refusals():
+    """r08: the PNG decoder reconstructs every filter type exactly (the
+    fixture encoder forward-filters row y with type y % 5), expands
+    palettes, and refuses out-of-scope features loudly."""
+    import zlib
+
+    import numpy as np
+
+    from incremental_datapipeline_using_snowflake_spark.ops import codecs as C
+
+    rng = np.random.RandomState(7)
+    for nc in (1, 2, 3, 4):
+        px = rng.randint(0, 256, (11, 9, nc)).astype(np.uint8)
+        arg = px[:, :, 0] if nc == 1 else px
+        w, h, nc2, out = C.decode_png(C.encode_png(arg))
+        assert (w, h, nc2) == (9, 11, nc)
+        assert np.array_equal(out, px)
+
+    def chunk(t, body):
+        return (len(body).to_bytes(4, "big") + t + body
+                + (zlib.crc32(t + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    # palette (color type 3) expands through PLTE to RGB
+    idx = rng.randint(0, 3, (4, 6)).astype(np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(4))
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    png3 = (C.PNG_SIG
+            + chunk(b"IHDR", (6).to_bytes(4, "big") + (4).to_bytes(4, "big")
+                    + bytes([8, 3, 0, 0, 0]))
+            + chunk(b"PLTE", pal)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    w, h, nc2, out = C.decode_png(png3)
+    assert (w, h, nc2) == (6, 4, 3)
+    assert np.array_equal(out, np.frombuffer(pal, np.uint8).reshape(-1, 3)[idx])
+
+    hdr = (6).to_bytes(4, "big") + (4).to_bytes(4, "big")
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        C.decode_png(C.PNG_SIG + chunk(b"IHDR", hdr + bytes([8, 2, 0, 0, 1]))
+                     + chunk(b"IDAT", zlib.compress(b"\x00" * 76))
+                     + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="bit depth 16"):
+        C.decode_png(C.PNG_SIG + chunk(b"IHDR", hdr + bytes([16, 2, 0, 0, 0]))
+                     + chunk(b"IDAT", zlib.compress(b"\x00" * 148))
+                     + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="scanline payload size"):
+        C.decode_png(C.PNG_SIG + chunk(b"IHDR", hdr + bytes([8, 2, 0, 0, 0]))
+                     + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+                     + chunk(b"IEND", b""))
+
+
+def test_png_through_spark_decode_and_resize(spark):
+    """r08: real PNG bytes flow through the SAME mapInPandas plumbing as
+    JPEG/PPM — media_decoder sniffs the PNG signature and reports true
+    pixel dims; image_resizer re-encodes a genuinely resized PNG
+    (lossless, so the nearest-neighbor grid matches PPM exactly)."""
+    import numpy as np
+
+    from incremental_datapipeline_using_snowflake_spark.ops import codecs as C
+
+    img = np.zeros((48, 64, 3), dtype=np.uint8)
+    img[..., 0] = (np.arange(64) * 4)[None, :] % 256
+    img[..., 1] = (np.arange(48) * 5)[:, None] % 256
+    png = C.encode_png(img)
+    ppm = C.encode_ppm(img)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png)), (2, "image", bytearray(ppm))],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in M.decode_media(media, decoder=C.media_decoder).collect()
+    }
+    assert (rows[1]["width"], rows[1]["height"]) == (64, 48)
+
+    out = {
+        r["doc_id"]: r
+        for r in M.resize_media(media, 16, 12, resizer=C.image_resizer).collect()
+    }
+    w, h, nc, px = C.decode_png(bytes(out[1]["payload"]))
+    assert (w, h, nc) == (16, 12, 3)
+    assert (out[1]["width"], out[1]["height"]) == (16, 12)
+    # PNG is lossless: the resized PNG equals the resized PPM byte-for-byte
+    # in pixel space (identical nearest-neighbor grid)
+    _w2, _h2, _mv, px2 = C.decode_ppm(bytes(out[2]["payload"]))
+    assert np.array_equal(px, px2)
+
+
 def test_avi_mjpeg_video_real_codec(spark):
     """r06: MJPEG-AVI closes the video modality with real bytes — container
     metadata decodes through decode_media, and sample_frames extracts
