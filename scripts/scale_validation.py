@@ -72,6 +72,9 @@ FAMILY = [
     "epoch_shuffle_order",
     "hard_negative_mining",
     "text_normalization",
+    # r08 additions
+    "hard_negative_mining_ivf",
+    "snowflake_dialect_flatten",
 ]
 
 
