@@ -115,6 +115,8 @@ _SNOWFLAKE_FUNCS = [
     (_re.compile(r"\bOBJECT_CONSTRUCT_KEEP_NULL\s*\(", _re.IGNORECASE), "SF_OBJ_KEEP("),
     (_re.compile(r"\bOBJECT_CONSTRUCT\s*\(", _re.IGNORECASE), "SF_OBJ("),
     (_re.compile(r"\bGET_PATH\s*\(", _re.IGNORECASE), "SF_GET_PATH("),
+    (_re.compile(r"\bARRAY_CONSTRUCT_COMPACT\s*\(", _re.IGNORECASE), "SF_ARR_COMPACT("),
+    (_re.compile(r"\bARRAY_CONSTRUCT\s*\(", _re.IGNORECASE), "array("),
     (_re.compile(r"\bTO_DATE\s*\(", _re.IGNORECASE), "SF_TO_DATE("),
     (_re.compile(r"\bTO_TIMESTAMP\s*\(", _re.IGNORECASE), "SF_TO_TIMESTAMP("),
     (_re.compile(r"\bCREATE\s+OR\s+REPLACE\s+TRANSIENT\s+TABLE\b", _re.IGNORECASE),
@@ -278,6 +280,13 @@ def _h_get_path(args: list[str]) -> str:
     return f"variant_get({args[0]}, '${sep}{body}')"
 
 
+def _h_array_construct_compact(args: list[str]) -> str:
+    """``ARRAY_CONSTRUCT_COMPACT`` drops NULL elements (Snowflake
+    contract); ``array()`` keeps them, so wrap in a null filter."""
+    inner = ", ".join(a.strip() for a in args)
+    return f"filter(array({inner}), x -> x IS NOT NULL)"
+
+
 def _h_try_to_number(args: list[str]) -> str:
     """Snowflake TRY_TO_NUMBER (r07):
 
@@ -324,6 +333,7 @@ _MARKER_HANDLERS = [
     ("SF_OBJ_KEEP(", _h_object_construct_keep),
     ("SF_OBJ(", _h_object_construct),
     ("SF_GET_PATH(", _h_get_path),
+    ("SF_ARR_COMPACT(", _h_array_construct_compact),
 ]
 
 
@@ -468,6 +478,67 @@ def _parse_flatten_args(args: list[str]) -> tuple[str, bool]:
         sep = "" if path.startswith("[") else "."
         input_expr = f"variant_get({input_expr}, '${sep}{path}')"
     return input_expr, outer
+
+
+_LISTAGG_RE = _re.compile(r"\bLISTAGG\s*\(", _re.IGNORECASE)
+_WITHIN_AFTER_RE = _re.compile(r"\s*WITHIN\b", _re.IGNORECASE)
+_DISTINCT_LEAD_RE = _re.compile(r"^\s*DISTINCT\b\s*", _re.IGNORECASE)
+
+
+def _rewrite_bare_listagg(stmt: str) -> str:
+    """Give bare ``LISTAGG(x[, sep])`` (no WITHIN GROUP) a deterministic
+    default order: splice `` WITHIN GROUP (ORDER BY x)`` after it. Both
+    dialects leave bare LISTAGG's concatenation order unspecified — but
+    Spark 4 REFUSES it outright ([INVALID_WITHIN_GROUP_EXPRESSION]), so a
+    migrating user's statement dies; ordering by the aggregated expression
+    itself is deterministic, valid for the DISTINCT form (Spark requires
+    the order key to equal the argument there), and a legal instance of
+    the unspecified order. Statements that already carry WITHIN GROUP
+    pass through untouched (r07 pins)."""
+    for _ in range(64):  # progress-bounded (one bare LISTAGG per pass)
+        code_text = "".join(
+            s if c else " " * len(s) for c, s in _code_segments(stmt)
+        )
+        fixed = None
+        for m in _LISTAGG_RE.finditer(code_text):
+            open_paren = code_text.index("(", m.start())
+            base = None
+            close = None
+            commas: list[int] = []
+            for pos, ch, d in _depth_positions(stmt):
+                if pos == open_paren:
+                    base = d + 1
+                    continue
+                if base is None or pos <= open_paren:
+                    continue
+                if ch == ")" and d == base:
+                    close = pos
+                    break
+                if ch == "," and d == base:
+                    commas.append(pos)
+            if close is None:
+                raise ValueError(
+                    "translate_snowflake_sql: unbalanced parentheses in "
+                    "LISTAGG"
+                )
+            if _WITHIN_AFTER_RE.match(code_text, close + 1):
+                continue  # already ordered — native passthrough
+            first_arg = stmt[open_paren + 1 : commas[0] if commas else close]
+            order_key = _DISTINCT_LEAD_RE.sub("", first_arg).strip()
+            if not order_key:
+                raise ValueError(
+                    "translate_snowflake_sql: LISTAGG needs an argument"
+                )
+            fixed = (
+                stmt[: close + 1]
+                + f" WITHIN GROUP (ORDER BY {order_key})"
+                + stmt[close + 1 :]
+            )
+            break
+        if fixed is None:
+            return stmt
+        stmt = fixed
+    return stmt
 
 
 def _rewrite_flatten(stmt: str) -> str:
@@ -689,18 +760,24 @@ def translate_snowflake_sql(stmt: str) -> str:
     - ``OBJECT_CONSTRUCT(k, v, ...)`` -> null-dropping VARIANT object via
       ``parse_json(to_json(named_struct(...)))``;
       ``OBJECT_CONSTRUCT_KEEP_NULL`` -> ``to_variant_object``;
-    - ``GET_PATH(v, 'a.b[0]')`` -> ``variant_get(v, '$.a.b[0]')``.
+    - ``GET_PATH(v, 'a.b[0]')`` -> ``variant_get(v, '$.a.b[0]')``;
+    - ``ARRAY_CONSTRUCT`` -> ``array``; ``ARRAY_CONSTRUCT_COMPACT`` ->
+      null-filtered ``array`` (Snowflake drops NULL elements there);
+    - bare ``LISTAGG(x[, sep])`` (no WITHIN GROUP — Spark 4 refuses it)
+      gains a deterministic `` WITHIN GROUP (ORDER BY x)`` default; forms
+      that already order pass through unchanged.
 
     String literals, quoted identifiers, and comments are never touched.
     Already-Spark-compatible constructs pass through UNCHANGED because
     Spark 4 is natively compatible — probed and test-pinned
     (``test_sql_script.py``): ``GROUP BY ALL``, ``ILIKE``, ``::`` casts,
-    ``NVL``/``NVL2``/``ZEROIFNULL``, and ``LISTAGG`` including
-    ``WITHIN GROUP (ORDER BY ...)`` and ``DISTINCT`` (bare LISTAGG keeps
-    both dialects' unspecified-order semantics — sort with WITHIN GROUP
-    when determinism matters).
+    ``NVL``/``NVL2``/``ZEROIFNULL``, and ``LISTAGG`` with
+    ``WITHIN GROUP (ORDER BY ...)`` / ``DISTINCT`` (bare LISTAGG is
+    rewritten, not passed through — see above).
     """
-    return _rewrite_qualify(_apply_func_maps(_rewrite_flatten(stmt)))
+    return _rewrite_qualify(
+        _rewrite_bare_listagg(_apply_func_maps(_rewrite_flatten(stmt)))
+    )
 
 
 def run_sql_script(

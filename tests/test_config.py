@@ -228,6 +228,41 @@ def test_translate_try_to_number_and_native_passthroughs(spark):
         spark.sql(sf).collect()
 
 
+def test_translate_bare_listagg_and_array_construct(spark):
+    """r08: bare LISTAGG (which Spark 4 refuses outright) gains a
+    deterministic WITHIN GROUP (ORDER BY <arg>) default; ordered forms
+    pass through untouched; ARRAY_CONSTRUCT[_COMPACT] map to array with
+    Snowflake's NULL-element semantics."""
+    from incremental_datapipeline_using_snowflake_spark.functions.sql_script import (
+        translate_snowflake_sql as tr,
+    )
+
+    out = tr("SELECT LISTAGG(c, ',') AS v FROM t GROUP BY g")
+    assert "LISTAGG(c, ',') WITHIN GROUP (ORDER BY c)" in out
+    out = tr("SELECT LISTAGG(DISTINCT c, ',') AS v FROM t")
+    assert "WITHIN GROUP (ORDER BY c)" in out
+    # already-ordered form untouched
+    sf = "SELECT LISTAGG(c, ',') WITHIN GROUP (ORDER BY c DESC) AS v FROM t"
+    assert tr(sf) == sf
+    # literal containing 'LISTAGG(' untouched
+    lit = "SELECT 'LISTAGG(x)' AS s FROM t"
+    assert tr(lit) == lit
+    # execution: deterministic result without user-specified order
+    rows = spark.sql(tr(
+        "SELECT LISTAGG(c, '|') AS v FROM VALUES ('b'), ('a'), ('c') t(c)"
+    )).collect()
+    assert rows[0]["v"] == "a|b|c"
+
+    out = tr("SELECT ARRAY_CONSTRUCT(1, 2, x) FROM t")
+    assert "array(1, 2, x)" in out
+    row = spark.sql(tr(
+        "SELECT ARRAY_CONSTRUCT(1, NULL, 2) AS keep, "
+        "ARRAY_CONSTRUCT_COMPACT(1, NULL, 2) AS dropped"
+    )).collect()[0]
+    assert row["keep"] == [1, None, 2]
+    assert row["dropped"] == [1, 2]
+
+
 def test_translate_lateral_flatten(spark):
     """r08: LATERAL FLATTEN / TABLE(FLATTEN(...)) -> LATERAL
     variant_explode[_outer] with (index, key, value) alias columns;
