@@ -480,6 +480,34 @@ def _parse_flatten_args(args: list[str]) -> tuple[str, bool]:
     return input_expr, outer
 
 
+# Snowflake VARIANT colon-path extraction: <ident[.ident...]>:<path>
+# where path is ident(.ident | [n])*. Single colon only — both lookarounds
+# exclude `::` casts; the colon must bind TIGHT on both sides (no spaces),
+# which is how the idiom is written and what keeps parameter markers
+# (`EXECUTE IMMEDIATE :stmt`, `USING :x` — whitespace before the colon)
+# and spaced casts out. Quoted path parts (v:"a b") deliberately do NOT
+# match and pass through to the parser.
+_COLON_PATH_RE = _re.compile(
+    r"\b([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)(?<!:):(?!:)"
+    r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*|\[\d+\])*)"
+)
+
+
+def _rewrite_colon_paths(stmt: str) -> str:
+    """Rewrite Snowflake's ``v:a.b[0]`` VARIANT path operator (THE most
+    common Snowflake idiom) to ``variant_get(v, '$.a.b[0]')``. Applied to
+    code segments only, so colons inside string literals (times, JSON)
+    are never touched; ``::`` casts are excluded by both lookarounds.
+    Runs BEFORE the FLATTEN rewrite so ``FLATTEN(INPUT => v:items)``
+    composes."""
+    out: list[str] = []
+    for is_code, seg in _code_segments(stmt):
+        if is_code:
+            seg = _COLON_PATH_RE.sub(r"variant_get(\1, '$.\2')", seg)
+        out.append(seg)
+    return "".join(out)
+
+
 _LISTAGG_RE = _re.compile(r"\bLISTAGG\s*\(", _re.IGNORECASE)
 _WITHIN_AFTER_RE = _re.compile(r"\s*WITHIN\b", _re.IGNORECASE)
 _DISTINCT_LEAD_RE = _re.compile(r"^\s*DISTINCT\b\s*", _re.IGNORECASE)
@@ -776,7 +804,9 @@ def translate_snowflake_sql(stmt: str) -> str:
     rewritten, not passed through — see above).
     """
     return _rewrite_qualify(
-        _rewrite_bare_listagg(_apply_func_maps(_rewrite_flatten(stmt)))
+        _rewrite_bare_listagg(
+            _apply_func_maps(_rewrite_flatten(_rewrite_colon_paths(stmt)))
+        )
     )
 
 

@@ -263,6 +263,38 @@ def test_translate_bare_listagg_and_array_construct(spark):
     assert row["dropped"] == [1, 2]
 
 
+def test_translate_colon_variant_paths(spark):
+    """r08: the v:a.b[0] VARIANT path operator rewrites to variant_get
+    JSON paths; :: casts, bind markers, and literals stay untouched."""
+    from incremental_datapipeline_using_snowflake_spark.functions.sql_script import (
+        translate_snowflake_sql as tr,
+    )
+
+    assert tr("SELECT v:a FROM t") == "SELECT variant_get(v, '$.a') FROM t"
+    assert (
+        tr("SELECT d.v:items.name[0] FROM t d")
+        == "SELECT variant_get(d.v, '$.items.name[0]') FROM t d"
+    )
+    # :: casts (tight and spaced) untouched
+    for sf in ("SELECT x::int FROM t", "SELECT x :: int FROM t"):
+        assert tr(sf) == sf
+    # parameter markers (whitespace before colon) untouched
+    sf = "EXECUTE IMMEDIATE :stmt"
+    assert tr(sf) == sf
+    # colons inside string literals untouched
+    lit = "SELECT 'a:b' AS s, TIMESTAMP '2020-01-01 12:30:00' AS ts FROM t"
+    assert tr(lit) == lit
+    # composes with FLATTEN: the input's colon path rewrites first
+    out = tr("SELECT f.value FROM t, LATERAL FLATTEN(INPUT => v:items) f")
+    assert "variant_get(v, '$.items')" in out and "variant_explode" in out
+    # execution end-to-end, including a cast of the extracted value
+    rows = spark.sql(tr(
+        "SELECT v:a.b[1]::int AS x, v:missing IS NULL AS m "
+        "FROM (SELECT parse_json('{\"a\": {\"b\": [5, 6]}}') AS v)"
+    )).collect()
+    assert rows[0]["x"] == 6 and rows[0]["m"] is True
+
+
 def test_translate_lateral_flatten(spark):
     """r08: LATERAL FLATTEN / TABLE(FLATTEN(...)) -> LATERAL
     variant_explode[_outer] with (index, key, value) alias columns;
