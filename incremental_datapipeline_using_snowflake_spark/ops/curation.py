@@ -276,6 +276,113 @@ def rebuild_bloom(spark: SparkSession, store, corpus_table: str) -> int:
     return m_bits
 
 
+def auto_n_planes(n_vectors: int, target_bucket: int = 64) -> int:
+    """Plane count that keeps the EXPECTED LSH bucket population near
+    ``target_bucket`` for an ``n_vectors`` corpus: population ≈ n / 2^p,
+    so p = ceil(log2(n / target)), floored at 4 (the bucket-join needs
+    some selectivity even on tiny corpora). The sizing analogue of
+    ``similarity.auto_n_cells`` for the hyperplane side."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return 4
+    return max(4, math.ceil(math.log2(n_vectors / target_bucket)))
+
+
+def rebuild_embsig(
+    spark: SparkSession,
+    store,
+    corpus_table: str,
+    emb: DataFrame,
+    *,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+) -> dict:
+    """Re-index the frozen embedding-LSH structure for a GROWN corpus —
+    the maintenance step the module docstring's re-index discipline calls
+    for (bucket population grows linearly at fixed planes; past ~16x
+    growth the semantic stage's in-bucket pair space goes quadratic,
+    BASELINE.md quantifies alpha 1.66).
+
+    One corpus-embedding pass: pick the new structure (``n_planes=None``
+    auto-sizes via :func:`auto_n_planes` from the CURRENT corpus
+    membership; ``n_tables`` defaults to the existing meta), re-sign every
+    corpus vector, and atomically swap ``__embsig`` + ``__curation_meta``
+    in ONE :meth:`TableStore.transaction` — a reader never sees signatures
+    from one structure with meta from another, and in-flight
+    :func:`curate_append` runs keep their snapshot. Subsequent runs read
+    the new meta and sign their batches consistently.
+
+    ``emb`` must carry the corpus vectors (extra rows are ignored — only
+    corpus-member ids are signed; the vectors live with the caller, same
+    contract as :func:`repair_aux`). Returns ``{"n_planes", "n_tables",
+    "n_signed"}``.
+    """
+    meta = store.read(spark, corpus_table + "__curation_meta").collect()[0]
+    dim = meta["dim"]
+    if n_tables is None:
+        n_tables = int(meta["n_tables"])
+    corpus_ids = store.read(spark, corpus_table).select(
+        F.col(id_col).alias(emb_id_col)
+    )
+    member_vecs = emb.join(corpus_ids, emb_id_col, "left_semi")
+    if n_planes is None:
+        n_planes = auto_n_planes(member_vecs.count())
+    sigs = _emb_signatures(
+        member_vecs, dim, n_tables, n_planes, vec_col, emb_id_col
+    )
+    new_meta = spark.createDataFrame(
+        [(int(dim), int(n_tables), int(n_planes))],
+        "dim int, n_tables int, n_planes int",
+    )
+    with store.transaction(f"reindex-{corpus_table}") as txn:
+        txn.overwrite(sigs, corpus_table + "__embsig")
+        txn.overwrite(new_meta, corpus_table + "__curation_meta")
+    n_signed = store.read(spark, corpus_table + "__embsig").count()
+    return {"n_planes": int(n_planes), "n_tables": int(n_tables),
+            "n_signed": int(n_signed)}
+
+
+def curation_status(
+    spark: SparkSession,
+    store,
+    corpus_table: str,
+    *,
+    id_col: str = "doc_id",
+) -> dict:
+    """Aux-table consistency report — the observability half of the
+    at-least-once contract (module docstring): how many corpus docs are
+    missing band rows (the :func:`repair_aux` backlog), how many
+    signature rows exist vs corpus docs, how many un-compacted Bloom
+    delta row-groups readers are folding (the :func:`rebuild_bloom`
+    trigger), and the run count. Narrow-column scans only."""
+    corpus_ids = store.read(spark, corpus_table).select(F.col(id_col))
+    n_corpus = corpus_ids.count()
+    have_bands = store.read(spark, corpus_table + "__bands").select(
+        F.col("id").alias(id_col)
+    ).distinct()
+    n_missing_bands = corpus_ids.join(have_bands, id_col, "left_anti").count()
+    out = {
+        "n_corpus": int(n_corpus),
+        "n_missing_bands": int(n_missing_bands),
+        "n_runs": int(store.read(spark, corpus_table + "__runs").count()),
+    }
+    if store.exists(corpus_table + "__embsig"):
+        out["n_signatures"] = int(
+            store.read(spark, corpus_table + "__embsig").count()
+        )
+    if store.exists(corpus_table + "__bloom"):
+        bloom = store.read(spark, corpus_table + "__bloom")
+        n_rows = bloom.count()
+        n_words = bloom.select("word").distinct().count()
+        # >1 row per word = appended per-run deltas awaiting compaction
+        out["bloom_delta_rows"] = int(n_rows - n_words)
+    return out
+
+
 def stream_curate(
     stream_df: DataFrame,
     store,

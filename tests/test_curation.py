@@ -373,6 +373,81 @@ def test_curate_append_work_dir_spill_path_same_verdicts(spark, store, tmp_path)
     assert any("curate_r1_batch_shingles" in d for d in os.listdir(wd))
 
 
+def test_rebuild_embsig_reindexes_and_stays_consistent(spark, store):
+    """r08: the re-index discipline the module docstring prescribes has an
+    operator — rebuild_embsig swaps __embsig + __curation_meta atomically
+    at a new plane count; a post-rebuild curate run signs its batch with
+    the NEW meta and still catches a semantic dup."""
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    assert C.auto_n_planes(10) == 4              # floor
+    assert C.auto_n_planes(64 * 2 ** 10) == 10   # n/target = 2^10
+    assert C.auto_n_planes(64 * 2 ** 10 + 1) == 11
+
+    rows, base = _corpus_rows()
+    corpus = spark.createDataFrame(rows, DOC_SCHEMA)
+    dim = 8
+    emb_rows = [
+        (i, [float((i * 7 + d * 3) % 11 - 5) for d in range(dim)]) for i in range(3)
+    ]
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>")
+    C.bootstrap_corpus(
+        spark, store, corpus, "cur.docs", emb=emb, dim=dim, n_tables=2, n_planes=3
+    )
+
+    info = C.rebuild_embsig(spark, store, "cur.docs", emb, n_planes=5)
+    assert info == {"n_planes": 5, "n_tables": 2, "n_signed": 3}
+    meta = store.read(spark, "cur.docs__curation_meta").collect()[0]
+    assert meta["n_planes"] == 5 and meta["n_tables"] == 2
+    assert store.read(spark, "cur.docs__embsig").count() == 3
+
+    # post-rebuild run: batch signatures come from the NEW meta, so the
+    # scaled twin of corpus vec 2 still lands in its bucket and verifies
+    batch = spark.createDataFrame(
+        [_mk_doc(200, list(reversed(base[2])))], DOC_SCHEMA
+    )
+    batch_emb = spark.createDataFrame(
+        [(200, [x * 1.001 for x in emb_rows[2][1]])],
+        "vec_id long, embedding array<double>",
+    )
+    v = C.curate_append(spark, store, batch, "cur.docs", "r1", batch_emb=batch_emb)
+    got = {r["doc_id"]: r["verdict"] for r in v.collect()}
+    assert got[200] == "embedding_dup_corpus"
+
+    # auto sizing path: tiny corpus floors at 4 planes
+    info2 = C.rebuild_embsig(spark, store, "cur.docs", emb)
+    assert info2["n_planes"] == 4
+
+
+def test_curation_status_reports_aux_consistency(spark, store):
+    """r08: curation_status quantifies the at-least-once repair backlog —
+    missing band rows (repair_aux's job) and un-compacted bloom deltas
+    (rebuild_bloom's job)."""
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    rows, _ = _corpus_rows()
+    corpus = spark.createDataFrame(rows, DOC_SCHEMA)
+    C.bootstrap_corpus(spark, store, corpus, "cur.docs")
+    s0 = C.curation_status(spark, store, "cur.docs")
+    assert s0["n_corpus"] == 3 and s0["n_missing_bands"] == 0
+    assert s0["n_runs"] == 0 and s0["bloom_delta_rows"] == 0
+
+    batch = spark.createDataFrame(
+        [_mk_doc(100, "one two three four five six seven eight nine ten eleven twelve".split())],
+        DOC_SCHEMA,
+    )
+    C.curate_append(spark, store, batch, "cur.docs", "r1")
+    s1 = C.curation_status(spark, store, "cur.docs")
+    # the kept doc's band rows were appended (no backlog), its bloom delta
+    # rows await compaction, and the run is recorded
+    assert s1["n_corpus"] == 4 and s1["n_missing_bands"] == 0
+    assert s1["n_runs"] == 1 and s1["bloom_delta_rows"] > 0
+
+    C.rebuild_bloom(spark, store, "cur.docs")
+    s2 = C.curation_status(spark, store, "cur.docs")
+    assert s2["bloom_delta_rows"] == 0
+
+
 def test_export_and_verify_corpus_snapshot(spark, store, tmp_path):
     """Export -> manifest (order-independent checksum + store version) ->
     consumer-side verification; a tampered shard set fails loudly."""
