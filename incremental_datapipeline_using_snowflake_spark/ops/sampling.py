@@ -306,3 +306,50 @@ def epoch_shuffle(
         "shard",
         F.row_number().over(w).cast("long").alias("shard_rank"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame | None,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    components: DataFrame | None = None,
+) -> DataFrame:
+    """Train/val/test assignment that CANNOT leak near-duplicates across
+    splits (r08): the hash unit is the near-dup CLUSTER, not the document.
+
+    Plain hash splitting (:func:`split_column`) sends two near-identical
+    documents to independent splits ~2·p·(1-p) of the time — eval rows
+    that are paraphrases of training rows, the classic contamination that
+    inflates benchmark scores. Here every document is keyed by its
+    connected-component root (minimum reachable id over the near-dup pair
+    graph; singletons root at themselves) and the ROOT is hashed, so a
+    whole cluster lands in one split by construction.
+
+    ``pairs`` is the verified near-dup edge list (``id_a``/``id_b`` —
+    MinHash, SimHash, or embedding pairs all fit); pass ``components``
+    (``(id, comp)`` from :func:`ops.graph.connected_components`) instead
+    to reuse an already-computed labeling. Scale shape: CC is the pointer-
+    jumping O(log d) labeling; the assignment itself is one left join +
+    a pure Column hash — no extra shuffle beyond the join.
+
+    Returns ``(id_col, group_id, split)`` — one row per input document.
+    """
+    from .graph import connected_components
+
+    if components is None:
+        if pairs is None:
+            raise ValueError("leakage_safe_split: need pairs or components")
+        components = connected_components(pairs)
+    out = (
+        docs.select(F.col(id_col))
+        .join(components.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("comp", F.col(id_col)).alias("group_id"),
+        )
+    )
+    return out.withColumn(
+        "split", split_column(F.col("group_id"), weights, salt=salt)
+    )

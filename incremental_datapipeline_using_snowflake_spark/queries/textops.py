@@ -517,6 +517,49 @@ FROM comp ORDER BY doc_id
 # keep/drop verdicts over the WHOLE corpus (cluster members beyond the
 # canonical dropped, singletons kept), summarized per decision.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# leakage_safe_split (r08) — cluster-aware train/val/test assignment: the
+# near-dup CLUSTER root (CC min-id; singleton = itself) is hashed, not the
+# document, so paraphrase pairs can never straddle train and eval (the
+# benchmark-contamination mode plain hash splitting allows ~2p(1-p) of the
+# time). Oracle: recursive-CTE reachability (dedup_clusters discipline) +
+# the identical md5 bucket arithmetic as dataset_split, over group_id.
+# ---------------------------------------------------------------------------
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.sampling import leakage_safe_split
+
+    corpus = corpus_df(spark, sf_dir)
+    _pairs, comp = _shared_pairs_components(spark, sf_dir)
+    return leakage_safe_split(
+        corpus, None, id_col="doc_id", components=comp
+    ).orderBy("doc_id")
+
+
+def _leakage_split_sql() -> str:
+    from ..ops.sampling import split_column_sql
+
+    return f"""
+WITH RECURSIVE {_minhash_pairs_cte()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r
+),
+comp AS (SELECT id, min(r) AS comp FROM walk GROUP BY id),
+assign AS (
+  SELECT c.doc_id, coalesce(m.comp, c.doc_id) AS group_id
+  FROM corpus c LEFT JOIN comp m ON m.id = c.doc_id
+)
+SELECT doc_id, group_id, {split_column_sql("group_id")} AS split
+FROM assign ORDER BY doc_id
+"""
+
+
 def dedup_keep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.graph import dedup_keep_decisions
 
@@ -1794,6 +1837,7 @@ QUERIES: dict = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_clusters": (dedup_clusters, _dedup_clusters_sql()),
     "dedup_keep_summary": (dedup_keep_summary, _dedup_keep_sql()),
+    "leakage_safe_split": (leakage_safe_split_q, _leakage_split_sql()),
     "dedup_incremental": (dedup_incremental, _dedup_incremental_sql()),
     "dedup_keep_best": (dedup_keep_best, _dedup_keep_best_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),

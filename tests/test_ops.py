@@ -1518,6 +1518,53 @@ def test_mine_hard_negatives_ivf_recall_envelope(spark):
     assert all(not math.isnan(r["cosine"]) for r in approx_rows)
 
 
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """r08: every member of a near-dup cluster lands in the SAME split
+    (the whole point — plain per-doc hashing strands paraphrases across
+    train/eval), singletons hash independently, and the result covers
+    every input doc exactly once."""
+    from incremental_datapipeline_using_snowflake_spark.ops.sampling import (
+        leakage_safe_split,
+        split_column,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # clusters: {0..9} chained, {50, 150}, rest singletons
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(50, 150)],
+        "id_a long, id_b long",
+    )
+    out = leakage_safe_split(docs, pairs).collect()
+    assert len(out) == 200 and len({r["doc_id"] for r in out}) == 200
+    by_id = {r["doc_id"]: r for r in out}
+    # whole chain shares group 0 and ONE split
+    assert {by_id[i]["group_id"] for i in range(10)} == {0}
+    assert len({by_id[i]["split"] for i in range(10)}) == 1
+    assert by_id[50]["split"] == by_id[150]["split"]
+    # singleton groups = own id
+    assert by_id[42]["group_id"] == 42
+    # the hazard is real: plain per-doc hashing DOES strand chain members
+    # in different splits (50/50 weights make the fixture deterministic —
+    # the 10 chained ids hash to both sides), while the cluster-keyed
+    # assignment above kept them together under the same weights
+    half = {"a": 0.5, "b": 0.5}
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in docs.withColumn("split", split_column("doc_id", half)).collect()
+    }
+    assert len({plain[i] for i in range(10)}) > 1
+    safe = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs, pairs, weights=half).collect()
+    }
+    assert len({safe[i] for i in range(10)}) == 1
+    # ratios roughly hold over groups (191 groups, train=0.9)
+    n_train = sum(1 for r in out if r["split"] == "train")
+    assert n_train > 120
+
+
 def test_normalize_text_strips_noise_preserves_case(spark):
     from pyspark.sql import functions as F
 
