@@ -75,6 +75,7 @@ FAMILY = [
     # r08 additions
     "hard_negative_mining_ivf",
     "snowflake_dialect_flatten",
+    "leakage_safe_split",
 ]
 
 
