@@ -282,8 +282,10 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_latest.json"
     )
     try:
-        with open(full_path, "w") as f:
-            f.write(full_map_json + "\n")
+        # EXACTLY the hashed bytes, no trailing newline: `md5sum <file>`
+        # must equal full_map_md5 verbatim — that equality IS the contract
+        with open(full_path, "wb") as f:
+            f.write(full_map_json.encode())
         print(f"  full map -> {full_path} (md5 {full_map_md5})", file=sys.stderr)
     except OSError as exc:
         print(f"  full map write failed: {exc}", file=sys.stderr)

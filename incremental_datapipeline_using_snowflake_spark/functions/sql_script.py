@@ -491,19 +491,37 @@ _COLON_PATH_RE = _re.compile(
     r"\b([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)(?<!:):(?!:)"
     r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*|\[\d+\])*)"
 )
+# field:TYPE pairs inside complex-type DDL (STRUCT<a:INT>) must NOT become
+# variant_get: a single-segment path that IS a SQL type keyword is treated
+# as DDL and left alone (a real VARIANT field literally named 'int' can
+# still be read via GET_PATH — documented limitation)
+_SQL_TYPE_KEYWORDS = frozenset(
+    "INT INTEGER BIGINT SMALLINT TINYINT LONG SHORT BYTE FLOAT REAL DOUBLE "
+    "DECIMAL DEC NUMERIC STRING VARCHAR CHAR BOOLEAN BINARY DATE TIMESTAMP "
+    "TIMESTAMP_NTZ TIMESTAMP_LTZ INTERVAL ARRAY MAP STRUCT VARIANT VOID "
+    "NUMBER TEXT".split()
+)
 
 
 def _rewrite_colon_paths(stmt: str) -> str:
     """Rewrite Snowflake's ``v:a.b[0]`` VARIANT path operator (THE most
     common Snowflake idiom) to ``variant_get(v, '$.a.b[0]')``. Applied to
     code segments only, so colons inside string literals (times, JSON)
-    are never touched; ``::`` casts are excluded by both lookarounds.
-    Runs BEFORE the FLATTEN rewrite so ``FLATTEN(INPUT => v:items)``
+    are never touched; ``::`` casts are excluded by both lookarounds and
+    ``field:TYPE`` pairs inside complex-type DDL by the type-keyword
+    guard. Runs BEFORE the FLATTEN rewrite so ``FLATTEN(INPUT => v:items)``
     composes."""
+
+    def _sub(m: _re.Match) -> str:
+        path = m.group(2)
+        if "." not in path and "[" not in path and path.upper() in _SQL_TYPE_KEYWORDS:
+            return m.group(0)  # STRUCT<a:INT>-style DDL, not a variant path
+        return f"variant_get({m.group(1)}, '$.{path}')"
+
     out: list[str] = []
     for is_code, seg in _code_segments(stmt):
         if is_code:
-            seg = _COLON_PATH_RE.sub(r"variant_get(\1, '$.\2')", seg)
+            seg = _COLON_PATH_RE.sub(_sub, seg)
         out.append(seg)
     return "".join(out)
 

@@ -254,8 +254,13 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("PNG: implausible dimensions")
     nc = _PNG_CHANNELS[color_type]
     stride = w * nc
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
+    # bounded inflate: cap the output at the exact scanline budget BEFORE
+    # materializing (the same hostile-header discipline as the MP4 stsz
+    # guard — a deflate bomb must raise, not OOM a mapInPandas worker)
+    expected = h * (stride + 1)
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected or dec.decompress(dec.unconsumed_tail, 1):
         raise ValueError("PNG: scanline payload size mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)

@@ -328,9 +328,18 @@ def rebuild_embsig(
     corpus_ids = store.read(spark, corpus_table).select(
         F.col(id_col).alias(emb_id_col)
     )
-    member_vecs = emb.join(corpus_ids, emb_id_col, "left_semi")
+    # materialize the member relation ONCE: it feeds the auto-sizing count
+    # plus one lsh_signatures pass per table — unmaterialized, each
+    # consumer would re-run the corpus semi-join (the multi-consumer pin
+    # discipline of curate_append's shingle relation)
+    from pyspark import StorageLevel
+
+    member_vecs = emb.join(corpus_ids, emb_id_col, "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_signed = member_vecs.count()
     if n_planes is None:
-        n_planes = auto_n_planes(member_vecs.count())
+        n_planes = auto_n_planes(n_signed)
     sigs = _emb_signatures(
         member_vecs, dim, n_tables, n_planes, vec_col, emb_id_col
     )
@@ -341,7 +350,7 @@ def rebuild_embsig(
     with store.transaction(f"reindex-{corpus_table}") as txn:
         txn.overwrite(sigs, corpus_table + "__embsig")
         txn.overwrite(new_meta, corpus_table + "__curation_meta")
-    n_signed = store.read(spark, corpus_table + "__embsig").count()
+    member_vecs.unpersist()
     return {"n_planes": int(n_planes), "n_tables": int(n_tables),
             "n_signed": int(n_signed)}
 
@@ -875,7 +884,10 @@ def export_corpus_snapshot(
         corpus, f"{out_dir}/data", compression=compression,
         partition_by=[split_col] if split_col else None,
     )
-    grp = F.col(split_col) if split_col else F.lit("all")
+    # split key pinned to STRING in the manifest: a numeric split column
+    # would otherwise round-trip as a JSON number while the verifier's
+    # recomputed key is a string cast — every comparison would mismatch
+    grp = F.col(split_col).cast("string") if split_col else F.lit("all")
     rec = md5_long(
         F.concat(F.col(id_col).cast("string"), F.lit(":"), F.md5(F.col(text_col)))
     )
@@ -906,7 +918,9 @@ def verify_corpus_snapshot(spark: SparkSession, out_dir: str,
     from ..queries.util import md5_long
 
     man_rows = spark.read.json(f"{out_dir}/_manifest.jsonl").collect()
-    man = {r["split"]: (r["n_rows"], r["content_checksum"]) for r in man_rows}
+    # str() on the manifest key: pre-r08 manifests from numeric split
+    # columns carry JSON numbers, the recomputed side is always a string
+    man = {str(r["split"]): (r["n_rows"], r["content_checksum"]) for r in man_rows}
     # the export records WHICH column it partitioned by ('' = none) — group
     # verification by that same column; pre-r08 manifests lack the field,
     # so fall back to the old single-'all' heuristic

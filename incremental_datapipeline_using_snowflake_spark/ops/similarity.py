@@ -1210,7 +1210,7 @@ def mine_hard_negatives(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    method: str = "auto",
+    method: str = "exact",
 ) -> DataFrame:
     """Hard-negative mining for contrastive training (the DPR / sentence-
     transformers data-prep step): for every positive anchor, the k nearest
@@ -1224,20 +1224,26 @@ def mine_hard_negatives(
     isin literal filter BEFORE the pair join (|positives| literals — the
     same scalar-cache discipline as BM25's corpus stats).
 
-    ``method``: ``"exact"`` = the brute-force scan (every anchor scores
-    the whole corpus — exact, linear in |corpus|·|anchors| comparisons);
-    ``"ivf"`` = :func:`mine_hard_negatives_ivf` (cell-probed approximate
-    search — comparisons ∝ |corpus|·n_probe/n_cells per anchor, the
-    default shape at index scale; adds a ``cell`` output column);
-    ``"auto"`` (default) routes by corpus size: exact below
+    ``method``: ``"exact"`` (default — the pre-r08 behavior and output
+    schema, unconditionally) = the brute-force scan (every anchor scores
+    the whole corpus, linear in |corpus|·|anchors| comparisons);
+    ``"ivf"`` = :func:`mine_hard_negatives_ivf` with auto-sized cells
+    (cell-probed approximate search — comparisons ∝
+    |corpus|·n_probe/n_cells per anchor; NOTE: adds a ``cell`` output
+    column); ``"auto"`` routes by corpus size — exact below
     ``HN_IVF_AUTO_THRESHOLD`` rows (where exactness is free), IVF above.
+    ``"auto"``/``"ivf"`` are OPT-IN precisely because they change both the
+    result set (approximate) and the schema; callers pinning exact output
+    (the ``hard_negative_mining`` oracle) never flip at a size threshold.
     """
     pos = [int(p) for p in positive_ids]
     if method == "auto":
         method = "exact" if emb.count() < HN_IVF_AUTO_THRESHOLD else "ivf"
     if method == "ivf":
+        # n_cells=None -> auto_n_cells(sqrt-n sizing): fixed cells at the
+        # sizes auto engages is the measured alpha~1.8 scaling failure
         return mine_hard_negatives_ivf(
-            emb, pos, k=k, vec_col=vec_col, id_col=id_col
+            emb, pos, k=k, n_cells=None, vec_col=vec_col, id_col=id_col
         )
     if method != "exact":
         raise ValueError(f"mine_hard_negatives: unknown method {method!r}")

@@ -107,8 +107,11 @@ def hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = [r["vec_id"] for r in
            emb.filter(f"vec_id % 40 = 0 AND vec_id < {HN_ANCHOR_CAP}")
            .select("vec_id").collect()]
-    return S.mine_hard_negatives(
-        emb, pos, k=HN_K, method="ivf"
+    # direct call with the PINNED cell count the oracle replays — the
+    # dispatcher's ivf route auto-sizes cells (right for production,
+    # wrong for a deterministic oracle)
+    return S.mine_hard_negatives_ivf(
+        emb, pos, k=HN_K, n_cells=S.N_IVF_CELLS
     ).orderBy("query_id", "rank")
 
 

@@ -284,6 +284,13 @@ def test_translate_colon_variant_paths(spark):
     # colons inside string literals untouched
     lit = "SELECT 'a:b' AS s, TIMESTAMP '2020-01-01 12:30:00' AS ts FROM t"
     assert tr(lit) == lit
+    # field:TYPE pairs inside complex-type DDL untouched (both cases)
+    for ddl in (
+        "SELECT CAST(x AS STRUCT<a:INT>) FROM t",
+        "SELECT CAST(x AS struct<a:int, b:string>) FROM t",
+        "SELECT CAST(x AS MAP<STRING, ARRAY<y:DOUBLE>>) FROM t",
+    ):
+        assert tr(ddl) == ddl
     # composes with FLATTEN: the input's colon path rewrites first
     out = tr("SELECT f.value FROM t, LATERAL FLATTEN(INPUT => v:items) f")
     assert "variant_get(v, '$.items')" in out and "variant_explode" in out
@@ -309,8 +316,11 @@ def test_translate_lateral_flatten(spark):
     out = tr(
         "SELECT t.id, f.value FROM t, LATERAL FLATTEN(INPUT => parse_json(js)) f"
     )
-    assert "LATERAL variant_explode(CAST((parse_json(js)) AS VARIANT)) "
-    assert "f(index, key, value)" in out and "FLATTEN" not in out.upper()
+    assert (
+        "LATERAL variant_explode(CAST((parse_json(js)) AS VARIANT)) "
+        "f(index, key, value)" in out
+    )
+    assert "FLATTEN" not in out.upper()
 
     # TABLE(FLATTEN(...)) form, AS alias, OUTER => TRUE
     out = tr(

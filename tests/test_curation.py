@@ -500,6 +500,19 @@ def test_export_and_verify_corpus_snapshot(spark, store, tmp_path):
     with pytest.raises(ValueError, match="b"):
         C.verify_corpus_snapshot(spark, str(out3))
 
+    # a NUMERIC split column round-trips too (manifest keys are pinned to
+    # STRING so JSON-number inference can't break the comparison)
+    corpus4 = spark.createDataFrame(rows, DOC_SCHEMA).withColumn(
+        "year", F.when(F.col("doc_id") < 2, F.lit(2023)).otherwise(F.lit(2024))
+    )
+    C.bootstrap_corpus(spark, store, corpus4, "cur.docs4")
+    out4 = tmp_path / "snap4"
+    man4 = C.export_corpus_snapshot(
+        spark, store, "cur.docs4", str(out4), split_col="year", compression=None
+    )
+    assert {r["split"] for r in man4.collect()} == {"2023", "2024"}
+    assert C.verify_corpus_snapshot(spark, str(out4)) is True
+
 
 def test_streaming_crawl_to_curation_end_to_end(spark, store, tmp_path):
     """The full continuous-crawl shape: format('warc') stream over

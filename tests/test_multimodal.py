@@ -329,6 +329,12 @@ def test_png_codec_roundtrip_filters_and_refusals():
         C.decode_png(C.PNG_SIG + chunk(b"IHDR", hdr + bytes([8, 2, 0, 0, 0]))
                      + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
                      + chunk(b"IEND", b""))
+    # deflate bomb: a plausible header whose IDAT inflates to ~50 MB must
+    # raise at the bounded-inflate guard, never materialize the payload
+    bomb = zlib.compress(b"\x00" * (50 << 20), 9)  # ~50 KB compressed
+    with pytest.raises(ValueError, match="scanline payload size"):
+        C.decode_png(C.PNG_SIG + chunk(b"IHDR", hdr + bytes([8, 2, 0, 0, 0]))
+                     + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
 
 
 def test_png_through_spark_decode_and_resize(spark):
