@@ -510,7 +510,10 @@ def _rewrite_colon_paths(stmt: str) -> str:
     are never touched; ``::`` casts are excluded by both lookarounds and
     ``field:TYPE`` pairs inside complex-type DDL by the type-keyword
     guard. Runs BEFORE the FLATTEN rewrite so ``FLATTEN(INPUT => v:items)``
-    composes."""
+    composes. Documented limitations (both pass through to the parser
+    rather than misrewriting): the left side must be an identifier chain
+    (``parse_json(x):a`` — colon after a call's ``)`` — needs GET_PATH),
+    and quoted path parts (``v:"a b"``) are not matched."""
 
     def _sub(m: _re.Match) -> str:
         path = m.group(2)
