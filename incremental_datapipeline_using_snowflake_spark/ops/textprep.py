@@ -242,6 +242,52 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    k0: int = 60,
+    top: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of named
+    ranked lists — the standard hybrid-retrieval combiner (BM25 lexical +
+    dense semantic is the canonical pair): ``score(d) = Σ_lists
+    1/(k0 + rank_list(d))``, documents absent from a list contribute
+    nothing from it. Rank-based, so the lists' score scales never need
+    calibration — the reason RRF beats score interpolation in practice.
+
+    Each input frame carries ``(id_col, rank)`` with 1-based ranks.
+    Returns ``(id_col, rrf, n_lists, rank)`` ordered by fused score
+    (6-dp rounded; with two lists the two-term sum is order-exact, so a
+    SQL oracle replays it bit-identically — more lists can differ in the
+    last ulp before rounding).
+
+    Scale shape: inputs are ALREADY top-k lists (bounded — Σk rows
+    total), so the union + groupBy + the single-partition rank window are
+    all on k-sized data regardless of corpus size; the heavy lifting
+    happened in the per-list retrieval ops.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window as W
+
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+    parts = [
+        df.select(F.col(id_col), F.col("rank").cast("long").alias("rank"))
+        for df in rankings.values()
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    fused = u.groupBy(id_col).agg(
+        F.round(F.sum(F.lit(1.0) / (F.lit(k0) + F.col("rank"))), 6).alias("rrf"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = W.orderBy(F.desc("rrf"), F.asc(id_col))
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if top is not None:
+        out = out.filter(F.col("rank") <= top)
+    return out
+
+
 def bpe_pair_counts(
     df: DataFrame,
     text_col: str = "text",

@@ -418,6 +418,76 @@ LIMIT 15
 """
 
 
+# ---------------------------------------------------------------------------
+# hybrid_search_rrf (r08) — hybrid retrieval, the shape every modern search
+# stack ships: the BM25 lexical top-k and a dense ANN top-k (exact cosine
+# here — the oracle-replayable baseline) fused by reciprocal-rank fusion.
+# Rank-based fusion needs no score calibration between the two lists.
+# Oracle: the bm25_search CTEs + the bruteforce-cosine CTE (both already
+# hash-pinned individually) + the identical 1/(60+rank) arithmetic.
+# ---------------------------------------------------------------------------
+HYBRID_K = 15
+HYBRID_QVEC = 0  # the query vector's id (its doc is excluded from the list)
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import similarity as S
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    lex = TP.bm25_topk(docs, BM25_TERMS, k=HYBRID_K)
+    from pyspark.sql import Window as W
+
+    lex_ranked = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    sem = S.bruteforce_topk(
+        emb, emb.filter(F.col("vec_id") == HYBRID_QVEC), k=HYBRID_K
+    ).select(F.col("nbr_id").alias("doc_id"), "rank")
+    return TP.rrf_fuse({"lexical": lex_ranked, "semantic": sem}).orderBy("rank")
+
+
+def _hybrid_rrf_sql() -> str:
+    # the bm25 CTEs verbatim (same literal arithmetic as _bm25_sql), the
+    # bruteforce-cosine CTE in ANN_BRUTEFORCE_SQL's discipline, then RRF
+    bm25 = _bm25_sql().strip().rstrip()
+    # reuse _bm25_sql's SELECT as a subquery feeding the lexical rank
+    return f"""
+WITH lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM ({bm25})
+),
+q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {HYBRID_QVEC}
+),
+sem AS (
+  SELECT nbr_id AS doc_id, rank FROM (
+    SELECT e.vec_id AS nbr_id,
+           row_number() OVER (
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
+                      e.vec_id
+           ) AS rank
+    FROM embeddings e, q
+    WHERE e.vec_id != {HYBRID_QVEC}
+  ) WHERE rank <= {HYBRID_K}
+),
+u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+fused AS (
+  SELECT doc_id,
+         round(sum(1.0 / (60 + rank)), 6) AS rrf,
+         count(*) AS n_lists
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id, rrf, n_lists,
+       row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+FROM fused
+ORDER BY rank
+"""
+
+
 QUERIES: dict = {
     "asof_view_purchase": (asof_view_purchase, ASOF_SQL),
     "asof_cogrouped": (asof_cogrouped, ASOF_SQL),
@@ -428,5 +498,6 @@ QUERIES: dict = {
     "pii_redaction": (pii_redaction, PII_SQL),
     "tfidf_terms": (tfidf_terms, TFIDF_SQL),
     "bm25_search": (bm25_search, _bm25_sql()),
+    "hybrid_search_rrf": (hybrid_search_rrf, _hybrid_rrf_sql()),
     "calendar_gapfill": (calendar_gapfill, GAPFILL_SQL),
 }

@@ -1518,6 +1518,32 @@ def test_mine_hard_negatives_ivf_recall_envelope(spark):
     assert all(not math.isnan(r["cosine"]) for r in approx_rows)
 
 
+def test_rrf_fuse_hybrid_ranking(spark):
+    """r08: reciprocal-rank fusion — a doc ranked by BOTH lists beats a
+    doc that tops only one (1/61+1/62 > 1/61), absence contributes
+    nothing, ties break by id, and `top` cuts after fusing."""
+    from incremental_datapipeline_using_snowflake_spark.ops.textprep import rrf_fuse
+
+    lex = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rank long")
+    sem = spark.createDataFrame([(20, 1), (40, 2), (10, 3)], "doc_id long, rank long")
+    out = {r["doc_id"]: r for r in rrf_fuse({"lex": lex, "sem": sem}).collect()}
+    assert out[20]["n_lists"] == 2 and out[30]["n_lists"] == 1
+    # 20: 1/62+1/61; 10: 1/61+1/63 -> 20 first, 10 second
+    assert out[20]["rank"] == 1 and out[10]["rank"] == 2
+    assert round(out[20]["rrf"], 6) == round(1 / 62 + 1 / 61, 6)
+    # single-list docs rank below any double-list doc here
+    assert out[30]["rank"] > 2 and out[40]["rank"] > 2
+    # ties (same single-list rank) break by id: 30@rank3? no — 40@rank2
+    # in sem (1/62) beats 30@rank3 in lex (1/63)
+    assert out[40]["rank"] < out[30]["rank"]
+    top2 = rrf_fuse({"lex": lex, "sem": sem}, top=2).collect()
+    assert {r["doc_id"] for r in top2} == {20, 10}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse({})
+
+
 def test_leakage_safe_split_keeps_clusters_together(spark):
     """r08: every member of a near-dup cluster lands in the SAME split
     (the whole point — plain per-doc hashing strands paraphrases across
