@@ -403,6 +403,7 @@ def stream_curate(
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.5,
     verdict_table: str | None = None,
+    vec_col: str | None = None,
 ):
     """Continuous corpus curation: drain a document stream through
     :func:`curate_append`, one transactional run per micro-batch — the
@@ -427,8 +428,18 @@ def stream_curate(
 
     ``verdict_table``: optional observability sink — per-run verdicts
     appended with the ``run_id`` column (at-least-once, outside the
-    transaction). Embedding-stage curation needs a second aligned stream
-    and is batch-API-only (pass ``batch_emb`` to :func:`curate_append`).
+    transaction).
+
+    ``vec_col`` (r08): when the stream's rows CARRY their embedding in
+    this column (the one-stream multimodal-crawl shape), each micro-batch
+    is split — non-NULL vectors become the run's ``batch_emb`` (keyed by
+    ``id_col``) and the column is dropped from the document side before
+    the merge (the corpus schema stays text-only) — so the semantic
+    near-dup stage runs per micro-batch. Rows with a NULL vector pass
+    through stage 4 untouched, exactly like the batch API. A SEPARATE
+    unaligned embedding stream is still out of scope (two streams cannot
+    be transactionally zipped per micro-batch); align upstream or use the
+    batch API for that shape.
 
     Returns the started StreamingQuery (``availableNow`` trigger — call
     ``awaitTermination()`` to drain).
@@ -452,8 +463,17 @@ def stream_curate(
         )
         if not already.isEmpty():
             return
+        batch_emb = None
+        docs_bdf = bdf
+        if vec_col is not None and vec_col in bdf.columns:
+            batch_emb = bdf.filter(F.col(vec_col).isNotNull()).select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+            )
+            docs_bdf = bdf.drop(vec_col)
         verdicts = curate_append(
-            spark, store, bdf, corpus_table, run_id,
+            spark, store, docs_bdf, corpus_table, run_id,
+            batch_emb=batch_emb,
             text_col=text_col, id_col=id_col,
             jaccard_threshold=jaccard_threshold,
         )

@@ -373,6 +373,54 @@ def test_curate_append_work_dir_spill_path_same_verdicts(spark, store, tmp_path)
     assert any("curate_r1_batch_shingles" in d for d in os.listdir(wd))
 
 
+def test_stream_curate_with_inline_embeddings(spark, store, tmp_path):
+    """r08: a stream whose rows CARRY their embedding column runs the
+    semantic near-dup stage per micro-batch — the one-stream multimodal
+    shape that was batch-API-only before. A semantic-only dup (no shared
+    shingles, scaled twin vector) is caught in-stream; a NULL-vector row
+    passes through stage 4; the corpus schema stays text-only."""
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    rows, base = _corpus_rows()
+    corpus = spark.createDataFrame(rows, DOC_SCHEMA)
+    dim = 8
+    emb_rows = [
+        (i, [float((i * 7 + d * 3) % 11 - 5) for d in range(dim)]) for i in range(3)
+    ]
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>")
+    C.bootstrap_corpus(
+        spark, store, corpus, "cur.docs", emb=emb, dim=dim, n_tables=2, n_planes=3
+    )
+
+    schema = DOC_SCHEMA + ", embedding array<double>"
+    b1 = [
+        # semantic-only dup: reversed words (no shared 3-shingles), vector
+        # = corpus vec 2 scaled
+        _mk_doc(600, list(reversed(base[2])))
+        + ([x * 1.001 for x in emb_rows[2][1]],),
+        # fresh doc with NO vector -> passes stage 4
+        _mk_doc(601, "red orange yellow green blue indigo violet cyan magenta teal maroon navy".split())
+        + (None,),
+    ]
+    src = tmp_path / "esrc"
+    src.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q = C.stream_curate(
+        stream, store, "cur.docs", str(tmp_path / "eck"),
+        verdict_table="cur.everdicts", vec_col="embedding",
+    )
+    q.awaitTermination()
+
+    v = {r["doc_id"]: r["verdict"]
+         for r in store.read(spark, "cur.everdicts").collect()}
+    assert v == {600: "embedding_dup_corpus", 601: "kept"}
+    merged = store.read(spark, "cur.docs")
+    assert "embedding" not in merged.columns  # corpus schema stays text-only
+    assert merged.count() == 4  # 3 corpus + 601
+
+
 def test_rebuild_embsig_reindexes_and_stays_consistent(spark, store):
     """r08: the re-index discipline the module docstring prescribes has an
     operator — rebuild_embsig swaps __embsig + __curation_meta atomically
