@@ -76,6 +76,7 @@ FAMILY = [
     "hard_negative_mining_ivf",
     "snowflake_dialect_flatten",
     "leakage_safe_split",
+    "hybrid_search_rrf",
 ]
 
 
