@@ -518,6 +518,65 @@ FROM comp ORDER BY doc_id
 # canonical dropped, singletons kept), summarized per decision.
 # ---------------------------------------------------------------------------
 # ---------------------------------------------------------------------------
+# html_text_extraction (r08) — HTML → text, the step between raw WARC
+# response records and the documents table. Fixture: each document's text
+# wrapped in a deterministic HTML page with the junk classes a real page
+# carries (script with a fake close-tag inside a JS string, style, comment,
+# nav boilerplate, entities, list items, self-closing br). The Spark chain
+# and the DuckDB oracle are GENERATED from the same HTML_STRIP_STEPS table,
+# so the hash pins the rewrite chain itself.
+# ---------------------------------------------------------------------------
+_HTML_PRE = (
+    '<html><head><title>T</title><style>p {color: red}</style>'
+    '<script type="text/javascript">var x = 1 < 2 && "</div>";</script>'
+    '</head><body><!-- boilerplate --><div class="nav">Home &amp; About</div><p>'
+)
+_HTML_POST = '</p><ul><li>a&lt;b</li><li>c&nbsp;d</li></ul><br/></body></html>'
+
+
+def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.html import extract_html_documents
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 3000)
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_PRE),
+            F.regexp_replace(F.col("text"), r"\s+", " "),
+            F.lit(_HTML_POST),
+        ).alias("html"),
+    )
+    out = extract_html_documents(pages)
+    return out.select(
+        "doc_id",
+        "n_chars_html",
+        "n_chars_text",
+        F.md5(F.col("text")).alias("text_fp"),
+    ).orderBy("doc_id")
+
+
+def _html_extract_sql() -> str:
+    from ..ops.html import html_to_text_sql
+
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    page = f"'{pre}' || regexp_replace(text, '\\s+', ' ', 'g') || '{post}'"
+    txt = html_to_text_sql("html")
+    return f"""
+WITH pages AS (
+  SELECT doc_id, {page} AS html
+  FROM documents WHERE doc_id < 3000
+)
+SELECT doc_id,
+       length(html) AS n_chars_html,
+       length({txt}) AS n_chars_text,
+       md5({txt}) AS text_fp
+FROM pages
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # leakage_safe_split (r08) — cluster-aware train/val/test assignment: the
 # near-dup CLUSTER root (CC min-id; singleton = itself) is hashed, not the
 # document, so paraphrase pairs can never straddle train and eval (the
@@ -1838,6 +1897,7 @@ QUERIES: dict = {
     "dedup_clusters": (dedup_clusters, _dedup_clusters_sql()),
     "dedup_keep_summary": (dedup_keep_summary, _dedup_keep_sql()),
     "leakage_safe_split": (leakage_safe_split_q, _leakage_split_sql()),
+    "html_text_extraction": (html_text_extraction, _html_extract_sql()),
     "dedup_incremental": (dedup_incremental, _dedup_incremental_sql()),
     "dedup_keep_best": (dedup_keep_best, _dedup_keep_best_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),

@@ -1518,6 +1518,47 @@ def test_mine_hard_negatives_ivf_recall_envelope(spark):
     assert all(not math.isnan(r["cosine"]) for r in approx_rows)
 
 
+def test_html_to_text_extraction(spark):
+    """r08: script/style/comment content drops ENTIRELY (including fake
+    close-tags inside JS strings), block boundaries become newlines so
+    words never concatenate across blocks, entities decode in the right
+    order (&amp;lt; -> literal '&lt;'), whitespace collapses, and an
+    all-markup page extracts to ''."""
+    from incremental_datapipeline_using_snowflake_spark.ops.html import (
+        extract_html_documents,
+        html_to_text,
+    )
+    from pyspark.sql import functions as F
+
+    page = (
+        '<html><head><script>if (a < b) { s = "</div>"; }</script>'
+        "<style>.x{}</style></head><body><!-- hidden -->"
+        "<h1>Title</h1><p>Hello &amp; welcome</p>"
+        "<div>line1</div><div>line2</div>"
+        "<ul><li>one</li><li>two&nbsp;three</li></ul>"
+        "<p>escaped: &amp;lt; stays</p><br/>tail</body></html>"
+    )
+    df = spark.createDataFrame([(1, page), (2, "<p></p><script>x</script>")],
+                               "doc_id long, html string")
+    got = {r["doc_id"]: r for r in extract_html_documents(df).collect()}
+    text = got[1]["text"]
+    lines = text.split("\n")
+    assert lines[0] == "Title"
+    assert "Hello & welcome" in lines
+    assert "line1" in lines and "line2" in lines  # blocks never concatenate
+    assert "one" in lines and "two three" in lines
+    assert "escaped: &lt; stays" in lines          # &amp;lt; -> literal &lt;
+    assert "</div>" not in text and ".x{}" not in text and "hidden" not in text
+    assert text.endswith("tail")
+    assert got[1]["n_chars_text"] == len(text)
+    assert got[2]["text"] == ""                    # gate owns the drop
+    # idempotent on plain text (no tags, nothing to strip)
+    row = spark.createDataFrame([("just words here",)], "h string").select(
+        html_to_text("h").alias("t")
+    ).collect()[0]
+    assert row["t"] == "just words here"
+
+
 def test_rrf_fuse_hybrid_ranking(spark):
     """r08: reciprocal-rank fusion — a doc ranked by BOTH lists beats a
     doc that tops only one (1/61+1/62 > 1/61), absence contributes
