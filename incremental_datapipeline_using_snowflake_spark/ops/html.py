@@ -47,7 +47,7 @@ HTML_STRIP_STEPS: list[tuple[str, str]] = [
     (r"(?is)<noscript\b[^>]*>.*?</noscript\s*>", " "),
     (r"(?s)<!--.*?-->", " "),
     (r"(?i)<(?:br|hr)\s*/?\s*>", "\n"),
-    (r"(?is)</(?:p|div|li|ul|ol|h[1-6]|tr|table|section|article|header|footer|blockquote)\s*>", "\n"),
+    (r"(?is)</(?:p|div|li|ul|ol|h[1-6]|tr|table|section|article|header|footer|blockquote|title|head)\s*>", "\n"),
     (r"(?s)<[^>]*>", " "),
     (r"&nbsp;", " "),
     (r"&quot;", "\""),

@@ -208,6 +208,63 @@ def encode_wet(records: list[dict], compress: bool = False) -> bytes:
     return gzip.compress(bytes(out)) if compress else bytes(out)
 
 
+def encode_warc_responses(records: list[dict], compress: bool = False) -> bytes:
+    """Build valid WARC ``response`` bytes from ``[{uri, date, html}, ...]``
+    — raw-crawl fixture encoder (r08). The record payload is a full HTTP
+    response (status line + headers + blank line + HTML body), exactly the
+    Common Crawl response-record layout :func:`warc_html_to_documents`
+    must strip."""
+    out = bytearray()
+    for k, r in enumerate(records):
+        body = r["html"].encode("utf-8")
+        http = (
+            "HTTP/1.1 200 OK\r\n"
+            "Content-Type: text/html; charset=UTF-8\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            "\r\n"
+        ).encode("utf-8")
+        payload = http + body
+        hdr = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{k:08d}-0000-0000-0000-00000000resp>\r\n"
+            f"WARC-Target-URI: {r['uri']}\r\n"
+            f"WARC-Date: {r['date']}\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+            "\r\n"
+        ).encode("utf-8")
+        out += hdr + payload + b"\r\n\r\n"
+    return gzip.compress(bytes(out)) if compress else bytes(out)
+
+
+def warc_html_to_documents(df: DataFrame) -> DataFrame:
+    """Raw-crawl twin of :func:`warc_to_documents` (r08): map clean WARC
+    ``response`` records — whose payload is a full HTTP response carrying
+    HTML — into the documents shape. Two strips, both row-local Column
+    expressions: the HTTP status line + headers up to the first blank line
+    (absent-header payloads pass through unchanged), then
+    :func:`ops.html.html_to_text` over the body. Same deterministic
+    ``doc_id`` contract as the WET path, so re-ingested files resolve as
+    pure corpus dups in curation. Use with
+    ``read_warc(..., warc_types=("response",))`` or
+    ``format("warc").option("warcTypes", "response")``."""
+    from pyspark.sql import functions as F
+
+    from ..ops.html import html_to_text
+
+    body = F.regexp_replace(
+        F.col("text"), r"(?s)^HTTP/[^\r\n]*\r\n.*?\r\n\r\n", ""
+    )
+    txt = html_to_text(body)
+    return df.select(
+        F.xxhash64("record_id", "target_uri").alias("doc_id"),
+        txt.alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.coalesce("target_uri", F.lit("warc")).alias("source"),
+        F.length(txt).cast("long").alias("n_chars"),
+    )
+
+
 def warc_to_documents(df: DataFrame) -> DataFrame:
     """Map clean WET rows into the documents shape curation consumes
     (``doc_id, text, lang, source, n_chars``): ``doc_id`` is the xxhash64

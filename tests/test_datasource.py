@@ -137,6 +137,58 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
         read_jsonl(spark, bad_dir, strict=True).collect()
 
 
+def test_warc_response_records_html_to_documents(spark, tmp_path):
+    """r08: raw-crawl ingestion — WARC response records (full HTTP
+    response payloads carrying HTML) parse, the HTTP headers strip, the
+    HTML extracts, and the result lands in the documents shape with the
+    deterministic doc_id contract. WET conversion records in the same
+    file are excluded by the type filter."""
+    from incremental_datapipeline_using_snowflake_spark.sources.warc_source import (
+        encode_warc_responses,
+        encode_wet,
+        read_warc,
+        warc_html_to_documents,
+    )
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    html1 = (
+        "<html><head><script>junk()</script><title>t</title></head>"
+        "<body><p>Hello &amp; bye</p><div>second block</div></body></html>"
+    )
+    html2 = "<p>plain</p>"
+    recs = [
+        {"uri": "http://a.example/x", "date": "2026-01-01T00:00:00Z", "html": html1},
+        {"uri": "http://b.example/y", "date": "2026-01-01T00:00:01Z", "html": html2},
+    ]
+    blob = encode_warc_responses(recs, compress=True)
+    # a WET conversion record in the same file must NOT pass the filter
+    blob2 = encode_wet(
+        [{"uri": "http://c.example/z", "date": "2026-01-01T00:00:02Z",
+          "text": "already extracted"}],
+        compress=True,
+    )
+    (src / "seg1.warc.gz").write_bytes(blob)
+    (src / "seg2.wet.gz").write_bytes(blob2)
+
+    raw = read_warc(spark, str(src), warc_types=("response",))
+    docs = {r["source"]: r for r in warc_html_to_documents(raw).collect()}
+    assert set(docs) == {"http://a.example/x", "http://b.example/y"}
+    a = docs["http://a.example/x"]
+    # the title is visible content on its own line (block boundary), the
+    # script body is gone, the two body blocks never concatenate
+    assert a["text"] == "t\nHello & bye\nsecond block"
+    assert "HTTP/1.1" not in a["text"] and "Content-Type" not in a["text"]
+    assert a["n_chars"] == len(a["text"])
+    assert docs["http://b.example/y"]["text"] == "plain"
+    # doc_id deterministic across re-reads (the curation idempotency key)
+    again = {r["source"]: r["doc_id"]
+             for r in warc_html_to_documents(
+                 read_warc(spark, str(src), warc_types=("response",))
+             ).collect()}
+    assert again == {k: v["doc_id"] for k, v in docs.items()}
+
+
 def test_warc_wet_roundtrip_quarantine_and_strict(spark, tmp_path):
     """Real-bytes WET ingest: plain + gzip files parse file-per-task
     through binaryFile -> mapInPandas; warcinfo preambles filter out;
