@@ -77,6 +77,7 @@ FAMILY = [
     "snowflake_dialect_flatten",
     "leakage_safe_split",
     "hybrid_search_rrf",
+    "html_text_extraction",
 ]
 
 
