@@ -233,14 +233,36 @@ def main() -> None:
         release_session_frames,
     )
 
-    for i, (name, (fn, _sql)) in enumerate(sorted(qs.items())):
+    # Sub-2s entries get the walls' min-of-2 discipline (r08 verdict ask #1):
+    # host scheduling jitter hits short driver-job-dominated walls up to 3x
+    # (five sub-1.7s queries read >2x their r03 numbers in r08 with their
+    # code untouched; a same-session A/B measured 0.738s vs the 0.739s
+    # baseline). The min of two independent reps is the standard one-sided
+    # -noise estimator; entries >=2s amortize the jitter and stay
+    # single-shot so the bench total doesn't double.
+    rep_cutoff = 2.0
+
+    def _time_once(fn) -> tuple[float, int]:
         t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        _ = df.limit(1).collect()
+        return round(time.time() - t0, 3), n
+
+    for i, (name, (fn, _sql)) in enumerate(sorted(qs.items())):
         try:
-            df = fn(spark, sf_dir)
-            n = df.count()
-            _ = df.limit(1).collect()
-            timings[name] = round(time.time() - t0, 3)
-            print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+            t1, n = _time_once(fn)
+            if t1 < rep_cutoff:
+                spark.catalog.clearCache()
+                t2, _n2 = _time_once(fn)
+                timings[name] = min(t1, t2)
+                print(
+                    f"  {name}: {timings[name]}s ({n} rows, reps [{t1}, {t2}])",
+                    file=sys.stderr,
+                )
+            else:
+                timings[name] = t1
+                print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — per-query fault isolation
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"  {name}: ERROR {errors[name][:120]}", file=sys.stderr)

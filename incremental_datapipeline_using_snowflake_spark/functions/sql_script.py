@@ -216,6 +216,12 @@ def _h_to_timestamp(args: list[str]) -> str:
     )
 
 
+def _is_empty_arglist(args: list[str]) -> bool:
+    """True for a zero-argument call — the splitter hands ``[]`` or a
+    single all-whitespace fragment for ``FN()``."""
+    return not args or (len(args) == 1 and not args[0].strip())
+
+
 def _object_construct_pairs(args: list[str], fn: str) -> str:
     """Validate OBJECT_CONSTRUCT-style (key, value, ...) arguments and
     return the ``named_struct`` argument text. Keys must be string
@@ -246,6 +252,9 @@ def _h_object_construct(args: list[str]) -> str:
     exactly that: ``to_json`` with ``ignoreNullFields`` omits null fields
     (pinned explicitly — not left to the session default), and
     ``parse_json`` lifts the result back to VARIANT."""
+    if _is_empty_arglist(args):
+        # zero-arg form is legal Snowflake: builds the empty object
+        return "parse_json('{}')"
     pairs = _object_construct_pairs(args, "OBJECT_CONSTRUCT")
     return (
         f"parse_json(to_json(named_struct({pairs}), "
@@ -256,6 +265,8 @@ def _h_object_construct(args: list[str]) -> str:
 def _h_object_construct_keep(args: list[str]) -> str:
     """``OBJECT_CONSTRUCT_KEEP_NULL`` keeps null-valued pairs — exactly
     ``to_variant_object`` over a struct (nulls preserved)."""
+    if _is_empty_arglist(args):
+        return "parse_json('{}')"
     pairs = _object_construct_pairs(args, "OBJECT_CONSTRUCT_KEEP_NULL")
     return f"to_variant_object(named_struct({pairs}))"
 

@@ -67,10 +67,17 @@ lost or doubled — merge keys on id).
 
 Structure freezing: the embedding-LSH plane count is pinned at bootstrap
 (``<corpus>__curation_meta``) — the same frozen-structure discipline as
-``append_to_ivf_index``'s frozen centroids. Re-bootstrap (re-index) when
-the corpus outgrows the plane count by ~16× (bucket population grows
-linearly with n at fixed planes; BASELINE.md quantifies the resulting
-quadratic at alpha 1.66).
+``append_to_ivf_index``'s frozen centroids. Growth past the frozen
+structure is handled AUTOMATICALLY (r09): :func:`curate_append` ends each
+run with :func:`maybe_reindex_embsig`, which fires :func:`rebuild_embsig`
+once expected bucket population drifts ``2^plane_drift``× past the sizing
+target (bucket population grows linearly with n at fixed planes;
+BASELINE.md quantifies the resulting quadratic at alpha 1.66).
+
+Deletion (r09): :func:`delete_docs` propagates takedown/licensing/RTBF
+removals through the corpus AND the dedup memory (bands, signatures,
+Bloom — rebuilt, it's insert-only) in one transaction, so deleted text
+re-ingested later is judged fresh, not remembered as a duplicate.
 """
 
 from __future__ import annotations
@@ -106,6 +113,42 @@ _RUNS_SCHEMA = (
     "run_id string, n_batch long, n_gate_fail long, n_exact_dup long, "
     "n_near_dup long, n_embedding_dup long, n_kept long"
 )
+
+_DELETES_SCHEMA = "run_id string, n_keys long, n_deleted long"
+
+
+def _sig_snapshot(spark: SparkSession, store, corpus_table: str):
+    """Resolve ``__curation_meta`` + ``__embsig`` as ONE consistent
+    snapshot: pin both table versions, then re-resolve and retry if either
+    pointer moved in between. :func:`rebuild_embsig` flips both pointers
+    back-to-back inside one transaction, so this double-resolve closes the
+    torn-read window to the sub-millisecond gap between the two flips —
+    a concurrent reader can no longer pick up a whole rebuild that landed
+    between its meta read and its signature scan. (The residual
+    microsecond window is covered by the single-writer guidance in
+    :func:`rebuild_embsig`'s docstring; ``curation_status`` detects and
+    :func:`rebuild_embsig` repairs a mismatch either way.)
+
+    Returns ``(meta_row, sig_df)`` with ``sig_df`` pinned to the
+    snapshot's version directory.
+    """
+    meta_t = corpus_table + "__curation_meta"
+    sig_t = corpus_table + "__embsig"
+    for _ in range(8):
+        vm = store.current_version(meta_t)
+        vs = store.current_version(sig_t)
+        if (
+            store.current_version(meta_t) == vm
+            and store.current_version(sig_t) == vs
+        ):
+            return (
+                store.read_version(spark, meta_t, vm).collect()[0],
+                store.read_version(spark, sig_t, vs),
+            )
+    raise RuntimeError(
+        f"_sig_snapshot({corpus_table}): meta/signature pointers kept moving "
+        "— a rebuild loop is racing this reader"
+    )
 
 
 def _pin(df: DataFrame) -> DataFrame:
@@ -163,7 +206,7 @@ def bootstrap_corpus(
     emb_id_col: str = "vec_id",
     dim: int | None = None,
     n_tables: int = 2,
-    n_planes: int = 5,
+    n_planes: int | None = 5,
     bloom_headroom: int = 4,
 ) -> None:
     """One-time corpus registration: write the corpus table (with its
@@ -171,7 +214,13 @@ def bootstrap_corpus(
     membership sketch (sized for ``bloom_headroom``× growth; frozen width
     recorded in ``__bloom_meta``), the LSH signature table (when ``emb``
     given), the curation meta (frozen LSH structure), and an empty run
-    log. After this, every :func:`curate_append` run costs ∝ its batch."""
+    log. After this, every :func:`curate_append` run costs ∝ its batch.
+
+    ``n_planes=None`` auto-sizes the embedding-LSH plane count from the
+    bootstrap corpus's vector count (:func:`auto_n_planes`) — the
+    production default; an explicit count is for oracle-replayable
+    fixtures. Growth past the frozen structure is then handled by
+    :func:`curate_append`'s automatic re-index trigger (r09)."""
     spark_docs = docs.withColumn("_fingerprint", _fingerprint(text_col))
     store.overwrite(spark_docs, corpus_table)
     n_corpus = spark_docs.count()
@@ -193,6 +242,8 @@ def bootstrap_corpus(
     if emb is not None:
         if dim is None:
             raise ValueError("bootstrap_corpus: emb requires dim")
+        if n_planes is None:
+            n_planes = auto_n_planes(emb.count())
         store.overwrite(
             _emb_signatures(emb, dim, n_tables, n_planes, vec_col, emb_id_col),
             corpus_table + "__embsig",
@@ -276,6 +327,125 @@ def rebuild_bloom(spark: SparkSession, store, corpus_table: str) -> int:
     return m_bits
 
 
+def delete_docs(
+    spark: SparkSession,
+    store,
+    corpus_table: str,
+    keys,
+    *,
+    key_col: str | None = None,
+    id_col: str = "doc_id",
+    run_id: str = "delete",
+) -> dict:
+    """Takedown / licensing / RTBF deletion (r09): purge the matched docs
+    from the corpus AND every auxiliary structure in ONE
+    :meth:`TableStore.transaction` — after it commits, a later re-ingest
+    of the SAME text (under any id) is judged fresh again, not
+    corpus-dup-dropped, because no fingerprint, band, signature, or Bloom
+    bit survives for it.
+
+    Reference tie: the reference's CDC stream declares DELETE actions
+    (``APPEND_ONLY=FALSE``, ``02_create_rawco2data_stream.py:50-56``) and
+    table-level deletes exist via ``operators.merge.apply_changes``; this
+    composes the same semantics at CURATION level, where deletion must
+    also reach the dedup memory.
+
+    - ``keys``: a list of values or a single-column DataFrame.
+    - ``key_col``: the corpus column they match (default ``id_col`` — pass
+      e.g. ``"url"`` for URL-based takedown lists on corpora that carry
+      one; matches resolve to doc ids before the aux purge).
+
+    What the transaction stages (all-or-none):
+
+    - corpus: anti-join on the matched ids (one rewrite);
+    - ``__bands`` / ``__embsig``: ids-only anti-joins (deletion is the one
+      maintenance op that REQUIRES rewriting aux tables — an O(corpus)
+      narrow-column pass, acceptable because takedown batches are rare and
+      batched, unlike the per-run hot path which only appends);
+    - ``__bloom``: REBUILT from the surviving fingerprints at the frozen
+      ``__bloom_meta`` width — the sketch is insert-only, so deletion is
+      exactly the :func:`rebuild_bloom` compaction pass (a counting sketch
+      would trade this rebuild for 62× the sketch bytes on every run; the
+      rebuild-on-delete is the better 100 TB deal);
+    - ``__deletes``: the run record ``(run_id, n_keys, n_deleted)`` —
+      replaying the same takedown list is idempotent (0 matched, recorded).
+
+    Exported snapshots are immutable by design — re-export after a delete
+    and the manifest's ``store_version`` identifies which shipped
+    snapshots predate the takedown (re-verify catches any tampered-in-place
+    copy). Returns ``{"n_keys", "n_deleted", "n_corpus_after"}``.
+    """
+    kc = key_col or id_col
+    corpus = store.read(spark, corpus_table)
+    if isinstance(keys, DataFrame):
+        keys_df = keys.select(F.col(keys.columns[0]).alias("_del_key")).distinct()
+        n_keys = keys_df.count()
+        matched = corpus.join(
+            F.broadcast(keys_df), F.col(kc) == F.col("_del_key"), "left_semi"
+        )
+    else:
+        vals = list(keys)
+        n_keys = len(set(vals))
+        matched = corpus.filter(F.col(kc).isin(vals))
+    # pin the doomed id list BEFORE any overwrite: every purge below
+    # anti-joins this same small relation (ids only, broadcastable)
+    doomed = matched.select(F.col(id_col).alias("_del_id")).distinct()
+    doomed = doomed.localCheckpoint(eager=True)
+    n_deleted = doomed.count()
+
+    runs_t = corpus_table + "__deletes"
+    old_log = (
+        store.read(spark, runs_t)
+        if store.exists(runs_t)
+        else spark.createDataFrame([], _DELETES_SCHEMA)
+    )
+    log = old_log.unionByName(
+        spark.createDataFrame(
+            [(run_id, int(n_keys), int(n_deleted))], _DELETES_SCHEMA
+        )
+    )
+    if n_deleted == 0:
+        # idempotent replay fast path: nothing matched, record and return
+        store.overwrite(log, runs_t)
+        return {"n_keys": int(n_keys), "n_deleted": 0,
+                "n_corpus_after": int(corpus.count())}
+
+    def _purge(df: DataFrame, col: str) -> DataFrame:
+        return df.join(
+            F.broadcast(doomed), F.col(col) == F.col("_del_id"), "left_anti"
+        )
+
+    new_corpus = _purge(corpus, id_col)
+    with store.transaction(f"delete-{run_id}") as txn:
+        txn.overwrite(new_corpus, corpus_table)
+        if store.exists(corpus_table + "__bands"):
+            txn.overwrite(
+                _purge(store.read(spark, corpus_table + "__bands"), "id"),
+                corpus_table + "__bands",
+            )
+        if store.exists(corpus_table + "__embsig"):
+            txn.overwrite(
+                _purge(store.read(spark, corpus_table + "__embsig"), "id"),
+                corpus_table + "__embsig",
+            )
+        if store.exists(corpus_table + "__bloom"):
+            m_bits = int(
+                store.read(spark, corpus_table + "__bloom_meta")
+                .collect()[0]["m_bits"]
+            )
+            txn.overwrite(
+                fingerprint_bloom(
+                    new_corpus.select(F.col("_fingerprint").alias("fp")).distinct(),
+                    m_bits,
+                ),
+                corpus_table + "__bloom",
+            )
+        txn.overwrite(log, runs_t)
+    n_after = store.read(spark, corpus_table).count()
+    return {"n_keys": int(n_keys), "n_deleted": int(n_deleted),
+            "n_corpus_after": int(n_after)}
+
+
 def auto_n_planes(n_vectors: int, target_bucket: int = 64) -> int:
     """Plane count that keeps the EXPECTED LSH bucket population near
     ``target_bucket`` for an ``n_vectors`` corpus: population ≈ n / 2^p,
@@ -310,11 +480,20 @@ def rebuild_embsig(
     One corpus-embedding pass: pick the new structure (``n_planes=None``
     auto-sizes via :func:`auto_n_planes` from the CURRENT corpus
     membership; ``n_tables`` defaults to the existing meta), re-sign every
-    corpus vector, and atomically swap ``__embsig`` + ``__curation_meta``
-    in ONE :meth:`TableStore.transaction` — a reader never sees signatures
-    from one structure with meta from another, and in-flight
-    :func:`curate_append` runs keep their snapshot. Subsequent runs read
-    the new meta and sign their batches consistently.
+    corpus vector, and swap ``__embsig`` + ``__curation_meta`` in ONE
+    :meth:`TableStore.transaction` (all-or-none: a crash never publishes
+    one without the other). Readers resolve the pair through
+    :func:`_sig_snapshot` (double-resolve both pointers), which closes the
+    torn-read window to the sub-millisecond gap between the two pointer
+    flips — under the intended SINGLE-MAINTENANCE-WRITER usage (one
+    nightly curate/reindex job, the reference's serialized task-DAG
+    discipline) a mismatch cannot occur; with adversarial concurrent
+    writers the residual window means a reader could sign one batch
+    against a mixed structure, costing missed semantic dups for that run
+    only — ``curation_status`` surfaces the drift and re-running this
+    function repairs it. In-flight :func:`curate_append` runs keep their
+    snapshot; subsequent runs read the new meta and sign their batches
+    consistently.
 
     ``emb`` must carry the corpus vectors (extra rows are ignored — only
     corpus-member ids are signed; the vectors live with the caller, same
@@ -355,6 +534,45 @@ def rebuild_embsig(
             "n_signed": int(n_signed)}
 
 
+def maybe_reindex_embsig(
+    spark: SparkSession,
+    store,
+    corpus_table: str,
+    *,
+    plane_drift: int = 2,
+    id_col: str = "doc_id",
+) -> dict | None:
+    """The re-index POLICY (r09 — the trigger the r08 mechanism lacked):
+    fire :func:`rebuild_embsig` when the corpus has outgrown its frozen
+    LSH plane count by ``plane_drift`` planes — i.e. expected bucket
+    population has drifted past ``2^plane_drift``× the sizing target
+    (:func:`auto_n_planes`), the regime BASELINE.md measured going
+    quadratic (alpha 1.66 at frozen planes).
+
+    Needs NO caller-held embeddings: the stored ``__embsig`` table carries
+    every corpus vector (the single-copy ``v`` column), so the rebuild
+    re-signs from the store itself — one narrow signature-table scan for
+    the count check (a metadata-cheap probe per run), one full pass only
+    when the trigger fires. Returns :func:`rebuild_embsig`'s info dict
+    when it fired, else ``None``.
+    """
+    if not store.exists(corpus_table + "__embsig"):
+        return None
+    meta, sigs = _sig_snapshot(spark, store, corpus_table)
+    n_sig = sigs.count()
+    if auto_n_planes(n_sig) - int(meta["n_planes"]) < plane_drift:
+        return None
+    return rebuild_embsig(
+        spark,
+        store,
+        corpus_table,
+        sigs.select(
+            F.col("id").alias("vec_id"), F.col("v").alias("embedding")
+        ),
+        id_col=id_col,
+    )
+
+
 def curation_status(
     spark: SparkSession,
     store,
@@ -380,9 +598,15 @@ def curation_status(
         "n_runs": int(store.read(spark, corpus_table + "__runs").count()),
     }
     if store.exists(corpus_table + "__embsig"):
-        out["n_signatures"] = int(
-            store.read(spark, corpus_table + "__embsig").count()
-        )
+        meta, sigs = _sig_snapshot(spark, store, corpus_table)
+        n_sig = int(sigs.count())
+        out["n_signatures"] = n_sig
+        out["n_planes"] = int(meta["n_planes"])
+        # expected LSH bucket population at the frozen structure vs what
+        # auto-sizing would pick NOW — the maybe_reindex_embsig trigger's
+        # own arithmetic, surfaced for operators
+        out["expected_bucket_pop"] = round(n_sig / 2 ** int(meta["n_planes"]), 1)
+        out["reindex_plane_drift"] = auto_n_planes(n_sig) - int(meta["n_planes"])
     if store.exists(corpus_table + "__bloom"):
         bloom = store.read(spark, corpus_table + "__bloom")
         n_rows = bloom.count()
@@ -507,6 +731,8 @@ def curate_append(
     jaccard_threshold: float = 0.5,
     cosine_threshold: float = 0.999,
     work_dir: str | None = None,
+    auto_reindex: bool = True,
+    reindex_plane_drift: int = 2,
 ) -> DataFrame:
     """Run one curation batch end-to-end and MERGE the survivors into the
     versioned corpus. Returns the per-document verdict table
@@ -539,6 +765,15 @@ def curate_append(
     Replaying the same batch is a no-op: every doc exact-matches the
     corpus (verdict ``exact_dup_corpus``), zero kept, the merge inserts
     nothing.
+
+    Maintenance (r09): after the aux appends, ``auto_reindex=True`` (the
+    default) runs :func:`maybe_reindex_embsig` — when the corpus has
+    outgrown the frozen LSH plane count by ``reindex_plane_drift`` planes,
+    the signature structure is rebuilt from the store's own vectors, so
+    the NEXT run's semantic stage is back at the sized bucket population
+    (the 16× alpha_t 1.22 BASELINE.md measured is exactly the unfired
+    trigger). The trigger probe costs one narrow signature-table count
+    per run; verdicts for THIS run are computed before it and unaffected.
     """
     from ..operators.merge import merge_upsert
     from .text import repetition_signals
@@ -723,7 +958,10 @@ def curate_append(
     emb_batch = spark.createDataFrame([], "id long").select(F.col("id"))
     p4 = p3
     if batch_emb is not None and store.exists(corpus_table + "__embsig"):
-        meta = store.read(spark, corpus_table + "__curation_meta").collect()[0]
+        # ONE consistent snapshot of (structure meta, signatures): separate
+        # reads could straddle a concurrent rebuild_embsig swap and sign
+        # the batch at one plane count against signatures from another
+        meta, corpus_sigs = _sig_snapshot(spark, store, corpus_table)
         dim, n_tables, n_planes = meta["dim"], meta["n_tables"], meta["n_planes"]
         mvec = batch_emb.join(
             p3.withColumnRenamed("id", emb_id_col), emb_id_col, "left_semi"
@@ -738,7 +976,7 @@ def curate_append(
             F.col("id").alias("id_a"), F.col("v").alias("va"),
             F.posexplode("buckets").alias("t", "bucket"),
         )
-        cflat = store.read(spark, corpus_table + "__embsig").select(
+        cflat = corpus_sigs.select(
             F.col("id").alias("id_b"), F.col("v").alias("vb"),
             F.posexplode("buckets").alias("t", "bucket"),
         )
@@ -858,6 +1096,13 @@ def curate_append(
         bsh.unpersist()
     if have_bloom:
         probed.unpersist()
+    # -- maintenance: automatic LSH re-index when the corpus outgrew the
+    # frozen plane count (docstring; probe = one narrow count) -----------
+    if auto_reindex:
+        maybe_reindex_embsig(
+            spark, store, corpus_table,
+            plane_drift=reindex_plane_drift, id_col=id_col,
+        )
     return verdicts
 
 

@@ -19,7 +19,10 @@ newlines. It does NOT attempt render-level boilerplate judgment
 
 Order of operations matters and is part of the contract:
 
-1. ``<script>``/``<style>``/``<template>``/``<noscript>`` blocks drop
+1. the ``<head>`` block drops WITH its content (``<title>`` separately,
+   for fragments without a head wrapper — r09: title text is chrome, not
+   visible body text, and it polluted every extraction's first line),
+   then ``<script>``/``<style>``/``<template>``/``<noscript>`` blocks
    WITH their content (executable/invisible payloads — the #1 junk
    source), then HTML comments;
 2. block-closing tags (``</p>``, ``</div>``, ``</li>``, headings,
@@ -41,6 +44,8 @@ from pyspark.sql import functions as F
 # content spans lines. Kept as data so the DuckDB oracle can be GENERATED
 # from the same table (single source of truth for both engines).
 HTML_STRIP_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<head\b[^>]*>.*?</head\s*>", " "),
+    (r"(?is)<title\b[^>]*>.*?</title\s*>", " "),
     (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
     (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
     (r"(?is)<template\b[^>]*>.*?</template\s*>", " "),
@@ -84,6 +89,151 @@ def html_to_text_sql(expr: str) -> str:
         r_sql = "chr(10)" if rep == "\n" else "'" + rep.replace("'", "''") + "'"
         out = f"regexp_replace({out}, '{p}', {r_sql}, 'g')"
     return out
+
+
+# ---------------------------------------------------------------------------
+# Main-content extraction (r09) — block-level boilerplate removal, the
+# jusText-shape judgment layer between html_to_text's conservative
+# tag-stripping and the ops.text quality gates: real crawl pages are mostly
+# nav bars, sidebars, footers and related-links chrome, which tag-stripping
+# keeps and which then drags every page-level quality signal down.
+#
+# Method (Pomikálek 2011's two strongest signals, kept deterministic and
+# engine-portable): segment the page into BLOCKS at block-level tag
+# boundaries, then keep a block iff
+#   (a) its visible text is long enough (>= MAIN_MIN_CHARS chars — short
+#       blocks are headings/menu items/buttons), and
+#   (b) its LINK DENSITY is low (anchor-text chars * MAIN_LINK_DENSITY_DEN
+#       <= text chars — nav/related-links blocks are mostly anchor text).
+# Both tests are INTEGER arithmetic over regex-derived lengths, so the
+# DuckDB oracle replays the decision bit-for-bit (no float density). The
+# full stopword-density ML variants need language models; this is the
+# deterministic core that removes structural chrome.
+# ---------------------------------------------------------------------------
+MAIN_MIN_CHARS = 25
+MAIN_LINK_DENSITY_DEN = 3  # keep iff link_chars * 3 <= text_chars
+
+# pre-clean = the invisible-payload prefix of HTML_STRIP_STEPS (head, title,
+# script, style, template, noscript, comments) — shared contract
+MAIN_PRECLEAN_STEPS: list[tuple[str, str]] = HTML_STRIP_STEPS[:7]
+
+# block segmentation: any block-level open OR close tag is a boundary
+# (inline tags — a, span, b, i, em, code... — stay inside their block)
+BLOCK_SPLIT_RE = (
+    r"(?i)</?(?:p|div|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|section|"
+    r"article|header|footer|nav|aside|main|blockquote|form|figure|"
+    r"figcaption|br|hr)\b[^>]*>"
+)
+
+# anchor text: capture group 1 of every <a ...>...</a> in the raw block
+ANCHOR_TEXT_RE = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
+
+# per-block visible text: strip remaining (inline) tags, decode entities
+# (&amp; LAST — HTML_STRIP_STEPS contract), collapse whitespace, trim
+BLOCK_TEXT_STEPS: list[tuple[str, str]] = [
+    (r"(?s)<[^>]*>", " "),
+    (r"&nbsp;", " "),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&apos;", "'"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&amp;", "&"),
+    (r"\s+", " "),
+    (r"^\s+|\s+$", ""),
+]
+
+
+def _block_text(c: Column) -> Column:
+    for pat, rep in BLOCK_TEXT_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def extract_main_content(html: Column | str) -> Column:
+    """Main text of an HTML page with structural boilerplate removed
+    (module comment above: block segmentation + length gate + integer
+    link-density gate). Pure Column expression chain — regex rewrites plus
+    array higher-order functions, whole-stage codegen, zero UDFs, zero
+    exchanges. Kept blocks join with newlines, preserving block order."""
+    c = F.col(html) if isinstance(html, str) else html
+    for pat, rep in MAIN_PRECLEAN_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    blocks = F.split(c, BLOCK_SPLIT_RE)
+    scored = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _block_text(b).alias("t"),
+            _block_text(
+                F.array_join(
+                    F.regexp_extract_all(b, F.lit(ANCHOR_TEXT_RE), 1), " "
+                )
+            ).alias("l"),
+        ),
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (F.length(s["t"]) >= F.lit(MAIN_MIN_CHARS))
+        & (
+            F.length(s["l"]) * F.lit(MAIN_LINK_DENSITY_DEN)
+            <= F.length(s["t"])
+        ),
+    )
+    return F.array_join(F.transform(kept, lambda s: s["t"]), "\n")
+
+
+def _block_text_sql(expr: str) -> str:
+    out = expr
+    for pat, rep in BLOCK_TEXT_STEPS:
+        p = pat.replace("'", "''")
+        r_sql = "'" + rep.replace("'", "''") + "'"
+        out = f"regexp_replace({out}, '{p}', {r_sql}, 'g')"
+    return out
+
+
+def main_content_sql(expr: str) -> str:
+    """DuckDB twin of :func:`extract_main_content`, GENERATED from the
+    same step tables and constants — pre-clean chain, block split, per-
+    block text/anchor lengths, and the identical integer keep test."""
+    out = expr
+    for pat, rep in MAIN_PRECLEAN_STEPS:
+        p = pat.replace("'", "''")
+        r_sql = "chr(10)" if rep == "\n" else "'" + rep.replace("'", "''") + "'"
+        out = f"regexp_replace({out}, '{p}', {r_sql}, 'g')"
+    split_re = BLOCK_SPLIT_RE.replace("'", "''")
+    anchor_re = ANCHOR_TEXT_RE.replace("'", "''")
+    blk_t = _block_text_sql("b")
+    # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — a linkless block must score 0 link chars
+    blk_l = _block_text_sql(
+        f"coalesce(array_to_string(regexp_extract_all(b, '{anchor_re}', 1), ' '), '')"
+    )
+    return (
+        "array_to_string(list_transform(list_filter(list_transform("
+        f"string_split_regex({out}, '{split_re}'), "
+        f"b -> struct_pack(t := {blk_t}, l := {blk_l})), "
+        f"s -> length(s.t) >= {MAIN_MIN_CHARS} "
+        f"AND length(s.l) * {MAIN_LINK_DENSITY_DEN} <= length(s.t)), "
+        "s -> s.t), chr(10))"
+    )
+
+
+def extract_main_documents(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, text, n_chars_html, n_chars_text) with ``text`` =
+    :func:`extract_main_content` — the drop-in boilerplate-removing twin
+    of :func:`extract_html_documents` for crawl ingestion; pages that are
+    ALL chrome extract to ``''`` and the quality gate owns the drop."""
+    txt = extract_main_content(F.col(html_col))
+    return df.select(
+        F.col(id_col),
+        txt.alias("text"),
+        F.length(F.col(html_col)).alias("n_chars_html"),
+        F.length(txt).alias("n_chars_text"),
+    )
 
 
 def extract_html_documents(

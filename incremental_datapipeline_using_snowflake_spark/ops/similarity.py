@@ -1204,13 +1204,47 @@ def pca_projection(
     return df.select(F.col(id_col), *comps)
 
 
+def _positives_splitter(positive_ids, id_col: str):
+    """Normalize the positive set to a (queries, corpus) splitter.
+
+    ``positive_ids`` may be a list of ids (the small labeled-set form —
+    becomes an ``isin`` literal filter) or a single-column DataFrame (the
+    at-scale form, r09 — the id set stays DISTRIBUTED and is excluded via
+    broadcast semi/anti joins, so no driver collect sits in the path; the
+    positive set is thousands of rows by contract, safely broadcastable).
+    Returns ``split(emb, ids_as) -> (positives, negatives)``.
+    """
+    if isinstance(positive_ids, DataFrame):
+        pos_df = positive_ids.select(
+            F.col(positive_ids.columns[0]).alias("__pos_id")
+        ).distinct()
+
+        def split(emb: DataFrame, ids_as: str):
+            key = F.col(ids_as) == F.col("__pos_id")
+            pos = emb.join(F.broadcast(pos_df), key, "left_semi")
+            neg = emb.join(F.broadcast(pos_df), key, "left_anti")
+            return pos, neg
+
+        return split
+    pos_lits = [int(p) for p in positive_ids]
+
+    def split(emb: DataFrame, ids_as: str):
+        return (
+            emb.filter(F.col(ids_as).isin(pos_lits)),
+            emb.filter(~F.col(ids_as).isin(pos_lits)),
+        )
+
+    return split
+
+
 def mine_hard_negatives(
     emb: DataFrame,
-    positive_ids: list[int],
+    positive_ids: list[int] | DataFrame,
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     method: str = "exact",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training (the DPR / sentence-
     transformers data-prep step): for every positive anchor, the k nearest
@@ -1235,20 +1269,26 @@ def mine_hard_negatives(
     ``"auto"``/``"ivf"`` are OPT-IN precisely because they change both the
     result set (approximate) and the schema; callers pinning exact output
     (the ``hard_negative_mining`` oracle) never flip at a size threshold.
+
+    ``positive_ids`` may be an id list OR a single-column DataFrame (r09)
+    — the DataFrame form keeps the positive set distributed (broadcast
+    semi/anti exclusion, no driver collect). ``n_vectors`` is an optional
+    corpus-size hint for ``method="auto"``: when the caller already knows
+    |corpus| (an index meta row, a maintained count), routing costs zero
+    extra Spark jobs instead of a full ``emb.count()`` scan per call.
     """
-    pos = [int(p) for p in positive_ids]
     if method == "auto":
-        method = "exact" if emb.count() < HN_IVF_AUTO_THRESHOLD else "ivf"
+        n = int(n_vectors) if n_vectors is not None else emb.count()
+        method = "exact" if n < HN_IVF_AUTO_THRESHOLD else "ivf"
     if method == "ivf":
         # n_cells=None -> auto_n_cells(sqrt-n sizing): fixed cells at the
         # sizes auto engages is the measured alpha~1.8 scaling failure
         return mine_hard_negatives_ivf(
-            emb, pos, k=k, n_cells=None, vec_col=vec_col, id_col=id_col
+            emb, positive_ids, k=k, n_cells=None, vec_col=vec_col, id_col=id_col
         )
     if method != "exact":
         raise ValueError(f"mine_hard_negatives: unknown method {method!r}")
-    queries = emb.filter(F.col(id_col).isin(pos))
-    corpus = emb.filter(~F.col(id_col).isin(pos))
+    queries, corpus = _positives_splitter(positive_ids, id_col)(emb, id_col)
     return bruteforce_topk(corpus, queries, k=k, vec_col=vec_col, id_col=id_col)
 
 
@@ -1261,7 +1301,7 @@ HN_IVF_AUTO_THRESHOLD = 50_000
 
 def mine_hard_negatives_ivf(
     emb: DataFrame,
-    positive_ids: list[int],
+    positive_ids: list[int] | DataFrame,
     k: int = 5,
     n_cells: int | None = N_IVF_CELLS,
     n_probe: int = N_PROBE,
@@ -1284,11 +1324,12 @@ def mine_hard_negatives_ivf(
     shares the anchor's own cell by construction (same nearest centroid),
     so the hardest negatives are exactly the ones cell probing keeps.
     """
-    pos = [int(p) for p in positive_ids]
+    split = _positives_splitter(positive_ids, id_col)
     cents, assigned = ivf_assignments(emb, n_cells, vec_col, id_col)
     # two consumers (anchor probe side + candidate side): materialize once
     assigned = _materialize(assigned, checkpoint_dir, "hn_ivf_assigned")
-    q = assigned.filter(F.col("id").isin(pos)).select(
+    anchors, cand_src = split(assigned, "id")
+    q = anchors.select(
         F.col("id").alias("query_id"), F.col("v").alias("qv")
     ).withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
     qprobe = q.join(F.broadcast(cents)).select(
@@ -1303,10 +1344,7 @@ def mine_hard_negatives_ivf(
         .filter(F.col("_rk") <= n_probe)
         .select("query_id", "qv", "cell")
     )
-    cand = (
-        assigned.filter(~F.col("id").isin(pos))
-        .withColumnsRenamed({"id": "nbr_id", "v": "cv"})
-    )
+    cand = cand_src.withColumnsRenamed({"id": "nbr_id", "v": "cv"})
     scored = cand.join(F.broadcast(probes), "cell").select(
         "query_id",
         "nbr_id",

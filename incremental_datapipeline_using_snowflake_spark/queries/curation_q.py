@@ -360,6 +360,164 @@ def _materialize_ctes(sql: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# corpus_delete_apply (r09 — verdict ask #3): takedown propagation through
+# the REAL store. Bootstrap a corpus (documents doc_id < 300, % 3 != 0),
+# DELETE the % 5 == 1 slice (ops.curation.delete_docs: corpus + bands +
+# bloom purged in one transaction), then curate a batch of
+#   - the DELETED texts under NEW ids (+700000) -> 'kept' again: no
+#     fingerprint/band/bloom-bit survived for them (the deletion proof);
+#   - exact copies of SURVIVING docs (+500000, % 9 == 1) ->
+#     'exact_dup_corpus': deletion didn't damage the survivors' memory;
+#   - fresh docs (% 3 == 0) -> mostly kept.
+# Output = batch verdicts (+ post-merge in_corpus read back from the store)
+# UNION the deleted ids as verdict='deleted', in_corpus read back FALSE.
+# The DuckDB oracle replays gate -> exact -> MinHash near-dup -> CC keeps
+# over (survivors ∪ batch) — the _curate_sql discipline minus the embedding
+# stage (embsig purge is pinned by tests; one stage fewer keeps this
+# fixture's oracle tractable). Replay idempotency is pinned in
+# tests/test_curation.py.
+# ---------------------------------------------------------------------------
+def corpus_delete_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.table_store import TableStore
+    from ..ops import curation as C
+
+    key = (spark.sparkContext.applicationId, sf_dir, "delete")
+    got = _CURATE_CACHE.get(key)
+    if got is None:
+        docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+        corpus0 = docs.filter("doc_id % 3 != 0")
+        store = TableStore(root=tempfile.mkdtemp(prefix="spark_delete_"))
+        C.bootstrap_corpus(spark, store, corpus0, "del.docs")
+        C.delete_docs(
+            spark, store, "del.docs",
+            corpus0.filter("doc_id % 5 = 1").select("doc_id"),
+            run_id="take-r09",
+        )
+        keep_cols = ["text", "lang", "source", "n_chars"]
+        batch = (
+            docs.filter("doc_id % 3 != 0 AND doc_id % 5 = 1")
+            .select((F.col("doc_id") + 700000).alias("doc_id"), *keep_cols)
+            .unionByName(
+                docs.filter(
+                    "doc_id % 3 != 0 AND doc_id % 5 != 1 AND doc_id % 9 = 1"
+                ).select((F.col("doc_id") + 500000).alias("doc_id"), *keep_cols)
+            )
+            .unionByName(docs.filter("doc_id % 3 = 0"))
+        )
+        verdicts = C.curate_append(spark, store, batch, "del.docs", "r09-del")
+        merged = store.read(spark, "del.docs").select("doc_id").withColumn(
+            "_in", F.lit(True)
+        )
+        out_batch = verdicts.join(merged, "doc_id", "left").select(
+            "doc_id", "verdict", F.coalesce("_in", F.lit(False)).alias("in_corpus")
+        )
+        out_deleted = (
+            corpus0.filter("doc_id % 5 = 1")
+            .select("doc_id")
+            .join(merged, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.lit("deleted").alias("verdict"),
+                F.coalesce("_in", F.lit(False)).alias("in_corpus"),
+            )
+        )
+        got = out_batch.unionByName(out_deleted).localCheckpoint(eager=True)
+        _CURATE_CACHE[key] = got
+    return got.orderBy("doc_id")
+
+
+def _delete_sql() -> str:
+    jac = (
+        "len(list_intersect(da.sh, db.sh)) "
+        "/ (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))"
+    )
+    return f"""
+WITH RECURSIVE
+sliced AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+corpus AS (SELECT doc_id, text FROM sliced WHERE doc_id % 3 != 0 AND doc_id % 5 != 1),
+batch AS (
+  SELECT doc_id + 700000 AS doc_id, text FROM sliced
+  WHERE doc_id % 3 != 0 AND doc_id % 5 = 1
+  UNION ALL
+  SELECT doc_id + 500000, text FROM sliced
+  WHERE doc_id % 3 != 0 AND doc_id % 5 != 1 AND doc_id % 9 = 1
+  UNION ALL
+  SELECT doc_id, text FROM sliced WHERE doc_id % 3 = 0
+),
+{_gate_sql("batch")},
+p1 AS (SELECT doc_id FROM gate WHERE ok),
+bfp AS (SELECT b.doc_id, md5(b.text) AS fp FROM batch b JOIN p1 USING (doc_id)),
+cfp AS (SELECT DISTINCT md5(text) AS fp FROM corpus),
+exc AS (SELECT doc_id FROM bfp WHERE fp IN (SELECT fp FROM cfp)),
+p2a AS (SELECT doc_id, fp FROM bfp WHERE fp NOT IN (SELECT fp FROM cfp)),
+exb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+    FROM p2a
+  ) WHERE rk > 1
+),
+p2 AS (SELECT doc_id FROM p2a WHERE doc_id NOT IN (SELECT doc_id FROM exb)),
+s2src AS (SELECT b.doc_id, b.text FROM batch b JOIN p2 USING (doc_id)),
+{_incr_side_sql("corpus", "o_")},
+{_incr_side_sql("s2src", "n_")},
+candc AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM n_bands x JOIN o_bands y ON x.band = y.band AND x.bh = y.bh
+  WHERE x.id != y.id
+),
+nearc AS (
+  SELECT DISTINCT id_a FROM candc
+  JOIN n_docs2 da ON da.id = id_a
+  JOIN o_docs2 db ON db.id = id_b
+  WHERE {jac} >= 0.5
+),
+p3a AS (SELECT doc_id FROM p2 WHERE doc_id NOT IN (SELECT id_a FROM nearc)),
+candb AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM n_bands x JOIN n_bands y ON x.band = y.band AND x.bh = y.bh
+  WHERE x.id < y.id
+    AND x.id IN (SELECT doc_id FROM p3a) AND y.id IN (SELECT doc_id FROM p3a)
+),
+pairsb AS (
+  SELECT id_a, id_b FROM candb
+  JOIN n_docs2 da ON da.id = id_a
+  JOIN n_docs2 db ON db.id = id_b
+  WHERE {jac} >= 0.5
+),
+edges3 AS (
+  SELECT id_a AS src, id_b AS dst FROM pairsb
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairsb
+),
+walk3(id, r) AS (
+  SELECT src, src FROM edges3
+  UNION
+  SELECT w.id, e.dst FROM walk3 w JOIN edges3 e ON e.src = w.r
+),
+comp3 AS (SELECT id, min(r) AS c FROM walk3 GROUP BY id),
+nearb AS (SELECT id AS doc_id FROM comp3 WHERE id != c),
+verdicts AS (
+  SELECT b.doc_id,
+         CASE
+           WHEN b.doc_id NOT IN (SELECT doc_id FROM p1) THEN 'gate_fail'
+           WHEN b.doc_id IN (SELECT doc_id FROM exc) THEN 'exact_dup_corpus'
+           WHEN b.doc_id IN (SELECT doc_id FROM exb) THEN 'exact_dup_batch'
+           WHEN b.doc_id IN (SELECT id_a FROM nearc) THEN 'near_dup_corpus'
+           WHEN b.doc_id IN (SELECT doc_id FROM nearb) THEN 'near_dup_batch'
+           ELSE 'kept'
+         END AS verdict
+  FROM batch b
+)
+SELECT doc_id, verdict, verdict = 'kept' AS in_corpus FROM verdicts
+UNION ALL
+SELECT doc_id, 'deleted' AS verdict, FALSE AS in_corpus
+FROM sliced WHERE doc_id % 3 != 0 AND doc_id % 5 = 1
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict = {
     "corpus_curate_append": (corpus_curate_append, _materialize_ctes(_curate_sql())),
+    "corpus_delete_apply": (corpus_delete_apply, _materialize_ctes(_delete_sql())),
 }

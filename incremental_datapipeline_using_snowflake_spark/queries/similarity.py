@@ -65,9 +65,12 @@ HN_ANCHOR_CAP = 2000
 
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    pos = [r["vec_id"] for r in
-           emb.filter(f"vec_id % 40 = 0 AND vec_id < {HN_ANCHOR_CAP}")
-           .select("vec_id").collect()]
+    # DataFrame positives (r09): the id set never touches the driver — the
+    # op excludes it via broadcast semi/anti joins, matching the documented
+    # at-scale posture (the old form collected the ids into isin literals)
+    pos = emb.filter(f"vec_id % 40 = 0 AND vec_id < {HN_ANCHOR_CAP}").select(
+        "vec_id"
+    )
     return S.mine_hard_negatives(emb, pos, k=HN_K).orderBy("query_id", "rank")
 
 
@@ -104,9 +107,9 @@ ORDER BY query_id, rank
 # ---------------------------------------------------------------------------
 def hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    pos = [r["vec_id"] for r in
-           emb.filter(f"vec_id % 40 = 0 AND vec_id < {HN_ANCHOR_CAP}")
-           .select("vec_id").collect()]
+    pos = emb.filter(f"vec_id % 40 = 0 AND vec_id < {HN_ANCHOR_CAP}").select(
+        "vec_id"
+    )
     # direct call with the PINNED cell count the oracle replays — the
     # dispatcher's ivf route auto-sizes cells (right for production,
     # wrong for a deterministic oracle)

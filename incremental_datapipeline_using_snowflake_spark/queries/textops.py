@@ -1808,6 +1808,144 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# main_content_extraction (r09) — block-level boilerplate removal (jusText-
+# shape length + integer link-density gates, ops/html.py). Fixture: each
+# document's text as the article paragraph inside a page wrapped in the
+# chrome a real crawl page carries — title, link-only nav, link-list
+# sidebar, footer — plus a fixed second genuine paragraph so multi-block
+# order is pinned. The Spark chain and the DuckDB oracle are GENERATED from
+# the same step tables + constants, so the hash pins the block decisions.
+# ---------------------------------------------------------------------------
+_MC_PRE = (
+    '<html><head><title>Chrome Title</title></head><body>'
+    '<div class="nav"><a href="/">Home</a> <a href="/a">About</a> '
+    '<a href="/c">Contact</a></div><p>'
+)
+_MC_MID = (
+    '</p><div class="sidebar"><ul><li><a href="/r1">Related one</a></li>'
+    '<li><a href="/r2">Related two</a></li></ul></div>'
+    '<p>Second paragraph of genuine article content, long enough to keep.</p>'
+)
+_MC_POST = (
+    '<div class="footer"><a href="/tos">Terms</a> | '
+    '<a href="/priv">Privacy</a> (c) 2026</div></body></html>'
+)
+
+
+def main_content_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.html import extract_main_documents
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 3000)
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_MC_PRE),
+            F.regexp_replace(F.col("text"), r"\s+", " "),
+            F.lit(_MC_MID + _MC_POST),
+        ).alias("html"),
+    )
+    out = extract_main_documents(pages)
+    return out.select(
+        "doc_id",
+        "n_chars_html",
+        F.col("n_chars_text").alias("n_chars_main"),
+        F.md5(F.col("text")).alias("text_fp"),
+    ).orderBy("doc_id")
+
+
+def _main_content_sql() -> str:
+    from ..ops.html import main_content_sql
+
+    pre = _MC_PRE.replace("'", "''")
+    tail = (_MC_MID + _MC_POST).replace("'", "''")
+    page = f"'{pre}' || regexp_replace(text, '\\s+', ' ', 'g') || '{tail}'"
+    txt = main_content_sql("html")
+    return f"""
+WITH pages AS (
+  SELECT doc_id, {page} AS html
+  FROM documents WHERE doc_id < 3000
+)
+SELECT doc_id,
+       length(html) AS n_chars_html,
+       length({txt}) AS n_chars_main,
+       md5({txt}) AS text_fp
+FROM pages
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# lang_id_trained (r09) — TRAINABLE language ID: multiclass hashed NB over
+# character 3-grams (fastText-LID shape), trained on the corpus's own lang
+# labels (doc_id % 5 != 0) and scoring the held-out fifth. The oracle
+# replays train AND score — dense langs × features grid, round-6 ln
+# DECIMAL sums, argmax with lang-ascending tie-break — so the hash pins the
+# whole model, not just the prediction. (The stopword lang_id stays in
+# text_profile; this is the curation-gate upgrade: char n-grams need no
+# per-language word lists.) Separation vs the heuristic is pinned in
+# tests/test_ops.py on planted multilingual docs.
+# ---------------------------------------------------------------------------
+def lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    model = X.train_char_lid(docs.filter("doc_id % 5 != 0"))
+    return X.score_char_lid(docs.filter("doc_id % 5 = 0"), model).orderBy(
+        "doc_id"
+    )
+
+
+_LID_FEAT = f"(({ORACLE_MD5_LONG.format(x='g')}) % {X.LID_FEATURES})"
+_LID_GRAMS = (
+    "CASE WHEN length(t) >= 3 THEN "
+    "list_transform(range(1, length(t) - 1), i -> substring(t, i, 3)) "
+    "ELSE [] END"
+)
+LANG_ID_TRAINED_SQL = f"""
+WITH tr AS (
+  SELECT lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents WHERE doc_id % 5 != 0
+),
+tr_f AS (
+  SELECT lang, {_LID_FEAT} AS feature
+  FROM (SELECT lang, unnest({_LID_GRAMS}) AS g FROM tr)
+),
+counts AS (SELECT lang, feature, count(*) AS c FROM tr_f GROUP BY 1, 2),
+langs AS (SELECT DISTINCT lang FROM tr),
+feats AS (SELECT unnest(range({X.LID_FEATURES})) AS feature),
+model AS (
+  SELECT l.lang, f.feature, coalesce(c.c, 0) AS c
+  FROM langs l CROSS JOIN feats f
+  LEFT JOIN counts c ON c.lang = l.lang AND c.feature = f.feature
+),
+tot AS (SELECT lang, sum(c) AS tot FROM model GROUP BY lang),
+te AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents WHERE doc_id % 5 = 0
+),
+te_f AS (
+  SELECT doc_id, {_LID_FEAT} AS feature
+  FROM (SELECT doc_id, unnest({_LID_GRAMS}) AS g FROM te)
+),
+scored AS (
+  SELECT x.doc_id, m.lang,
+         CAST(round(ln((m.c + 1) / (tot.tot + {X.LID_FEATURES}.0)), 6)
+              AS DECIMAL(20,10)) AS ll
+  FROM te_f x JOIN model m USING (feature) JOIN tot ON tot.lang = m.lang
+),
+per AS (
+  SELECT doc_id, lang, count(*) AS n_grams, sum(ll) AS s
+  FROM scored GROUP BY 1, 2
+)
+SELECT doc_id, lang AS pred_lang, CAST(n_grams AS BIGINT) AS n_grams,
+       round(CAST(s AS DOUBLE), 6) AS llr
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS rk
+  FROM per
+) WHERE rk = 1
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_bloom_membership — Bloom-filter corpus membership, the fast path of
 # incremental EXACT dedup (ops/dedup.py r07). Corpus = documents with
 # doc_id % 10 >= 2; the probe batch plants guaranteed members (corpus rows
@@ -1909,4 +2047,6 @@ QUERIES: dict = {
     "doc_text_knn": (doc_text_knn, _text_knn_sql()),
     "doc_nb_quality": (doc_nb_quality, NB_QUALITY_SQL),
     "dedup_bloom_membership": (dedup_bloom_membership, _bloom_sql()),
+    "lang_id_trained": (lang_id_trained, LANG_ID_TRAINED_SQL),
+    "main_content_extraction": (main_content_extraction, _main_content_sql()),
 }

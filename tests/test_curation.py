@@ -619,3 +619,152 @@ def test_streaming_crawl_to_curation_end_to_end(spark, store, tmp_path):
 
     drain()  # nothing new arrived: no batch fires at all
     assert store.read(spark, "cur.docs__runs").count() == 2
+
+
+def _big_corpus(spark, n=300, dim=4):
+    rows = [
+        _mk_doc(i, [f"w{i}x{j}" for j in range(12)]) for i in range(n)
+    ]
+    emb_rows = [
+        (i, [float((i % 7) + 1), float((i % 5) + 1), float((i % 3) + 1), 1.0])
+        for i in range(n)
+    ]
+    return (
+        spark.createDataFrame(rows, DOC_SCHEMA),
+        spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>"),
+    )
+
+
+def test_maybe_reindex_threshold_and_auto_trigger(spark, store):
+    """r09 (verdict ask #2): the re-index POLICY — maybe_reindex_embsig
+    fires rebuild_embsig only past the plane-drift threshold, and
+    curate_append runs it automatically as its maintenance step, sourcing
+    vectors from the store itself (no caller embeddings needed)."""
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    corpus, emb = _big_corpus(spark)
+    # drift 1 (auto_n_planes(300) = 4 vs frozen 3): below threshold
+    C.bootstrap_corpus(
+        spark, store, corpus, "cur.a", emb=emb, dim=4, n_tables=2, n_planes=3
+    )
+    assert C.maybe_reindex_embsig(spark, store, "cur.a") is None
+    assert store.read(spark, "cur.a__curation_meta").collect()[0]["n_planes"] == 3
+
+    # drift 2 (4 vs frozen 2): fires, re-signing every stored vector at the
+    # auto-sized plane count
+    C.bootstrap_corpus(
+        spark, store, corpus, "cur.b", emb=emb, dim=4, n_tables=2, n_planes=2
+    )
+    info = C.maybe_reindex_embsig(spark, store, "cur.b")
+    assert info == {"n_planes": 4, "n_tables": 2, "n_signed": 300}
+    meta = store.read(spark, "cur.b__curation_meta").collect()[0]
+    assert meta["n_planes"] == 4
+    assert store.read(spark, "cur.b__embsig").count() == 300
+
+    # wired into curate_append: a run against a drifted structure ends
+    # with the rebuilt meta (auto_reindex defaults ON); auto_reindex=False
+    # leaves the frozen structure alone
+    C.bootstrap_corpus(
+        spark, store, corpus, "cur.c", emb=emb, dim=4, n_tables=2, n_planes=2
+    )
+    batch = spark.createDataFrame(
+        [_mk_doc(9000, "quark lepton boson gluon photon hadron meson baryon neutrino muon tauon pion".split())],
+        DOC_SCHEMA,
+    )
+    batch_emb = spark.createDataFrame(
+        [(9000, [9.0, -9.0, 9.0, -9.0])], "vec_id long, embedding array<double>"
+    )
+    v = C.curate_append(
+        spark, store, batch, "cur.c", "r1", batch_emb=batch_emb,
+        auto_reindex=False,
+    )
+    assert {r["verdict"] for r in v.collect()} == {"kept"}
+    assert store.read(spark, "cur.c__curation_meta").collect()[0]["n_planes"] == 2
+
+    batch2 = spark.createDataFrame(
+        [_mk_doc(9001, "ruby topaz opal garnet beryl zircon spinel agate jade onyx pearl coral".split())],
+        DOC_SCHEMA,
+    )
+    batch2_emb = spark.createDataFrame(
+        [(9001, [-9.0, 9.0, -9.0, 9.0])], "vec_id long, embedding array<double>"
+    )
+    C.curate_append(spark, store, batch2, "cur.c", "r2", batch_emb=batch2_emb)
+    meta2 = store.read(spark, "cur.c__curation_meta").collect()[0]
+    assert meta2["n_planes"] == C.auto_n_planes(302) == 4
+    # the status report shows the drift is gone
+    st = C.curation_status(spark, store, "cur.c")
+    assert st["reindex_plane_drift"] <= 0 and st["n_planes"] == 4
+
+
+def test_delete_docs_purges_corpus_and_dedup_memory(spark, store):
+    """r09 (verdict ask #3): takedown propagation — delete purges the
+    corpus AND bands/signatures/bloom in one transaction, so the same text
+    re-ingested under a NEW id is judged fresh (kept), and replaying the
+    delete is an idempotent no-op."""
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    rows, base = _corpus_rows()
+    corpus = spark.createDataFrame(rows, DOC_SCHEMA)
+    dim = 8
+    emb_rows = [
+        (i, [float((i * 7 + d * 3) % 11 - 5) for d in range(dim)]) for i in range(3)
+    ]
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>")
+    C.bootstrap_corpus(
+        spark, store, corpus, "cur.docs", emb=emb, dim=dim, n_tables=2, n_planes=3
+    )
+
+    # sanity: before the delete, a re-ingest of doc 1's text is a dup
+    probe = spark.createDataFrame([_mk_doc(500, base[1])], DOC_SCHEMA)
+    v0 = C.curate_append(spark, store, probe, "cur.docs", "probe0")
+    assert v0.collect()[0]["verdict"] == "exact_dup_corpus"
+
+    info = C.delete_docs(spark, store, "cur.docs", [1], run_id="take1")
+    assert info == {"n_keys": 1, "n_deleted": 1, "n_corpus_after": 2}
+    assert store.read(spark, "cur.docs").filter("doc_id = 1").count() == 0
+    assert store.read(spark, "cur.docs__bands").filter("id = 1").count() == 0
+    assert store.read(spark, "cur.docs__embsig").filter("id = 1").count() == 0
+    log = store.read(spark, "cur.docs__deletes").collect()
+    assert [(r["run_id"], r["n_keys"], r["n_deleted"]) for r in log] == [
+        ("take1", 1, 1)
+    ]
+
+    # the SAME text under a NEW id is fresh again: no fingerprint, band,
+    # signature, or bloom bit survived for it
+    re_ingest = spark.createDataFrame([_mk_doc(501, base[1])], DOC_SCHEMA)
+    v1 = C.curate_append(spark, store, re_ingest, "cur.docs", "re1")
+    assert v1.collect()[0]["verdict"] == "kept"
+    assert store.read(spark, "cur.docs").filter("doc_id = 501").count() == 1
+
+    # replaying the takedown list: idempotent, recorded, nothing re-deleted
+    info2 = C.delete_docs(spark, store, "cur.docs", [1], run_id="take1-replay")
+    assert info2["n_deleted"] == 0 and info2["n_corpus_after"] == 3
+    assert store.read(spark, "cur.docs__deletes").count() == 2
+
+
+def test_delete_docs_by_url_and_dataframe_keys(spark, store):
+    """delete_docs resolves non-id key columns (URL takedown lists) and
+    accepts the at-scale DataFrame form (broadcast semi-join, no driver
+    collect)."""
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    rows, base = _corpus_rows()
+    corpus = spark.createDataFrame(rows, DOC_SCHEMA).withColumn(
+        "url", F.concat(F.lit("http://ex.com/d"), F.col("doc_id"))
+    )
+    C.bootstrap_corpus(spark, store, corpus, "cur.docs")
+
+    info = C.delete_docs(
+        spark, store, "cur.docs", ["http://ex.com/d0"], key_col="url",
+        run_id="url1",
+    )
+    assert info["n_deleted"] == 1
+    assert store.read(spark, "cur.docs").filter("doc_id = 0").count() == 0
+
+    keys_df = spark.createDataFrame([(2,)], "doc_id long")
+    info2 = C.delete_docs(spark, store, "cur.docs", keys_df, run_id="df1")
+    assert info2 == {"n_keys": 1, "n_deleted": 1, "n_corpus_after": 1}
+    # bloom was rebuilt from survivors: deleted text probes clean
+    re_ingest = spark.createDataFrame([_mk_doc(700, base[2])], DOC_SCHEMA)
+    v = C.curate_append(spark, store, re_ingest, "cur.docs", "re-df")
+    assert v.collect()[0]["verdict"] == "kept"

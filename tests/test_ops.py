@@ -1656,3 +1656,112 @@ def test_normalize_text_strips_noise_preserves_case(spark):
            for r in normalize_documents(df).collect()}
     assert rep[1][0] is True and rep[2][0] is False
     assert rep[1][1] == rep[2][1]       # noise variants converge to one fp
+
+
+def test_trained_lid_separates_where_stopword_heuristic_cannot(spark):
+    """r09 (verdict ask #5): the trained char-ngram NB classifies held-out
+    multilingual docs — including a language with NO stopword list (pt),
+    where the heuristic lang_id can only answer 'und' or misfire."""
+    from pyspark.sql import functions as F
+
+    from incremental_datapipeline_using_snowflake_spark.ops.text import (
+        char_ngrams,
+        lang_id,
+        score_char_lid,
+        train_char_lid,
+    )
+
+    train_rows = [
+        ("en", "the quick brown fox jumps over the lazy dog in the morning light"),
+        ("en", "you should know that it is for the best and that the answer is here"),
+        ("en", "this is the story of the people who lived in that quiet town"),
+        ("de", "der schnelle braune fuchs springt nicht über den faulen hund im wald"),
+        ("de", "ich weiß dass es für dich das beste ist und die antwort hier liegt"),
+        ("de", "das ist die geschichte der menschen die in dieser stillen stadt wohnten"),
+        ("es", "el rápido zorro marrón salta sobre el perro perezoso por la mañana"),
+        ("es", "deberías saber que es lo mejor para ti y que la respuesta está aquí"),
+        ("es", "esta es la historia de la gente que vivía en aquel pueblo tranquilo"),
+        ("pt", "a rápida raposa marrom salta sobre o cão preguiçoso pela manhã cedo"),
+        ("pt", "você deveria saber que é o melhor para você e que a resposta está aqui"),
+        ("pt", "esta é a história das pessoas que moravam naquela cidade tranquila"),
+    ]
+    train = spark.createDataFrame(
+        [(i, lg, t) for i, (lg, t) in enumerate(train_rows)],
+        "doc_id long, lang string, text string",
+    )
+    held_out = spark.createDataFrame(
+        [
+            (100, "en", "the dog and the fox know that the town is quiet in the morning"),
+            (101, "de", "der hund und der fuchs wissen dass die stadt am morgen still ist"),
+            (102, "es", "el perro y el zorro saben que el pueblo está tranquilo por la mañana"),
+            (103, "pt", "o cão e a raposa sabem que a cidade está tranquila pela manhã"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    model = train_char_lid(train)
+    got = {
+        r["doc_id"]: r["pred_lang"]
+        for r in score_char_lid(held_out, model).collect()
+    }
+    assert got == {100: "en", 101: "de", 102: "es", 103: "pt"}
+
+    # the stopword heuristic CANNOT answer 'pt' (no list) — on the pt doc it
+    # returns 'und' or a wrong language; the trained model above got it right
+    heur = {
+        r["doc_id"]: r["h"]
+        for r in held_out.select("doc_id", lang_id("text").alias("h")).collect()
+    }
+    assert heur[103] != "pt"
+
+    # char_ngrams edge: shorter-than-n text yields an EMPTY array, not a
+    # descending-sequence artifact
+    row = spark.createDataFrame([("ab",), ("abc",)], "text string").select(
+        char_ngrams("text").alias("g")
+    ).collect()
+    assert row[0]["g"] == [] and row[1]["g"] == ["abc"]
+
+
+def test_extract_main_content_drops_chrome_keeps_article(spark):
+    """r09 (verdict ask #4): block-level boilerplate removal — nav,
+    link-list sidebar, and footer chrome drop (link density / length
+    gates); multi-block article text survives in order; head/title never
+    leaks (r09 ADVICE fix: html_to_text drops <head> content too)."""
+    from pyspark.sql import functions as F
+
+    from incremental_datapipeline_using_snowflake_spark.ops.html import (
+        extract_main_content,
+        extract_main_documents,
+        html_to_text,
+    )
+
+    page = (
+        '<html><head><title>Site Title Chrome</title></head><body>'
+        '<div class="nav"><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>'
+        '<p>First paragraph of the genuine article, long enough to clear the length gate, '
+        'with one <a href="/ref">inline link</a> that must not sink it.</p>'
+        '<div class="sidebar"><ul><li><a href="/1">Related story one</a></li>'
+        '<li><a href="/2">Related story two</a></li></ul></div>'
+        '<p>Second paragraph of genuine article content, also comfortably long enough.</p>'
+        '<div class="footer"><a href="/tos">Terms</a> | <a href="/priv">Privacy</a></div>'
+        '</body></html>'
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    got = extract_main_documents(df).collect()[0]
+    lines = got["text"].split("\n")
+    assert len(lines) == 2
+    assert lines[0].startswith("First paragraph of the genuine article")
+    assert "inline link" in lines[0]  # inline anchor TEXT is kept
+    assert lines[1].startswith("Second paragraph of genuine article")
+    for chrome in ("Home", "Related story", "Terms", "Privacy", "Site Title"):
+        assert chrome not in got["text"]
+    assert got["n_chars_text"] == len(got["text"])
+
+    # html_to_text (conservative form) drops head/title content too now
+    full = df.select(html_to_text("html").alias("t")).collect()[0]["t"]
+    assert "Site Title Chrome" not in full
+    assert "Related story one" in full  # conservative form KEEPS body chrome
+
+    # an all-chrome page extracts to '' (gate owns the drop)
+    chrome_only = '<div><a href="/">Home</a> <a href="/b">Back</a></div>'
+    r = spark.createDataFrame([(2, chrome_only)], "doc_id long, html string")
+    assert extract_main_documents(r).collect()[0]["text"] == ""
