@@ -443,13 +443,21 @@ LID_NGRAM_N = 3
 LID_FEATURES = 256
 
 
-def char_ngrams(text: Column | str, n: int = LID_NGRAM_N) -> Column:
-    """Character n-grams of the canonicalized text (lowercased, whitespace
-    collapsed to single spaces, trimmed) — one array per row, zero
-    exchanges. Shorter-than-n texts yield an empty array (Spark's
-    ``sequence(1, 0)`` would count DOWN, so the guard is explicit)."""
+def _lid_normalize(text: Column | str) -> Column:
+    """LID text canonicalization: lowercase, whitespace collapsed to
+    single spaces, trimmed."""
     t = F.col(text) if isinstance(text, str) else text
-    t = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+
+
+def _grams_of_normalized(t: Column, n: int) -> Column:
+    """n-gram array over an ALREADY-normalized column. The input must be a
+    plain attribute (pre-projected), not an expression: Catalyst does not
+    common-subexpression-eliminate inside array lambdas, so an inline
+    regex-normalization would re-run PER ELEMENT — measured 7.5× slower
+    (15.4s vs 2.1s for the sf0.1 explode). Shorter-than-n texts yield an
+    empty array (Spark's ``sequence(1, 0)`` would count DOWN, so the guard
+    is explicit)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.length(t) - (n - 1)),
         lambda i: t.substr(i, F.lit(n)),
@@ -457,6 +465,15 @@ def char_ngrams(text: Column | str, n: int = LID_NGRAM_N) -> Column:
     return F.when(F.length(t) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def char_ngrams(text: Column | str, n: int = LID_NGRAM_N) -> Column:
+    """Character n-grams of the canonicalized text (lowercased, whitespace
+    collapsed to single spaces, trimmed) — one array per row, zero
+    exchanges. NOTE: this one-shot Column form re-normalizes inside the
+    array lambda (no CSE there); the train/score ops below pre-project the
+    normalized text instead — do the same in any hot path."""
+    return _grams_of_normalized(_lid_normalize(text), n)
 
 
 def train_char_lid(
@@ -481,7 +498,10 @@ def train_char_lid(
     counts = (
         df.select(
             F.col(label_col).alias("lang"),
-            F.explode(char_ngrams(text_col, n)).alias("_g"),
+            _lid_normalize(text_col).alias("_t"),
+        )
+        .select(
+            "lang", F.explode(_grams_of_normalized(F.col("_t"), n)).alias("_g")
         )
         .select("lang", hashed_feature(F.col("_g"), n_features).alias("feature"))
         .groupBy("lang", "feature")
@@ -511,20 +531,34 @@ def score_char_lid(
     char n-grams, argmax over languages (tie-break: language ascending —
     deterministic and SQL-replayable).
 
-    Plan: explode to (doc, feature), join the DENSE model (feature-space ×
-    |langs| bounded — AQE broadcasts), one (doc, lang)-keyed shuffle for
-    the sums, one doc-keyed window for the argmax. Float discipline per
-    ``ngram_logprob_scores``: round-6 ln values summed in DECIMAL.
-    Returns ``(id_col, pred_lang, n_grams, llr)``; rows with zero n-grams
-    (empty text) are absent, matching the SQL twin's inner joins.
+    Plan: explode to (doc, feature) and pre-aggregate to (doc, feature,
+    occurrences) — repeated n-grams inside a doc collapse BEFORE the
+    model join, so the lang-multiplied relation carries distinct features
+    per doc (≤ n_features), not raw grams. Then join the DENSE model
+    (feature-space × |langs| bounded — AQE broadcasts; materialized once,
+    since both the totals and the join consume it), weight each ln by the
+    occurrence count, one (doc, lang)-keyed shuffle for the sums, one
+    doc-keyed window for the argmax. Float discipline per
+    ``ngram_logprob_scores``: round-6 ln values (× integer counts) summed
+    in DECIMAL. Returns ``(id_col, pred_lang, n_grams, llr)``; rows with
+    zero n-grams (empty text) are absent, matching the SQL twin's inner
+    joins.
     """
     from pyspark.sql import Window as W
 
+    # two consumers (per-lang totals + the scoring join): pin the tiny
+    # dense model once instead of re-running the training aggregation
+    model = model.localCheckpoint(eager=True)
     tot = model.groupBy("lang").agg(F.sum("c").alias("tot"))
-    toks = df.select(
-        F.col(id_col),
-        F.explode(char_ngrams(text_col, n)).alias("_g"),
-    ).select(id_col, hashed_feature(F.col("_g"), n_features).alias("feature"))
+    toks = (
+        df.select(F.col(id_col), _lid_normalize(text_col).alias("_t"))
+        .select(
+            id_col, F.explode(_grams_of_normalized(F.col("_t"), n)).alias("_g")
+        )
+        .select(id_col, hashed_feature(F.col("_g"), n_features).alias("feature"))
+        .groupBy(id_col, "feature")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
     v = float(n_features)
     scored = (
         toks.join(model, "feature")
@@ -532,13 +566,19 @@ def score_char_lid(
         .select(
             F.col(id_col),
             F.col("lang"),
-            F.round(F.log((F.col("c") + 1) / (F.col("tot") + v)), 6)
-            .cast("decimal(20,10)")
-            .alias("_ll"),
+            F.col("_n"),
+            # decimal(8,0) × decimal(20,10) -> decimal(29,10): exact and
+            # inside both engines' 38-digit cap (a bare BIGINT multiplicand
+            # would push the inferred precision past 38)
+            (
+                F.col("_n").cast("decimal(8,0)")
+                * F.round(F.log((F.col("c") + 1) / (F.col("tot") + v)), 6)
+                .cast("decimal(20,10)")
+            ).alias("_ll"),
         )
     )
     per = scored.groupBy(id_col, "lang").agg(
-        F.count(F.lit(1)).alias("n_grams"), F.sum("_ll").alias("_s")
+        F.sum("_n").alias("n_grams"), F.sum("_ll").alias("_s")
     )
     w = W.partitionBy(id_col).orderBy(F.desc("_s"), F.asc("lang"))
     return (

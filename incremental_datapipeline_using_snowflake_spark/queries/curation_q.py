@@ -113,8 +113,13 @@ def corpus_curate_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb=corpus_emb, dim=EMB_DIM,
             n_tables=INC_EMB_TABLES, n_planes=INC_EMB_PLANES,
         )
+        # auto_reindex=False: this fixture PINS n_planes for oracle replay
+        # and throws the store away right after — rebuilding its index
+        # post-run would be pure waste. The trigger's behavior is evidenced
+        # by the corpus_curate_reindexed scale entry + tests.
         verdicts = C.curate_append(
-            spark, store, batch, "cur.docs", "r07", batch_emb=batch_emb
+            spark, store, batch, "cur.docs", "r07", batch_emb=batch_emb,
+            auto_reindex=False,
         )
         merged_ids = store.read(spark, "cur.docs").select("doc_id")
         got = (

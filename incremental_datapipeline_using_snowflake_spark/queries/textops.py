@@ -1922,17 +1922,21 @@ te AS (
   FROM documents WHERE doc_id % 5 = 0
 ),
 te_f AS (
-  SELECT doc_id, {_LID_FEAT} AS feature
-  FROM (SELECT doc_id, unnest({_LID_GRAMS}) AS g FROM te)
+  SELECT doc_id, feature, count(*) AS n
+  FROM (
+    SELECT doc_id, {_LID_FEAT} AS feature
+    FROM (SELECT doc_id, unnest({_LID_GRAMS}) AS g FROM te)
+  ) GROUP BY 1, 2
 ),
 scored AS (
-  SELECT x.doc_id, m.lang,
-         CAST(round(ln((m.c + 1) / (tot.tot + {X.LID_FEATURES}.0)), 6)
-              AS DECIMAL(20,10)) AS ll
+  SELECT x.doc_id, m.lang, x.n,
+         CAST(x.n AS DECIMAL(8,0))
+         * CAST(round(ln((m.c + 1) / (tot.tot + {X.LID_FEATURES}.0)), 6)
+                AS DECIMAL(20,10)) AS ll
   FROM te_f x JOIN model m USING (feature) JOIN tot ON tot.lang = m.lang
 ),
 per AS (
-  SELECT doc_id, lang, count(*) AS n_grams, sum(ll) AS s
+  SELECT doc_id, lang, sum(n) AS n_grams, sum(ll) AS s
   FROM scored GROUP BY 1, 2
 )
 SELECT doc_id, lang AS pred_lang, CAST(n_grams AS BIGINT) AS n_grams,

@@ -237,25 +237,29 @@ def encode_warc_responses(records: list[dict], compress: bool = False) -> bytes:
     return gzip.compress(bytes(out)) if compress else bytes(out)
 
 
-def warc_html_to_documents(df: DataFrame) -> DataFrame:
+def warc_html_to_documents(df: DataFrame, main_content: bool = False) -> DataFrame:
     """Raw-crawl twin of :func:`warc_to_documents` (r08): map clean WARC
     ``response`` records — whose payload is a full HTTP response carrying
     HTML — into the documents shape. Two strips, both row-local Column
     expressions: the HTTP status line + headers up to the first blank line
     (absent-header payloads pass through unchanged), then
-    :func:`ops.html.html_to_text` over the body. Same deterministic
+    :func:`ops.html.html_to_text` over the body — or, with
+    ``main_content=True`` (r09), :func:`ops.html.extract_main_content`,
+    which additionally drops nav/sidebar/footer boilerplate blocks before
+    the text reaches the quality gates (the production crawl default; the
+    conservative form keeps every visible block). Same deterministic
     ``doc_id`` contract as the WET path, so re-ingested files resolve as
     pure corpus dups in curation. Use with
     ``read_warc(..., warc_types=("response",))`` or
     ``format("warc").option("warcTypes", "response")``."""
     from pyspark.sql import functions as F
 
-    from ..ops.html import html_to_text
+    from ..ops.html import extract_main_content, html_to_text
 
     body = F.regexp_replace(
         F.col("text"), r"(?s)^HTTP/[^\r\n]*\r\n.*?\r\n\r\n", ""
     )
-    txt = html_to_text(body)
+    txt = extract_main_content(body) if main_content else html_to_text(body)
     return df.select(
         F.xxhash64("record_id", "target_uri").alias("doc_id"),
         txt.alias("text"),

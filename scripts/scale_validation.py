@@ -78,6 +78,11 @@ FAMILY = [
     "leakage_safe_split",
     "hybrid_search_rrf",
     "html_text_extraction",
+    # r09 additions
+    "main_content_extraction",
+    "lang_id_trained",
+    "corpus_delete_apply",
+    "corpus_curate_reindexed",
 ]
 
 
@@ -214,12 +219,61 @@ def main() -> int:
             batch, corpus, dim=64, threshold=0.999, n_tables=2, n_planes=None
         )
 
+    # corpus_curate_reindexed (r09 — verdict ask #2 evidence): the steady
+    # state BEHIND the auto re-index trigger. SETUP (untimed): bootstrap at
+    # the frozen-small 5-plane structure (the regime the declared
+    # corpus_curate_append row documents at alpha_t 1.22) and curate HALF
+    # the planted batch with auto_reindex on — at 4x/16x the corpus has
+    # outgrown 5 planes, so the trigger fires and rebuilds. MEASURED: the
+    # second half-batch run against the re-indexed store — the nightly-run
+    # shape every post-trigger run takes. Linear alpha_t here is the
+    # trigger's whole point.
+    _reindex_state: dict = {}
+
+    def _curate_reindexed_setup(spark, d):
+        import tempfile as _tf
+
+        from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+        from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+        from incremental_datapipeline_using_snowflake_spark.queries.curation_q import (
+            _planted_batch,
+        )
+
+        corpus, corpus_emb, batch, batch_emb = _planted_batch(spark, d)
+        store = TableStore(root=_tf.mkdtemp(prefix="scale_reindex_"))
+        C.bootstrap_corpus(
+            spark, store, corpus, "sc.docs",
+            emb=corpus_emb, dim=64, n_tables=2, n_planes=5,
+        )
+        C.curate_append(
+            spark, store, batch.filter("doc_id % 2 = 0"), "sc.docs", "run1",
+            batch_emb=batch_emb.filter("vec_id % 2 = 0"),
+        )
+        st = C.curation_status(spark, store, "sc.docs")
+        print(f"    [reindex setup] post-run1 planes={st['n_planes']} "
+              f"drift={st['reindex_plane_drift']} "
+              f"(trigger {'FIRED' if st['n_planes'] > 5 else 'not needed'})")
+        _reindex_state[d] = (
+            store,
+            batch.filter("doc_id % 2 = 1"),
+            batch_emb.filter("vec_id % 2 = 1"),
+        )
+
+    def _curate_reindexed_run(spark, d):
+        from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+        store, b2, e2 = _reindex_state[d]
+        return C.curate_append(
+            spark, store, b2, "sc.docs", "run2", batch_emb=e2
+        )
+
     for extra, fn in [
         ("knn_graph_auto", _knn_auto),
         ("semdedup_auto", _semdedup_auto),
         ("knn_graph_lsh", _knn_lsh),
         ("semdedup_lsh_auto", _semdedup_lsh),
         ("dedup_embedding_incremental_auto", _inc_emb_auto),
+        ("corpus_curate_reindexed", (_curate_reindexed_setup, _curate_reindexed_run)),
     ]:
         if extra in names:
             qs[extra] = fn
@@ -246,10 +300,23 @@ def main() -> int:
                 w = os.path.join(root, "warmup")
                 generate(w, 1, seed=991)
                 for n in names:
-                    qs[n](spark, w).collect()
+                    if isinstance(qs[n], tuple):
+                        setup_fn, run_fn = qs[n]
+                        setup_fn(spark, w)
+                        run_fn(spark, w).collect()
+                    else:
+                        qs[n](spark, w).collect()
             for n in names:
+                # (setup, run) pairs: setup is UNTIMED state-building (e.g.
+                # the reindex entry's bootstrap + trigger-firing first run);
+                # only the run phase is measured
+                if isinstance(qs[n], tuple):
+                    setup_fn, run_fn = qs[n]
+                    setup_fn(spark, d)
+                else:
+                    run_fn = qs[n]
                 t0 = time.time()
-                df = qs[n](spark, d)
+                df = run_fn(spark, d)
                 rows = len(df.collect())  # executes THIS plan (metrics attach)
                 wall = time.time() - t0
                 met = collect_metrics(df)

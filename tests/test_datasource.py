@@ -175,12 +175,18 @@ def test_warc_response_records_html_to_documents(spark, tmp_path):
     docs = {r["source"]: r for r in warc_html_to_documents(raw).collect()}
     assert set(docs) == {"http://a.example/x", "http://b.example/y"}
     a = docs["http://a.example/x"]
-    # the title is visible content on its own line (block boundary), the
-    # script body is gone, the two body blocks never concatenate
-    assert a["text"] == "t\nHello & bye\nsecond block"
+    # head content (title + script) is chrome and drops entirely (r09
+    # ADVICE fix); the two body blocks never concatenate
+    assert a["text"] == "Hello & bye\nsecond block"
     assert "HTTP/1.1" not in a["text"] and "Content-Type" not in a["text"]
     assert a["n_chars"] == len(a["text"])
     assert docs["http://b.example/y"]["text"] == "plain"
+    # main_content=True additionally applies the block-level boilerplate
+    # gates — these short fixture blocks all fall below the length gate,
+    # so the production form extracts '' here (the gate owns the drop)
+    mc = {r["source"]: r["text"]
+          for r in warc_html_to_documents(raw, main_content=True).collect()}
+    assert mc["http://b.example/y"] == ""
     # doc_id deterministic across re-reads (the curation idempotency key)
     again = {r["source"]: r["doc_id"]
              for r in warc_html_to_documents(
