@@ -214,7 +214,11 @@ def main() -> None:
     # single-shot: its timed phase mutates the store, so a faithful rep
     # means rebuilding the untimed 3-year backlog (~3x the cost).
     for pname, pfn, reps in (
-        ("co2_pipeline_e2e", run_pipeline_bench, 2),
+        # e2e gets a third rep (r09): across three same-day sessions its
+        # min-of-2 still landed 8.1/11.6/18.4 s — the first-wall slot eats
+        # the most scheduling jitter, and one more ~10 s rep halves the
+        # odds a whole session reads hot on the headline wall
+        ("co2_pipeline_e2e", run_pipeline_bench, 3),
         ("co2_pipeline_incremental", run_pipeline_incremental_bench, 1),
         ("co2_pipeline_streaming", run_pipeline_streaming_bench, 2),
     ):
@@ -233,14 +237,17 @@ def main() -> None:
         release_session_frames,
     )
 
-    # Sub-2s entries get the walls' min-of-2 discipline (r08 verdict ask #1):
+    # Sub-3s entries get the walls' min-of-2 discipline (r08 verdict ask #1):
     # host scheduling jitter hits short driver-job-dominated walls up to 3x
     # (five sub-1.7s queries read >2x their r03 numbers in r08 with their
     # code untouched; a same-session A/B measured 0.738s vs the 0.739s
     # baseline). The min of two independent reps is the standard one-sided
-    # -noise estimator; entries >=2s amortize the jitter and stay
-    # single-shot so the bench total doesn't double.
-    rep_cutoff = 2.0
+    # -noise estimator; longer entries amortize the jitter and stay
+    # single-shot so the bench total doesn't double. The cutoff is 3s, not
+    # 2s: the decision is made from the JITTERED first rep, so a ~1.2s
+    # query inflated to 2.4s must still qualify for its second rep
+    # (ann_lsh_bucketed did exactly that in the first r09 session).
+    rep_cutoff = 3.0
 
     def _time_once(fn) -> tuple[float, int]:
         t0 = time.time()

@@ -597,6 +597,10 @@ def curation_status(
         "n_missing_bands": int(n_missing_bands),
         "n_runs": int(store.read(spark, corpus_table + "__runs").count()),
     }
+    if store.exists(corpus_table + "__deletes"):
+        out["n_delete_runs"] = int(
+            store.read(spark, corpus_table + "__deletes").count()
+        )
     if store.exists(corpus_table + "__embsig"):
         meta, sigs = _sig_snapshot(spark, store, corpus_table)
         n_sig = int(sigs.count())

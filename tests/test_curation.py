@@ -740,6 +740,7 @@ def test_delete_docs_purges_corpus_and_dedup_memory(spark, store):
     info2 = C.delete_docs(spark, store, "cur.docs", [1], run_id="take1-replay")
     assert info2["n_deleted"] == 0 and info2["n_corpus_after"] == 3
     assert store.read(spark, "cur.docs__deletes").count() == 2
+    assert C.curation_status(spark, store, "cur.docs")["n_delete_runs"] == 2
 
 
 def test_delete_docs_by_url_and_dataframe_keys(spark, store):
