@@ -769,3 +769,30 @@ def test_delete_docs_by_url_and_dataframe_keys(spark, store):
     re_ingest = spark.createDataFrame([_mk_doc(700, base[2])], DOC_SCHEMA)
     v = C.curate_append(spark, store, re_ingest, "cur.docs", "re-df")
     assert v.collect()[0]["verdict"] == "kept"
+
+
+def test_delete_then_reexport_snapshot(spark, store, tmp_path):
+    """r09: exported snapshots are immutable — after a takedown, a
+    RE-export ships the purged corpus under a NEW store version, the fresh
+    manifest verifies, and the pre-delete manifest still identifies (by
+    store_version) which shipped snapshot predates the takedown."""
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    rows, _ = _corpus_rows()
+    C.bootstrap_corpus(
+        spark, store, spark.createDataFrame(rows, DOC_SCHEMA), "cur.docs"
+    )
+    out1 = str(tmp_path / "snap1")
+    man1 = C.export_corpus_snapshot(spark, store, "cur.docs", out1).collect()
+    assert C.verify_corpus_snapshot(spark, out1)
+
+    C.delete_docs(spark, store, "cur.docs", [0], run_id="take")
+    out2 = str(tmp_path / "snap2")
+    man2 = C.export_corpus_snapshot(spark, store, "cur.docs", out2).collect()
+    assert C.verify_corpus_snapshot(spark, out2)
+    assert man2[0]["n_rows"] == man1[0]["n_rows"] - 1
+    # version ordering identifies pre-takedown snapshots
+    assert man2[0]["store_version"] > man1[0]["store_version"]
+    # the old snapshot still verifies as WHAT IT WAS (immutable artifact);
+    # consumers retire it by store_version, not by mutation
+    assert C.verify_corpus_snapshot(spark, out1)
