@@ -249,6 +249,13 @@ def main() -> None:
     # (ann_lsh_bucketed did exactly that in the first r09 session).
     rep_cutoff = 3.0
 
+    # Heavier entries stay single-shot — an experiment repping the two
+    # 25-50s store-driven curation entries (cache-busted via
+    # release_session_frames between reps) measured reps [49.6, 85.9] in a
+    # hot host session: at that duration the rep buys no noise reduction
+    # (host mode dominates, and the min was rep1 anyway) while adding
+    # ~100s to every bench run. Session selection, not repetition, is the
+    # defense for the heavy tail (BASELINE.md r09 variance note).
     def _time_once(fn) -> tuple[float, int]:
         t0 = time.time()
         df = fn(spark, sf_dir)
