@@ -283,6 +283,59 @@ def ngram_logprob_scores(
     )
 
 
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al. 2020):
+    score every document under the LM (here the corpus's own bigram MLE,
+    :func:`ngram_logprob_scores` — a deployment would broadcast-join a
+    shipped model's scores instead, same plan shape), then split EACH
+    LANGUAGE's documents into ``n_buckets`` equal-population buckets by
+    score — ``head`` (most fluent: highest avg log-prob = lowest
+    perplexity), ``middle``, ``tail`` for the default 3. CCNet trains on
+    head+middle and drops tail; bucketing per language keeps one
+    language's score scale from starving another.
+
+    Determinism: avg_logprob is the round-6 DECIMAL-summed score, and the
+    ``ntile`` order breaks ties by document id, so bucket boundaries are
+    exact and SQL-replayable. Plan: the scorer's exchanges plus ONE
+    lang-keyed window (per-language sort of (id, score) pairs — narrow
+    rows; a skewed language bounds the partition at |that language|, the
+    same bound any per-group ranking has).
+
+    Returns ``(id_col, lang, n_bigrams, avg_logprob, bucket)``; documents
+    with no bigram (under 2 words) have no score and are absent, matching
+    the SQL twin's inner joins.
+    """
+    from pyspark.sql import Window as W
+
+    scores = ngram_logprob_scores(df, text_col=text_col, id_col=id_col)
+    labeled = scores.join(
+        df.select(F.col(id_col), F.col(lang_col).alias("lang")), id_col
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("avg_logprob"), F.asc(id_col))
+    names = (
+        {1: "head", 2: "middle", 3: "tail"}
+        if n_buckets == 3
+        else {i + 1: f"b{i + 1}" for i in range(n_buckets)}
+    )
+    bucket = F.ntile(n_buckets).over(w)
+    name_expr = F.when(bucket == 1, names[1])
+    for i in range(2, n_buckets + 1):
+        name_expr = name_expr.when(bucket == i, names[i])
+    return labeled.select(
+        F.col(id_col),
+        "lang",
+        "n_bigrams",
+        "avg_logprob",
+        name_expr.alias("bucket"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Model-based quality filtering (FineWeb/CCNet-style classifier gates).
 # The reference pipeline has no ML scorer; these extend the curation surface

@@ -1808,6 +1808,48 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# ccnet_quality_buckets (r09) — CCNet's signature move: per-LANGUAGE
+# equal-population perplexity buckets (head/middle/tail) instead of one
+# global threshold, so one language's score scale never starves another.
+# Scored under the corpus's own bigram MLE (the ngram_logprob discipline);
+# the oracle replays scoring AND the per-lang ntile with the identical
+# (score DESC, doc_id) tie-break, so the hash pins the bucket boundaries.
+# ---------------------------------------------------------------------------
+def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return X.ccnet_buckets(docs).orderBy("doc_id")
+
+
+CCNET_BUCKETS_SQL = """
+WITH bg AS (
+  SELECT doc_id, sp[i] AS w1, sp[i + 1] AS w2
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS sp FROM documents),
+       LATERAL (SELECT unnest(range(1, len(sp))) AS i)
+),
+bgc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+scored AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         round(CAST(sum(CAST(round(ln(c2 / c1), 6) AS DECIMAL(20,10))) AS DOUBLE)
+               / count(*), 6) AS avg_logprob
+  FROM bg JOIN bgc USING (w1, w2) JOIN ctx USING (w1)
+  GROUP BY doc_id
+),
+labeled AS (
+  SELECT s.doc_id, d.lang, CAST(s.n_bigrams AS BIGINT) AS n_bigrams,
+         s.avg_logprob,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.avg_logprob DESC, s.doc_id) AS nt
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, n_bigrams, avg_logprob,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM labeled
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # main_content_extraction (r09) — block-level boilerplate removal (jusText-
 # shape length + integer link-density gates, ops/html.py). Fixture: each
 # document's text as the article paragraph inside a page wrapped in the
@@ -2053,4 +2095,5 @@ QUERIES: dict = {
     "dedup_bloom_membership": (dedup_bloom_membership, _bloom_sql()),
     "lang_id_trained": (lang_id_trained, LANG_ID_TRAINED_SQL),
     "main_content_extraction": (main_content_extraction, _main_content_sql()),
+    "ccnet_quality_buckets": (ccnet_quality_buckets, CCNET_BUCKETS_SQL),
 }

@@ -83,6 +83,7 @@ FAMILY = [
     "lang_id_trained",
     "corpus_delete_apply",
     "corpus_curate_reindexed",
+    "ccnet_quality_buckets",
 ]
 
 

@@ -1765,3 +1765,35 @@ def test_extract_main_content_drops_chrome_keeps_article(spark):
     chrome_only = '<div><a href="/">Home</a> <a href="/b">Back</a></div>'
     r = spark.createDataFrame([(2, chrome_only)], "doc_id long, html string")
     assert extract_main_documents(r).collect()[0]["text"] == ""
+
+
+def test_ccnet_buckets_per_language_equal_population(spark):
+    """r09: CCNet bucketing is PER LANGUAGE — each language's docs split
+    into equal-population head/middle/tail by score, the most fluent
+    (highest avg log-prob) landing in head, with deterministic id
+    tie-breaks; a doc with no bigram is absent."""
+    from incremental_datapipeline_using_snowflake_spark.ops.text import ccnet_buckets
+
+    rows = []
+    # lang A: 6 docs of graded fluency under the corpus bigram MLE —
+    # repeating the corpus-common bigram more makes a doc score higher
+    for i in range(6):
+        text = " ".join(["the cat"] * (i + 1) + ["xylo" + str(i), "qzv" + str(i)])
+        rows.append((i, "aa", text))
+    # lang B: 3 docs, its own scale
+    for i in range(3):
+        rows.append((10 + i, "bb", " ".join(["big dog"] * (i + 1) + ["k" + str(i), "j" + str(i)])))
+    rows.append((99, "aa", "single"))  # no bigram -> absent
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r for r in ccnet_buckets(df).collect()}
+    assert 99 not in got
+    for lang, ids in (("aa", range(6)), ("bb", range(10, 13))):
+        buckets = [got[i]["bucket"] for i in ids]
+        # equal population per language
+        n = len(list(ids)) // 3
+        assert buckets.count("head") == buckets.count("middle") == buckets.count("tail") == n
+        # ordering: higher avg_logprob never lands in a later bucket
+        order = {"head": 0, "middle": 1, "tail": 2}
+        scored = sorted((got[i]["avg_logprob"], -order[got[i]["bucket"]]) for i in ids)
+        ranks = [-b for _, b in scored]
+        assert ranks == sorted(ranks, reverse=True)
