@@ -248,6 +248,35 @@ def main() -> None:
     # query inflated to 2.4s must still qualify for its second rep
     # (ann_lsh_bucketed did exactly that in the first r09 session).
     rep_cutoff = 3.0
+    # ...and qualification is ALSO keyed on the committed clean-session
+    # baseline (r09 verdict ask #1, the principled fix): a query whose
+    # CLEAN time is short must get its second rep even when jitter pushes
+    # its first rep past the 3s cutoff — exactly how ann_ivf_topk (clean
+    # 1.47s, jittered first rep >3s, recorded 2.55s = 2.08x) and
+    # dedup_simhash (clean 2.62s, recorded 4.08s = 2.10x) went single-shot
+    # in the r09 driver session. Band is 4s: every remaining sub-4s clean
+    # entry reps even under worst-case jitter; >=4s entries amortize.
+    ref_band = 4.0
+    ref_times: dict[str, float] = {}
+    try:
+        ref_files = sorted(
+            glob.glob(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_FULL_r*.json",
+                )
+            )
+        )
+        if ref_files:
+            with open(ref_files[-1]) as f:
+                ref_times = json.load(f).get("queries", {})
+            print(
+                f"  rep qualification baseline: {os.path.basename(ref_files[-1])}"
+                f" ({len(ref_times)} entries)",
+                file=sys.stderr,
+            )
+    except Exception as exc:  # noqa: BLE001 — baseline is advisory
+        print(f"  rep baseline load failed (ignored): {exc}", file=sys.stderr)
 
     # Heavier entries stay single-shot — an experiment repping the two
     # 25-50s store-driven curation entries (cache-busted via
@@ -263,11 +292,26 @@ def main() -> None:
         _ = df.limit(1).collect()
         return round(time.time() - t0, 3), n
 
+    from incremental_datapipeline_using_snowflake_spark.queries import (
+        memo_evict_new,
+        memo_snapshot,
+    )
+
     for i, (name, (fn, _sql)) in enumerate(sorted(qs.items())):
         try:
+            # snapshot the Python-level memo caches BEFORE rep 1: a second
+            # rep must re-do whatever store-build/apply work rep 1 memoized
+            # (ADVICE r09 high: cache-hit second reps recorded 8-13x
+            # artificial drops on cdc/dml/clone/pruned-merge — the >2x
+            # regression gate was blind to those paths). memo_evict_new
+            # evicts exactly the entries rep 1 added, so rep 2 rebuilds
+            # them (and re-populates the cache for later family siblings,
+            # whose warm-cache timings stay comparable to the baseline).
+            snap = memo_snapshot()
             t1, n = _time_once(fn)
-            if t1 < rep_cutoff:
+            if t1 < rep_cutoff or ref_times.get(name, 99.0) < ref_band:
                 spark.catalog.clearCache()
+                memo_evict_new(snap)
                 t2, _n2 = _time_once(fn)
                 timings[name] = min(t1, t2)
                 print(

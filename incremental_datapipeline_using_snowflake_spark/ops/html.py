@@ -43,7 +43,14 @@ from pyspark.sql import functions as F
 # (pattern, replacement) applied in order; patterns use (?is) where block
 # content spans lines. Kept as data so the DuckDB oracle can be GENERATED
 # from the same table (single source of truth for both engines).
-HTML_STRIP_STEPS: list[tuple[str, str]] = [
+#
+# The invisible-payload prefix (head, title, script, style, template,
+# noscript, comments) is its OWN named list because main-content extraction
+# shares exactly this pre-clean contract — building the full chain by
+# concatenation means a future insertion into either list can never silently
+# shift what "pre-clean" means (r09 used a positional [:7] slice, which a
+# reorder would have broken without an error).
+HTML_PRECLEAN_STEPS: list[tuple[str, str]] = [
     (r"(?is)<head\b[^>]*>.*?</head\s*>", " "),
     (r"(?is)<title\b[^>]*>.*?</title\s*>", " "),
     (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
@@ -51,6 +58,9 @@ HTML_STRIP_STEPS: list[tuple[str, str]] = [
     (r"(?is)<template\b[^>]*>.*?</template\s*>", " "),
     (r"(?is)<noscript\b[^>]*>.*?</noscript\s*>", " "),
     (r"(?s)<!--.*?-->", " "),
+]
+
+HTML_STRIP_STEPS: list[tuple[str, str]] = HTML_PRECLEAN_STEPS + [
     (r"(?i)<(?:br|hr)\s*/?\s*>", "\n"),
     (r"(?is)</(?:p|div|li|ul|ol|h[1-6]|tr|table|section|article|header|footer|blockquote|title|head)\s*>", "\n"),
     (r"(?s)<[^>]*>", " "),
@@ -72,7 +82,17 @@ HTML_STRIP_STEPS: list[tuple[str, str]] = [
 
 def html_to_text(html: Column | str) -> Column:
     """Visible text of an HTML document (module-docstring contract) as one
-    Column expression chain — codegen end to end, no UDFs."""
+    Column expression chain — codegen end to end, no UDFs.
+
+    COMPATIBILITY NOTE (r09 behavior change): since r09 the ``<head>`` /
+    ``<title>`` content is DROPPED (it is chrome, not body text), which
+    changes the extracted text — and therefore the length, fingerprint,
+    and exact-dup hash — of every head-bearing page relative to a corpus
+    ingested with the pre-r09 chain. Re-ingesting the same crawl file
+    against such a store will NOT resolve those pages as exact corpus
+    dups across the upgrade boundary (near-dup LSH still catches most).
+    New stores are self-consistent; for an existing pre-r09 corpus either
+    re-bootstrap it or accept the one-time duplicate window."""
     c = F.col(html) if isinstance(html, str) else html
     for pat, rep in HTML_STRIP_STEPS:
         c = F.regexp_replace(c, pat, rep)
@@ -113,9 +133,10 @@ def html_to_text_sql(expr: str) -> str:
 MAIN_MIN_CHARS = 25
 MAIN_LINK_DENSITY_DEN = 3  # keep iff link_chars * 3 <= text_chars
 
-# pre-clean = the invisible-payload prefix of HTML_STRIP_STEPS (head, title,
-# script, style, template, noscript, comments) — shared contract
-MAIN_PRECLEAN_STEPS: list[tuple[str, str]] = HTML_STRIP_STEPS[:7]
+# pre-clean = the shared invisible-payload chain (head, title, script,
+# style, template, noscript, comments) — same named list html_to_text's
+# full chain is built from, so the two can never drift apart
+MAIN_PRECLEAN_STEPS: list[tuple[str, str]] = HTML_PRECLEAN_STEPS
 
 # block segmentation: any block-level open OR close tag is a boundary
 # (inline tags — a, span, b, i, em, code... — stay inside their block)

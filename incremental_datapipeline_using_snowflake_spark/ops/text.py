@@ -578,6 +578,7 @@ def score_char_lid(
     id_col: str = "doc_id",
     n: int = LID_NGRAM_N,
     n_features: int = LID_FEATURES,
+    margin: bool = False,
 ) -> DataFrame:
     """Language prediction: per-document, per-language sum of smoothed
     log-likelihoods ``ln((c + 1)/(tot_lang + V))`` over the doc's hashed
@@ -596,6 +597,22 @@ def score_char_lid(
     in DECIMAL. Returns ``(id_col, pred_lang, n_grams, llr)``; rows with
     zero n-grams (empty text) are absent, matching the SQL twin's inner
     joins.
+
+    ``margin=True`` (r10 — the CCNet-style confidence signal the argmax
+    alone cannot give: it always names SOME language) adds two columns
+    computed inside the SAME doc-keyed window pass (``lead`` over the
+    already-ranked scores, no extra shuffle):
+
+    - ``margin_ppm``: ``(top1 − top2) × 1e6`` as an exact BIGINT — the
+      per-doc log-likelihood gap between the best and runner-up language
+      on the integer grid (the DECIMAL scores carry ≤6 dp, so ×1e6 is
+      exact; integer output keeps every downstream threshold
+      engine-portable, no float compare). NULL when the model holds a
+      single language (no runner-up exists).
+    - ``margin_ppg``: ``margin_ppm / n_grams`` (integer division) — the
+      length-normalized per-gram margin :func:`route_lid_unknown`
+      thresholds on (a long doc accumulates margin linearly, so the raw
+      gap is incomparable across lengths).
     """
     from pyspark.sql import Window as W
 
@@ -634,15 +651,70 @@ def score_char_lid(
         F.sum("_n").alias("n_grams"), F.sum("_ll").alias("_s")
     )
     w = W.partitionBy(id_col).orderBy(F.desc("_s"), F.asc("lang"))
-    return (
-        per.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select(
-            F.col(id_col),
-            F.col("lang").alias("pred_lang"),
-            F.col("n_grams"),
-            F.round(F.col("_s").cast("double"), 6).alias("llr"),
+    cols = [
+        F.col(id_col),
+        F.col("lang").alias("pred_lang"),
+        F.col("n_grams"),
+        F.round(F.col("_s").cast("double"), 6).alias("llr"),
+    ]
+    ranked = per.withColumn("_rk", F.row_number().over(w))
+    if margin:
+        # lead() rides the SAME window spec as the row_number — one sort,
+        # one pass; the runner-up score is the next row in rank order
+        ranked = ranked.withColumn("_s2", F.lead("_s").over(w))
+        m_ppm = (
+            ((F.col("_s") - F.col("_s2")) * F.lit(1000000))
+            .cast("bigint")
+            .alias("margin_ppm")
         )
+        # floor division, not bare cast: Spark's double->bigint cast
+        # truncates where DuckDB's rounds half-even — floor() is the one
+        # form both engines agree on (IEEE division of two exact integers
+        # is correctly rounded, so an exact-integer quotient floors to
+        # itself in both)
+        cols += [
+            m_ppm,
+            F.floor(
+                ((F.col("_s") - F.col("_s2")) * F.lit(1000000)).cast("bigint")
+                / F.col("n_grams")
+            )
+            .cast("bigint")
+            .alias("margin_ppg"),
+        ]
+    return ranked.filter(F.col("_rk") == 1).select(*cols)
+
+
+# routing thresholds (CCNet drops docs whose fastText LID confidence is
+# below 0.5; the analogue here is a per-gram log-likelihood gap — planted
+# mixed-language docs score margin_ppg ≈ 0-3000 while clean single-language
+# docs in the synthetic corpus score >> 10000)
+LID_MIN_MARGIN_PPG = 5000  # per-gram top1−top2 gap, parts-per-million
+LID_MIN_GRAMS = 8  # shorter docs carry too little evidence to label
+
+
+def route_lid_unknown(
+    scored: DataFrame,
+    min_margin_ppg: int = LID_MIN_MARGIN_PPG,
+    min_grams: int = LID_MIN_GRAMS,
+) -> DataFrame:
+    """Confidence routing over :func:`score_char_lid(..., margin=True)`
+    output — the CCNet filter step (Wenzek et al. 2019 drop docs below a
+    LID confidence threshold rather than force-labeling them: the argmax
+    ALWAYS names a language, even on a 50/50 code-switched page or an
+    8-char fragment). Adds ``lid_lang`` = ``pred_lang`` when the doc
+    carries enough evidence (``n_grams >= min_grams``) AND the per-gram
+    margin clears the threshold; ``'unknown'`` otherwise (including the
+    single-language-model NULL-margin case). Pure integer comparisons on
+    the ppm grid — zero float compares, bit-replayable in any SQL engine.
+    Row-local projection: zero exchanges on top of the scoring plan."""
+    confident = (
+        (F.col("n_grams") >= F.lit(min_grams))
+        & F.col("margin_ppg").isNotNull()
+        & (F.col("margin_ppg") >= F.lit(min_margin_ppg))
+    )
+    return scored.withColumn(
+        "lid_lang",
+        F.when(confident, F.col("pred_lang")).otherwise(F.lit("unknown")),
     )
 
 

@@ -1992,6 +1992,97 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# lang_id_margin (r10 — verdict ask #2) — LID confidence banding: the same
+# trained multiclass NB, scored WITH the top1−top2 margin (one lead() in the
+# argmax window — no extra pass) and routed through the CCNet-style filter
+# step (Wenzek et al. 2019): docs whose per-gram margin is below threshold,
+# or that carry < LID_MIN_GRAMS of evidence, get lid_lang='unknown' instead
+# of a force-label. The scoring set plants short fragments (doc_id % 7 = 0
+# truncated to 9 chars -> < 8 grams -> unknown by evidence) so BOTH routing
+# branches are exercised and hash-pinned; the margin branch's semantics on
+# genuinely mixed-language text are pinned by the planted test in
+# tests/test_ops.py (the synthetic corpus's lang labels are not
+# text-correlated, so margins here pin determinism, not accuracy). All
+# routing compares are integers on the ppm grid — bit-replayable in DuckDB.
+# ---------------------------------------------------------------------------
+def lang_id_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    model = X.train_char_lid(docs.filter("doc_id % 5 != 0"))
+    held = docs.filter("doc_id % 5 = 0").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.substring("text", 1, 9))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scored = X.score_char_lid(held, model, margin=True)
+    return X.route_lid_unknown(scored).orderBy("doc_id")
+
+
+LANG_ID_MARGIN_SQL = f"""
+WITH tr AS (
+  SELECT lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents WHERE doc_id % 5 != 0
+),
+tr_f AS (
+  SELECT lang, {_LID_FEAT} AS feature
+  FROM (SELECT lang, unnest({_LID_GRAMS}) AS g FROM tr)
+),
+counts AS (SELECT lang, feature, count(*) AS c FROM tr_f GROUP BY 1, 2),
+langs AS (SELECT DISTINCT lang FROM tr),
+feats AS (SELECT unnest(range({X.LID_FEATURES})) AS feature),
+model AS (
+  SELECT l.lang, f.feature, coalesce(c.c, 0) AS c
+  FROM langs l CROSS JOIN feats f
+  LEFT JOIN counts c ON c.lang = l.lang AND c.feature = f.feature
+),
+tot AS (SELECT lang, sum(c) AS tot FROM model GROUP BY lang),
+te AS (
+  SELECT doc_id, trim(regexp_replace(lower(
+           CASE WHEN doc_id % 7 = 0 THEN substring(text, 1, 9) ELSE text END
+         ), '\\s+', ' ', 'g')) AS t
+  FROM documents WHERE doc_id % 5 = 0
+),
+te_f AS (
+  SELECT doc_id, feature, count(*) AS n
+  FROM (
+    SELECT doc_id, {_LID_FEAT} AS feature
+    FROM (SELECT doc_id, unnest({_LID_GRAMS}) AS g FROM te)
+  ) GROUP BY 1, 2
+),
+scored AS (
+  SELECT x.doc_id, m.lang, x.n,
+         CAST(x.n AS DECIMAL(8,0))
+         * CAST(round(ln((m.c + 1) / (tot.tot + {X.LID_FEATURES}.0)), 6)
+                AS DECIMAL(20,10)) AS ll
+  FROM te_f x JOIN model m USING (feature) JOIN tot ON tot.lang = m.lang
+),
+per AS (
+  SELECT doc_id, lang, sum(n) AS n_grams, sum(ll) AS s
+  FROM scored GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER w AS rk, lead(s) OVER w AS s2
+  FROM per
+  WINDOW w AS (PARTITION BY doc_id ORDER BY s DESC, lang)
+),
+top AS (
+  SELECT doc_id, lang, CAST(n_grams AS BIGINT) AS n_grams,
+         round(CAST(s AS DOUBLE), 6) AS llr,
+         CAST((s - s2) * 1000000 AS BIGINT) AS margin_ppm,
+         CAST(floor(CAST((s - s2) * 1000000 AS BIGINT) / n_grams) AS BIGINT)
+           AS margin_ppg
+  FROM ranked WHERE rk = 1
+)
+SELECT doc_id, lang AS pred_lang, n_grams, llr, margin_ppm, margin_ppg,
+       CASE WHEN n_grams >= {X.LID_MIN_GRAMS} AND margin_ppg IS NOT NULL
+                 AND margin_ppg >= {X.LID_MIN_MARGIN_PPG}
+            THEN lang ELSE 'unknown' END AS lid_lang
+FROM top
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_bloom_membership — Bloom-filter corpus membership, the fast path of
 # incremental EXACT dedup (ops/dedup.py r07). Corpus = documents with
 # doc_id % 10 >= 2; the probe batch plants guaranteed members (corpus rows
@@ -2094,6 +2185,7 @@ QUERIES: dict = {
     "doc_nb_quality": (doc_nb_quality, NB_QUALITY_SQL),
     "dedup_bloom_membership": (dedup_bloom_membership, _bloom_sql()),
     "lang_id_trained": (lang_id_trained, LANG_ID_TRAINED_SQL),
+    "lang_id_margin": (lang_id_margin, LANG_ID_MARGIN_SQL),
     "main_content_extraction": (main_content_extraction, _main_content_sql()),
     "ccnet_quality_buckets": (ccnet_quality_buckets, CCNET_BUCKETS_SQL),
 }

@@ -1721,6 +1721,74 @@ def test_trained_lid_separates_where_stopword_heuristic_cannot(spark):
     assert row[0]["g"] == [] and row[1]["g"] == ["abc"]
 
 
+def test_lid_margin_routes_ambiguous_docs_to_unknown(spark):
+    """r10 (verdict ask #2): confidence banding — a clean single-language
+    doc routes to its language with a wide top1−top2 margin; a planted
+    50/50 code-switched doc scores a NARROW margin and routes to
+    'unknown'; a sub-LID_MIN_GRAMS fragment routes to 'unknown' on the
+    evidence gate regardless of margin. The argmax alone force-labels all
+    three — the margin is what tells them apart (CCNet's filter step)."""
+    from incremental_datapipeline_using_snowflake_spark.ops.text import (
+        LID_MIN_GRAMS,
+        LID_MIN_MARGIN_PPG,
+        route_lid_unknown,
+        score_char_lid,
+        train_char_lid,
+    )
+
+    train_rows = [
+        ("en", "the quick brown fox jumps over the lazy dog in the morning light"),
+        ("en", "you should know that it is for the best and that the answer is here"),
+        ("en", "this is the story of the people who lived in that quiet town"),
+        ("de", "der schnelle braune fuchs springt nicht über den faulen hund im wald"),
+        ("de", "ich weiß dass es für dich das beste ist und die antwort hier liegt"),
+        ("de", "das ist die geschichte der menschen die in dieser stillen stadt wohnten"),
+    ]
+    train = spark.createDataFrame(
+        [(i, lg, t) for i, (lg, t) in enumerate(train_rows)],
+        "doc_id long, lang string, text string",
+    )
+    clean_en = "the dog and the fox know that the town is quiet in the morning"
+    clean_de = "der hund und der fuchs wissen dass die stadt am morgen still ist"
+    score_rows = [
+        (100, clean_en),
+        (101, clean_de),
+        (102, clean_en + " " + clean_de),  # 50/50 code-switched
+        (103, "the dog"),  # 7 chars -> 5 grams < LID_MIN_GRAMS
+    ]
+    probe = spark.createDataFrame(score_rows, "doc_id long, text string")
+    model = train_char_lid(train)
+    # threshold is a per-deployment calibration (CCNet tunes its fastText
+    # cutoff the same way): on this model the clean docs score >=360k ppg
+    # and the 50/50 mix collapses to ~175k — 250k sits between
+    thr = 250_000
+    out = {
+        r["doc_id"]: r
+        for r in route_lid_unknown(
+            score_char_lid(probe, model, margin=True), min_margin_ppg=thr
+        ).collect()
+    }
+    # clean docs: labeled, margins clear the threshold comfortably
+    assert out[100]["lid_lang"] == "en" and out[101]["lid_lang"] == "de"
+    assert out[100]["margin_ppg"] >= thr
+    assert out[101]["margin_ppg"] >= thr
+    # code-switched doc: argmax still names a language (it must), but the
+    # margin collapses to less than HALF either clean doc's and routing
+    # says unknown
+    assert out[102]["pred_lang"] in ("en", "de")
+    assert out[102]["margin_ppg"] < thr
+    assert out[102]["lid_lang"] == "unknown"
+    assert out[102]["margin_ppg"] * 2 < min(
+        out[100]["margin_ppg"], out[101]["margin_ppg"]
+    )
+    # short fragment: evidence gate fires independent of margin (its tiny
+    # 5-gram sample actually yields a LARGE per-gram margin — exactly why
+    # a margin threshold alone cannot replace the evidence gate)
+    assert out[103]["n_grams"] < LID_MIN_GRAMS
+    assert out[103]["margin_ppg"] >= thr
+    assert out[103]["lid_lang"] == "unknown"
+
+
 def test_extract_main_content_drops_chrome_keeps_article(spark):
     """r09 (verdict ask #4): block-level boilerplate removal — nav,
     link-list sidebar, and footer chrome drop (link density / length
