@@ -632,11 +632,26 @@ def stream_curate(
     jaccard_threshold: float = 0.5,
     verdict_table: str | None = None,
     vec_col: str | None = None,
+    action_col: str = "_action",
 ):
     """Continuous corpus curation: drain a document stream through
     :func:`curate_append`, one transactional run per micro-batch — the
     streaming twin of the nightly batch stage, the shape a real pipeline
     runs when crawl shards arrive continuously.
+
+    Streaming takedown (r10 — verdict ask #4): when the stream carries an
+    ``action_col`` column (default ``_action``, the reference's
+    ``APPEND_ONLY=FALSE`` stream action, ``02_create_rawco2data_stream
+    .py:50-56``), rows tagged ``DELETE`` route to :func:`delete_docs`
+    INSIDE the same micro-batch — ids only, the row's other columns are
+    ignored — and the remaining rows curate as documents. Order within a
+    batch is delete-then-append, so a batch that deletes a doc and
+    re-ingests its text under a new id resolves ``kept`` (no fingerprint
+    survives the purge). The deletion is marked in ``__deletes`` under
+    ``<run_id>-del``, so a crash-replayed batch skips a takedown that
+    already committed (and :func:`delete_docs` itself is a recorded no-op
+    when nothing matches). A stream WITHOUT the column behaves exactly as
+    before — append-only.
 
     Idempotency: ``foreachBatch`` replays a batch after a crash, so each
     micro-batch's ``run_id`` embeds a CONTENT FINGERPRINT (row count +
@@ -677,11 +692,16 @@ def stream_curate(
         spark = bdf.sparkSession
         if bdf.isEmpty():
             return
+        has_actions = action_col in bdf.columns
+        # the content fingerprint must distinguish a DELETE record from an
+        # INSERT of the same (id, text) — fold the action in when present;
+        # streams without the column keep the exact pre-r10 fingerprint
+        fp_cols = [F.col(id_col).cast("string"), F.col(text_col)]
+        if has_actions:
+            fp_cols.append(F.upper(F.coalesce(F.col(action_col), F.lit(""))))
         fp = bdf.select(
             F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.xxhash64(F.col(id_col).cast("string"), F.col(text_col))
-            ).alias("h"),
+            F.sum(F.xxhash64(*fp_cols)).alias("h"),
         ).collect()[0]
         run_id = f"{run_prefix}-{fp['n']}:{fp['h']}"
         already = (
@@ -691,6 +711,31 @@ def stream_curate(
         )
         if not already.isEmpty():
             return
+        docs_all = bdf
+        if has_actions:
+            is_del = F.upper(F.coalesce(F.col(action_col), F.lit(""))) == "DELETE"
+            dels = bdf.filter(is_del).select(id_col)
+            docs_all = bdf.filter(~is_del).drop(action_col)
+            if not dels.isEmpty():
+                del_run = f"{run_id}-del"
+                del_t = corpus_table + "__deletes"
+                done = (
+                    store.exists(del_t)
+                    and not store.read(spark, del_t)
+                    .filter(F.col("run_id") == del_run)
+                    .limit(1)
+                    .isEmpty()
+                )
+                if not done:
+                    delete_docs(
+                        spark, store, corpus_table, dels,
+                        id_col=id_col, run_id=del_run,
+                    )
+            if docs_all.isEmpty():
+                # delete-only batch: no curate run to record; replay
+                # safety rests on the __deletes marker above
+                return
+        bdf = docs_all
         batch_emb = None
         docs_bdf = bdf
         if vec_col is not None and vec_col in bdf.columns:
@@ -1220,4 +1265,314 @@ def verify_corpus_snapshot(spark: SparkSession, out_dir: str,
     bad = [s for s in man if man[s] != got.get(s)]
     if bad:
         raise ValueError(f"snapshot verification failed for splits: {bad}")
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta) snapshot export — r10 verdict ask #3. After a nightly
+# append or a takedown, re-exporting a 100 TB corpus to rotate a snapshot is
+# the wrong cost; the store's CDF (TableStore.table_changes) already knows
+# the churn, and export_corpus_snapshot's content checksum is an ADDITIVE
+# sum mod 2^61, so a delta manifest can carry the exact resulting-corpus
+# stats by pure arithmetic over the base manifest + the change rows — the
+# export never scans the corpus, only the diff (cost ∝ churn).
+#
+# Layout: <out>/data/...      full row images of INSERT + UPDATE_AFTER
+#         <out>/_deletes/...  (id) rows for DELETE actions — ids only: a
+#                             takedown delta must not re-ship removed text
+#         <out>/_manifest.jsonl  LAST (completion marker), per split:
+#           added_*   stats over the upsert images (consumer-recomputable
+#                     from the shipped data files)
+#           removed_* stats over DELETE ∪ UPDATE_BEFORE images (computed
+#                     at export from the store's before-images; a consumer
+#                     proves them by materializing the chain)
+#           result_*  base ⊕ added − removed (mod 2^61) — the FULL corpus
+#                     stats at store_version, without any corpus scan
+#           base_version / store_version — the chain links
+#
+# Consumer replay rule (materialize_corpus_chain): drop base rows whose id
+# is in (delete ids ∪ upsert ids), union the upserts. Split-moving updates
+# are handled naturally: UPDATE_BEFORE subtracts from the old split,
+# UPDATE_AFTER adds to the new one.
+# ---------------------------------------------------------------------------
+_CHECKSUM_MOD = 2 ** 61
+
+
+def _snapshot_rec(id_col: str, text_col: str):
+    from ..queries.util import md5_long
+
+    return md5_long(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.md5(F.col(text_col)))
+    )
+
+
+def _delta_stats(df: DataFrame, split_col: str | None, id_col: str,
+                 text_col: str) -> dict[str, tuple[int, int, int]]:
+    """split -> (n_rows, n_chars, checksum mod 2^61) for a (small,
+    churn-bounded) change-image frame. One narrow aggregation."""
+    grp = F.col(split_col).cast("string") if split_col else F.lit("all")
+    rec = _snapshot_rec(id_col, text_col)
+    rows = (
+        df.groupBy(grp.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length(text_col).cast("decimal(38,0)")).cast("long").alias("ch"),
+            (F.sum(rec.cast("decimal(38,0)"))
+             % F.lit(_CHECKSUM_MOD).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("cs"),
+        )
+        .collect()
+    )
+    return {r["split"]: (r["n"], r["ch"] or 0, r["cs"] or 0) for r in rows}
+
+
+def _manifest_stats(spark: SparkSession, out_dir: str):
+    """Read a snapshot OR delta manifest into the common chain shape:
+    (per-split {split: (n_rows, n_chars, checksum)}, store_version, table,
+    split_col). A delta manifest contributes its result_* columns — the
+    corpus state it proves — so chains verify link-by-link with one code
+    path."""
+    rows = spark.read.json(f"{out_dir}/_manifest.jsonl").collect()
+    if not rows:
+        raise ValueError(f"empty manifest in {out_dir}")
+    fields = rows[0].__fields__
+    is_delta = "result_checksum" in fields
+    stats = {
+        str(r["split"]): (
+            (r["result_n_rows"], r["result_n_chars"], r["result_checksum"])
+            if is_delta
+            else (r["n_rows"], r["n_chars"], r["content_checksum"])
+        )
+        for r in rows
+    }
+    return (
+        stats,
+        int(rows[0]["store_version"]),
+        rows[0]["table"],
+        rows[0]["split_col"] if "split_col" in fields else "",
+    )
+
+
+def export_corpus_delta(
+    spark: SparkSession,
+    store,
+    corpus_table: str,
+    out_dir: str,
+    base_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compression: str | None = "gzip",
+) -> DataFrame:
+    """Export only what CHANGED in ``corpus_table`` since the snapshot (or
+    delta) at ``base_dir`` — module comment above for layout and the
+    chain-arithmetic contract. Raises if the base manifest pins a
+    different table, or a version the store no longer retains (deepen
+    ``keep_versions`` for longer chains). Cost ∝ churn: one CDF diff of
+    the two retained versions, churn-bounded writes, zero corpus scans."""
+    from ..sources.jsonl_source import write_jsonl
+
+    base_stats, v_base, base_table, split_col = _manifest_stats(spark, base_dir)
+    split_col = split_col or None
+    if base_table != corpus_table:
+        raise ValueError(
+            f"base manifest pins table {base_table!r}, not {corpus_table!r}"
+        )
+    v_to = store.current_version(corpus_table)
+    changes = store.table_changes(
+        spark, corpus_table, v_base, v_to, key_cols=[id_col]
+    )
+    if "_fingerprint" in changes.columns:
+        changes = changes.drop("_fingerprint")
+    # churn-bounded and consumed four times (two exports, two stat
+    # aggregations): pin once
+    changes = changes.localCheckpoint(eager=True)
+    upserts = changes.filter(
+        F.col("_action").isin("INSERT", "UPDATE_AFTER")
+    ).drop("_action", "_version")
+    removed = changes.filter(
+        F.col("_action").isin("DELETE", "UPDATE_BEFORE")
+    ).drop("_action", "_version")
+    deletes = changes.filter(F.col("_action") == "DELETE").select(id_col)
+    write_jsonl(
+        upserts, f"{out_dir}/data", compression=compression,
+        partition_by=[split_col] if split_col else None,
+    )
+    deletes.coalesce(1).write.mode("overwrite").json(f"{out_dir}/_deletes")
+    added = _delta_stats(upserts, split_col, id_col, text_col)
+    gone = _delta_stats(removed, split_col, id_col, text_col)
+    n_del = deletes.count()
+    rows = []
+    for split in sorted(set(base_stats) | set(added) | set(gone)):
+        b_n, b_ch, b_cs = base_stats.get(split, (0, 0, 0))
+        a_n, a_ch, a_cs = added.get(split, (0, 0, 0))
+        r_n, r_ch, r_cs = gone.get(split, (0, 0, 0))
+        rows.append(
+            {
+                "split": split,
+                "added_n_rows": a_n,
+                "added_n_chars": a_ch,
+                "added_checksum": a_cs,
+                "removed_n_rows": r_n,
+                "removed_n_chars": r_ch,
+                "removed_checksum": r_cs,
+                "result_n_rows": b_n + a_n - r_n,
+                "result_n_chars": b_ch + a_ch - r_ch,
+                "result_checksum": (b_cs + a_cs - r_cs) % _CHECKSUM_MOD,
+                "deleted_ids": n_del,
+                "base_version": v_base,
+                "store_version": v_to,
+                "table": corpus_table,
+                "split_col": split_col or "",
+            }
+        )
+    manifest = spark.createDataFrame(
+        rows,
+        schema=(
+            "split string, added_n_rows long, added_n_chars long, "
+            "added_checksum long, removed_n_rows long, removed_n_chars long, "
+            "removed_checksum long, result_n_rows long, result_n_chars long, "
+            "result_checksum long, deleted_ids long, base_version long, "
+            "store_version long, table string, split_col string"
+        ),
+    ).orderBy("split")
+    # manifest LAST — same completion-marker discipline as the full export
+    manifest.coalesce(1).write.mode("overwrite").json(f"{out_dir}/_manifest.jsonl")
+    changes.unpersist()
+    return manifest
+
+
+def verify_corpus_delta(spark: SparkSession, base_dir: str, delta_dir: str,
+                        *, id_col: str = "doc_id",
+                        text_col: str = "text") -> bool:
+    """Link verification, O(churn): the delta chains to the base
+    (``base_version`` equality), its SHIPPED upsert shards re-derive the
+    manifest's added_* stats exactly, its delete-id file matches
+    ``deleted_ids``, and the result_* columns are the exact mod-2^61 fold
+    of base ⊕ added − removed. (removed_* checksums come from store-side
+    before-images a consumer no longer has — materialize the chain and
+    run :func:`verify_corpus_chain` for the end-to-end proof.)"""
+    base_stats, v_base, base_table, _sc = _manifest_stats(spark, base_dir)
+    rows = spark.read.json(f"{delta_dir}/_manifest.jsonl").collect()
+    if not rows:
+        raise ValueError(f"empty manifest in {delta_dir}")
+    if rows[0]["table"] != base_table:
+        raise ValueError("delta/base manifests pin different tables")
+    if int(rows[0]["base_version"]) != v_base:
+        raise ValueError(
+            f"chain break: delta bases on v{rows[0]['base_version']}, "
+            f"base manifest pins v{v_base}"
+        )
+    split_col = rows[0]["split_col"] or None
+    try:
+        data = spark.read.json(f"{delta_dir}/data")
+        got_added = (
+            {} if not data.columns
+            else _delta_stats(data, split_col, id_col, text_col)
+        )
+    except Exception:  # noqa: BLE001 — an empty delta writes no data files
+        got_added = {}
+    try:
+        got_dels = spark.read.json(f"{delta_dir}/_deletes").count()
+    except Exception:  # noqa: BLE001
+        got_dels = 0
+    bad: list[str] = []
+    man_dels = int(rows[0]["deleted_ids"]) if rows else 0
+    if got_dels != man_dels:
+        bad.append(f"_deletes({got_dels}!={man_dels})")
+    seen_splits = set()
+    for r in rows:
+        s = str(r["split"])
+        seen_splits.add(s)
+        a = got_added.get(s, (0, 0, 0))
+        if (r["added_n_rows"], r["added_n_chars"], r["added_checksum"]) != a:
+            bad.append(f"added:{s}")
+        b_n, b_ch, b_cs = base_stats.get(s, (0, 0, 0))
+        ok = (
+            r["result_n_rows"] == b_n + r["added_n_rows"] - r["removed_n_rows"]
+            and r["result_n_chars"]
+            == b_ch + r["added_n_chars"] - r["removed_n_chars"]
+            and r["result_checksum"]
+            == (b_cs + r["added_checksum"] - r["removed_checksum"])
+            % _CHECKSUM_MOD
+        )
+        if not ok:
+            bad.append(f"fold:{s}")
+    bad += [f"added:{s}" for s in got_added if s not in seen_splits]
+    if bad:
+        raise ValueError(f"delta verification failed: {bad}")
+    return True
+
+
+def materialize_corpus_chain(
+    spark: SparkSession, base_dir: str, delta_dirs: list[str],
+    *, id_col: str = "doc_id",
+) -> DataFrame:
+    """Reconstruct the corpus a snapshot chain proves: start from the base
+    shards, apply each delta in order (drop ids in delete-file ∪ upsert
+    ids via a broadcast-friendly anti-join on the churn-bounded side, then
+    union the upsert images). The result's full-scan stats must equal the
+    LAST delta manifest's result_* columns — :func:`verify_corpus_chain`
+    asserts exactly that."""
+    cur = spark.read.json(f"{base_dir}/data")
+    for d in delta_dirs:
+        try:
+            ups = spark.read.json(f"{d}/data")
+            if not ups.columns:
+                ups = None
+        except Exception:  # noqa: BLE001 — delta with no upserts
+            ups = None
+        try:
+            # an empty _deletes dir reads as a ZERO-COLUMN frame — check
+            # before selecting (a bare select would raise and log noise)
+            dels_raw = spark.read.json(f"{d}/_deletes")
+            dels = (
+                dels_raw.select(id_col) if id_col in dels_raw.columns else None
+            )
+        except Exception:  # noqa: BLE001
+            dels = None
+        doomed = None
+        if ups is not None:
+            doomed = ups.select(id_col)
+        if dels is not None:
+            doomed = dels if doomed is None else doomed.unionByName(dels)
+        if doomed is not None:
+            cur = cur.join(F.broadcast(doomed.distinct()), id_col, "left_anti")
+        if ups is not None:
+            # manifest partition columns come back typed (e.g. split=0 as
+            # a bigint dir key) — align on the base's column order/types
+            ups = ups.select(
+                *[F.col(c).cast(dict(cur.dtypes)[c]) for c in cur.columns]
+            )
+            cur = cur.unionByName(ups)
+    return cur
+
+
+def verify_corpus_chain(
+    spark: SparkSession, base_dir: str, delta_dirs: list[str],
+    *, id_col: str = "doc_id", text_col: str = "text",
+) -> bool:
+    """End-to-end chain proof: every link passes
+    :func:`verify_corpus_delta` (O(churn) each), then ONE full scan of the
+    materialized result must reproduce the final manifest's result_*
+    stats — which also proves every removed_* the links claimed (the fold
+    is exact mod-2^61 arithmetic, so any misdeclared removal breaks the
+    final checksum)."""
+    prev = base_dir
+    for d in delta_dirs:
+        verify_corpus_delta(spark, prev, d, id_col=id_col, text_col=text_col)
+        prev = d
+    final_stats, _v, _t, split_col = _manifest_stats(spark, prev)
+    got = _delta_stats(
+        materialize_corpus_chain(spark, base_dir, delta_dirs, id_col=id_col),
+        split_col or None, id_col, text_col,
+    )
+    bad = [
+        s
+        for s in set(final_stats) | set(got)
+        if final_stats.get(s, (0, 0, 0)) != got.get(s, (0, 0, 0))
+    ]
+    if bad:
+        raise ValueError(f"chain materialization mismatch for splits: {bad}")
     return True

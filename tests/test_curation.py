@@ -279,6 +279,82 @@ def test_stream_curate_drains_and_replays_idempotently(spark, store, tmp_path):
     assert store.read(spark, "cur.docs__runs").count() == 3
 
 
+def test_stream_curate_takedown_in_stream(spark, store, tmp_path):
+    """r10 (verdict ask #4): deletion records flow through the SAME
+    stream as documents (_action='DELETE', the reference's
+    APPEND_ONLY=FALSE stream shape) — a mixed micro-batch deletes first
+    and curates second, so the deleted text re-ingested under a new id in
+    the SAME batch is 'kept'; a delete-only batch purges and marks; a
+    fresh-checkpoint replay of every file changes nothing (runs marker
+    for doc batches, __deletes marker for takedowns)."""
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    rows, base = _corpus_rows()
+    C.bootstrap_corpus(spark, store, spark.createDataFrame(rows, DOC_SCHEMA), "cur.docs")
+
+    schema = DOC_SCHEMA + ", _action string"
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def _write(name, recs):
+        spark.createDataFrame(recs, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        q = C.stream_curate(
+            stream, store, "cur.docs", str(tmp_path / ckpt),
+            verdict_table="cur.verdicts",
+        )
+        q.awaitTermination()
+
+    # batch 1: plain append (no DELETE rows; column present but null)
+    _write("b1", [
+        _mk_doc(600, "amber birch cedar dogwood elm fir ginkgo hazel ironwood juniper koa larch".split()) + (None,),
+        _mk_doc(601, base[1]) + (None,),  # exact corpus dup
+    ])
+    drain("ck1")
+    ids = {r["doc_id"] for r in store.read(spark, "cur.docs").collect()}
+    assert ids == {0, 1, 2, 600}
+
+    # batch 2 (MIXED): delete doc 1 AND re-ingest its exact text under a
+    # new id in the same micro-batch -> delete-then-append makes it kept
+    _write("b2", [
+        (1, None, None, None, None, "DELETE"),
+        _mk_doc(610, base[1]) + (None,),
+    ])
+    drain("ck1")
+    ids = {r["doc_id"] for r in store.read(spark, "cur.docs").collect()}
+    assert ids == {0, 2, 600, 610}
+    v = {r["doc_id"]: r["verdict"] for r in store.read(spark, "cur.verdicts").collect()}
+    assert v[610] == "kept" and v[601] == "exact_dup_corpus"
+    dlog = store.read(spark, "cur.docs__deletes").collect()
+    assert len(dlog) == 1 and dlog[0]["n_deleted"] == 1
+    assert dlog[0]["run_id"].endswith("-del")
+
+    # batch 3: delete-only (no documents at all)
+    _write("b3", [(0, None, None, None, None, "DELETE")])
+    drain("ck1")
+    ids = {r["doc_id"] for r in store.read(spark, "cur.docs").collect()}
+    assert ids == {2, 600, 610}
+    assert store.read(spark, "cur.docs__deletes").count() == 2
+
+    n_runs = store.read(spark, "cur.docs__runs").count()
+
+    # fresh checkpoint, same files: content fingerprints + delete markers
+    # skip every batch — corpus, runs, and delete log all unchanged
+    drain("ck2")
+    ids2 = {r["doc_id"] for r in store.read(spark, "cur.docs").collect()}
+    assert ids2 == {2, 600, 610}
+    assert store.read(spark, "cur.docs__runs").count() == n_runs
+    assert store.read(spark, "cur.docs__deletes").count() == 2
+
+
 def test_wet_ingest_composes_into_curation(spark, store, tmp_path):
     """Product-shaped end-to-end: WET crawl bytes -> quarantine gate ->
     documents shape -> transactional curate_append. A re-ingest of the
@@ -560,6 +636,86 @@ def test_export_and_verify_corpus_snapshot(spark, store, tmp_path):
     )
     assert {r["split"] for r in man4.collect()} == {"2023", "2024"}
     assert C.verify_corpus_snapshot(spark, str(out4)) is True
+
+
+def test_delta_snapshot_export_chain(spark, store, tmp_path):
+    """r10 (verdict ask #3): incremental snapshot export — base export ->
+    curate_append -> delta export carries ONLY the churn, chains to the
+    base by version, link-verifies O(churn), and the materialized chain
+    reproduces the final manifest's full-corpus stats exactly. A second
+    delta after delete_docs proves a takedown ships as ids-only removal
+    (no deleted text in the delta), and a tampered delta shard fails."""
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    rows, base = _corpus_rows()
+    corpus = spark.createDataFrame(rows, DOC_SCHEMA)
+    C.bootstrap_corpus(spark, store, corpus, "cur.docs")
+
+    snap = tmp_path / "base"
+    C.export_corpus_snapshot(
+        spark, store, "cur.docs", str(snap), compression=None
+    )
+    assert C.verify_corpus_snapshot(spark, str(snap)) is True
+
+    # nightly append: one kept doc, rest dropped
+    batch = spark.createDataFrame(
+        [
+            _mk_doc(100, "one two three four five six seven eight nine ten eleven twelve".split()),
+            _mk_doc(101, base[0]),  # exact corpus dup -> not in the delta
+        ],
+        DOC_SCHEMA,
+    )
+    C.curate_append(spark, store, batch, "cur.docs", "r1")
+
+    d1 = tmp_path / "delta1"
+    man1 = {r["split"]: r for r in C.export_corpus_delta(
+        spark, store, "cur.docs", str(d1), str(snap), compression=None
+    ).collect()}
+    assert man1["all"]["added_n_rows"] == 1          # only the kept doc
+    assert man1["all"]["removed_n_rows"] == 0
+    assert man1["all"]["deleted_ids"] == 0
+    assert man1["all"]["result_n_rows"] == 4
+    assert C.verify_corpus_delta(spark, str(snap), str(d1)) is True
+    # the delta ships ONLY the churn: one upsert row
+    assert spark.read.json(f"{d1}/data").count() == 1
+
+    # takedown: delete doc 1, then delta-export on top of delta1
+    C.delete_docs(spark, store, "cur.docs", [1])
+    d2 = tmp_path / "delta2"
+    man2 = {r["split"]: r for r in C.export_corpus_delta(
+        spark, store, "cur.docs", str(d2), str(d1), compression=None
+    ).collect()}
+    assert man2["all"]["added_n_rows"] == 0
+    assert man2["all"]["removed_n_rows"] == 1
+    assert man2["all"]["deleted_ids"] == 1
+    assert man2["all"]["result_n_rows"] == 3
+    assert int(man2["all"]["base_version"]) == int(man1["all"]["store_version"])
+    # ids-only: the removed text appears NOWHERE in the takedown delta
+    dels = spark.read.json(f"{d2}/_deletes")
+    assert dels.columns == ["doc_id"] and dels.collect()[0]["doc_id"] == 1
+    assert C.verify_corpus_delta(spark, str(d1), str(d2)) is True
+
+    # end-to-end chain proof: base + d1 + d2 materializes to exactly the
+    # live corpus, and the full-scan stats equal the final manifest
+    assert C.verify_corpus_chain(spark, str(snap), [str(d1), str(d2)]) is True
+    mat = C.materialize_corpus_chain(spark, str(snap), [str(d1), str(d2)])
+    live = {r["doc_id"]: r["text"] for r in store.read(spark, "cur.docs").collect()}
+    got = {r["doc_id"]: r["text"] for r in mat.collect()}
+    assert got == live and 1 not in got
+
+    # chain-break detection: d2 does not chain directly onto the base
+    with pytest.raises(ValueError, match="chain break"):
+        C.verify_corpus_delta(spark, str(snap), str(d2))
+
+    # tamper: corrupt the delta1 upsert shard -> link verification fails
+    import glob as _glob
+
+    shard = _glob.glob(f"{d1}/data/part-*.json")[0]
+    with open(shard, "a") as f:
+        f.write('{"doc_id": 999, "text": "forged", "lang": "en", '
+                '"source": "x", "n_chars": 6}\n')
+    with pytest.raises(ValueError, match="added"):
+        C.verify_corpus_delta(spark, str(snap), str(d1))
 
 
 def test_streaming_crawl_to_curation_end_to_end(spark, store, tmp_path):
