@@ -522,7 +522,218 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# crawl_curate_pipeline (r10 — verdict ask #5): the crawl→corpus composition
+# hash-checked end to end. Pages are built IN-ENGINE around document texts
+# (nav + article + footer chrome, the main_content_extraction discipline so
+# the oracle can construct byte-identical HTML), then BOTH corpus and batch
+# pass through ops.html.extract_main_content before curation — the exact
+# plans/crawl.py shape minus the WARC byte parse (binary gzip framing has no
+# SQL twin; real bytes are pinned by tests/test_crawl.py) and minus LID/CCNet
+# (their own hash-checked queries: lang_id_margin, ccnet_quality_buckets).
+# Planted: fresh pages (% 3 = 0), exact-dup pages (+500000, % 9 = 1),
+# near-dup pages (+600000, % 9 = 2, first two words dropped), and three
+# chrome-only pages (extract to '' → gate_fail). The oracle replays page
+# construction, the full extraction chain (generated from the same step
+# tables), and the gate → exact → MinHash near-dup → CC verdict pipeline —
+# extending the corpus_delete_apply oracle, not forking a new discipline.
+# ---------------------------------------------------------------------------
+_CRAWL_PRE = (
+    '<html><head><title>T</title></head><body>'
+    '<nav><a href="/">Home</a> <a href="/a">About</a></nav><article><p>'
+)
+_CRAWL_POST = (
+    '</p></article><footer><a href="/tos">Terms</a> '
+    '<a href="/priv">Privacy</a></footer></body></html>'
+)
+
+
+def crawl_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.table_store import TableStore
+    from ..ops import curation as C
+    from ..ops.html import extract_main_content
+
+    key = (spark.sparkContext.applicationId, sf_dir, "crawl")
+    got = _CURATE_CACHE.get(key)
+    if got is None:
+        docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 900)
+
+        def page(text_col):
+            return F.concat(F.lit(_CRAWL_PRE), text_col, F.lit(_CRAWL_POST))
+
+        def to_docs(df):
+            txt = extract_main_content("html")
+            return df.select(
+                "doc_id",
+                txt.alias("text"),
+                F.lit("und").alias("lang"),
+                F.lit("crawl").alias("source"),
+                F.length(txt).cast("long").alias("n_chars"),
+            )
+
+        corpus = to_docs(
+            docs.filter("doc_id % 3 != 0").select(
+                "doc_id", page(F.col("text")).alias("html")
+            )
+        )
+        w = F.split(F.trim(F.col("text")), r"\s+")
+        bpages = (
+            docs.filter("doc_id % 3 = 0")
+            .select("doc_id", page(F.col("text")).alias("html"))
+            .unionByName(
+                docs.filter("doc_id % 9 = 1").select(
+                    (F.col("doc_id") + 500000).alias("doc_id"),
+                    page(F.col("text")).alias("html"),
+                )
+            )
+            .unionByName(
+                docs.filter("doc_id % 9 = 2").select(
+                    (F.col("doc_id") + 600000).alias("doc_id"),
+                    page(
+                        F.array_join(
+                            F.slice(w, 3, F.greatest(F.size(w) - 2, F.lit(0))),
+                            " ",
+                        )
+                    ).alias("html"),
+                )
+            )
+            .unionByName(
+                spark.createDataFrame(
+                    [(950000 + i,) for i in range(1, 4)], "doc_id long"
+                ).select("doc_id", page(F.lit("")).alias("html"))
+            )
+        )
+        batch = to_docs(bpages)
+        store = TableStore(root=tempfile.mkdtemp(prefix="spark_crawlq_"))
+        C.bootstrap_corpus(spark, store, corpus, "crawl.docs")
+        verdicts = C.curate_append(spark, store, batch, "crawl.docs", "r10-crawl")
+        merged = store.read(spark, "crawl.docs").select("doc_id").withColumn(
+            "_in", F.lit(True)
+        )
+        got = (
+            verdicts.join(merged, "doc_id", "left")
+            .select(
+                "doc_id",
+                "verdict",
+                F.coalesce("_in", F.lit(False)).alias("in_corpus"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _CURATE_CACHE[key] = got
+    return got.orderBy("doc_id")
+
+
+def _crawl_sql() -> str:
+    from ..ops.html import main_content_sql
+
+    jac = (
+        "len(list_intersect(da.sh, db.sh)) "
+        "/ (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))"
+    )
+    pre = _CRAWL_PRE.replace("'", "''")
+    post = _CRAWL_POST.replace("'", "''")
+    extract = main_content_sql("html")
+    near_txt = (
+        "array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), "
+        "3, len(string_split_regex(trim(text), '\\s+'))), ' ')"
+    )
+    return f"""
+WITH RECURSIVE
+src AS (SELECT doc_id, text FROM documents WHERE doc_id < 900),
+cpage AS (
+  SELECT doc_id, '{pre}' || text || '{post}' AS html
+  FROM src WHERE doc_id % 3 != 0
+),
+corpus AS (SELECT doc_id, {extract} AS text FROM cpage),
+bpage AS (
+  SELECT doc_id, '{pre}' || text || '{post}' AS html
+  FROM src WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 500000, '{pre}' || text || '{post}'
+  FROM src WHERE doc_id % 9 = 1
+  UNION ALL
+  SELECT doc_id + 600000, '{pre}' || {near_txt} || '{post}'
+  FROM src WHERE doc_id % 9 = 2
+  UNION ALL
+  SELECT 950000 + i, '{pre}' || '' || '{post}' FROM range(1, 4) t(i)
+),
+batch AS (SELECT doc_id, {extract} AS text FROM bpage),
+{_gate_sql("batch")},
+p1 AS (SELECT doc_id FROM gate WHERE ok),
+bfp AS (SELECT b.doc_id, md5(b.text) AS fp FROM batch b JOIN p1 USING (doc_id)),
+cfp AS (SELECT DISTINCT md5(text) AS fp FROM corpus),
+exc AS (SELECT doc_id FROM bfp WHERE fp IN (SELECT fp FROM cfp)),
+p2a AS (SELECT doc_id, fp FROM bfp WHERE fp NOT IN (SELECT fp FROM cfp)),
+exb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+    FROM p2a
+  ) WHERE rk > 1
+),
+p2 AS (SELECT doc_id FROM p2a WHERE doc_id NOT IN (SELECT doc_id FROM exb)),
+s2src AS (SELECT b.doc_id, b.text FROM batch b JOIN p2 USING (doc_id)),
+{_incr_side_sql("corpus", "o_")},
+{_incr_side_sql("s2src", "n_")},
+candc AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM n_bands x JOIN o_bands y ON x.band = y.band AND x.bh = y.bh
+  WHERE x.id != y.id
+),
+nearc AS (
+  SELECT DISTINCT id_a FROM candc
+  JOIN n_docs2 da ON da.id = id_a
+  JOIN o_docs2 db ON db.id = id_b
+  WHERE {jac} >= 0.5
+),
+p3a AS (SELECT doc_id FROM p2 WHERE doc_id NOT IN (SELECT id_a FROM nearc)),
+candb AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM n_bands x JOIN n_bands y ON x.band = y.band AND x.bh = y.bh
+  WHERE x.id < y.id
+    AND x.id IN (SELECT doc_id FROM p3a) AND y.id IN (SELECT doc_id FROM p3a)
+),
+pairsb AS (
+  SELECT id_a, id_b FROM candb
+  JOIN n_docs2 da ON da.id = id_a
+  JOIN n_docs2 db ON db.id = id_b
+  WHERE {jac} >= 0.5
+),
+edges3 AS (
+  SELECT id_a AS src, id_b AS dst FROM pairsb
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairsb
+),
+walk3(id, r) AS (
+  SELECT src, src FROM edges3
+  UNION
+  SELECT w.id, e.dst FROM walk3 w JOIN edges3 e ON e.src = w.r
+),
+comp3 AS (SELECT id, min(r) AS c FROM walk3 GROUP BY id),
+nearb AS (SELECT id AS doc_id FROM comp3 WHERE id != c)
+SELECT b.doc_id,
+       CASE
+         WHEN b.doc_id NOT IN (SELECT doc_id FROM p1) THEN 'gate_fail'
+         WHEN b.doc_id IN (SELECT doc_id FROM exc) THEN 'exact_dup_corpus'
+         WHEN b.doc_id IN (SELECT doc_id FROM exb) THEN 'exact_dup_batch'
+         WHEN b.doc_id IN (SELECT id_a FROM nearc) THEN 'near_dup_corpus'
+         WHEN b.doc_id IN (SELECT doc_id FROM nearb) THEN 'near_dup_batch'
+         ELSE 'kept'
+       END AS verdict,
+       CASE
+         WHEN b.doc_id NOT IN (SELECT doc_id FROM p1) THEN FALSE
+         WHEN b.doc_id IN (SELECT doc_id FROM exc) THEN FALSE
+         WHEN b.doc_id IN (SELECT doc_id FROM exb) THEN FALSE
+         WHEN b.doc_id IN (SELECT id_a FROM nearc) THEN FALSE
+         WHEN b.doc_id IN (SELECT doc_id FROM nearb) THEN FALSE
+         ELSE TRUE
+       END AS in_corpus
+FROM batch b
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict = {
     "corpus_curate_append": (corpus_curate_append, _materialize_ctes(_curate_sql())),
     "corpus_delete_apply": (corpus_delete_apply, _materialize_ctes(_delete_sql())),
+    "crawl_curate_pipeline": (crawl_curate_pipeline, _materialize_ctes(_crawl_sql())),
 }

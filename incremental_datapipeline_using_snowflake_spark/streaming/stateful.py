@@ -120,7 +120,7 @@ def tws_available() -> bool:
     needs ``protobuf`` on the Python workers; report whether this
     environment can run it.
 
-    Environment probe (re-run r08, 2026-08-15): ``import google.protobuf``
+    Environment probe (re-run r10, 2026-08-15): ``import google.protobuf``
     still fails in this container (ModuleNotFoundError: google) and package
     installs are out of scope, so the gate stays and the live-equality twin
     test skips here; on any cluster with protobuf installed (every real

@@ -84,6 +84,9 @@ FAMILY = [
     "corpus_delete_apply",
     "corpus_curate_reindexed",
     "ccnet_quality_buckets",
+    # r10 additions
+    "lang_id_margin",
+    "crawl_pipeline_e2e",
 ]
 
 
@@ -268,6 +271,58 @@ def main() -> int:
             spark, store, b2, "sc.docs", "run2", batch_emb=e2
         )
 
+    # crawl_pipeline_e2e (r10 — verdict ask #5): the composed WARC→corpus
+    # product wall at its OWN scaled fixture (synthetic crawl shards at
+    # scale=m — the sharded documents corpus plays no role here). Setup
+    # (untimed): shard synthesis, seed-corpus bootstrap, LID training.
+    # Timed: the full per-batch pipeline. The returned frame is the 1-row
+    # stage manifest, so alpha_rows/alpha_B read 0 — alpha_t is the signal.
+    _crawl_state: dict = {}
+
+    def _crawl_setup(spark, d):
+        import tempfile as _tf
+
+        from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+        from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+        from incremental_datapipeline_using_snowflake_spark.ops.text import (
+            train_char_lid,
+        )
+        from incremental_datapipeline_using_snowflake_spark.plans.crawl import (
+            make_lid_seed,
+            make_synthetic_crawl,
+        )
+
+        base = os.path.basename(d)
+        m = int(base[1:]) if base.startswith("m") and base[1:].isdigit() else 1
+        crawl_dir = _tf.mkdtemp(prefix="scale_crawl_")
+        make_synthetic_crawl(crawl_dir, scale=m, n_shards=8 * m)
+        store = TableStore(root=_tf.mkdtemp(prefix="scale_crawlst_"))
+        seed = spark.createDataFrame(
+            [
+                (i, " ".join(f"seed{i}w{j}" for j in range(15)), "en", "seed", 90)
+                for i in range(3)
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        C.bootstrap_corpus(spark, store, seed, "crawl.docs")
+        model = train_char_lid(
+            make_lid_seed(spark), n_features=4096
+        ).localCheckpoint(eager=True)
+        _crawl_state[d] = (store, crawl_dir, model)
+
+    def _crawl_run(spark, d):
+        from incremental_datapipeline_using_snowflake_spark.plans.crawl import (
+            run_crawl_pipeline,
+        )
+
+        store, crawl_dir, model = _crawl_state[d]
+        man = run_crawl_pipeline(
+            spark, store, crawl_dir, "crawl.docs", "scale",
+            lid_model=model, lid_n_features=4096, min_margin_ppg=900_000,
+        )
+        flat = {k: v for k, v in man.items() if isinstance(v, int)}
+        return spark.createDataFrame([flat])
+
     for extra, fn in [
         ("knn_graph_auto", _knn_auto),
         ("semdedup_auto", _semdedup_auto),
@@ -275,6 +330,7 @@ def main() -> int:
         ("semdedup_lsh_auto", _semdedup_lsh),
         ("dedup_embedding_incremental_auto", _inc_emb_auto),
         ("corpus_curate_reindexed", (_curate_reindexed_setup, _curate_reindexed_run)),
+        ("crawl_pipeline_e2e", (_crawl_setup, _crawl_run)),
     ]:
         if extra in names:
             qs[extra] = fn
