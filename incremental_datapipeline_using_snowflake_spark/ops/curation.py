@@ -1274,8 +1274,9 @@ def verify_corpus_snapshot(spark: SparkSession, out_dir: str,
 # the wrong cost; the store's CDF (TableStore.table_changes) already knows
 # the churn, and export_corpus_snapshot's content checksum is an ADDITIVE
 # sum mod 2^61, so a delta manifest can carry the exact resulting-corpus
-# stats by pure arithmetic over the base manifest + the change rows — the
-# export never scans the corpus, only the diff (cost ∝ churn).
+# stats by pure arithmetic over the base manifest + the change rows —
+# export WRITES are ∝ churn (the saving that matters at 100 TB; the one
+# corpus-proportional piece is table_changes' narrow read-only diff).
 #
 # Layout: <out>/data/...      full row images of INSERT + UPDATE_AFTER
 #         <out>/_deletes/...  (id) rows for DELETE actions — ids only: a
@@ -1369,8 +1370,16 @@ def export_corpus_delta(
     delta) at ``base_dir`` — module comment above for layout and the
     chain-arithmetic contract. Raises if the base manifest pins a
     different table, or a version the store no longer retains (deepen
-    ``keep_versions`` for longer chains). Cost ∝ churn: one CDF diff of
-    the two retained versions, churn-bounded writes, zero corpus scans."""
+    ``keep_versions`` for longer chains).
+
+    Cost, honestly: WRITES are ∝ churn (the whole point — rotating a
+    100 TB snapshot re-ships MBs, not the corpus), and the manifest's
+    full-corpus result stats come from pure arithmetic over the base
+    manifest + the change rows (zero corpus scans there). The CDF diff
+    itself (`TableStore.table_changes`) is one narrow full-outer join of
+    the two retained versions — a read-only corpus-proportional scan, the
+    same class as any table maintenance pass, amortized over a nightly
+    export cadence."""
     from ..sources.jsonl_source import write_jsonl
 
     base_stats, v_base, base_table, split_col = _manifest_stats(spark, base_dir)

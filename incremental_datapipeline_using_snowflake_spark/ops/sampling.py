@@ -353,3 +353,168 @@ def leakage_safe_split(
     return out.withColumn(
         "split", split_column(F.col("group_id"), weights, salt=salt)
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023, r10).
+# The data-mixing question a pre-training pipeline actually faces: given a
+# small TARGET corpus (the distribution you want) and a huge RAW pool,
+# select raw documents whose hashed-n-gram distribution looks like the
+# target. DSIR fits two smoothed multinomials over hashed word uni+bigram
+# features, scores every raw doc with its log importance weight
+# log p_target(doc) − log p_raw(doc) = Σ_f c_f · (ln p_t(f) − ln p_r(f)),
+# and resamples with Gumbel-top-k (equivalent to sampling without
+# replacement ∝ exp(logw)).
+#
+# Scale shape (the lang-ID discipline): feature extraction is one explode +
+# one (doc, feature)-keyed count; the two distributions are feature-space-
+# bounded aggregates densified over the n_features grid (a few thousand
+# rows — broadcast); per-doc weights are one broadcast join + one doc-keyed
+# DECIMAL sum; selection is one top-k rank. Nothing is ever pairwise and
+# no text crosses an exchange after tokenization.
+#
+# Determinism: round-6 ln ratios × integer counts summed in DECIMAL
+# (exact), Gumbel noise from the md5 grid (u on a 1e6 lattice, offset 0.5
+# so u ∈ (0,1) exactly), one double add for the key — every step replays
+# bit-for-bit in DuckDB.
+# ---------------------------------------------------------------------------
+DSIR_FEATURES = 4096
+
+
+def dsir_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = DSIR_FEATURES,
+) -> DataFrame:
+    """Hashed word uni+bigram counts per document: ``(id, feature, c)``.
+    Words = the classifier tokenizer (lowercase whitespace tokens);
+    bigrams join with a single space. One explode, one count."""
+    from .text import classifier_words, hashed_feature
+
+    w = df.select(F.col(id_col), classifier_words(text_col).alias("_w"))
+    bigrams = F.when(
+        F.size("_w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("_w", i), F.element_at("_w", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = w.select(
+        id_col, F.explode(F.concat(F.col("_w"), bigrams)).alias("_t")
+    )
+    return (
+        toks.select(id_col, hashed_feature(F.col("_t"), n_features).alias("feature"))
+        .groupBy(id_col, "feature")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_log_ratios(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = DSIR_FEATURES,
+) -> DataFrame:
+    """Per-feature round-6 ``lr = ln p_target(f) − ln p_raw(f)`` with add-1
+    smoothing, DENSE over the feature grid (both corpora contribute the
+    per-corpus absent-feature term, the multiclass-LID discipline).
+    Returns ``(feature, lr)`` — n_features rows, broadcastable."""
+
+    def dist(df: DataFrame) -> DataFrame:
+        return (
+            dsir_ngram_features(df, text_col, id_col, n_features)
+            .groupBy("feature")
+            .agg(F.sum("c").alias("n"))
+        )
+    t, r = dist(target), dist(raw)
+    spark = target.sparkSession
+    feats = spark.range(n_features).select(F.col("id").alias("feature"))
+    dense = (
+        feats.join(t.withColumnRenamed("n", "nt"), "feature", "left")
+        .join(r.withColumnRenamed("n", "nr"), "feature", "left")
+        .select(
+            "feature",
+            F.coalesce("nt", F.lit(0)).alias("nt"),
+            F.coalesce("nr", F.lit(0)).alias("nr"),
+        )
+    )
+    tt = dense.agg(
+        F.sum("nt").alias("_tt"), F.sum("nr").alias("_tr")
+    )
+    v = float(n_features)
+    return dense.crossJoin(F.broadcast(tt)).select(
+        "feature",
+        F.round(
+            F.log((F.col("nt") + 1) / (F.col("_tt") + v))
+            - F.log((F.col("nr") + 1) / (F.col("_tr") + v)),
+            6,
+        ).alias("lr"),
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    ratios: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = DSIR_FEATURES,
+) -> DataFrame:
+    """Per-document log importance weight: ``(id, n_feats, logw)`` with
+    ``logw = round(Σ c_f · lr_f, 6)`` summed exactly in DECIMAL. Docs with
+    zero tokens are absent (inner join — nothing to weigh)."""
+    feats = dsir_ngram_features(raw, text_col, id_col, n_features)
+    scored = feats.join(F.broadcast(ratios), "feature").select(
+        F.col(id_col),
+        F.col("c"),
+        (
+            F.col("c").cast("decimal(8,0)")
+            * F.col("lr").cast("decimal(20,10)")
+        ).alias("_wl"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("c").alias("n_feats"),
+        F.round(F.sum("_wl").cast("double"), 6).alias("logw"),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = DSIR_FEATURES,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Gumbel-top-k importance resampling: key = logw + Gumbel(md5 grid),
+    take the k largest (ties break id-ascending). Equivalent to sampling k
+    docs without replacement with probability ∝ exp(logw) — the
+    deterministic A-ES analogue for log-space weights. Returns
+    ``(id, rank, logw, key)``."""
+    from pyspark.sql import Window as W
+
+    ratios = dsir_log_ratios(target, raw, text_col, id_col, n_features)
+    w = dsir_weights(raw, ratios, text_col, id_col, n_features)
+    u = (
+        md5_long(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+        % F.lit(1_000_000)
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    key = F.col("logw") + F.round(-F.log(-F.log(u)), 6)
+    # distributed top-k: orderBy+limit plans as TakeOrderedAndProject
+    # (per-partition heaps, k rows to the driver stage) — a global
+    # row_number window here would single-partition the whole raw pool
+    sel = (
+        w.select(F.col(id_col), F.col("logw"), F.round(key, 6).alias("key"))
+        .orderBy(F.desc("key"), F.asc(id_col))
+        .limit(k)
+    )
+    # rank assignment runs over the k survivors only — bounded window
+    return sel.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.desc("key"), F.asc(id_col))),
+    ).select(id_col, "rank", "logw", "key")

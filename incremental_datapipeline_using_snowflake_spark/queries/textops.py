@@ -2083,6 +2083,93 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# dsir_selection (r10) — DSIR importance resampling (Xie et al. 2023), the
+# data-mixing selection step: fit hashed uni+bigram multinomials over a
+# small TARGET corpus (doc_id % 7 = 0 as the wanted-style proxy) and the
+# RAW pool (the rest), weight every raw doc by its round-6 DECIMAL-summed
+# log importance ratio, and Gumbel-top-k resample (md5-grid noise —
+# deterministic sampling-without-replacement ∝ exp(logw)). The oracle
+# replays feature hashing, both dense smoothed distributions, the weight
+# sums, the Gumbel keys, and the final rank — the whole selection is
+# hash-pinned end to end.
+# ---------------------------------------------------------------------------
+DSIR_K = 200
+
+
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import sampling as SA
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter("doc_id % 7 = 0")
+    raw = docs.filter("doc_id % 7 != 0")
+    return SA.dsir_select(raw, target, k=DSIR_K).orderBy("rank")
+
+
+_DSIR_FEAT = f"(({ORACLE_MD5_LONG.format(x='t')}) % 4096)"
+_DSIR_TOKS = (
+    "SELECT doc_id, unnest(ws) AS t FROM {src} "
+    "UNION ALL "
+    "SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN "
+    "list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) "
+    "ELSE [] END) FROM {src}"
+)
+_DSIR_GUMBEL = (
+    "round(-ln(-ln((("
+    + ORACLE_MD5_LONG.format(x="('dsir:' || CAST(doc_id AS VARCHAR))")
+    + " % 1000000) + 0.5) / 1000000.0)), 6)"
+)
+DSIR_SELECTION_SQL = f"""
+WITH t_ws AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             w -> w != '') AS ws
+  FROM documents WHERE doc_id % 7 = 0
+),
+r_ws AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             w -> w != '') AS ws
+  FROM documents WHERE doc_id % 7 != 0
+),
+t_tok AS ({_DSIR_TOKS.format(src="t_ws")}),
+r_tok AS ({_DSIR_TOKS.format(src="r_ws")}),
+t_dist AS (SELECT {_DSIR_FEAT} AS feature, count(*) AS n FROM t_tok GROUP BY 1),
+r_dist AS (SELECT {_DSIR_FEAT} AS feature, count(*) AS n FROM r_tok GROUP BY 1),
+r_docf AS (
+  SELECT doc_id, {_DSIR_FEAT} AS feature, count(*) AS c
+  FROM r_tok GROUP BY 1, 2
+),
+feats AS (SELECT unnest(range(4096)) AS feature),
+dense AS (
+  SELECT f.feature, coalesce(t.n, 0) AS nt, coalesce(r.n, 0) AS nr
+  FROM feats f LEFT JOIN t_dist t USING (feature)
+  LEFT JOIN r_dist r USING (feature)
+),
+tot AS (SELECT sum(nt) AS tt, sum(nr) AS tr FROM dense),
+lr AS (
+  SELECT feature,
+         round(ln((nt + 1) / (tot.tt + 4096.0))
+               - ln((nr + 1) / (tot.tr + 4096.0)), 6) AS lr
+  FROM dense, tot
+),
+wts AS (
+  SELECT doc_id,
+         sum(CAST(c AS DECIMAL(8,0)) * CAST(lr AS DECIMAL(20,10))) AS s
+  FROM r_docf JOIN lr USING (feature) GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id,
+         round(CAST(s AS DOUBLE), 6) AS logw,
+         round(round(CAST(s AS DOUBLE), 6) + {_DSIR_GUMBEL}, 6) AS key
+  FROM wts
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, logw, key FROM (
+  SELECT *, row_number() OVER (ORDER BY key DESC, doc_id) AS rank
+  FROM keyed
+) WHERE rank <= {DSIR_K}
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_bloom_membership — Bloom-filter corpus membership, the fast path of
 # incremental EXACT dedup (ops/dedup.py r07). Corpus = documents with
 # doc_id % 10 >= 2; the probe batch plants guaranteed members (corpus rows
@@ -2186,6 +2273,7 @@ QUERIES: dict = {
     "dedup_bloom_membership": (dedup_bloom_membership, _bloom_sql()),
     "lang_id_trained": (lang_id_trained, LANG_ID_TRAINED_SQL),
     "lang_id_margin": (lang_id_margin, LANG_ID_MARGIN_SQL),
+    "dsir_selection": (dsir_selection, DSIR_SELECTION_SQL),
     "main_content_extraction": (main_content_extraction, _main_content_sql()),
     "ccnet_quality_buckets": (ccnet_quality_buckets, CCNET_BUCKETS_SQL),
 }

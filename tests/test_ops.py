@@ -1789,6 +1789,43 @@ def test_lid_margin_routes_ambiguous_docs_to_unknown(spark):
     assert out[103]["lid_lang"] == "unknown"
 
 
+def test_dsir_selects_target_like_documents(spark):
+    """r10: DSIR importance resampling — raw docs sharing the TARGET
+    corpus's vocabulary outscore (and outrank) off-distribution docs; the
+    selection is deterministic across reruns (md5-grid Gumbel noise)."""
+    from incremental_datapipeline_using_snowflake_spark.ops.sampling import (
+        dsir_log_ratios,
+        dsir_select,
+        dsir_weights,
+    )
+
+    med = "patient doctor hospital dosage symptom diagnosis treatment nurse"
+    web = "click here subscribe deal offer buy now free shipping winner"
+    target = spark.createDataFrame(
+        [(i, f"{med} case {i} notes on diagnosis and treatment") for i in range(6)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(100 + i, f"{med} record {i} of symptom and dosage") for i in range(5)]
+        + [(200 + i, f"{web} promo {i} limited time") for i in range(5)],
+        "doc_id long, text string",
+    )
+    ratios = dsir_log_ratios(target, raw, n_features=512)
+    w = {r["doc_id"]: r["logw"] for r in dsir_weights(raw, ratios, n_features=512).collect()}
+    assert min(w[100 + i] for i in range(5)) > max(w[200 + i] for i in range(5))
+
+    sel = dsir_select(raw, target, k=5, n_features=512)
+    picked = {r["doc_id"] for r in sel.collect()}
+    # the weight gap dwarfs the Gumbel noise: the medical half wins
+    assert picked == {100, 101, 102, 103, 104}
+    # deterministic: a second run selects identically, same keys
+    again = {(r["doc_id"], r["rank"], r["key"]) for r in dsir_select(
+        raw, target, k=5, n_features=512
+    ).collect()}
+    first = {(r["doc_id"], r["rank"], r["key"]) for r in sel.collect()}
+    assert again == first
+
+
 def test_extract_main_content_drops_chrome_keeps_article(spark):
     """r09 (verdict ask #4): block-level boilerplate removal — nav,
     link-list sidebar, and footer chrome drop (link density / length
