@@ -1159,3 +1159,102 @@ def lsh_plan(
                 best = cand
     assert best is not None
     return best[1], best[2]
+
+
+def scrub_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove cross-document repeated spans from the text, keeping ONE
+    canonical copy — the *removal* half of Lee et al. 2022 (ExactSubstr:
+    deduplicating the spans, not just the documents) and the keep-one-copy
+    discipline of CCNet's paragraph dedup. :func:`repeated_passages` finds
+    repeated windows; this operator rewrites the corpus without them.
+
+    Semantics: every k-word sliding window whose text occurs in at least
+    ``min_docs`` distinct documents is *duplicated*; the occurrence with
+    the smallest ``(doc_id, position)`` is the keeper, every other
+    occurrence's k word positions are dropped, and each document's clean
+    text is the original word stream minus dropped positions. A document
+    that is pure boilerplate collapses to ``''``, never disappears.
+
+    Scale shape (the 100 TB posture):
+
+    - window keys are :func:`passage_keys_col` rolling 64-bit hashes —
+      the duplicate-counting pass shuffles ``(key, id, pos)`` longs only,
+      never window strings (same narrow discipline as
+      ``repeated_passages(strategy='narrow')``);
+    - the duplicated-key relation is the output of that aggregation,
+      filtered to ``n_docs >= min_docs`` — boilerplate is a tiny fraction
+      of distinct windows, so AQE broadcasts the join back onto the
+      exploded keys at runtime (not forced: a pathological corpus where
+      most windows repeat degrades to a sort-merge join on the 8-byte
+      key, which is the right plan there);
+    - reconstruction is doc-keyed: dropped start positions aggregate to
+      one small array per affected document, LEFT-joined to the original
+      row, and the word mask is evaluated row-locally with array
+      expressions (no explode of the text in the rebuild pass).
+
+    Output: ``(id_col, clean_text, n_words, n_removed, removed_frac)``,
+    one row per input document. Hash collisions (2^-64 per distinct
+    window pair) are the only divergence from exact string semantics.
+    """
+    keys = passage_keys_col(F.col(text_col), k)
+    hashed = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(keys).alias("_pos", "_pkey")
+    ).filter(F.col("_pkey").isNotNull())
+    dup = (
+        hashed.groupBy("_pkey")
+        .agg(
+            F.countDistinct("_id").alias("_ndocs"),
+            F.min(F.struct("_id", "_pos")).alias("_keeper"),
+        )
+        .filter(F.col("_ndocs") >= min_docs)
+    )
+    drops = (
+        hashed.join(dup, "_pkey")
+        .filter(
+            ~(
+                (F.col("_id") == F.col("_keeper._id"))
+                & (F.col("_pos") == F.col("_keeper._pos"))
+            )
+        )
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_set("_pos")).alias("_drop_starts"))
+    )
+    # words materialize as a real column BEFORE the rebuild expressions:
+    # element_at inside the transform lambda must index a bound attribute,
+    # not re-embed the split() subtree per element.
+    base = df.select(F.col(id_col), words_col(F.col(text_col)).alias("_w"))
+    joined = base.join(drops, base[id_col] == drops["_id"], "left")
+    w = F.col("_w")
+    ds = F.coalesce(F.col("_drop_starts"), F.array().cast("array<int>"))
+    idxs = F.when(F.size(w) > 0, F.sequence(F.lit(0), F.size(w) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    kept = F.filter(
+        F.transform(
+            idxs,
+            lambda i: F.when(
+                ~F.exists(ds, lambda p: (p <= i) & (i < p + F.lit(k))),
+                F.element_at(w, i + 1),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    step = joined.select(
+        F.col(id_col), kept.alias("_kept"), F.size(w).alias("n_words")
+    )
+    removed = F.col("n_words") - F.size("_kept")
+    return step.select(
+        F.col(id_col),
+        F.array_join("_kept", " ").alias("clean_text"),
+        F.col("n_words"),
+        removed.alias("n_removed"),
+        F.round(removed / F.greatest(F.col("n_words"), F.lit(1)), 4).alias(
+            "removed_frac"
+        ),
+    )

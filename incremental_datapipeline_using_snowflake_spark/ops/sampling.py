@@ -518,3 +518,95 @@ def dsir_select(
         "rank",
         F.row_number().over(W.orderBy(F.desc("key"), F.asc(id_col))),
     ).select(id_col, "rank", "logw", "key")
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-smoothed (alpha = 0.5) sampling weights per corpus
+    group — the multilingual / multi-source mixing rule of Conneau &
+    Lample 2019 (XLM, eq. 1) and T5's examples-proportional mixing:
+    sampling probability proportional to ``tokens_g ** alpha`` instead of
+    raw token share, boosting low-resource groups without flattening the
+    mixture entirely. The output feeds :func:`mixture_copies` (the
+    per-group ``boost`` column IS its ``weights`` dict).
+
+    alpha is pinned at 0.5 on purpose: ``sqrt`` is IEEE-correctly-rounded
+    in both the JVM and C libm, so ``floor(sqrt(tokens))`` is a bit-exact
+    integer in any engine — the whole weight computation stays in exact
+    integer arithmetic until two final single-op double divisions, and
+    the DuckDB oracle replays it hash-identically. A tunable alpha would
+    route through ``pow``, whose last-ulp behavior is libm-specific.
+
+    Scale shape: one groupBy on the (low-cardinality) group key with
+    map-side partial aggregation — token counting folds into the same
+    pass (``size(split(...))``, row-local). The normalization runs as
+    unpartitioned window functions over the GROUPED relation, whose
+    cardinality is the number of sources/languages (tens), not rows —
+    a deliberate single-partition stage over a provably tiny frame.
+
+    Output: ``(group_col, n_docs, tokens, raw_frac, temp_frac, boost)``
+    where ``boost = temp_frac / raw_frac`` (>1 = upsample), fracs rounded
+    to 6 dp, boost to 4 dp.
+    """
+    from pyspark.sql.window import Window
+
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).cast("long").alias("tokens"),
+    )
+    w = F.floor(F.sqrt(F.col("tokens"))).cast("long")
+    everything = Window.partitionBy()
+    scored = per.select(
+        F.col(group_col),
+        "n_docs",
+        "tokens",
+        w.alias("_w"),
+        F.sum("tokens").over(everything).alias("_tot"),
+    ).withColumn("_wtot", F.sum("_w").over(everything))
+    raw = F.col("tokens") / F.col("_tot")
+    temp = F.col("_w") / F.col("_wtot")
+    return scored.select(
+        F.col(group_col),
+        "n_docs",
+        "tokens",
+        F.round(raw, 6).alias("raw_frac"),
+        F.round(temp, 6).alias("temp_frac"),
+        F.round(temp / raw, 4).alias("boost"),
+    )
+
+
+def temperature_mixture_weights_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`temperature_mixture_weights`: identical
+    integer aggregation, identical floor(sqrt()) weights, identical
+    single-op double divisions and rounding."""
+    return f"""
+WITH per AS (
+  SELECT {group_col},
+         count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(trim({text_col}), '\\s+'))) AS BIGINT) AS tokens
+  FROM {table}
+  GROUP BY {group_col}
+),
+scored AS (
+  SELECT {group_col}, n_docs, tokens,
+         CAST(floor(sqrt(tokens)) AS BIGINT) AS w,
+         sum(tokens) OVER () AS tot,
+         sum(CAST(floor(sqrt(tokens)) AS BIGINT)) OVER () AS wtot
+  FROM per
+)
+SELECT {group_col}, n_docs, tokens,
+       round(CAST(tokens AS DOUBLE) / tot, 6) AS raw_frac,
+       round(CAST(w AS DOUBLE) / wtot, 6) AS temp_frac,
+       round((CAST(w AS DOUBLE) / wtot) / (CAST(tokens AS DOUBLE) / tot), 4) AS boost
+FROM scored
+ORDER BY {group_col}
+"""

@@ -2235,6 +2235,223 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# boilerplate_scrub (r10) — span-level dedup with text reconstruction: the
+# removal half of Lee et al. 2022's ExactSubstr (repeated_passages finds the
+# spans; this rewrites the corpus without them, keeping one canonical copy —
+# CCNet's paragraph-dedup discipline). The clean testdata has no repeated
+# 8-grams, so the query plants two 8-word boilerplate banners (footer on
+# doc_id % 3, header on doc_id % 5) in BOTH engines identically; the scrub
+# must strip every planted occurrence except the global first and leave the
+# unique word-soup bodies untouched.
+# ---------------------------------------------------------------------------
+SCRUB_K = 8
+_BANNER_A = "all rights reserved contact the site administrator today"
+_BANNER_B = "subscribe to our newsletter for weekly updates now"
+
+
+def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    noisy = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_BANNER_B + " ")).otherwise(
+                F.lit("")
+            ),
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" " + _BANNER_A)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return D.scrub_repeated_spans(noisy, k=SCRUB_K, min_docs=2).orderBy("doc_id")
+
+
+BOILERPLATE_SCRUB_SQL = f"""
+WITH noisy AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 5 = 0 THEN '{_BANNER_B} ' ELSE '' END)
+         || text
+         || (CASE WHEN doc_id % 3 = 0 THEN ' {_BANNER_A}' ELSE '' END) AS text
+  FROM documents
+),
+w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS sp FROM noisy),
+wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(sp, i, i + {SCRUB_K} - 1), ' ') AS win
+  FROM w, LATERAL (SELECT unnest(range(1, len(sp) - {SCRUB_K} + 2)) AS i)
+  WHERE len(sp) >= {SCRUB_K}
+),
+freq AS (SELECT win, count(DISTINCT doc_id) AS nd FROM wins GROUP BY win),
+ranked AS (
+  SELECT doc_id, pos, win,
+         row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+  FROM wins
+),
+drops AS (
+  SELECT r.doc_id, r.pos
+  FROM ranked r JOIN freq f USING (win)
+  WHERE f.nd >= 2 AND r.rn > 1
+),
+dstarts AS (SELECT doc_id, list(pos ORDER BY pos) AS ds FROM drops GROUP BY doc_id),
+joined AS (
+  SELECT w.doc_id, w.sp, coalesce(d.ds, CAST([] AS BIGINT[])) AS ds0
+  FROM w LEFT JOIN dstarts d USING (doc_id)
+),
+rebuilt AS (
+  SELECT doc_id, sp,
+         list_filter(
+           list_transform(range(1, len(sp) + 1),
+             j -> CASE WHEN len(list_filter(ds0,
+                          p -> p <= j - 1 AND j - 1 < p + {SCRUB_K})) = 0
+                  THEN sp[j] END),
+           x -> x IS NOT NULL) AS kept
+  FROM joined
+)
+SELECT doc_id,
+       -- DuckDB's array_to_string of an empty list is NULL; Spark's
+       -- array_join is '' — a fully-scrubbed doc must read '' in both
+       coalesce(array_to_string(kept, ' '), '') AS clean_text,
+       len(sp) AS n_words,
+       len(sp) - len(kept) AS n_removed,
+       round((len(sp) - len(kept)) / CAST(greatest(len(sp), 1) AS DOUBLE), 4)
+         AS removed_frac
+FROM rebuilt
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# mixture_temperature_weights (r10) — alpha=0.5 temperature-smoothed
+# sampling weights per source (Conneau & Lample 2019 eq. 1 / T5 mixing):
+# exact integer aggregation + floor(sqrt()) weights, so the DuckDB twin is
+# bit-identical (see ops.sampling.temperature_mixture_weights).
+# ---------------------------------------------------------------------------
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.sampling import temperature_mixture_weights
+
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    return temperature_mixture_weights(docs, group_col="source").orderBy("source")
+
+
+def _mixture_temperature_sql() -> str:
+    from ..ops.sampling import temperature_mixture_weights_sql
+
+    return temperature_mixture_weights_sql(table="documents", group_col="source")
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility (r10) — per-language tokenizer quality metrics over
+# the trained BPE (fertility = subword tokens per whitespace word,
+# chars_per_token = text chars per subword token): the standard check that
+# a tokenizer doesn't tax some languages with token-inflated encodings
+# (fertility near 1 = word-level, high = over-fragmented). Composes
+# bpe_train + bpe_encode (both r08-green); the oracle replays the full
+# train+encode chain and aggregates the same exact integer sums.
+# ---------------------------------------------------------------------------
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.textprep import bpe_encode, bpe_train
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    m = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(docs.select("text"), n_merges=BPE_MERGES)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    enc = bpe_encode(docs.select("doc_id", "text"), m)
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("_nw"),
+        F.length("text").alias("_nc"),
+    )
+    per = base.join(enc, "doc_id").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+        F.sum("_nw").cast("long").alias("words"),
+        F.sum("_nc").cast("long").alias("chars"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "tokens",
+        "words",
+        "chars",
+        F.round(F.col("tokens") / F.col("words"), 4).alias("fertility"),
+        F.round(F.col("chars") / F.col("tokens"), 4).alias("chars_per_token"),
+    ).orderBy("lang")
+
+
+def _tokenizer_fertility_sql() -> str:
+    enc = _bpe_encode_sql()
+    return f"""
+WITH enc AS ({enc}),
+base AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\\s+')) AS nw,
+         length(text) AS nc
+  FROM documents
+),
+per AS (
+  SELECT lang,
+         count(*) AS n_docs,
+         CAST(sum(e.n_tokens) AS BIGINT) AS tokens,
+         CAST(sum(b.nw) AS BIGINT) AS words,
+         CAST(sum(b.nc) AS BIGINT) AS chars
+  FROM base b JOIN enc e USING (doc_id)
+  GROUP BY lang
+)
+SELECT lang, n_docs, tokens, words, chars,
+       round(CAST(tokens AS DOUBLE) / words, 4) AS fertility,
+       round(CAST(chars AS DOUBLE) / tokens, 4) AS chars_per_token
+FROM per
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# jsonl_ingest (r10) — Dolma-format JSONL roundtrip: documents reshaped to
+# the {id, text, source, metadata:{...}} shape LLM-corpus releases ship as,
+# written as JSONL, read back with an EXPLICIT schema (no inference pass —
+# at 100 TB a schema-inference scan is a full extra read), flattened back.
+# The oracle is the identity projection: a lossless roundtrip must
+# hash-match the source table exactly.
+# ---------------------------------------------------------------------------
+def jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="jsonl_ingest_")
+    docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        "text",
+        "source",
+        F.struct("lang", "n_chars").alias("metadata"),
+    ).write.mode("overwrite").json(path)
+    schema = (
+        "id string, text string, source string, "
+        "metadata struct<lang:string, n_chars:long>"
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.select(
+        F.col("id").cast("long").alias("doc_id"),
+        "text",
+        F.col("metadata.lang").alias("lang"),
+        "source",
+        F.col("metadata.n_chars").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+JSONL_INGEST_SQL = """
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict = {
     "text_profile": (text_profile, _text_profile_sql()),
     "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SQL),
@@ -2276,4 +2493,11 @@ QUERIES: dict = {
     "dsir_selection": (dsir_selection, DSIR_SELECTION_SQL),
     "main_content_extraction": (main_content_extraction, _main_content_sql()),
     "ccnet_quality_buckets": (ccnet_quality_buckets, CCNET_BUCKETS_SQL),
+    "boilerplate_scrub": (boilerplate_scrub, BOILERPLATE_SCRUB_SQL),
+    "mixture_temperature_weights": (
+        mixture_temperature_weights,
+        _mixture_temperature_sql(),
+    ),
+    "tokenizer_fertility": (tokenizer_fertility, _tokenizer_fertility_sql()),
+    "jsonl_ingest": (jsonl_ingest, JSONL_INGEST_SQL),
 }

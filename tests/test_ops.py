@@ -1902,3 +1902,117 @@ def test_ccnet_buckets_per_language_equal_population(spark):
         scored = sorted((got[i]["avg_logprob"], -order[got[i]["bucket"]]) for i in ids)
         ranks = [-b for _, b in scored]
         assert ranks == sorted(ranks, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# scrub_repeated_spans (r10) — ExactSubstr removal with reconstruction
+# ---------------------------------------------------------------------------
+def test_scrub_repeated_spans_keeps_one_copy(spark):
+    banner = "all rights reserved contact the site administrator today"  # 8 words
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta " + banner),
+        (2, "one two three four five six seven eight " + banner),
+        (3, banner),  # pure boilerplate
+        (4, "unique words only appear here and nowhere else at all"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in D.scrub_repeated_spans(df, k=8, min_docs=2).collect()
+    }
+    # doc 1 holds the canonical (earliest) copy: nothing removed
+    assert out[1]["n_removed"] == 0
+    assert out[1]["clean_text"].endswith(banner)
+    # doc 2 loses exactly the 8 banner words, body intact
+    assert out[2]["n_removed"] == 8
+    assert out[2]["clean_text"] == "one two three four five six seven eight"
+    # doc 3 is pure boilerplate: collapses to '' but never disappears
+    assert out[3]["clean_text"] == ""
+    assert out[3]["n_removed"] == 8
+    assert out[3]["removed_frac"] == 1.0
+    # doc 4 untouched
+    assert out[4]["n_removed"] == 0
+    assert len(out) == 4
+
+
+def test_scrub_repeated_spans_straddle_windows_stay(spark):
+    # the window straddling unique-body/banner boundaries contains unique
+    # words, so it never counts as duplicated: removal is exactly the
+    # planted span, not a widened hole around it
+    banner = "b1 b2 b3 b4"
+    rows = [
+        (1, "u11 u12 u13 " + banner),
+        (2, "u21 u22 u23 " + banner),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.scrub_repeated_spans(df, k=4, min_docs=2).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "u21 u22 u23"
+    assert out[2]["n_removed"] == 4
+
+
+def test_scrub_short_docs_survive(spark):
+    # docs shorter than k have no windows: pass through untouched
+    rows = [(1, "tiny doc"), (2, "tiny doc")]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.scrub_repeated_spans(df, k=8, min_docs=2).collect()}
+    assert out[1]["n_removed"] == 0 and out[2]["n_removed"] == 0
+    assert out[2]["clean_text"] == "tiny doc"
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture_weights (r10) — alpha=0.5 mixing weights
+# ---------------------------------------------------------------------------
+def test_temperature_mixture_boosts_low_resource(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.sampling import (
+        temperature_mixture_weights,
+    )
+
+    rows = [("big", "w " * 400), ("small", "w " * 4)]
+    df = spark.createDataFrame(rows, schema="source string, text string")
+    out = {r["source"]: r for r in temperature_mixture_weights(df).collect()}
+    assert out["big"]["tokens"] == 400 and out["small"]["tokens"] == 4
+    # raw shares 400/404 vs 4/404; sqrt weights 20 vs 2 -> 20/22 vs 2/22
+    assert out["small"]["boost"] > 1.0 > out["big"]["boost"]
+    assert abs(out["small"]["temp_frac"] - 2 / 22) < 1e-6
+    assert abs(out["big"]["temp_frac"] - 20 / 22) < 1e-6
+    # temperature smooths, never reorders: big still outweighs small
+    assert out["big"]["temp_frac"] > out["small"]["temp_frac"]
+
+
+# ---------------------------------------------------------------------------
+# jsonl roundtrip (r10) — Dolma-shape JSONL write/read with explicit schema
+# ---------------------------------------------------------------------------
+def test_jsonl_roundtrip_lossless(spark, tmp_path):
+    rows = [
+        (1, 'text with "quotes" and\ttabs', "en", "srcA", 27),
+        (2, "unicode: naïve café — ok", "fr", "srcB", 24),
+        (3, "", "de", "srcA", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "jsonl")
+    df.select(
+        F.col("doc_id").cast("string").alias("id"),
+        "text",
+        "source",
+        F.struct("lang", "n_chars").alias("metadata"),
+    ).write.json(path)
+    schema = (
+        "id string, text string, source string, "
+        "metadata struct<lang:string, n_chars:long>"
+    )
+    back = (
+        spark.read.schema(schema)
+        .json(path)
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            "text",
+            F.col("metadata.lang").alias("lang"),
+            "source",
+            F.col("metadata.n_chars").alias("n_chars"),
+        )
+    )
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == sorted(rows)
