@@ -1258,3 +1258,51 @@ def scrub_repeated_spans(
             "removed_frac"
         ),
     )
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard pairs at ``threshold`` via a shingle inverted index —
+    the ground truth an approximate blocking stage (MinHash bands, SimHash
+    buckets, anchor sampling) is graded against.
+
+    Exactness without the cross join: a pair with Jaccard > 0 shares at
+    least one shingle, so the shingle-keyed self-join enumerates EVERY
+    positive pair (a cross join only adds the J=0 pairs the threshold
+    discards anyway). Cost is Σ_s df(s)² over shingle document
+    frequencies — quadratic in the hottest shingle, which is why this is
+    the EVAL harness run on a bounded corpus or sample, not the production
+    dedup path (that is :func:`minhash_dedup_pairs`; this op is its
+    referee). Wire discipline: the self-join carries (shingle_hash, id)
+    longs; shingle sets attach to the surviving intersection counts only.
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"), hashed_shingles_col(F.col(text_col)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    ex = docs.select("id", F.explode("sh").alias("s"))
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    sizes = docs.select("id", F.size("sh").alias("_n"))
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "_n": "_na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "_n": "_nb"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

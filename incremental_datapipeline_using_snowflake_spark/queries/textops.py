@@ -428,10 +428,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
-def _minhash_pairs_cte() -> str:
+def _minhash_pairs_cte(corpus_cte: str = CORPUS_SQL) -> str:
     """CTE chain ending in ``pairs(id_a, id_b, jaccard)`` — shared by
-    ``dedup_minhash_lsh`` (pair listing) and ``dedup_clusters`` (transitive
-    closure of the same pairs)."""
+    ``dedup_minhash_lsh`` (pair listing), ``dedup_clusters`` (transitive
+    closure of the same pairs), and — with a sampled ``corpus_cte`` —
+    ``dedup_minhash_recall`` (banding graded against exact truth)."""
     mins = ", ".join(
         f"min(({D.MINHASH_A[i]} * h + {D.MINHASH_B[i]}) % {D.MINHASH_MOD}) AS m{i}"
         for i in range(D.N_MINHASH)
@@ -440,7 +441,7 @@ def _minhash_pairs_cte() -> str:
         f"SELECT id, {b} AS band, md5(m{2*b} || '_' || m{2*b+1}) AS bh FROM sigs"
         for b in range(D.N_MINHASH // 2)
     )
-    return f"""{CORPUS_SQL.strip()},
+    return f"""{corpus_cte.strip()},
 {_SHINGLES_SQL.strip()},
 sigs AS (
   SELECT id, {mins}
@@ -2452,6 +2453,83 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_minhash_recall (r10) — the dedup analogue of ann_recall_eval: grade
+# the MinHash BANDING stage (pre-verify candidates) against EXACT Jaccard
+# ground truth from the shingle inverted index. Precision says how much
+# verify work the bands waste; recall says what true near-dups the bands
+# can never recover (the S-curve's false-negative mass, measured instead
+# of assumed). Both stages run on a deterministic 10% BASE-ID sample of
+# the augmented corpus: exact truth is quadratic in the hottest shingle's
+# doc frequency, so the harness evaluates a bounded subcorpus (the
+# standard eval-subset discipline; ann_recall_eval does the same with its
+# probe set). Sampling keys on doc_id % 100000 — the base id the planted
+# +100000/+200000 copies SHARE — so every planted dup pair co-samples
+# intact instead of losing one endpoint.
+# ---------------------------------------------------------------------------
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_df(spark, sf_dir).filter((F.col("doc_id") % 100000) % 10 == 0)
+    truth = D.exact_jaccard_pairs(corpus, threshold=0.5).select("id_a", "id_b")
+    sigs = D.minhash_signatures(corpus)
+    cand = D.minhash_band_pairs(sigs)
+    u = truth.withColumn("_t", F.lit(1)).join(
+        cand.withColumn("_c", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    counts = u.agg(
+        F.sum("_t").cast("long").alias("n_true"),
+        F.sum("_c").cast("long").alias("n_cand"),
+        F.sum(F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1))
+        .cast("long")
+        .alias("n_hit"),
+    )
+    return counts.select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_cand"), 4).alias("precision_band"),
+        F.round(F.col("n_hit") / F.col("n_true"), 4).alias("recall_band"),
+        F.round(
+            (F.lit(2.0) * F.col("n_hit")) / (F.col("n_cand") + F.col("n_true")), 4
+        ).alias("f1_band"),
+    )
+
+
+_EVAL_CORPUS_SQL = (
+    CORPUS_SQL.strip().replace("corpus AS (", "corpus_all AS (", 1)
+    + ",\ncorpus AS (SELECT * FROM corpus_all WHERE (doc_id % 100000) % 10 = 0)"
+)
+
+
+def _minhash_recall_sql() -> str:
+    # reuses the exact banding CTE chain (corpus/docs2/sigs/bands/cand)
+    # over the SAME sampled corpus; the chain's final `pairs` CTE is
+    # unreferenced here and DuckDB never materializes unreferenced CTEs
+    return f"""
+WITH {_minhash_pairs_cte(corpus_cte=_EVAL_CORPUS_SQL)},
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         len(list_intersect(a.sh, b.sh)) AS i,
+         len(a.sh) AS na, len(b.sh) AS nb
+  FROM docs2 a JOIN docs2 b ON a.id < b.id
+),
+truth AS (
+  SELECT id_a, id_b FROM inter
+  WHERE i > 0 AND round(i / (na + nb - i), 4) >= 0.5
+),
+hit AS (SELECT id_a, id_b FROM cand INTERSECT SELECT id_a, id_b FROM truth)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+       CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+       round((SELECT count(*) FROM hit)
+             / CAST((SELECT count(*) FROM cand) AS DOUBLE), 4) AS precision_band,
+       round((SELECT count(*) FROM hit)
+             / CAST((SELECT count(*) FROM truth) AS DOUBLE), 4) AS recall_band,
+       round(2.0 * (SELECT count(*) FROM hit)
+             / CAST((SELECT count(*) FROM cand)
+                    + (SELECT count(*) FROM truth) AS DOUBLE), 4) AS f1_band
+"""
+
+
 QUERIES: dict = {
     "text_profile": (text_profile, _text_profile_sql()),
     "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SQL),
@@ -2500,4 +2578,5 @@ QUERIES: dict = {
     ),
     "tokenizer_fertility": (tokenizer_fertility, _tokenizer_fertility_sql()),
     "jsonl_ingest": (jsonl_ingest, JSONL_INGEST_SQL),
+    "dedup_minhash_recall": (dedup_minhash_recall, _minhash_recall_sql()),
 }

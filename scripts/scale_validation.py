@@ -87,6 +87,12 @@ FAMILY = [
     # r10 additions
     "lang_id_margin",
     "crawl_pipeline_e2e",
+    "dsir_selection",
+    "boilerplate_scrub",
+    "mixture_temperature_weights",
+    "tokenizer_fertility",
+    "jsonl_ingest",
+    "dedup_minhash_recall",
 ]
 
 

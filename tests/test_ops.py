@@ -2016,3 +2016,37 @@ def test_jsonl_roundtrip_lossless(spark, tmp_path):
     )
     got = sorted(tuple(r) for r in back.collect())
     assert got == sorted(rows)
+
+
+# ---------------------------------------------------------------------------
+# exact_jaccard_pairs (r10) — inverted-index exact ground truth
+# ---------------------------------------------------------------------------
+def test_exact_jaccard_pairs_matches_bruteforce(spark, docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.exact_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    # docs 1/2 identical (J=1.0), 3 a near-dup of both (2 words off)
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and got[(1, 3)] >= 0.5
+    assert (2, 3) in got
+    assert all(a < b for (a, b) in got)
+    # unrelated docs never appear
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_bands_graded_against_exact_truth(spark, docs):
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in D.exact_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_band_pairs(D.minhash_signatures(docs)).collect()
+    }
+    # identical docs share every band: recall on the J=1.0 pair is certain
+    assert (1, 2) in cand and (1, 2) in truth
+    # band candidates on this corpus stay a superset check: every truth
+    # pair missed by the bands is the S-curve FN mass the recall-eval
+    # query measures — here the near-dup pair shares >= one band w.h.p.
+    assert len(cand & truth) >= 2
