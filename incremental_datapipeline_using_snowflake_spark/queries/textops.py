@@ -2459,16 +2459,26 @@ ORDER BY doc_id
 # ground truth from the shingle inverted index. Precision says how much
 # verify work the bands waste; recall says what true near-dups the bands
 # can never recover (the S-curve's false-negative mass, measured instead
-# of assumed). Both stages run on a deterministic 10% BASE-ID sample of
-# the augmented corpus: exact truth is quadratic in the hottest shingle's
-# doc frequency, so the harness evaluates a bounded subcorpus (the
-# standard eval-subset discipline; ann_recall_eval does the same with its
-# probe set). Sampling keys on doc_id % 100000 — the base id the planted
-# +100000/+200000 copies SHARE — so every planted dup pair co-samples
-# intact instead of losing one endpoint.
+# of assumed). Both stages run on a deterministic FIXED-SIZE base-id
+# sample (~50 base docs + their planted copies at any corpus size): exact
+# truth is quadratic in the hottest shingle's doc frequency, so a fixed
+# RATE would grow the referee's cost with the corpus (measured alpha_B
+# 1.97 on the closed-vocab scale fixture) — an eval budget must not scale
+# with the thing it audits. The modulus is max(10, n_docs // 50), floor
+# division in both engines; sampling keys on doc_id % 100000 — the base
+# id the planted +100000/+200000 copies SHARE — so every planted dup pair
+# co-samples intact instead of losing one endpoint.
 # ---------------------------------------------------------------------------
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = corpus_df(spark, sf_dir).filter((F.col("doc_id") % 100000) % 10 == 0)
+    n_docs = load(spark, sf_dir, "documents").count()
+    mod = max(10, n_docs // 50)
+    corpus = corpus_df(spark, sf_dir).filter((F.col("doc_id") % 100000) % mod == 0)
+    # pin the ~100-row sample once: truth references it 3x and the band
+    # side 2x — without this the plan re-scans the corpus parquet (and
+    # re-computes the union's near-dup text surgery) 12 times, turning a
+    # fixed-size eval into an O(corpus)-per-branch wall (measured 34 s ->
+    # 4 s at the 16x scale fixture)
+    corpus = corpus.localCheckpoint(eager=True)
     truth = D.exact_jaccard_pairs(corpus, threshold=0.5).select("id_a", "id_b")
     sigs = D.minhash_signatures(corpus)
     cand = D.minhash_band_pairs(sigs)
@@ -2496,7 +2506,8 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVAL_CORPUS_SQL = (
     CORPUS_SQL.strip().replace("corpus AS (", "corpus_all AS (", 1)
-    + ",\ncorpus AS (SELECT * FROM corpus_all WHERE (doc_id % 100000) % 10 = 0)"
+    + ",\ncorpus AS (SELECT * FROM corpus_all WHERE (doc_id % 100000)"
+    " % (SELECT greatest(10, count(*) // 50) FROM documents) = 0)"
 )
 
 
