@@ -1306,3 +1306,85 @@ def exact_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def scrub_intra_doc_repeats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_repeats: int = 2,
+) -> DataFrame:
+    """Remove WITHIN-document repeated spans, keeping each document's first
+    occurrence — the intra-doc half of repetition cleanup (RefinedWeb's
+    line dedup / the removal act behind Gopher's dup_ngram gates, which
+    :func:`repetition_signals` only scores). Complements
+    :func:`scrub_repeated_spans`: that one needs ``min_docs`` DISTINCT
+    documents; a chorus repeated five times inside one document never
+    trips it.
+
+    Semantics: a k-word window whose text occurs ``min_repeats``+ times in
+    the SAME document keeps its first (lowest-position) occurrence; every
+    later occurrence's k positions drop; text rebuilds from surviving
+    positions.
+
+    Scale shape: strictly doc-keyed — the occurrence count groups on
+    (id, window-key) rolling-hash longs, so the one exchange is the
+    id+key shuffle (bounded by document length, immune to corpus-wide hot
+    windows: a million documents sharing a chorus never meet in a
+    bucket). Reconstruction is the same row-local array mask as the
+    cross-doc scrub.
+
+    Output: ``(id_col, clean_text, n_words, n_removed, removed_frac)``.
+    """
+    keys = passage_keys_col(F.col(text_col), k)
+    hashed = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(keys).alias("_pos", "_pkey")
+    ).filter(F.col("_pkey").isNotNull())
+    drops = (
+        hashed.groupBy("_id", "_pkey")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sort_array(F.collect_list("_pos")).alias("_poss"),
+        )
+        .filter(F.col("_n") >= min_repeats)
+        .select(
+            "_id", F.slice("_poss", 2, F.greatest(F.size("_poss") - 1, F.lit(0))).alias("_later")
+        )
+        .groupBy("_id")
+        .agg(
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("_later")))
+            ).alias("_drop_starts")
+        )
+    )
+    base = df.select(F.col(id_col), words_col(F.col(text_col)).alias("_w"))
+    joined = base.join(drops, base[id_col] == drops["_id"], "left")
+    w = F.col("_w")
+    ds = F.coalesce(F.col("_drop_starts"), F.array().cast("array<int>"))
+    idxs = F.when(F.size(w) > 0, F.sequence(F.lit(0), F.size(w) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    kept = F.filter(
+        F.transform(
+            idxs,
+            lambda i: F.when(
+                ~F.exists(ds, lambda p: (p <= i) & (i < p + F.lit(k))),
+                F.element_at(w, i + 1),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    step = joined.select(
+        F.col(id_col), kept.alias("_kept"), F.size(w).alias("n_words")
+    )
+    removed = F.col("n_words") - F.size("_kept")
+    return step.select(
+        F.col(id_col),
+        F.array_join("_kept", " ").alias("clean_text"),
+        F.col("n_words"),
+        removed.alias("n_removed"),
+        F.round(removed / F.greatest(F.col("n_words"), F.lit(1)), 4).alias(
+            "removed_frac"
+        ),
+    )

@@ -610,3 +610,126 @@ SELECT {group_col}, n_docs, tokens,
 FROM scored
 ORDER BY {group_col}
 """
+
+
+def token_budget_schedule(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    budget_multiplier: int = 2,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """Per-source epoch allocation under a total token budget — the data
+    SCHEDULE that turns mixture weights into training passes (the
+    LLaMA-style "epochs over each subset" table): each source wants
+    tokens proportional to its temperature weight (alpha = 0.5, same
+    floor(sqrt) discipline as :func:`temperature_mixture_weights`), no
+    source may exceed ``max_epochs`` passes over its own data, and budget
+    freed by capped sources redistributes to uncapped ones — two unrolled
+    water-filling rounds, which is exact whenever at most two cap "waves"
+    occur (tens of sources; both engines replay the SAME two rounds, so
+    the oracle is bit-identical regardless).
+
+    Every allocation step is BIGINT arithmetic (integer div, least/
+    greatest); the only doubles are the final single-op epoch divisions.
+    Scale shape: one map-side-combined group pass over the corpus, then
+    window functions over the grouped relation (cardinality = #sources).
+
+    Output: ``(group_col, tokens, weight, alloc_tokens, epochs, capped)``
+    where ``epochs = alloc_tokens / tokens`` rounded to 3 dp.
+    """
+    from pyspark.sql.window import Window
+
+    per = df.groupBy(group_col).agg(
+        F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .cast("long")
+        .alias("tokens")
+    )
+    everything = Window.partitionBy()
+    g = per.select(
+        F.col(group_col),
+        "tokens",
+        F.floor(F.sqrt(F.col("tokens"))).cast("long").alias("w"),
+    )
+    g = g.withColumn("_tot", F.sum("tokens").over(everything)).withColumn(
+        "_sumw", F.sum("w").over(everything)
+    )
+    budget = F.lit(budget_multiplier).cast("long") * F.col("_tot")
+    cap = F.lit(max_epochs).cast("long") * F.col("tokens")
+    a1 = F.least(
+        cap, F.expr(f"(CAST({budget_multiplier} AS BIGINT) * _tot * w) div _sumw")
+    )
+    g = g.withColumn("_a1", a1)
+    g = g.withColumn("_left1", budget - F.sum("_a1").over(everything)).withColumn(
+        "_sumw2",
+        F.sum(F.when(F.col("_a1") < cap, F.col("w")).otherwise(F.lit(0))).over(
+            everything
+        ),
+    )
+    a2 = F.when(
+        (F.col("_a1") < cap) & (F.col("_sumw2") > 0),
+        F.col("_a1")
+        + F.least(
+            cap - F.col("_a1"), F.expr("(_left1 * w) div _sumw2")
+        ),
+    ).otherwise(F.col("_a1"))
+    g = g.withColumn("_a2", a2)
+    return g.select(
+        F.col(group_col),
+        "tokens",
+        F.col("w").alias("weight"),
+        F.col("_a2").alias("alloc_tokens"),
+        F.round(F.col("_a2") / F.col("tokens"), 3).alias("epochs"),
+        (F.col("_a2") >= cap).alias("capped"),
+    )
+
+
+def token_budget_schedule_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+    budget_multiplier: int = 2,
+    max_epochs: int = 4,
+) -> str:
+    """DuckDB twin of :func:`token_budget_schedule` — identical integer
+    arithmetic, identical two unrolled water-filling rounds."""
+    return f"""
+WITH per AS (
+  SELECT {group_col},
+         CAST(sum(len(string_split_regex(trim({text_col}), '\\s+'))) AS BIGINT)
+           AS tokens
+  FROM {table} GROUP BY {group_col}
+),
+g AS (
+  SELECT {group_col}, tokens,
+         CAST(floor(sqrt(tokens)) AS BIGINT) AS w,
+         CAST(sum(tokens) OVER () AS BIGINT) AS tot,
+         CAST(sum(CAST(floor(sqrt(tokens)) AS BIGINT)) OVER () AS BIGINT) AS sumw
+  FROM per
+),
+r1 AS (
+  SELECT *,
+         least({max_epochs} * tokens, ({budget_multiplier} * tot * w) // sumw)
+           AS a1
+  FROM g
+),
+r1t AS (
+  SELECT *,
+         CAST({budget_multiplier} * tot - sum(a1) OVER () AS BIGINT) AS left1,
+         CAST(sum(CASE WHEN a1 < {max_epochs} * tokens THEN w ELSE 0 END)
+              OVER () AS BIGINT) AS sumw2
+  FROM r1
+),
+r2 AS (
+  SELECT *,
+         CASE WHEN a1 < {max_epochs} * tokens AND sumw2 > 0
+              THEN a1 + least({max_epochs} * tokens - a1, (left1 * w) // sumw2)
+              ELSE a1 END AS a2
+  FROM r1t
+)
+SELECT {group_col}, tokens, w AS weight, a2 AS alloc_tokens,
+       round(CAST(a2 AS DOUBLE) / tokens, 3) AS epochs,
+       a2 >= {max_epochs} * tokens AS capped
+FROM r2
+ORDER BY {group_col}
+"""

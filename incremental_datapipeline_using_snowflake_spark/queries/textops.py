@@ -2541,6 +2541,102 @@ SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
 """
 
 
+# ---------------------------------------------------------------------------
+# intra_doc_scrub (r10) — WITHIN-document repeated-span removal
+# (RefinedWeb's intra-doc dedup / the removal act behind Gopher's
+# dup-ngram gates): a planted 8-word chorus appended TWICE keeps its first
+# occurrence, loses the exact second; the unique word-soup bodies are
+# untouched. Strictly doc-keyed — corpus-wide hot spans never collide.
+# ---------------------------------------------------------------------------
+_CHORUS = "please like share comment subscribe and ring the"
+
+
+def intra_doc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.dedup import scrub_intra_doc_repeats
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    noisy = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit(" " + _CHORUS + " " + _CHORUS)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_intra_doc_repeats(noisy, k=SCRUB_K, min_repeats=2).orderBy(
+        "doc_id"
+    )
+
+
+INTRA_DOC_SCRUB_SQL = f"""
+WITH noisy AS (
+  SELECT doc_id,
+         text || (CASE WHEN doc_id % 4 = 0 THEN ' {_CHORUS} {_CHORUS}'
+                  ELSE '' END) AS text
+  FROM documents
+),
+w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS sp FROM noisy),
+wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(sp, i, i + {SCRUB_K} - 1), ' ') AS win
+  FROM w, LATERAL (SELECT unnest(range(1, len(sp) - {SCRUB_K} + 2)) AS i)
+  WHERE len(sp) >= {SCRUB_K}
+),
+grp AS (
+  SELECT doc_id, win, list(pos ORDER BY pos) AS poss
+  FROM wins GROUP BY doc_id, win
+  HAVING count(*) >= 2
+),
+dstarts AS (
+  SELECT doc_id,
+         list_sort(list_distinct(flatten(list(list_slice(poss, 2, len(poss))))))
+           AS ds
+  FROM grp GROUP BY doc_id
+),
+joined AS (
+  SELECT w.doc_id, w.sp, coalesce(d.ds, CAST([] AS BIGINT[])) AS ds0
+  FROM w LEFT JOIN dstarts d USING (doc_id)
+),
+rebuilt AS (
+  SELECT doc_id, sp,
+         list_filter(
+           list_transform(range(1, len(sp) + 1),
+             j -> CASE WHEN len(list_filter(ds0,
+                          p -> p <= j - 1 AND j - 1 < p + {SCRUB_K})) = 0
+                  THEN sp[j] END),
+           x -> x IS NOT NULL) AS kept
+  FROM joined
+)
+SELECT doc_id,
+       coalesce(array_to_string(kept, ' '), '') AS clean_text,
+       len(sp) AS n_words,
+       len(sp) - len(kept) AS n_removed,
+       round((len(sp) - len(kept)) / CAST(greatest(len(sp), 1) AS DOUBLE), 4)
+         AS removed_frac
+FROM rebuilt
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# data_schedule (r10) — epoch allocation under a token budget: temperature
+# wants, max-epoch cap, capped budget redistributed to uncapped sources
+# (two unrolled water-filling rounds, BIGINT-exact in both engines).
+# ---------------------------------------------------------------------------
+def data_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.sampling import token_budget_schedule
+
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    return token_budget_schedule(docs, group_col="source").orderBy("source")
+
+
+def _data_schedule_sql() -> str:
+    from ..ops.sampling import token_budget_schedule_sql
+
+    return token_budget_schedule_sql(table="documents", group_col="source")
+
+
 QUERIES: dict = {
     "text_profile": (text_profile, _text_profile_sql()),
     "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SQL),
@@ -2590,4 +2686,6 @@ QUERIES: dict = {
     "tokenizer_fertility": (tokenizer_fertility, _tokenizer_fertility_sql()),
     "jsonl_ingest": (jsonl_ingest, JSONL_INGEST_SQL),
     "dedup_minhash_recall": (dedup_minhash_recall, _minhash_recall_sql()),
+    "intra_doc_scrub": (intra_doc_scrub, INTRA_DOC_SCRUB_SQL),
+    "data_schedule": (data_schedule, _data_schedule_sql()),
 }

@@ -93,6 +93,8 @@ FAMILY = [
     "tokenizer_fertility",
     "jsonl_ingest",
     "dedup_minhash_recall",
+    "intra_doc_scrub",
+    "data_schedule",
 ]
 
 

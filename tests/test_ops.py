@@ -2050,3 +2050,66 @@ def test_minhash_bands_graded_against_exact_truth(spark, docs):
     # pair missed by the bands is the S-curve FN mass the recall-eval
     # query measures — here the near-dup pair shares >= one band w.h.p.
     assert len(cand & truth) >= 2
+
+
+# ---------------------------------------------------------------------------
+# scrub_intra_doc_repeats (r10) — within-doc repeated-span removal
+# ---------------------------------------------------------------------------
+def test_intra_doc_scrub_keeps_first_chorus(spark):
+    chorus = "c1 c2 c3 c4 c5 c6 c7 c8"
+    rows = [
+        (1, "body one two three " + chorus + " " + chorus),
+        (2, "another unique body with no internal repeats at all here"),
+        # cross-doc repetition alone must NOT trip the intra-doc scrub
+        (3, "shared shared-tail a b c d e f g h"),
+        (4, "other shared-tail a b c d e f g h"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in D.scrub_intra_doc_repeats(df, k=8, min_repeats=2).collect()
+    }
+    assert out[1]["clean_text"] == "body one two three " + chorus
+    assert out[1]["n_removed"] == 8
+    assert out[2]["n_removed"] == 0
+    assert out[3]["n_removed"] == 0 and out[4]["n_removed"] == 0
+
+
+def test_intra_doc_scrub_triple_repeat_keeps_one(spark):
+    span = "s1 s2 s3 s4"
+    df = spark.createDataFrame(
+        [(1, " ".join([span] * 3))], schema="doc_id long, text string"
+    )
+    out = D.scrub_intra_doc_repeats(df, k=4, min_repeats=2).collect()[0]
+    assert out["clean_text"] == span
+    assert out["n_removed"] == 8
+
+
+# ---------------------------------------------------------------------------
+# token_budget_schedule (r10) — epoch water-filling under a budget
+# ---------------------------------------------------------------------------
+def test_token_budget_schedule_caps_and_redistributes(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.sampling import (
+        token_budget_schedule,
+    )
+
+    rows = [("big", "w " * 10000), ("small", "w " * 100)]
+    df = spark.createDataFrame(rows, schema="source string, text string")
+    out = {
+        r["source"]: r
+        for r in token_budget_schedule(
+            df, budget_multiplier=2, max_epochs=4
+        ).collect()
+    }
+    # sqrt weights push the small source over its 4-epoch cap
+    assert out["small"]["capped"] and out["small"]["epochs"] == 4.0
+    # freed budget redistributes to the uncapped big source
+    assert not out["big"]["capped"]
+    assert out["big"]["alloc_tokens"] > 0
+    total = sum(r["alloc_tokens"] for r in out.values())
+    budget = 2 * (10000 + 100)
+    # two rounds land within one integer-division remainder of the budget
+    assert total <= budget
+    assert budget - total < budget * 0.05
+    # epochs = alloc / tokens exactly
+    assert abs(out["big"]["epochs"] - out["big"]["alloc_tokens"] / 10000) < 1e-3
