@@ -1388,3 +1388,201 @@ def scrub_intra_doc_repeats(
             "removed_frac"
         ),
     )
+
+
+def winnow_fingerprints_col(
+    text: Column | str, k: int = 5, w: int = 4
+) -> Column:
+    """Winnowing fingerprint set (Schleimer et al. 2003, the MOSS scheme):
+    hash every k-gram, slide a window of ``w`` consecutive hashes, keep
+    each window's MINIMUM — the selected set is position-robust and
+    GUARANTEES a shared fingerprint for any common span of at least
+    ``w + k - 1`` words, at an expected density of 2/(w+1) per k-gram
+    (the local-algorithm optimum the paper proves). MinHash answers "how
+    similar are these documents"; winnowing answers "do they share a
+    span", with a hard guarantee instead of an S-curve.
+
+    Hashes are the portable 60-bit md5 (selection depends on hash VALUES
+    — the argmin must replay identically in the SQL oracle, which rules
+    out xxhash here). Candidate semantics only need the selected VALUES,
+    so the per-window pick is a plain ``array_min`` (the paper's
+    rightmost-tie rule matters only for positional density, not for the
+    fingerprint set). A document shorter than one window contributes its
+    global minimum. Everything is row-local array arithmetic.
+    """
+    wins = passage_windows_col(text, k)
+    h = F.transform(wins, lambda s: md5_long(s))
+
+    # Bind the hash array ONCE as a lambda variable (the 1-element-array
+    # wrap): referencing `h` directly inside the window-minima lambda
+    # would re-embed the whole md5-transform subtree per window position
+    # — a measured 10x wall blowup (the per-element slice then costs a
+    # full re-hash of the document instead of an O(w) array read).
+    def _select(hh: Column) -> Column:
+        m = F.size(hh)
+        return F.when(
+            m >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), m - w),
+                    lambda j: F.array_min(F.slice(hh, j + 1, w)),
+                )
+            ),
+        ).otherwise(
+            F.when(m > 0, F.array(F.array_min(hh))).otherwise(
+                F.array().cast("array<long>")
+            )
+        )
+
+    return F.element_at(F.transform(F.array(h), _select), 1)
+
+
+def winnow_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs blocked by shared winnowing fingerprints, verified
+    with true shingle Jaccard — the guarantee-backed alternative to
+    MinHash banding: two documents sharing ANY (w+k-1)-word span become
+    candidates with certainty, not with S-curve probability.
+
+    Scale shape mirrors the MinHash path: the fingerprint explode carries
+    (fp, id) longs; the fp-keyed self-join is the one data-dependent
+    exchange (a corpus-viral span makes a hot fingerprint — the same
+    skew story as band buckets, bounded the same way by verification
+    being candidate-bounded); Jaccard verification attaches shingle sets
+    to surviving pairs only (AQE broadcasts the candidate side).
+    """
+    fps = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprints_col(F.col(text_col), k, w)).alias("fp"),
+    )
+    # both candidate-join sides reference this frame: materialize the md5
+    # fold ONCE (the _shingle_docs discipline) instead of twice
+    fps = fps.cache()
+    fps.count()
+    cand = (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    docs = _shingle_docs(df, text_col, id_col)
+    return _verified_pairs(cand, docs, threshold)
+
+
+SIMHASH_WIDE_BITS = 60  # md5_long's width; 4 banks x 15 bits
+SIMHASH_BANKS = 4
+
+
+def simhash_wide_col(text: Column | str) -> Column:
+    """60-bit SimHash (same sign-of-weighted-bit-sums fold as
+    :func:`simhash_col`, at md5_long's full width) — wide enough that
+    hamming distance is a meaningful near-dup metric instead of a bucket
+    label. Row-local fold, no explode, no shuffle."""
+    hashes = F.transform(words_col(text), lambda w: md5_long(w))
+    bit_vecs = F.transform(
+        hashes,
+        lambda h: F.array(
+            *[
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for j in range(SIMHASH_WIDE_BITS)
+            ]
+        ),
+    )
+    bit_sums = F.aggregate(
+        bit_vecs,
+        F.array(*[F.lit(0)] * SIMHASH_WIDE_BITS),
+        lambda acc, bv: F.zip_with(acc, bv, lambda a, b: a + b),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_sums,
+            F.array(*[F.lit(1 << j) for j in range(SIMHASH_WIDE_BITS)]),
+            lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs at hamming distance ≤ ``max_hamming`` over the wide
+    SimHash — Manku, Jain & Das Sarma 2007 (the Google web-crawl dedup
+    construction): split the signature into ``SIMHASH_BANKS`` banks; by
+    pigeonhole, two signatures within hamming 3 agree EXACTLY on at least
+    one of 4 banks, so the bank-keyed equi-join enumerates every such
+    pair with certainty (no S-curve), and popcount(xor) verifies.
+    :func:`simhash_groups` only finds EQUAL signatures; this finds the
+    near-misses a one-word edit causes.
+
+    Scale shape: signature fold is row-local; the explode ships 4
+    (bank_idx, bank_val, id, sig) rows per doc — constant per doc, never
+    per token; the bank join is the one data-dependent exchange (hot
+    banks = near-identical boilerplate clusters, the same skew story as
+    LSH buckets); verification is a row-local popcount on the surviving
+    pairs. ``max_hamming`` must stay ≤ SIMHASH_BANKS - 1 for the
+    pigeonhole guarantee — enforced loudly.
+    """
+    if max_hamming > SIMHASH_BANKS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the {SIMHASH_BANKS}-bank "
+            "pigeonhole guarantee (needs max_hamming <= banks - 1)"
+        )
+    width = SIMHASH_WIDE_BITS // SIMHASH_BANKS
+    mask = (1 << width) - 1
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash_wide_col(F.col(text_col)).alias("sig")
+    )
+    banks = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), width * b).bitwiseAND(F.lit(mask))
+                    for b in range(SIMHASH_BANKS)
+                ]
+            )
+        ).alias("bank_idx", "bank_val"),
+    )
+    # both join sides reference the signature fold (60 whens per token):
+    # materialize it once, not twice
+    banks = banks.cache()
+    banks.count()
+    cand = (
+        banks.alias("a")
+        .join(
+            banks.alias("b"),
+            (F.col("a.bank_idx") == F.col("b.bank_idx"))
+            & (F.col("a.bank_val") == F.col("b.bank_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

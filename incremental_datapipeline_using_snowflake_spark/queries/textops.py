@@ -2637,6 +2637,111 @@ def _data_schedule_sql() -> str:
     return token_budget_schedule_sql(table="documents", group_col="source")
 
 
+# ---------------------------------------------------------------------------
+# dedup_winnowing (r10) — winnowing-fingerprint blocking (Schleimer et al.
+# 2003 / MOSS) + true-Jaccard verify: the guarantee-backed alternative to
+# MinHash banding (any shared (w+k-1)-word span MUST collide). Runs on the
+# augmented corpus so the planted exact + near dups are the positives.
+# ---------------------------------------------------------------------------
+WINNOW_K, WINNOW_W = 5, 4
+
+
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_df(spark, sf_dir)
+    return D.winnow_dedup_pairs(
+        corpus, k=WINNOW_K, w=WINNOW_W, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def _winnowing_sql() -> str:
+    kg = _H.format(
+        x=f"array_to_string(list_slice(sp, i, i + {WINNOW_K} - 1), ' ')"
+    )
+    return f"""
+WITH {CORPUS_SQL.strip()},
+{_SHINGLES_SQL.strip()},
+wv AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS sp FROM corpus),
+hs AS (
+  SELECT id,
+         CASE WHEN len(sp) >= {WINNOW_K}
+           THEN list_transform(range(1, len(sp) - {WINNOW_K} + 2), i -> {kg})
+           ELSE CAST([] AS BIGINT[]) END AS h
+  FROM wv
+),
+fps AS (
+  SELECT id, unnest(
+    CASE WHEN len(h) >= {WINNOW_W} THEN
+      list_distinct(list_transform(range(1, len(h) - {WINNOW_W} + 2),
+                    j -> list_min(list_slice(h, j, j + {WINNOW_W} - 1))))
+    WHEN len(h) > 0 THEN [list_min(h)]
+    ELSE CAST([] AS BIGINT[]) END) AS fp
+  FROM hs
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+)
+SELECT * FROM (
+  SELECT id_a, id_b,
+         round(len(list_intersect(da.sh, db.sh))
+               / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 4)
+           AS jaccard
+  FROM cand
+  JOIN docs2 da ON da.id = id_a
+  JOIN docs2 db ON db.id = id_b
+) WHERE jaccard >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash_hamming (r10) — Manku/Jain/Das Sarma 2007: wide-SimHash
+# near-miss pairs at hamming <= 3 via the 4-bank pigeonhole (at least one
+# bank agrees exactly, so the bank join is exhaustive — no S-curve).
+# dedup_simhash only buckets EQUAL 16-bit signatures; this catches the
+# one-edit near-misses.
+# ---------------------------------------------------------------------------
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_df(spark, sf_dir)
+    return D.simhash_hamming_pairs(corpus, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def _simhash_hamming_sql() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(D.SIMHASH_WIDE_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(D.SIMHASH_WIDE_BITS)
+    )
+    width = D.SIMHASH_WIDE_BITS // D.SIMHASH_BANKS
+    mask = (1 << width) - 1
+    bank_rows = " UNION ALL ".join(
+        f"SELECT id, sig, {b} AS bank_idx, (sig >> {width * b}) & {mask} AS bank_val FROM sh"
+        for b in range(D.SIMHASH_BANKS)
+    )
+    return f"""
+WITH {CORPUS_SQL.strip()},
+tok AS (
+  SELECT doc_id AS id, {_H.format(x="w")} AS h
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM corpus)
+),
+bits AS (SELECT id, {bit_sums} FROM tok GROUP BY id),
+sh AS (SELECT id, CAST({combine} AS BIGINT) AS sig FROM bits),
+banks AS ({bank_rows}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM banks a JOIN banks b
+    ON a.bank_idx = b.bank_idx AND a.bank_val = b.bank_val AND a.id < b.id
+)
+SELECT id_a, id_b, bit_count(CAST(xor(sig_a, sig_b) AS BIGINT)) AS hamming
+FROM cand
+WHERE bit_count(CAST(xor(sig_a, sig_b) AS BIGINT)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict = {
     "text_profile": (text_profile, _text_profile_sql()),
     "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SQL),
@@ -2688,4 +2793,6 @@ QUERIES: dict = {
     "dedup_minhash_recall": (dedup_minhash_recall, _minhash_recall_sql()),
     "intra_doc_scrub": (intra_doc_scrub, INTRA_DOC_SCRUB_SQL),
     "data_schedule": (data_schedule, _data_schedule_sql()),
+    "dedup_winnowing": (dedup_winnowing, _winnowing_sql()),
+    "dedup_simhash_hamming": (dedup_simhash_hamming, _simhash_hamming_sql()),
 }

@@ -95,6 +95,7 @@ FAMILY = [
     "dedup_minhash_recall",
     "intra_doc_scrub",
     "data_schedule",
+    "dedup_winnowing",
 ]
 
 

@@ -2113,3 +2113,89 @@ def test_token_budget_schedule_caps_and_redistributes(spark):
     assert budget - total < budget * 0.05
     # epochs = alloc / tokens exactly
     assert abs(out["big"]["epochs"] - out["big"]["alloc_tokens"] / 10000) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (r10) — span guarantee + blocking
+# ---------------------------------------------------------------------------
+def test_winnowing_guarantees_shared_span_collision(spark):
+    # docs share an 8-word span = w + k - 1 (k=5, w=4): the winnowing
+    # guarantee says they MUST share a fingerprint
+    span = "g1 g2 g3 g4 g5 g6 g7 g8"
+    rows = [
+        (1, "aaa bbb ccc " + span + " ddd eee"),
+        (2, "xxx yyy " + span + " zzz www qqq"),
+        (3, "totally unrelated words here only once ever seen now"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    from pyspark.sql import functions as SF
+
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", D.winnow_fingerprints_col("text", k=5, w=4).alias("fps")
+        ).collect()
+    }
+    assert fps[1] & fps[2], "shared >= w+k-1 span must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # density: selected set is much smaller than the k-gram count
+    n_kgrams = len(rows[0][1].split()) - 5 + 1
+    assert 0 < len(fps[1]) < n_kgrams
+
+
+def test_winnow_dedup_pairs_verifies_with_jaccard(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.winnow_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    # exact dup pair guaranteed as candidate and passes verify
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs  # near dup shares long spans
+    # the German / unrelated docs never pair with the English ones
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_winnow_short_doc_contributes_global_min(spark):
+    df = spark.createDataFrame(
+        [(1, "only six words in this doc")], schema="doc_id long, text string"
+    )
+    fps = df.select(
+        D.winnow_fingerprints_col("text", k=5, w=4).alias("fps")
+    ).collect()[0]["fps"]
+    # 2 k-grams < w=4 windows -> exactly the global minimum survives
+    assert len(fps) == 1
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming banding (r10) — Manku et al. pigeonhole guarantee
+# ---------------------------------------------------------------------------
+def test_simhash_hamming_finds_near_misses_groups_cannot(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_hamming_pairs(docs, max_hamming=3).collect()
+    }
+    # exact dup: hamming 0, guaranteed by any bank
+    assert pairs[(1, 2)] == 0
+    # equal-signature grouping (the old op) can never see hamming>0 pairs
+    grp = D.simhash_groups(spark.createDataFrame(
+        [(1, docs.collect()[0]["text"])], schema="doc_id long, text string"
+    ))
+    assert all(h <= 3 for h in pairs.values())
+    # unrelated docs (4=German, 5=different topic) stay far in hamming
+    assert not any((a, b) in pairs for a in (1, 2, 3) for b in (4, 5))
+
+
+def test_simhash_hamming_cap_enforced(spark, docs):
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_hamming_pairs(docs, max_hamming=4)
+
+
+def test_simhash_hamming_one_word_edit_within_reach(spark):
+    base = ("w" + " w".join(str(i) for i in range(40)))
+    rows = [(1, base), (2, base.replace("w7", "edited", 1))]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    sigs = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", D.simhash_wide_col("text").alias("s")).collect()}
+    ham = bin(sigs[1] ^ sigs[2]).count("1")
+    # a one-word edit moves few weighted bit sums: hamming stays small
+    assert ham <= 6
