@@ -96,6 +96,7 @@ FAMILY = [
     "intra_doc_scrub",
     "data_schedule",
     "dedup_winnowing",
+    "dedup_simhash_hamming",
 ]
 
 
