@@ -573,3 +573,156 @@ def bpe_encode(
         F.size(stream).cast("long").alias("n_tokens"),
         F.md5(F.array_join(stream, " ")).alias("tokens_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 inverted index — the lexical-retrieval analogue of the IVF
+# index lifecycle (ops/similarity.py:build_ivf_index): build once into the
+# TableStore, query many times with partition-pruned postings scans, grow
+# incrementally at batch cost. bm25_topk rescans the corpus per query set;
+# at warehouse scale the index is how lexical search actually runs.
+# ---------------------------------------------------------------------------
+BM25_BUCKETS = 32  # term-hash partition fanout for postings pruning
+
+
+def _bm25_bucket(term: Column) -> Column:
+    from ..queries.util import md5_long as _md5
+
+    return (_md5(term) % BM25_BUCKETS).cast("int")
+
+
+def build_bm25_index(
+    spark,
+    store,
+    df: DataFrame,
+    name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the inverted index: ``<name>__postings`` (bucket, term,
+    doc_id, tf) Hive-partitioned on the term-hash bucket so a query's
+    postings scan prunes to the probed terms' partitions; ``<name>__docs``
+    (doc_id, dl) lengths; ``<name>__stats`` the (n_docs, sum_dl) scalar
+    pair. Document frequency is NOT a stored statistic — it is derived
+    from the pruned postings at query time, so appends can never leave a
+    stale idf (the same freshness-by-construction choice the curation
+    store makes for its Bloom delta)."""
+    words = F.split(F.trim(F.col(text_col)), WORD_RE)
+    tokens = df.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("term"))
+    postings = (
+        tokens.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .select(_bm25_bucket(F.col("term")).alias("bucket"), "term", "doc_id", "tf")
+    )
+    store.overwrite(postings, f"{name}__postings", partition_by=["bucket"])
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), F.size(words).cast("long").alias("dl")
+    )
+    store.overwrite(docs, f"{name}__docs")
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    store.overwrite(stats, f"{name}__stats")
+
+
+def append_to_bm25_index(
+    spark,
+    store,
+    batch: DataFrame,
+    name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Grow the index by one batch: postings/lengths append at batch cost
+    (no corpus rescan), the scalar stats pair updates by exact integer
+    addition — after any append sequence the index answers queries
+    byte-identically to a from-scratch build over the union (pinned by
+    the ``bm25_index_lifecycle`` oracle)."""
+    words = F.split(F.trim(F.col(text_col)), WORD_RE)
+    tokens = batch.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("term"))
+    postings = (
+        tokens.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .select(_bm25_bucket(F.col("term")).alias("bucket"), "term", "doc_id", "tf")
+    )
+    store.append(postings, f"{name}__postings", partition_by=["bucket"])
+    docs = batch.select(
+        F.col(id_col).alias("doc_id"), F.size(words).cast("long").alias("dl")
+    )
+    store.append(docs, f"{name}__docs")
+    old = store.read(spark, f"{name}__stats").first()
+    add = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("dl").cast("long").alias("s")
+    ).first()
+    new_stats = spark.createDataFrame(
+        [(old["n_docs"] + add["n"], old["sum_dl"] + add["s"])],
+        schema="n_docs long, sum_dl long",
+    )
+    store.overwrite(new_stats, f"{name}__stats")
+
+
+def query_bm25_index(
+    spark,
+    store,
+    name: str,
+    terms: list[str],
+    k: int = 15,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Answer a BM25 top-k from the STORED index: one 1-row stats read,
+    one postings scan partition-pruned to the probed terms' buckets
+    (cost ∝ those terms' postings, never the corpus), df derived exactly
+    from the pruned postings, then the IDENTICAL literal-arithmetic
+    scoring chain as :func:`bm25_topk` (same association order, same
+    6 dp idf / 4 dp score rounding) over the matched docs only — a doc
+    with no query term scores 0 in both paths and appears in neither."""
+    import math
+
+    st = store.read(spark, f"{name}__stats").first()
+    n, avgdl = st["n_docs"], st["sum_dl"] / st["n_docs"]
+    # partition pruning: a literal IN on the partition column reaches the
+    # directory listing (only the probed terms' bucket dirs are read),
+    # then the exact term filter cuts hash-sharing neighbors
+    bucket_lits = sorted({_portable_bucket(t) for t in terms})
+    posts = store.read(spark, f"{name}__postings").filter(
+        F.col("bucket").isin(*bucket_lits) & F.col("term").isin(*terms)
+    )
+    per_doc = posts.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0))
+            .cast("long")
+            .alias(f"tf_{t}")
+            for t in terms
+        ]
+    )
+    dfs = {
+        r["term"]: r["df"]
+        for r in posts.groupBy("term").agg(F.countDistinct("doc_id").alias("df")).collect()
+    }
+    dl = store.read(spark, f"{name}__docs")
+    base = per_doc.join(dl, "doc_id")
+    score = F.lit(0.0)
+    for t in terms:
+        df_t = dfs.get(t, 0)
+        idf = round(math.log((n - df_t + 0.5) / (df_t + 0.5) + 1), 6)
+        tf = F.col(f"tf_{t}")
+        score = score + (
+            F.lit(idf) * tf * F.lit(k1 + 1)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)))
+        )
+    return (
+        base.select("doc_id", *[f"tf_{t}" for t in terms], F.round(score, 4).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _portable_bucket(term: str) -> int:
+    """Driver-side twin of :func:`_bm25_bucket` (same md5-long % buckets)."""
+    import hashlib
+
+    h = int(hashlib.md5(term.encode()).hexdigest()[:15], 16)
+    return h % BM25_BUCKETS

@@ -488,6 +488,42 @@ ORDER BY rank
 """
 
 
+# ---------------------------------------------------------------------------
+# bm25_index_lifecycle (r10) — persisted inverted-index retrieval through
+# the REAL store (the lexical twin of ann_index_lifecycle): build postings/
+# lengths/stats from 80% of the corpus, GROW by the remaining 20% with
+# append_to_bm25_index (batch cost, exact integer stats update), then
+# answer the fixed 3-term query from the stored index with a
+# partition-pruned postings scan. The oracle is bm25_search's full-corpus
+# SQL VERBATIM — the grown index must reproduce the direct computation
+# exactly, proving the persisted index (and its append path) is lossless.
+# ---------------------------------------------------------------------------
+_BM25_INDEX_CACHE: dict = {}
+
+
+def bm25_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.table_store import TableStore
+    from ..ops.textprep import (
+        append_to_bm25_index,
+        build_bm25_index,
+        query_bm25_index,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    store = _BM25_INDEX_CACHE.get(key)
+    if store is None:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        store = TableStore(root=tempfile.mkdtemp(prefix="spark_bm25idx_"))
+        build_bm25_index(spark, store, docs.filter("doc_id % 5 != 0"), "idx.docs")
+        append_to_bm25_index(
+            spark, store, docs.filter("doc_id % 5 = 0"), "idx.docs"
+        )
+        _BM25_INDEX_CACHE[key] = store
+    return query_bm25_index(spark, store, "idx.docs", BM25_TERMS, k=15)
+
+
 QUERIES: dict = {
     "asof_view_purchase": (asof_view_purchase, ASOF_SQL),
     "asof_cogrouped": (asof_cogrouped, ASOF_SQL),
@@ -498,6 +534,7 @@ QUERIES: dict = {
     "pii_redaction": (pii_redaction, PII_SQL),
     "tfidf_terms": (tfidf_terms, TFIDF_SQL),
     "bm25_search": (bm25_search, _bm25_sql()),
+    "bm25_index_lifecycle": (bm25_index_lifecycle, _bm25_sql()),
     "hybrid_search_rrf": (hybrid_search_rrf, _hybrid_rrf_sql()),
     "calendar_gapfill": (calendar_gapfill, GAPFILL_SQL),
 }

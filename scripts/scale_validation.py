@@ -97,6 +97,7 @@ FAMILY = [
     "data_schedule",
     "dedup_winnowing",
     "dedup_simhash_hamming",
+    "bm25_index_lifecycle",
 ]
 
 

@@ -2199,3 +2199,54 @@ def test_simhash_hamming_one_word_edit_within_reach(spark):
     ham = bin(sigs[1] ^ sigs[2]).count("1")
     # a one-word edit moves few weighted bit sums: hamming stays small
     assert ham <= 6
+
+
+# ---------------------------------------------------------------------------
+# BM25 index lifecycle (r10) — persisted postings, pruned queries
+# ---------------------------------------------------------------------------
+def test_bm25_index_matches_direct_and_prunes(spark, tmp_path):
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.ops import textprep as TP
+
+    rows = [
+        (1, "spark merge window spark table"),
+        (2, "merge merge merge row scan"),
+        (3, "window filter sort group batch"),
+        (4, "no query words here at all"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    store = TableStore(root=str(tmp_path / "idx"))
+    TP.build_bm25_index(spark, store, df.filter("doc_id <= 2"), "t.docs")
+    TP.append_to_bm25_index(spark, store, df.filter("doc_id >= 3"), "t.docs")
+
+    terms = ["spark", "merge", "window"]
+    got = TP.query_bm25_index(spark, store, "t.docs", terms, k=10).collect()
+    want = TP.bm25_topk(df, terms, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # doc 4 (no query term) appears in neither path
+    assert all(r["doc_id"] != 4 for r in got)
+
+    # partition pruning: the bucket IN (...) literal reaches the scan as a
+    # PartitionFilter (directory-level pruning), not a post-scan Filter
+    posts_all = store.read(spark, "t.docs__postings")
+    buckets = sorted({TP._portable_bucket(t) for t in terms})
+    pruned = posts_all.filter(F.col("bucket").isin(*buckets))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "bucket" in pf[0]
+
+
+def test_bm25_append_updates_stats_exactly(spark, tmp_path):
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.ops import textprep as TP
+
+    df = spark.createDataFrame(
+        [(i, "w " * (i + 1)) for i in range(6)], schema="doc_id long, text string"
+    )
+    store = TableStore(root=str(tmp_path / "idx2"))
+    TP.build_bm25_index(spark, store, df.filter("doc_id < 3"), "t.docs")
+    TP.append_to_bm25_index(spark, store, df.filter("doc_id >= 3"), "t.docs")
+    st = store.read(spark, "t.docs__stats").first()
+    assert st["n_docs"] == 6
+    # trim() strips the trailing space, so dl = i+1 words per doc
+    assert st["sum_dl"] == sum(i + 1 for i in range(6))
