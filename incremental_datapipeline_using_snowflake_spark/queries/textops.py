@@ -2742,6 +2742,99 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# curriculum_order (r10) — the training ORDER artifact curriculum learning
+# consumes: fluent documents first (CCNet head -> middle -> tail), salted-
+# md5 shuffle WITHIN each bucket (diversity without a quality gradient
+# inside the phase), global position = bucket offset + within-bucket rank.
+# No global sort: within-bucket ranks are bucket-keyed windows; offsets
+# come from the 3-row bucket-size aggregate (epoch_shuffle's
+# global-order-without-global-sort discipline applied across buckets).
+# ---------------------------------------------------------------------------
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..queries.util import md5_long
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    b = X.ccnet_buckets(docs)
+    brank = (
+        F.when(F.col("bucket") == "head", 1)
+        .when(F.col("bucket") == "middle", 2)
+        .otherwise(3)
+    )
+    key = md5_long(F.concat(F.lit("curr:"), F.col("doc_id").cast("string")))
+    ranked = b.select(
+        "doc_id",
+        "lang",
+        "bucket",
+        brank.alias("_br"),
+        F.row_number()
+        .over(W.partitionBy(brank).orderBy(key, F.col("doc_id")))
+        .alias("_r"),
+    )
+    sizes = ranked.groupBy("_br").agg(F.count(F.lit(1)).alias("_n"))
+    offs = sizes.select(
+        "_br",
+        (
+            F.sum("_n").over(
+                W.partitionBy().orderBy("_br").rowsBetween(W.unboundedPreceding, -1)
+            )
+        ).alias("_off"),
+    ).fillna(0, subset=["_off"])
+    return (
+        ranked.join(offs, "_br")
+        .select(
+            "doc_id",
+            "lang",
+            "bucket",
+            (F.col("_off") + F.col("_r")).cast("long").alias("position"),
+        )
+        .orderBy("position")
+    )
+
+
+def _curriculum_sql() -> str:
+    key = _H.format(x="('curr:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH bg AS (
+  SELECT doc_id, sp[i] AS w1, sp[i + 1] AS w2
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS sp FROM documents),
+       LATERAL (SELECT unnest(range(1, len(sp))) AS i)
+),
+bgc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+scored AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         round(CAST(sum(CAST(round(ln(c2 / c1), 6) AS DECIMAL(20,10))) AS DOUBLE)
+               / count(*), 6) AS avg_logprob
+  FROM bg JOIN bgc USING (w1, w2) JOIN ctx USING (w1)
+  GROUP BY doc_id
+),
+labeled AS (
+  SELECT s.doc_id, d.lang,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.avg_logprob DESC, s.doc_id) AS nt
+  FROM scored s JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, lang, nt AS br,
+         row_number() OVER (PARTITION BY nt ORDER BY {key}, doc_id) AS r
+  FROM labeled
+),
+offs AS (
+  SELECT br, coalesce(sum(n) OVER (ORDER BY br
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM (SELECT br, count(*) AS n FROM ranked GROUP BY br)
+)
+SELECT doc_id, lang,
+       CASE br WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(off + r AS BIGINT) AS position
+FROM ranked JOIN offs USING (br)
+ORDER BY position
+"""
+
+
 QUERIES: dict = {
     "text_profile": (text_profile, _text_profile_sql()),
     "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SQL),
@@ -2795,4 +2888,5 @@ QUERIES: dict = {
     "data_schedule": (data_schedule, _data_schedule_sql()),
     "dedup_winnowing": (dedup_winnowing, _winnowing_sql()),
     "dedup_simhash_hamming": (dedup_simhash_hamming, _simhash_hamming_sql()),
+    "curriculum_order": (curriculum_order, _curriculum_sql()),
 }

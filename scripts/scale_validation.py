@@ -98,6 +98,7 @@ FAMILY = [
     "dedup_winnowing",
     "dedup_simhash_hamming",
     "bm25_index_lifecycle",
+    "curriculum_order",
 ]
 
 

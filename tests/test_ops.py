@@ -2250,3 +2250,31 @@ def test_bm25_append_updates_stats_exactly(spark, tmp_path):
     assert st["n_docs"] == 6
     # trim() strips the trailing space, so dl = i+1 words per doc
     assert st["sum_dl"] == sum(i + 1 for i in range(6))
+
+
+# ---------------------------------------------------------------------------
+# curriculum_order (r10) — fluent-first training order
+# ---------------------------------------------------------------------------
+def test_curriculum_order_buckets_are_contiguous_phases(spark):
+    import os
+
+    from incremental_datapipeline_using_snowflake_spark.queries.textops import (
+        curriculum_order,
+    )
+
+    rows = curriculum_order(spark, "/root/testdata/sf0.001").collect()
+    # positions are a dense 1..N permutation
+    assert sorted(r["position"] for r in rows) == list(range(1, len(rows) + 1))
+    # every head position precedes every middle, every middle every tail
+    ends = {}
+    starts = {}
+    for r in rows:
+        b = r["bucket"]
+        ends[b] = max(ends.get(b, 0), r["position"])
+        starts[b] = min(starts.get(b, 1 << 60), r["position"])
+    assert ends["head"] < starts["middle"] < ends["middle"] < starts["tail"]
+    # within a bucket the order is the salted hash, not doc_id: the id
+    # sequence inside head must not be sorted
+    head_ids = [r["doc_id"] for r in sorted(rows, key=lambda r: r["position"])
+                if r["bucket"] == "head"]
+    assert head_ids != sorted(head_ids)
