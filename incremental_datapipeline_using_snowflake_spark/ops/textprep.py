@@ -726,3 +726,142 @@ def _portable_bucket(term: str) -> int:
 
     h = int(hashlib.md5(term.encode()).hexdigest()[:15], 16)
     return h % BM25_BUCKETS
+
+
+# ---------------------------------------------------------------------------
+# Span corruption — the T5 denoising objective's data transform (Raffel et
+# al. 2020 §3.1.4): mask ~15% of tokens in multi-token spans, emit the
+# sentinel-marked input and the sentinel+masked-tokens target. At corpus
+# scale this runs on every pretraining refresh, so it must be a row-local
+# Column pipeline, deterministic (salted hash, not RNG — re-runs and the
+# SQL oracle reproduce byte-identical pairs), and explode-free.
+# ---------------------------------------------------------------------------
+SPAN_NOISE_MOD = 20  # a span STARTS at position i iff hash(id:i) % 20 == 0
+SPAN_LEN = 3         # each start masks 3 tokens (~15% noise density)
+
+
+def span_corruption(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    noise_mod: int = SPAN_NOISE_MOD,
+    span_len: int = SPAN_LEN,
+) -> DataFrame:
+    """Deterministic T5 span corruption: position ``i`` starts a masked
+    span iff ``md5(id:i) % noise_mod == 0``; spans cover ``span_len``
+    tokens and overlapping spans merge into one run. The input keeps
+    unmasked tokens with one ``<extra_id_k>`` sentinel per run; the
+    target is each run's sentinel followed by its masked tokens —
+    exactly the pair a T5-style trainer consumes.
+
+    Everything is row-local array arithmetic over bound lambda variables
+    (the winnowing lesson: never reference a transform subtree inside
+    another lambda — bind it once through a 1-element array). Output
+    carries md5 fingerprints of both streams plus the count columns, so
+    correctness is checkable without shipping token arrays.
+    """
+    from ..queries.util import md5_long
+
+    w = F.split(F.trim(F.col(text_col)), WORD_RE)
+    idc = F.col(id_col)
+
+    def _fp(i: Column) -> Column:
+        return md5_long(F.concat(idc.cast("string"), F.lit(":"), i.cast("string")))
+
+    def build(ww: Column) -> Column:
+        m = F.size(ww)
+        idx = F.sequence(F.lit(0), m - 1)
+        starts = F.transform(idx, lambda i: (_fp(i) % noise_mod) == 0)
+
+        def with_starts(st: Column) -> Column:
+            masked = F.transform(
+                F.sequence(F.lit(0), F.size(st) - 1),
+                lambda i: F.exists(
+                    F.slice(
+                        st,
+                        F.greatest(i - span_len + 2, F.lit(1)),
+                        F.least(i + 1, F.lit(span_len)),
+                    ),
+                    lambda x: x,
+                ),
+            )
+
+            def with_masked(mk: Column) -> Column:
+                # element_at(mk, 0) would throw (no boolean short-circuit in
+                # SQL): clamp the predecessor index to 1 — the i==0 arm of
+                # the OR makes the clamped read's value irrelevant there
+                run_start = F.transform(
+                    F.sequence(F.lit(0), F.size(mk) - 1),
+                    lambda i: F.element_at(mk, i + 1)
+                    & ((i == 0) | ~F.element_at(mk, F.greatest(i, F.lit(1)))),
+                )
+
+                def with_runs(rs: Column) -> Column:
+                    # k_i = index of the run containing/preceding position i
+                    # (1-based count of run starts in positions 0..i)
+                    kcum = F.transform(
+                        F.sequence(F.lit(0), F.size(rs) - 1),
+                        lambda i: F.size(
+                            F.filter(F.slice(rs, 1, i + 1), lambda x: x)
+                        ),
+                    )
+
+                    def with_k(kc: Column) -> Column:
+                        sent = lambda i: F.concat(  # noqa: E731
+                            F.lit("<extra_id_"),
+                            (F.element_at(kc, i + 1) - 1).cast("string"),
+                            F.lit(">"),
+                        )
+                        inp = F.flatten(
+                            F.transform(
+                                F.sequence(F.lit(0), F.size(kc) - 1),
+                                lambda i: F.when(
+                                    ~F.element_at(mk, i + 1),
+                                    F.array(F.element_at(ww, i + 1)),
+                                )
+                                .when(
+                                    F.element_at(rs, i + 1), F.array(sent(i))
+                                )
+                                .otherwise(F.array().cast("array<string>")),
+                            )
+                        )
+                        tgt = F.flatten(
+                            F.transform(
+                                F.sequence(F.lit(0), F.size(kc) - 1),
+                                lambda i: F.when(
+                                    F.element_at(rs, i + 1),
+                                    F.array(sent(i), F.element_at(ww, i + 1)),
+                                )
+                                .when(
+                                    F.element_at(mk, i + 1),
+                                    F.array(F.element_at(ww, i + 1)),
+                                )
+                                .otherwise(F.array().cast("array<string>")),
+                            )
+                        )
+                        return F.struct(
+                            F.size(F.filter(mk, lambda x: x)).alias("n_masked"),
+                            F.size(F.filter(rs, lambda x: x)).alias("n_spans"),
+                            F.md5(F.array_join(inp, " ")).alias("input_fp"),
+                            F.md5(F.array_join(tgt, " ")).alias("target_fp"),
+                        )
+
+                    return F.element_at(F.transform(F.array(kcum), with_k), 1)
+
+                return F.element_at(F.transform(F.array(run_start), with_runs), 1)
+
+            return F.element_at(F.transform(F.array(masked), with_masked), 1)
+
+        return F.element_at(F.transform(F.array(starts), with_starts), 1)
+
+    built = F.element_at(F.transform(F.array(w), build), 1)
+    return df.select(
+        idc, F.size(w).alias("n_tokens"), built.alias("_b")
+    ).select(
+        id_col,
+        "n_tokens",
+        F.col("_b.n_masked").alias("n_masked"),
+        F.col("_b.n_spans").alias("n_spans"),
+        F.col("_b.input_fp").alias("input_fp"),
+        F.col("_b.target_fp").alias("target_fp"),
+    )

@@ -2835,6 +2835,78 @@ ORDER BY position
 """
 
 
+# ---------------------------------------------------------------------------
+# span_corruption_pairs (r10) — the T5 denoising objective's data transform
+# (Raffel et al. 2020 §3.1.4): deterministic salted-hash span masking,
+# sentinel-marked input + sentinel-prefixed target, fingerprints compared.
+# The oracle replays every array stage (starts, mask, run starts, run
+# index, both token streams) as staged CTE columns.
+# ---------------------------------------------------------------------------
+def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.textprep import span_corruption
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_corruption(docs).orderBy("doc_id")
+
+
+def _span_corruption_sql() -> str:
+    from ..ops.textprep import SPAN_LEN, SPAN_NOISE_MOD
+
+    fp = _H.format(x="(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))")
+    sent = "'<extra_id_' || CAST(kc[i + 1] - 1 AS VARCHAR) || '>'"
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS sp FROM documents
+),
+s1 AS (
+  SELECT doc_id, sp,
+         list_transform(range(0, len(sp)), i -> ({fp} % {SPAN_NOISE_MOD}) = 0)
+           AS st
+  FROM w
+),
+s2 AS (
+  SELECT doc_id, sp, st,
+         list_transform(range(0, len(st)),
+           i -> len(list_filter(
+                  list_slice(st, greatest(i - {SPAN_LEN} + 2, 1), i + 1),
+                  x -> x)) > 0) AS mk
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, sp, mk,
+         list_transform(range(0, len(mk)),
+           i -> mk[i + 1] AND (i = 0 OR NOT mk[i])) AS rs
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, sp, mk, rs,
+         list_transform(range(0, len(rs)),
+           i -> len(list_filter(list_slice(rs, 1, i + 1), x -> x))) AS kc
+  FROM s3
+),
+built AS (
+  SELECT doc_id,
+         CAST(len(sp) AS INT) AS n_tokens,
+         CAST(len(list_filter(mk, x -> x)) AS INT) AS n_masked,
+         CAST(len(list_filter(rs, x -> x)) AS INT) AS n_spans,
+         flatten(list_transform(range(0, len(sp)),
+           i -> CASE WHEN NOT mk[i + 1] THEN [sp[i + 1]]
+                     WHEN rs[i + 1] THEN [{sent}]
+                     ELSE CAST([] AS VARCHAR[]) END)) AS inp,
+         flatten(list_transform(range(0, len(sp)),
+           i -> CASE WHEN rs[i + 1] THEN [{sent}, sp[i + 1]]
+                     WHEN mk[i + 1] THEN [sp[i + 1]]
+                     ELSE CAST([] AS VARCHAR[]) END)) AS tgt
+  FROM s4
+)
+SELECT doc_id, n_tokens, n_masked, n_spans,
+       md5(coalesce(array_to_string(inp, ' '), '')) AS input_fp,
+       md5(coalesce(array_to_string(tgt, ' '), '')) AS target_fp
+FROM built
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict = {
     "text_profile": (text_profile, _text_profile_sql()),
     "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SQL),
@@ -2889,4 +2961,5 @@ QUERIES: dict = {
     "dedup_winnowing": (dedup_winnowing, _winnowing_sql()),
     "dedup_simhash_hamming": (dedup_simhash_hamming, _simhash_hamming_sql()),
     "curriculum_order": (curriculum_order, _curriculum_sql()),
+    "span_corruption_pairs": (span_corruption_pairs, _span_corruption_sql()),
 }

@@ -99,6 +99,7 @@ FAMILY = [
     "dedup_simhash_hamming",
     "bm25_index_lifecycle",
     "curriculum_order",
+    "span_corruption_pairs",
 ]
 
 

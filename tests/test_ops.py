@@ -2278,3 +2278,71 @@ def test_curriculum_order_buckets_are_contiguous_phases(spark):
     head_ids = [r["doc_id"] for r in sorted(rows, key=lambda r: r["position"])
                 if r["bucket"] == "head"]
     assert head_ids != sorted(head_ids)
+
+
+# ---------------------------------------------------------------------------
+# span_corruption (r10) — T5 denoising transform
+# ---------------------------------------------------------------------------
+def test_span_corruption_streams_reconstruct_exactly(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops import textprep as TP
+    from incremental_datapipeline_using_snowflake_spark.queries.util import md5_long
+
+    # reimplement the token streams inline (fingerprint-free) to check the
+    # invariant: replacing each input sentinel with its target span
+    # reconstructs the original document exactly
+    import hashlib
+
+    def fp(doc_id, i):
+        return int(
+            hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:15], 16
+        )
+
+    doc_id, words = 42, [f"t{j}" for j in range(40)]
+    starts = [fp(doc_id, i) % TP.SPAN_NOISE_MOD == 0 for i in range(40)]
+    masked = [any(starts[max(0, i - TP.SPAN_LEN + 1): i + 1]) for i in range(40)]
+    rs = [masked[i] and (i == 0 or not masked[i - 1]) for i in range(40)]
+    k = 0
+    inp, tgt = [], []
+    for i in range(40):
+        if not masked[i]:
+            inp.append(words[i])
+        elif rs[i]:
+            inp.append(f"<extra_id_{k}>")
+            tgt.extend([f"<extra_id_{k}>", words[i]])
+            k += 1
+        else:
+            tgt.append(words[i])
+    df = spark.createDataFrame(
+        [(doc_id, " ".join(words))], "doc_id long, text string"
+    )
+    row = TP.span_corruption(df).collect()[0]
+    assert row["n_masked"] == sum(masked)
+    assert row["n_spans"] == sum(rs) == k
+    assert row["input_fp"] == hashlib.md5(" ".join(inp).encode()).hexdigest()
+    assert row["target_fp"] == hashlib.md5(" ".join(tgt).encode()).hexdigest()
+    # the invariant itself: splice targets back into the input
+    spans = {}
+    cur = None
+    for t in tgt:
+        if t.startswith("<extra_id_"):
+            cur = t
+            spans[cur] = []
+        else:
+            spans[cur].append(t)
+    rebuilt = []
+    for t in inp:
+        rebuilt.extend(spans[t] if t in spans else [t])
+    assert rebuilt == words
+
+
+def test_span_corruption_density_near_target(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops import textprep as TP
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(200))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    rows = TP.span_corruption(df).collect()
+    frac = sum(r["n_masked"] for r in rows) / sum(r["n_tokens"] for r in rows)
+    # span_len/noise_mod = 3/20 = 15% expected noise density (minus overlap)
+    assert 0.08 < frac < 0.22
