@@ -226,6 +226,63 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# packing_efficiency (r10) — the fill/waste report a training-batch planner
+# reads before committing a context length: per shard, how full the packed
+# bins actually are (quantized packing lets a straddling doc overflow its
+# bin, so per-shard fill can exceed 1; the LAST bin in each shard is the
+# only structurally-underfull one). Composes pack_sequences (r07-green).
+# ---------------------------------------------------------------------------
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    packed = TP.pack_sequences(docs, budget_tokens=512, n_shards=8)
+    per_shard = packed.groupBy("shard").agg(
+        F.countDistinct("bin").cast("long").alias("n_bins"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+    )
+    return per_shard.select(
+        "shard",
+        "n_bins",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens") / (F.col("n_bins") * 512), 4).alias("fill_ratio"),
+        F.round(
+            (F.col("tokens") - (F.col("n_bins") - 1) * 512)
+            / F.lit(512.0),
+            4,
+        ).alias("last_bin_fill"),
+    ).orderBy("shard")
+
+
+PACKING_EFFICIENCY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id AS id, doc_id % 8 AS shard,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+binned AS (
+  SELECT id, shard, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+                                         ROWS UNBOUNDED PRECEDING)
+                     - n_tokens) / 512) AS BIGINT) AS bin
+  FROM toks
+),
+per_shard AS (
+  SELECT shard,
+         CAST(count(DISTINCT bin) AS BIGINT) AS n_bins,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens
+  FROM binned GROUP BY shard
+)
+SELECT shard, n_bins, n_docs, tokens,
+       round(CAST(tokens AS DOUBLE) / (n_bins * 512), 4) AS fill_ratio,
+       round((tokens - (n_bins - 1) * 512) / 512.0, 4) AS last_bin_fill
+FROM per_shard
+ORDER BY shard
+"""
+
+
 PACKING_SQL = r"""
 WITH toks AS (
   SELECT doc_id AS id, doc_id % 8 AS shard,
@@ -535,6 +592,7 @@ QUERIES: dict = {
     "tfidf_terms": (tfidf_terms, TFIDF_SQL),
     "bm25_search": (bm25_search, _bm25_sql()),
     "bm25_index_lifecycle": (bm25_index_lifecycle, _bm25_sql()),
+    "packing_efficiency": (packing_efficiency, PACKING_EFFICIENCY_SQL),
     "hybrid_search_rrf": (hybrid_search_rrf, _hybrid_rrf_sql()),
     "calendar_gapfill": (calendar_gapfill, GAPFILL_SQL),
 }

@@ -100,6 +100,7 @@ FAMILY = [
     "bm25_index_lifecycle",
     "curriculum_order",
     "span_corruption_pairs",
+    "packing_efficiency",
 ]
 
 

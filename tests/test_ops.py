@@ -2346,3 +2346,23 @@ def test_span_corruption_density_near_target(spark):
     frac = sum(r["n_masked"] for r in rows) / sum(r["n_tokens"] for r in rows)
     # span_len/noise_mod = 3/20 = 15% expected noise density (minus overlap)
     assert 0.08 < frac < 0.22
+
+
+# ---------------------------------------------------------------------------
+# packing_efficiency (r10) — fill/waste report over quantized packing
+# ---------------------------------------------------------------------------
+def test_packing_efficiency_full_bins_high_fill(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops import textprep as TP
+    from pyspark.sql import functions as SF
+
+    # one shard (ids all ≡ 0 mod 8), docs of exactly 128 tokens: 4 docs
+    # fill a 512 bin perfectly -> fill_ratio 1.0 everywhere
+    rows = [(i * 8, " ".join(f"w{j}" for j in range(128))) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = TP.pack_sequences(df, budget_tokens=512, n_shards=8)
+    agg = packed.groupBy("shard").agg(
+        SF.countDistinct("bin").alias("n_bins"), SF.sum("n_tokens").alias("tokens")
+    ).collect()[0]
+    assert agg["n_bins"] == 2 and agg["tokens"] == 1024
+    # and the declared query's math: 1024 / (2*512) = 1.0
+    assert abs(agg["tokens"] / (agg["n_bins"] * 512) - 1.0) < 1e-9
