@@ -120,9 +120,10 @@ def _shingle_docs(
         path = f"{checkpoint_dir}/{checkpoint_name}"
         docs.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
-    docs = docs.cache()
-    docs.count()  # eager fill — one shingle pass total
-    return docs
+    # eager fill — one shingle pass total; localCheckpoint (not cache) so
+    # the materialized shingles don't sit in executor storage for the
+    # rest of the session after the caller is done
+    return docs.localCheckpoint(eager=True)
 
 
 def _verified_pairs(cand: DataFrame, docs: DataFrame, threshold: float) -> DataFrame:
@@ -1462,9 +1463,10 @@ def winnow_dedup_pairs(
         F.explode(winnow_fingerprints_col(F.col(text_col), k, w)).alias("fp"),
     )
     # both candidate-join sides reference this frame: materialize the md5
-    # fold ONCE (the _shingle_docs discipline) instead of twice
-    fps = fps.cache()
-    fps.count()
+    # fold ONCE instead of twice — localCheckpoint (not cache) so the
+    # materialization is released with the job, not parked in executor
+    # storage for the session (bench reps call this repeatedly)
+    fps = fps.localCheckpoint(eager=True)
     cand = (
         fps.alias("a")
         .join(
@@ -1559,9 +1561,9 @@ def simhash_hamming_pairs(
         ).alias("bank_idx", "bank_val"),
     )
     # both join sides reference the signature fold (60 whens per token):
-    # materialize it once, not twice
-    banks = banks.cache()
-    banks.count()
+    # materialize it once, not twice — localCheckpoint so repeated calls
+    # in one session don't accumulate unreleasable executor storage
+    banks = banks.localCheckpoint(eager=True)
     cand = (
         banks.alias("a")
         .join(

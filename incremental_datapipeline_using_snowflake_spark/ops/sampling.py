@@ -632,6 +632,13 @@ def token_budget_schedule(
 
     Every allocation step is BIGINT arithmetic (integer div, least/
     greatest); the only doubles are the final single-op epoch divisions.
+    Overflow posture: the naive ``(budget * w) div sumw`` product exceeds
+    int64 at real corpus scale (budget ~4e13 tokens x w ~4.5e6), so both
+    engines use the exact split-division identity
+    ``w*(B div s) + (w*(B mod s)) div s`` — every intermediate is bounded
+    by ``max(budget, w * sumw)``, which stays far inside int64 even at
+    100 TB (w <= sqrt(tot), sumw <= n_sources * sqrt(tot/n_sources), so
+    w * sumw <= sqrt(n_sources) * tot).
     Scale shape: one map-side-combined group pass over the corpus, then
     window functions over the grouped relation (cardinality = #sources).
 
@@ -656,8 +663,15 @@ def token_budget_schedule(
     )
     budget = F.lit(budget_multiplier).cast("long") * F.col("_tot")
     cap = F.lit(max_epochs).cast("long") * F.col("tokens")
+    # (B * w) div s rewritten as w*(B div s) + (w*(B mod s)) div s — exact
+    # (B = q*s + r  =>  B*w div s = q*w + r*w div s) and int64-safe at
+    # 100 TB where the raw triple product wraps.
+    bexpr = f"CAST({budget_multiplier} AS BIGINT) * _tot"
     a1 = F.least(
-        cap, F.expr(f"(CAST({budget_multiplier} AS BIGINT) * _tot * w) div _sumw")
+        cap,
+        F.expr(
+            f"w * (({bexpr}) div _sumw) + (w * (({bexpr}) % _sumw)) div _sumw"
+        ),
     )
     g = g.withColumn("_a1", a1)
     g = g.withColumn("_left1", budget - F.sum("_a1").over(everything)).withColumn(
@@ -670,7 +684,10 @@ def token_budget_schedule(
         (F.col("_a1") < cap) & (F.col("_sumw2") > 0),
         F.col("_a1")
         + F.least(
-            cap - F.col("_a1"), F.expr("(_left1 * w) div _sumw2")
+            cap - F.col("_a1"),
+            F.expr(
+                "w * (_left1 div _sumw2) + (w * (_left1 % _sumw2)) div _sumw2"
+            ),
         ),
     ).otherwise(F.col("_a1"))
     g = g.withColumn("_a2", a2)
@@ -708,8 +725,12 @@ g AS (
   FROM per
 ),
 r1 AS (
+  -- split-division identity: (B*w)//s == w*(B//s) + (w*(B%s))//s, exact
+  -- and int64-safe where the raw triple product would wrap at corpus scale
   SELECT *,
-         least({max_epochs} * tokens, ({budget_multiplier} * tot * w) // sumw)
+         least({max_epochs} * tokens,
+               w * (({budget_multiplier} * tot) // sumw)
+               + (w * (({budget_multiplier} * tot) % sumw)) // sumw)
            AS a1
   FROM g
 ),
@@ -723,7 +744,9 @@ r1t AS (
 r2 AS (
   SELECT *,
          CASE WHEN a1 < {max_epochs} * tokens AND sumw2 > 0
-              THEN a1 + least({max_epochs} * tokens - a1, (left1 * w) // sumw2)
+              THEN a1 + least({max_epochs} * tokens - a1,
+                              w * (left1 // sumw2)
+                              + (w * (left1 % sumw2)) // sumw2)
               ELSE a1 END AS a2
   FROM r1t
 )

@@ -635,10 +635,27 @@ def append_to_bm25_index(
     id_col: str = "doc_id",
 ) -> None:
     """Grow the index by one batch: postings/lengths append at batch cost
-    (no corpus rescan), the scalar stats pair updates by exact integer
-    addition — after any append sequence the index answers queries
-    byte-identically to a from-scratch build over the union (pinned by
-    the ``bm25_index_lifecycle`` oracle)."""
+    (no corpus rescan of payloads), the scalar stats pair updates by
+    exact integer addition — after any append sequence over doc_ids not
+    yet in the index the result answers queries byte-identically to a
+    from-scratch build over the union (pinned by the
+    ``bm25_index_lifecycle`` oracle).
+
+    Replay guard: a doc_id already present in ``<name>__docs`` is
+    silently skipped (broadcast anti-join of the batch against the
+    stored id column — ids only, payloads never rescanned), so
+    re-delivering a batch is idempotent instead of fanning out the
+    query join / double-counting dl and stats. Within one batch,
+    ``id_col`` must be unique — that is the caller's ingest contract
+    (the same precondition ``build_bm25_index`` has)."""
+    # already-indexed ids in this batch: stream the stored id column once
+    # against the broadcast batch ids (big side never shuffles), then
+    # anti-join the (small) hit set back out of the batch
+    existing = store.read(spark, f"{name}__docs").select("doc_id")
+    already = existing.join(
+        F.broadcast(batch.select(F.col(id_col).alias("doc_id"))), "doc_id", "left_semi"
+    ).withColumnRenamed("doc_id", id_col)
+    batch = batch.join(F.broadcast(already), id_col, "left_anti")
     words = F.split(F.trim(F.col(text_col)), WORD_RE)
     tokens = batch.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("term"))
     postings = (
@@ -653,7 +670,9 @@ def append_to_bm25_index(
     store.append(docs, f"{name}__docs")
     old = store.read(spark, f"{name}__stats").first()
     add = docs.agg(
-        F.count(F.lit(1)).cast("long").alias("n"), F.sum("dl").cast("long").alias("s")
+        F.count(F.lit(1)).cast("long").alias("n"),
+        # a fully-replayed (= fully-filtered) batch sums to NULL, adds 0
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
     ).first()
     new_stats = spark.createDataFrame(
         [(old["n_docs"] + add["n"], old["sum_dl"] + add["s"])],

@@ -71,9 +71,31 @@ def _memo_caches() -> list[dict]:
         relational._PRUNED_MERGE_CACHE,
         similarity._ANN_INDEX_CACHE,
         textops._PAIR_CACHE,
+        textops._JSONL_CACHE,
         curation_q._CURATE_CACHE,
         temporal_prep._BM25_INDEX_CACHE,
     ]
+
+
+@__import__("atexit").register
+def _sweep_memo_tempdirs() -> None:
+    """Process-exit sweep: rmtree every scratch tempdir still referenced
+    by a memo cache (the stores/dirs deliberately kept warm for the
+    session would otherwise persist on disk for the machine's tempdir
+    lifetime — ADVICE r10 low)."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    try:
+        caches = _memo_caches()
+    except Exception:
+        return
+    for cache in caches:
+        for obj in cache.values():
+            root = getattr(obj, "root", None)
+            if isinstance(root, str) and root.startswith(tmp):
+                shutil.rmtree(root, ignore_errors=True)
 
 
 def memo_snapshot() -> list[set]:

@@ -2252,6 +2252,52 @@ def test_bm25_append_updates_stats_exactly(spark, tmp_path):
     assert st["sum_dl"] == sum(i + 1 for i in range(6))
 
 
+def test_bm25_append_replay_is_idempotent(spark, tmp_path):
+    # re-delivering an already-indexed batch must be a no-op (ADVICE r10):
+    # without the id guard the duplicate postings fan out the query join
+    # and double-count dl / stats
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.ops import textprep as TP
+
+    rows = [
+        (1, "spark merge window spark table"),
+        (2, "merge merge merge row scan"),
+        (3, "window filter sort group batch"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    store = TableStore(root=str(tmp_path / "idx3"))
+    TP.build_bm25_index(spark, store, df.filter("doc_id <= 2"), "t.docs")
+    batch = df.filter("doc_id = 3")
+    TP.append_to_bm25_index(spark, store, batch, "t.docs")
+    before = TP.query_bm25_index(spark, store, "t.docs", ["spark", "merge"], k=10)
+    before = [tuple(r) for r in before.collect()]
+    # replay the same batch, plus a batch overlapping build-time ids
+    TP.append_to_bm25_index(spark, store, batch, "t.docs")
+    TP.append_to_bm25_index(spark, store, df, "t.docs")
+    st = store.read(spark, "t.docs__stats").first()
+    assert st["n_docs"] == 3
+    docs_rows = store.read(spark, "t.docs__docs").count()
+    assert docs_rows == 3
+    after = TP.query_bm25_index(spark, store, "t.docs", ["spark", "merge"], k=10)
+    assert [tuple(r) for r in after.collect()] == before
+
+
+def test_token_budget_split_division_int64_safe(spark):
+    # the naive (B * tot * w) product wraps int64 at real corpus scale;
+    # the shipped split-division identity w*(B div s) + (w*(B mod s)) div s
+    # must equal Python's unbounded-int result at 100 TB magnitudes
+    w, tot, sumw = 4_500_000, 20_000_000_000_000, 9_000_000
+    assert 2 * tot * w > 2**63 - 1  # the overflow regime ADVICE r10 flagged
+    df = spark.createDataFrame([(w, tot, sumw)], schema="w long, _tot long, _sumw long")
+    bexpr = "CAST(2 AS BIGINT) * _tot"
+    got = df.select(
+        F.expr(
+            f"w * (({bexpr}) div _sumw) + (w * (({bexpr}) % _sumw)) div _sumw"
+        ).alias("a")
+    ).first()["a"]
+    assert got == (2 * tot * w) // sumw
+
+
 # ---------------------------------------------------------------------------
 # curriculum_order (r10) — fluent-first training order
 # ---------------------------------------------------------------------------
