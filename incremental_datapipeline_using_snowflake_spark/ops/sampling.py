@@ -19,7 +19,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..queries.util import ORACLE_MD5_LONG, md5_long
+from .text import words_col
+
+from ..queries.util import ORACLE_MD5_LONG, md5_long, seg_words_sql
 
 N_BUCKETS = 10_000  # split resolution: 0.01% granularity
 
@@ -556,7 +558,7 @@ def temperature_mixture_weights(
     per = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(
-            F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+            F.size(words_col(F.col(text_col)))
         ).cast("long").alias("tokens"),
     )
     w = F.floor(F.sqrt(F.col("tokens"))).cast("long")
@@ -592,7 +594,7 @@ def temperature_mixture_weights_sql(
 WITH per AS (
   SELECT {group_col},
          count(*) AS n_docs,
-         CAST(sum(len(string_split_regex(trim({text_col}), '\\s+'))) AS BIGINT) AS tokens
+         CAST(sum(len({seg_words_sql(text_col)})) AS BIGINT) AS tokens
   FROM {table}
   GROUP BY {group_col}
 ),
@@ -648,7 +650,7 @@ def token_budget_schedule(
     from pyspark.sql.window import Window
 
     per = df.groupBy(group_col).agg(
-        F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        F.sum(F.size(words_col(F.col(text_col))))
         .cast("long")
         .alias("tokens")
     )
@@ -713,7 +715,7 @@ def token_budget_schedule_sql(
     return f"""
 WITH per AS (
   SELECT {group_col},
-         CAST(sum(len(string_split_regex(trim({text_col}), '\\s+'))) AS BIGINT)
+         CAST(sum(len({seg_words_sql(text_col)})) AS BIGINT)
            AS tokens
   FROM {table} GROUP BY {group_col}
 ),

