@@ -1458,6 +1458,24 @@ def winnow_dedup_pairs(
     being candidate-bounded); Jaccard verification attaches shingle sets
     to surviving pairs only (AQE broadcasts the candidate side).
     """
+    cand = winnow_candidate_pairs(df, text_col, id_col, k, w)
+    docs = _shingle_docs(df, text_col, id_col)
+    return _verified_pairs(cand, docs, threshold)
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """The winnowing BLOCKING stage alone — distinct (id_a, id_b) sharing
+    at least one fingerprint, before any Jaccard verification. Exposed
+    separately so ``dedup_winnow_recall`` can grade the blocking's
+    precision/recall against exact-Jaccard truth the same way the MinHash
+    referee grades banding (the guarantee — any shared (w+k-1)-word span
+    collides — asserted by test, the precision measured)."""
     fps = df.select(
         F.col(id_col).alias("id"),
         F.explode(winnow_fingerprints_col(F.col(text_col), k, w)).alias("fp"),
@@ -1467,7 +1485,7 @@ def winnow_dedup_pairs(
     # materialization is released with the job, not parked in executor
     # storage for the session (bench reps call this repeatedly)
     fps = fps.localCheckpoint(eager=True)
-    cand = (
+    return (
         fps.alias("a")
         .join(
             fps.alias("b"),
@@ -1476,8 +1494,6 @@ def winnow_dedup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    docs = _shingle_docs(df, text_col, id_col)
-    return _verified_pairs(cand, docs, threshold)
 
 
 SIMHASH_WIDE_BITS = 60  # md5_long's width; 4 banks x 15 bits

@@ -2492,24 +2492,28 @@ ORDER BY doc_id
 # id the planted +100000/+200000 copies SHARE — so every planted dup pair
 # co-samples intact instead of losing one endpoint.
 # ---------------------------------------------------------------------------
-def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _eval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The referees' shared fixed-size sample of the augmented corpus
+    (~50 base docs + their planted copies at any corpus size), pinned
+    once: truth references it 3x and each candidate side 2x — without the
+    localCheckpoint the plan re-scans the corpus parquet (and re-computes
+    the union's near-dup text surgery) up to 12 times, turning a
+    fixed-size eval into an O(corpus)-per-branch wall (measured 34 s ->
+    4 s at the 16x scale fixture)."""
     n_docs = load(spark, sf_dir, "documents").count()
     mod = max(10, n_docs // 50)
     corpus = corpus_df(spark, sf_dir).filter((F.col("doc_id") % 100000) % mod == 0)
-    # pin the ~100-row sample once: truth references it 3x and the band
-    # side 2x — without this the plan re-scans the corpus parquet (and
-    # re-computes the union's near-dup text surgery) 12 times, turning a
-    # fixed-size eval into an O(corpus)-per-branch wall (measured 34 s ->
-    # 4 s at the 16x scale fixture)
-    corpus = corpus.localCheckpoint(eager=True)
-    truth = D.exact_jaccard_pairs(corpus, threshold=0.5).select("id_a", "id_b")
-    sigs = D.minhash_signatures(corpus)
-    cand = D.minhash_band_pairs(sigs)
+    return corpus.localCheckpoint(eager=True)
+
+
+def _referee_counts(truth: DataFrame, cand: DataFrame, suffix: str) -> DataFrame:
+    """precision/recall/f1 of a candidate pair set vs exact truth — the
+    shared metric block of the dedup-accuracy referees. count(), not
+    sum(): an empty truth or candidate set must yield 0 (matching the
+    oracle's count(*)), never a NULL-poisoned metric row."""
     u = truth.withColumn("_t", F.lit(1)).join(
         cand.withColumn("_c", F.lit(1)), ["id_a", "id_b"], "full_outer"
     )
-    # count(), not sum(): an empty truth or candidate set must yield 0
-    # (matching the oracle's count(*)), never a NULL-poisoned metric row
     counts = u.agg(
         F.count("_t").cast("long").alias("n_true"),
         F.count("_c").cast("long").alias("n_cand"),
@@ -2521,12 +2525,20 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true",
         "n_cand",
         "n_hit",
-        F.round(F.col("n_hit") / F.col("n_cand"), 4).alias("precision_band"),
-        F.round(F.col("n_hit") / F.col("n_true"), 4).alias("recall_band"),
+        F.round(F.col("n_hit") / F.col("n_cand"), 4).alias(f"precision_{suffix}"),
+        F.round(F.col("n_hit") / F.col("n_true"), 4).alias(f"recall_{suffix}"),
         F.round(
             (F.lit(2.0) * F.col("n_hit")) / (F.col("n_cand") + F.col("n_true")), 4
-        ).alias("f1_band"),
+        ).alias(f"f1_{suffix}"),
     )
+
+
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _eval_corpus(spark, sf_dir)
+    truth = D.exact_jaccard_pairs(corpus, threshold=0.5).select("id_a", "id_b")
+    sigs = D.minhash_signatures(corpus)
+    cand = D.minhash_band_pairs(sigs)
+    return _referee_counts(truth, cand, "band")
 
 
 _EVAL_CORPUS_SQL = (
@@ -2536,13 +2548,9 @@ _EVAL_CORPUS_SQL = (
 )
 
 
-def _minhash_recall_sql() -> str:
-    # reuses the exact banding CTE chain (corpus/docs2/sigs/bands/cand)
-    # over the SAME sampled corpus; the chain's final `pairs` CTE is
-    # unreferenced here and DuckDB never materializes unreferenced CTEs
-    return f"""
-WITH {_minhash_pairs_cte(corpus_cte=_EVAL_CORPUS_SQL)},
-inter AS (
+# exact-Jaccard truth over the sampled corpus's docs2, intersected with a
+# preceding `cand(id_a, id_b)` CTE — shared by all three dedup referees
+_TRUTH_HIT_SQL = """inter AS (
   SELECT a.id AS id_a, b.id AS id_b,
          len(list_intersect(a.sh, b.sh)) AS i,
          len(a.sh) AS na, len(b.sh) AS nb
@@ -2552,17 +2560,31 @@ truth AS (
   SELECT id_a, id_b FROM inter
   WHERE i > 0 AND round(i / (na + nb - i), 4) >= 0.5
 ),
-hit AS (SELECT id_a, id_b FROM cand INTERSECT SELECT id_a, id_b FROM truth)
-SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+hit AS (SELECT id_a, id_b FROM cand INTERSECT SELECT id_a, id_b FROM truth)"""
+
+
+def _referee_metrics_sql(suffix: str) -> str:
+    """Final metric SELECT over truth/cand/hit — twin of _referee_counts."""
+    return f"""SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
        CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
        CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
        round((SELECT count(*) FROM hit)
-             / CAST((SELECT count(*) FROM cand) AS DOUBLE), 4) AS precision_band,
+             / CAST((SELECT count(*) FROM cand) AS DOUBLE), 4) AS precision_{suffix},
        round((SELECT count(*) FROM hit)
-             / CAST((SELECT count(*) FROM truth) AS DOUBLE), 4) AS recall_band,
+             / CAST((SELECT count(*) FROM truth) AS DOUBLE), 4) AS recall_{suffix},
        round(2.0 * (SELECT count(*) FROM hit)
              / CAST((SELECT count(*) FROM cand)
-                    + (SELECT count(*) FROM truth) AS DOUBLE), 4) AS f1_band
+                    + (SELECT count(*) FROM truth) AS DOUBLE), 4) AS f1_{suffix}"""
+
+
+def _minhash_recall_sql() -> str:
+    # reuses the exact banding CTE chain (corpus/docs2/sigs/bands/cand)
+    # over the SAME sampled corpus; the chain's final `pairs` CTE is
+    # unreferenced here and DuckDB never materializes unreferenced CTEs
+    return f"""
+WITH {_minhash_pairs_cte(corpus_cte=_EVAL_CORPUS_SQL)},
+{_TRUTH_HIT_SQL}
+{_referee_metrics_sql("band")}
 """
 
 
@@ -2678,14 +2700,14 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _winnowing_sql() -> str:
+def _winnow_cand_cte() -> str:
+    """CTE chain wv/hs/fps/cand over a preceding `corpus` CTE — the
+    winnowing blocking stage, shared by the pair listing and the
+    referee (twin of ops.dedup.winnow_candidate_pairs)."""
     kg = _H.format(
         x=f"array_to_string(list_slice(sp, i, i + {WINNOW_K} - 1), ' ')"
     )
-    return f"""
-WITH {CORPUS_SQL.strip()},
-{_SHINGLES_SQL.strip()},
-wv AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS sp FROM corpus),
+    return f"""wv AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS sp FROM corpus),
 hs AS (
   SELECT id,
          CASE WHEN len(sp) >= {WINNOW_K}
@@ -2705,7 +2727,14 @@ fps AS (
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
-)
+)"""
+
+
+def _winnowing_sql() -> str:
+    return f"""
+WITH {CORPUS_SQL.strip()},
+{_SHINGLES_SQL.strip()},
+{_winnow_cand_cte()}
 SELECT * FROM (
   SELECT id_a, id_b,
          round(len(list_intersect(da.sh, db.sh))
@@ -2731,7 +2760,10 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_hamming_pairs(corpus, max_hamming=3).orderBy("id_a", "id_b")
 
 
-def _simhash_hamming_sql() -> str:
+def _simhash_chain_sql() -> str:
+    """CTE chain tok/bits/sh/banks/candh over a preceding `corpus` CTE —
+    the bank-join + popcount stage, shared by the pair listing and the
+    referee (twin of ops.dedup.simhash_hamming_pairs)."""
     bit_sums = ", ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
         for j in range(D.SIMHASH_WIDE_BITS)
@@ -2746,23 +2778,29 @@ def _simhash_hamming_sql() -> str:
         f"SELECT id, sig, {b} AS bank_idx, (sig >> {width * b}) & {mask} AS bank_val FROM sh"
         for b in range(D.SIMHASH_BANKS)
     )
-    return f"""
-WITH {CORPUS_SQL.strip()},
-tok AS (
+    return f"""tok AS (
   SELECT doc_id AS id, {_H.format(x="w")} AS h
   FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM corpus)
 ),
 bits AS (SELECT id, {bit_sums} FROM tok GROUP BY id),
 sh AS (SELECT id, CAST({combine} AS BIGINT) AS sig FROM bits),
 banks AS ({bank_rows}),
-cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
-  FROM banks a JOIN banks b
-    ON a.bank_idx = b.bank_idx AND a.bank_val = b.bank_val AND a.id < b.id
-)
-SELECT id_a, id_b, bit_count(CAST(xor(sig_a, sig_b) AS BIGINT)) AS hamming
-FROM cand
-WHERE bit_count(CAST(xor(sig_a, sig_b) AS BIGINT)) <= 3
+candh AS (
+  SELECT id_a, id_b, bit_count(CAST(xor(sig_a, sig_b) AS BIGINT)) AS hamming
+  FROM (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+    FROM banks a JOIN banks b
+      ON a.bank_idx = b.bank_idx AND a.bank_val = b.bank_val AND a.id < b.id
+  )
+)"""
+
+
+def _simhash_hamming_sql() -> str:
+    return f"""
+WITH {CORPUS_SQL.strip()},
+{_simhash_chain_sql()}
+SELECT id_a, id_b, hamming FROM candh
+WHERE hamming <= 3
 ORDER BY id_a, id_b
 """
 
@@ -2929,6 +2967,56 @@ SELECT doc_id, n_tokens, n_masked, n_spans,
        md5(coalesce(array_to_string(tgt, ' '), '')) AS target_fp
 FROM built
 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_winnow_recall / dedup_simhash_recall (r11) — the dedup-accuracy
+# referee pointed at the OTHER two candidate generators (VERDICT r10 ask
+# #2): MinHash banding got a measured precision/recall row in r10; the
+# SimHash bank join and the winnowing fingerprint join had their
+# guarantees argued (pigeonhole, w+k-1 span), not measured. Same
+# fixed-size sample, same exact-Jaccard truth, same metric block.
+#  - winnowing: grades the BLOCKING stage (pre-verify candidates), like
+#    the banding referee. Recall is 1.0 by the span guarantee on this
+#    fixture (every true near-dup shares spans >> w+k-1 words) — asserted
+#    in tests; precision (verify work wasted) is the measured part.
+#  - simhash: grades the method's OUTPUT (hamming<=3 pairs — simhash has
+#    no exact-Jaccard verify of its own), so the row measures how well
+#    the hamming proxy is calibrated against Jaccard-0.5 truth.
+# ---------------------------------------------------------------------------
+def dedup_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _eval_corpus(spark, sf_dir)
+    truth = D.exact_jaccard_pairs(corpus, threshold=0.5).select("id_a", "id_b")
+    cand = D.winnow_candidate_pairs(corpus, k=WINNOW_K, w=WINNOW_W)
+    return _referee_counts(truth, cand, "block")
+
+
+def _winnow_recall_sql() -> str:
+    return f"""
+WITH {_EVAL_CORPUS_SQL.strip()},
+{_SHINGLES_SQL.strip()},
+{_winnow_cand_cte()},
+{_TRUTH_HIT_SQL}
+{_referee_metrics_sql("block")}
+"""
+
+
+def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _eval_corpus(spark, sf_dir)
+    truth = D.exact_jaccard_pairs(corpus, threshold=0.5).select("id_a", "id_b")
+    cand = D.simhash_hamming_pairs(corpus, max_hamming=3).select("id_a", "id_b")
+    return _referee_counts(truth, cand, "sim")
+
+
+def _simhash_recall_sql() -> str:
+    return f"""
+WITH {_EVAL_CORPUS_SQL.strip()},
+{_SHINGLES_SQL.strip()},
+{_simhash_chain_sql()},
+cand AS (SELECT id_a, id_b FROM candh WHERE hamming <= 3),
+{_TRUTH_HIT_SQL}
+{_referee_metrics_sql("sim")}
 """
 
 
@@ -3280,4 +3368,6 @@ QUERIES: dict = {
     "cjk_quality_gates": (cjk_quality_gates, _cjk_quality_sql()),
     "cjk_boilerplate_scrub": (cjk_boilerplate_scrub, _cjk_scrub_sql()),
     "fertility_by_script": (fertility_by_script, _fertility_by_script_sql()),
+    "dedup_winnow_recall": (dedup_winnow_recall, _winnow_recall_sql()),
+    "dedup_simhash_recall": (dedup_simhash_recall, _simhash_recall_sql()),
 }

@@ -2510,3 +2510,38 @@ def test_gopher_signals_nondegenerate_on_cjk(spark):
     assert out[2]["dup_trigram_frac"] > 0.9
     # the wordlike gate counts ideographs as words
     assert out[1]["alpha_word_frac"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# dedup-accuracy referees (r11) — SimHash + winnowing graded vs truth
+# ---------------------------------------------------------------------------
+def test_winnow_referee_guarantee_and_simhash_calibration(spark):
+    from incremental_datapipeline_using_snowflake_spark.queries.textops import (
+        dedup_simhash_recall,
+        dedup_winnow_recall,
+    )
+
+    w = dedup_winnow_recall(spark, "/root/testdata/sf0.001").collect()[0]
+    # the span guarantee: every true near-dup on this fixture shares spans
+    # >= w+k-1 words, so the blocking stage may not miss ANY truth pair
+    assert w["recall_block"] == 1.0
+    assert w["n_true"] > 0 and w["n_hit"] == w["n_true"]
+    s = dedup_simhash_recall(spark, "/root/testdata/sf0.001").collect()[0]
+    assert s["n_true"] > 0
+    assert 0.0 <= s["precision_sim"] <= 1.0 and 0.0 <= s["recall_sim"] <= 1.0
+    assert s["n_hit"] <= min(s["n_true"], s["n_cand"])
+
+
+def test_winnow_candidate_pairs_matches_verified_superset(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops import dedup as D
+
+    span = "s1 s2 s3 s4 s5 s6 s7 s8"  # w + k - 1 = 8 words (k=5, w=4)
+    rows = [
+        (1, "aa bb cc " + span + " dd"),
+        (2, "xx yy " + span + " zz ww"),
+        (3, "totally different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    cand = {(r["id_a"], r["id_b"]) for r in D.winnow_candidate_pairs(df).collect()}
+    assert (1, 2) in cand  # guaranteed collision
+    assert (1, 3) not in cand and (2, 3) not in cand
