@@ -1018,6 +1018,67 @@ def append_to_ivf_index(
     return assigned.count()
 
 
+def maybe_reindex_ivf(
+    spark: SparkSession,
+    store,
+    name: str,
+    *,
+    size_drift: float = 2.0,
+    cell_skew: float = 8.0,
+) -> dict | None:
+    """The IVF re-index POLICY (r11 — the trigger ``append_to_ivf_index``'s
+    frozen-centroid semantics lacked; the :func:`maybe_reindex_embsig`
+    move applied to the ANN index). Two independent drift probes over the
+    stored assignment table, both computed from ONE narrow cell-column
+    aggregate (a metadata-cheap probe per run, never an embedding scan):
+
+    - **volume drift**: the corpus has outgrown its centroid count —
+      ``auto_n_cells(n_now) >= size_drift * n_cells_stored``. With sqrt
+      sizing this fires exactly when the corpus has grown ~``size_drift²``×
+      past its build point, the regime where per-cell candidate sets (and
+      per-probe scan cost) have drifted ``size_drift``× past target.
+    - **population skew**: a distribution-shifting append has piled into
+      few cells — ``max_cell_pop >= cell_skew * mean_cell_pop``. Frozen
+      centroids never rebalance, so a shifted stream quietly degrades
+      recall (every new vector competes inside one overcrowded cell)
+      and makes that cell's probe cost the straggler.
+
+    On trigger: retrain centroids from the STORED vectors (the assignment
+    table carries the single-copy ``v`` column, so no caller-held
+    embeddings are needed) via :func:`build_ivf_index` — the store's
+    stage-and-swap makes the rebuild an atomic, crash-safe pointer flip;
+    in-flight queries keep their snapshot. Returns the build info dict
+    extended with the trigger diagnostics when it fired, else ``None``.
+    """
+    asg = store.read(spark, f"{name}.assignments")
+    per = asg.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    row = per.agg(
+        F.sum("n").alias("n_vec"), F.max("n").alias("max_cell")
+    ).first()
+    n_vec, max_cell = int(row["n_vec"]), int(row["max_cell"])
+    n_cells_stored = store.read(spark, f"{name}.centroids").count()
+    target = max(N_IVF_CELLS, int(n_vec**0.5))
+    mean_pop = n_vec / n_cells_stored
+    size_fire = target >= size_drift * n_cells_stored
+    skew_fire = max_cell >= cell_skew * mean_pop
+    if not (size_fire or skew_fire):
+        return None
+    vecs = asg.select(
+        F.col("id").alias("vec_id"), F.col("v").alias("embedding")
+    )
+    info = build_ivf_index(spark, store, vecs, name, n_cells=target)
+    info.update(
+        {
+            "fired_volume": bool(size_fire),
+            "fired_skew": bool(skew_fire),
+            "old_n_cells": int(n_cells_stored),
+            "max_cell_pop": max_cell,
+            "mean_cell_pop": round(mean_pop, 1),
+        }
+    )
+    return info
+
+
 def gram_matrix(
     df: DataFrame,
     vec_col: str = "embedding",

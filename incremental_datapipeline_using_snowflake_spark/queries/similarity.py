@@ -873,6 +873,113 @@ ORDER BY query_id, rank
 """
 
 
+
+# ann_index_reindex — the DRIFT POLICY exercised end-to-end (r11, VERDICT
+# r10 ask #3): build the stored IVF auto-sized, grow it 4x with three
+# deterministic corpus variants through the frozen-centroid append path,
+# then let maybe_reindex_ivf's volume probe fire (floor(2*sqrt(n)) >=
+# 2*floor(sqrt(n)) — guaranteed at any corpus size, so both engines
+# deterministically replay the FIRED branch) and answer queries from the
+# atomically swapped, retrained index. The oracle replays the rebuild
+# from scratch in SQL — centroids re-seeded from the union's lowest ids
+# at the new auto cell count — proving the policy's rebuild is exactly a
+# from-scratch build over the grown corpus.
+_REINDEX_FACTORS = ["1.001", "1.002", "1.003"]
+
+
+def ann_index_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.table_store import TableStore
+
+    key = (spark.sparkContext.applicationId, sf_dir, "reindex")
+    store = _ANN_INDEX_CACHE.get(key)
+    emb = load(spark, sf_dir, "embeddings")
+    if store is None:
+        store = TableStore(root=tempfile.mkdtemp(prefix="spark_annidx_"))
+        S.build_ivf_index(spark, store, emb, "idx.emb", n_cells=None)
+        for j, f in enumerate(_REINDEX_FACTORS, start=1):
+            batch = emb.select(
+                (F.col("vec_id") + 400000 * j).alias("vec_id"),
+                F.expr(
+                    f"transform(embedding, x -> cast(x as double) * {f})"
+                ).alias("embedding"),
+            )
+            S.append_to_ivf_index(spark, store, batch, "idx.emb")
+        info = S.maybe_reindex_ivf(spark, store, "idx.emb")
+        if info is None or not info["fired_volume"]:
+            raise RuntimeError(
+                "ann_index_reindex: volume-drift trigger did not fire on a "
+                "4x-grown corpus — policy arithmetic regressed"
+            )
+        _ANN_INDEX_CACHE[key] = store
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.query_ivf_index(
+        spark, store, "idx.emb", queries, k=TOP_K, n_probe=S.N_PROBE
+    ).orderBy("query_id", "rank")
+
+
+def _ann_reindex_sql() -> str:
+    variants = "\n  UNION ALL ".join(
+        f"SELECT vec_id + {400000 * j} AS id, "
+        f"list_transform(embedding::DOUBLE[], x -> x * {f}) AS v "
+        f"FROM embeddings"
+        for j, f in enumerate(_REINDEX_FACTORS, start=1)
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+u AS (
+  SELECT id, v FROM c
+  UNION ALL {variants}
+),
+tgt AS (
+  SELECT greatest({S.N_IVF_CELLS},
+                  CAST(floor(sqrt(count(*))) AS BIGINT)) AS n_cells
+  FROM u
+),
+cents AS (
+  SELECT id AS cell, v AS cv FROM (
+    SELECT id, v, row_number() OVER (ORDER BY id) AS rk FROM u
+  ) WHERE rk <= (SELECT n_cells FROM tgt)
+),
+assigned AS (
+  SELECT id, v, cell FROM (
+    SELECT a.id, a.v, cents.cell,
+           row_number() OVER (
+             PARTITION BY a.id
+             ORDER BY list_cosine_similarity(a.v, cents.cv) DESC, cents.cell
+           ) AS rk
+    FROM u a CROSS JOIN cents
+  ) WHERE rk = 1
+),
+q AS (
+  SELECT id AS query_id, v AS qv FROM c WHERE id < {N_QUERIES}
+),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cents.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, cents.cv) DESC, cents.cell
+           ) AS rk
+    FROM q CROSS JOIN cents
+  ) WHERE rk <= {S.N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.id AS nbr_id, a.cell,
+         round(list_cosine_similarity(a.v, p.qv), 6) AS cosine
+  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.id != p.query_id
+)
+SELECT query_id, rank, nbr_id, cell, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 # embedding_gram — distributed Gram matrix X^T X (r06): the whitening/PCA
 # precursor. Arrow-batched partial matmuls emit only upper-triangle cells;
 # integer quantization makes every cell an exact, order-independent int64
@@ -1371,6 +1478,7 @@ QUERIES: dict = {
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_index_lifecycle": (ann_index_lifecycle, ANN_IVF_SQL),
     "ann_index_append": (ann_index_append, ANN_APPEND_SQL),
+    "ann_index_reindex": (ann_index_reindex, _ann_reindex_sql()),
     "embedding_gram": (embedding_gram, GRAM_SQL),
     "ann_pq_topk": (ann_pq_topk, _pq_sql()),
     "ann_ivfpq_topk": (ann_ivfpq_topk, _ivfpq_sql()),

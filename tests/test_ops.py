@@ -2545,3 +2545,103 @@ def test_winnow_candidate_pairs_matches_verified_superset(spark):
     cand = {(r["id_a"], r["id_b"]) for r in D.winnow_candidate_pairs(df).collect()}
     assert (1, 2) in cand  # guaranteed collision
     assert (1, 3) not in cand and (2, 3) not in cand
+
+
+# ---------------------------------------------------------------------------
+# IVF drift policy (r11) — maybe_reindex_ivf triggers + rebuild equivalence
+# ---------------------------------------------------------------------------
+def _mk_vec(i, dim=8):
+    # deterministic, well-spread unit-ish vectors
+    return [float((i * 7 + j * 3) % 11 - 5) / 5.0 + (1.0 if j == i % dim else 0.0)
+            for j in range(dim)]
+
+
+def test_ivf_reindex_skew_trigger_fires_and_volume_stays_quiet(spark, tmp_path):
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.ops import similarity as S
+
+    base = spark.createDataFrame(
+        [(i, _mk_vec(i)) for i in range(64)], "vec_id long, embedding array<double>"
+    )
+    store = TableStore(root=str(tmp_path / "ivf1"))
+    S.build_ivf_index(spark, store, base, "t.emb", n_cells=None)  # 16 cells
+    # distribution shift: 200 near-copies of one direction pile into 1 cell
+    drift = spark.createDataFrame(
+        [(1000 + i, [1.0 + 0.0001 * i] * 8) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    S.append_to_ivf_index(spark, store, drift, "t.emb")
+    info = S.maybe_reindex_ivf(spark, store, "t.emb")
+    # 264 vectors: auto target 16 == stored 16, so volume is quiet; the
+    # 200-deep cell vs mean 16.5 fires the skew probe
+    assert info is not None and info["fired_skew"] and not info["fired_volume"]
+    assert info["old_n_cells"] == 16 and info["max_cell_pop"] >= 200
+
+
+def test_ivf_reindex_stationary_append_does_not_fire(spark, tmp_path):
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.ops import similarity as S
+    from pyspark.sql import functions as SF
+
+    base = spark.createDataFrame(
+        [(i, _mk_vec(i)) for i in range(300)], "vec_id long, embedding array<double>"
+    )
+    store = TableStore(root=str(tmp_path / "ivf2"))
+    S.build_ivf_index(spark, store, base, "t.emb", n_cells=None)
+    # stationary growth: x1.001 variants follow the corpus distribution
+    batch = base.filter("vec_id % 7 = 0").select(
+        (SF.col("vec_id") + 5000).alias("vec_id"),
+        SF.expr("transform(embedding, x -> x * 1.001)").alias("embedding"),
+    )
+    S.append_to_ivf_index(spark, store, batch, "t.emb")
+    assert S.maybe_reindex_ivf(spark, store, "t.emb") is None
+
+
+def test_ivf_rebuild_equals_from_scratch(spark, tmp_path):
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.ops import similarity as S
+    from pyspark.sql import functions as SF
+
+    # 300 base vectors: auto sizing must be sqrt-bound (n >= 256), else the
+    # 16-cell floor absorbs the 4x growth and the volume probe stays quiet
+    base = spark.createDataFrame(
+        [(i, _mk_vec(i)) for i in range(300)], "vec_id long, embedding array<double>"
+    )
+    grown = base.unionByName(
+        base.select(
+            (SF.col("vec_id") + 1000).alias("vec_id"),
+            SF.expr("transform(embedding, x -> x * 1.001)").alias("embedding"),
+        )
+    ).unionByName(
+        base.select(
+            (SF.col("vec_id") + 2000).alias("vec_id"),
+            SF.expr("transform(embedding, x -> x * 1.002)").alias("embedding"),
+        )
+    ).unionByName(
+        base.select(
+            (SF.col("vec_id") + 3000).alias("vec_id"),
+            SF.expr("transform(embedding, x -> x * 1.003)").alias("embedding"),
+        )
+    )
+    # path A: build, append 3 batches, policy rebuild (4x growth fires volume)
+    st_a = TableStore(root=str(tmp_path / "ivfA"))
+    S.build_ivf_index(spark, st_a, base, "t.emb", n_cells=None)
+    for j, f in ((1, "1.001"), (2, "1.002"), (3, "1.003")):
+        b = base.select(
+            (SF.col("vec_id") + 1000 * j).alias("vec_id"),
+            SF.expr(f"transform(embedding, x -> x * {f})").alias("embedding"),
+        )
+        S.append_to_ivf_index(spark, st_a, b, "t.emb")
+    info = S.maybe_reindex_ivf(spark, st_a, "t.emb")
+    assert info is not None and info["fired_volume"]
+    # path B: from-scratch build over the grown corpus at the same sizing
+    st_b = TableStore(root=str(tmp_path / "ivfB"))
+    S.build_ivf_index(spark, st_b, grown, "t.emb", n_cells=None)
+
+    for tbl in ("t.emb.centroids", "t.emb.assignments"):
+        a = sorted(map(tuple, st_a.read(spark, tbl).collect()))
+        b = sorted(map(tuple, st_b.read(spark, tbl).collect()))
+        assert a == b, f"{tbl} diverges from from-scratch rebuild"
+    qa = S.query_ivf_index(spark, st_a, "t.emb", base.filter("vec_id < 3"), k=3)
+    qb = S.query_ivf_index(spark, st_b, "t.emb", base.filter("vec_id < 3"), k=3)
+    assert sorted(map(tuple, qa.collect())) == sorted(map(tuple, qb.collect()))
