@@ -952,3 +952,90 @@ def test_delete_then_reexport_snapshot(spark, store, tmp_path):
     # the old snapshot still verifies as WHAT IT WAS (immutable artifact);
     # consumers retire it by store_version, not by mutation
     assert C.verify_corpus_snapshot(spark, out1)
+
+
+def test_stream_curate_publish_chain(spark, tmp_path):
+    """r11 (verdict ask #4): continuous publish — drain shards ->
+    churn-only delta link -> chain verifies; an in-stream takedown ships
+    a correct ids-only delete-bearing link; a fresh-checkpoint replay of
+    every file appends nothing AND mints no duplicate link (version-gated
+    publish no-op)."""
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    # a takedown micro-batch advances TWO store versions (delete, then
+    # curate); the publish cadence must stay within version retention, so
+    # a continuous-publish store needs keep_versions >= versions-per-drain
+    # + 1 (export_corpus_delta raises loudly past it)
+    store = TableStore(root=str(tmp_path / "store"), keep_versions=8)
+    rows, base = _corpus_rows()
+    C.bootstrap_corpus(spark, store, spark.createDataFrame(rows, DOC_SCHEMA), "cur.docs")
+    pub = str(tmp_path / "pub")
+
+    # first publish: base snapshot of the bootstrapped corpus
+    info0 = C.publish_corpus_delta(spark, store, "cur.docs", pub, compression=None)
+    assert info0["published"] == "base"
+    assert C.verify_corpus_snapshot(spark, f"{pub}/base") is True
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ACT = DOC_SCHEMA + ", _action string"
+    b1 = [
+        _mk_doc(600, "quark lepton boson gluon photon hadron meson baryon neutrino positron muon tauon".split()) + ("INSERT",),
+        _mk_doc(601, base[0]) + ("INSERT",),  # exact corpus dup -> no churn
+    ]
+    spark.createDataFrame(b1, ACT).coalesce(1).write.parquet(str(src / "b1"))
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(ACT)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        return C.stream_curate_publish(
+            stream, store, "cur.docs", str(tmp_path / ckpt), pub, compression=None
+        )
+
+    # drain shard 1 -> one churn-only link: the kept doc only
+    info1 = drain("ck1")
+    assert info1["published"] == "link-000001"
+    man1 = {r["split"]: r for r in
+            spark.read.json(f"{pub}/link-000001/_manifest.jsonl").collect()}
+    assert man1["all"]["added_n_rows"] == 1 and man1["all"]["deleted_ids"] == 0
+    assert spark.read.json(f"{pub}/link-000001/data").count() == 1
+    assert C.verify_corpus_delta(spark, f"{pub}/base", f"{pub}/link-000001") is True
+
+    # shard 2: in-stream takedown of doc 600 + one new doc, same batch
+    b2 = [
+        _mk_doc(600, ["x"]) + ("DELETE",),
+        _mk_doc(610, "amber birch cedar dogwood elm fir ginkgo hazel ironwood juniper koa larch".split()) + ("INSERT",),
+    ]
+    spark.createDataFrame(b2, ACT).coalesce(1).write.parquet(str(src / "b2"))
+    info2 = drain("ck1")  # same checkpoint continues
+    assert info2["published"] == "link-000002"
+    man2 = {r["split"]: r for r in
+            spark.read.json(f"{pub}/link-000002/_manifest.jsonl").collect()}
+    assert man2["all"]["deleted_ids"] == 1 and man2["all"]["added_n_rows"] == 1
+    dels = spark.read.json(f"{pub}/link-000002/_deletes")
+    assert dels.columns == ["doc_id"] and dels.collect()[0]["doc_id"] == 600
+    assert C.verify_corpus_delta(
+        spark, f"{pub}/link-000001", f"{pub}/link-000002") is True
+
+    # full replay from a fresh checkpoint: curation appends nothing
+    # (fingerprint + delete markers), publish is a no-op -> no new link
+    info3 = drain("ck_replay")
+    assert info3["published"] is None
+    import os
+    assert sorted(d for d in os.listdir(pub) if d.startswith("link-")) == [
+        "link-000001", "link-000002",
+    ]
+
+    # end-to-end: the chain materializes to exactly the live corpus
+    assert C.verify_corpus_chain(
+        spark, f"{pub}/base", [f"{pub}/link-000001", f"{pub}/link-000002"]
+    ) is True
+    live = {r["doc_id"] for r in store.read(spark, "cur.docs").select("doc_id").collect()}
+    mat = {r["doc_id"] for r in C.materialize_corpus_chain(
+        spark, f"{pub}/base", [f"{pub}/link-000001", f"{pub}/link-000002"]
+    ).collect()}
+    assert mat == live and 600 not in mat and 610 in mat
