@@ -223,6 +223,13 @@ def repetition_signals(
     ``quality_pass`` combines them with Gopher-style thresholds (bounds
     chosen for this corpus's scale; the thresholds are arguments in
     spirit — inline literals keep the oracle twin byte-identical).
+
+    Script awareness (r11): the mean-word-length band's lower bound is a
+    spaced-script prior — a segmented CJK unit is 1 codepoint by
+    construction, so a majority-segmented-script document (>=50% of
+    characters in SEG_ALL) is gated with lower bound 1 instead of 2, and
+    ``alpha_word_frac`` counts any WORDLIKE_RE letter (both changes are
+    inert on ASCII text, keeping every ASCII oracle byte-identical).
     """
     t = F.col(text_col)
     w = words_col(t)
@@ -232,8 +239,13 @@ def repetition_signals(
             tri, F.slice(w, j + 1, F.size(w)), lambda a, b: F.concat(a, F.lit(" "), b)
         )
     tri = F.filter(tri, lambda x: x.isNotNull())
+    seg_major = (
+        F.regexp_count(t, F.lit(f"[{SEG_ALL}]"))
+        / F.greatest(F.length(t), F.lit(1))
+    ) >= 0.5
     narrow = df.select(
         F.col(id_col),
+        seg_major.alias("_seg_major"),
         F.size(w).alias("n_words"),
         F.round(
             F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
@@ -271,17 +283,25 @@ def repetition_signals(
     out = narrow.join(top, id_col, "left").withColumn(
         "top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0))
     )
+    min_wl = F.when(F.col("_seg_major"), F.lit(1.0)).otherwise(F.lit(2.0))
     return out.withColumn(
         "quality_pass",
         (F.col("n_words") >= 10)
         & (F.col("n_words") <= 100000)
-        & (F.col("mean_word_len") >= 2)
+        & (F.col("mean_word_len") >= min_wl)
         & (F.col("mean_word_len") <= 10)
-        & (F.col("distinct_word_frac") >= 0.2)
+        # distinct-UNIGRAM fraction is a spaced-script prior too: at
+        # char level even clean Chinese reads ~0.03 (3k distinct hanzi /
+        # 100k chars), so seg-major docs skip it — repetition stays
+        # policed by the n-gram gates, which are script-agnostic
+        & (
+            F.col("distinct_word_frac")
+            >= F.when(F.col("_seg_major"), F.lit(0.0)).otherwise(F.lit(0.2))
+        )
         & (F.col("dup_trigram_frac") <= 0.85)
         & (F.col("top_bigram_frac") <= 0.25)
         & (F.col("alpha_word_frac") >= 0.8),
-    )
+    ).drop("_seg_major")
 
 
 # ---------------------------------------------------------------------------
@@ -752,7 +772,7 @@ LID_MIN_GRAMS = 8  # shorter docs carry too little evidence to label
 
 def route_lid_unknown(
     scored: DataFrame,
-    min_margin_ppg: int = LID_MIN_MARGIN_PPG,
+    min_margin_ppg: int | dict[str, int] = LID_MIN_MARGIN_PPG,
     min_grams: int = LID_MIN_GRAMS,
 ) -> DataFrame:
     """Confidence routing over :func:`score_char_lid(..., margin=True)`
@@ -764,11 +784,28 @@ def route_lid_unknown(
     margin clears the threshold; ``'unknown'`` otherwise (including the
     single-language-model NULL-margin case). Pure integer comparisons on
     the ppm grid — zero float compares, bit-replayable in any SQL engine.
-    Row-local projection: zero exchanges on top of the scoring plan."""
+    Row-local projection: zero exchanges on top of the scoring plan.
+
+    ``min_margin_ppg`` may be a ``{pred_lang: threshold}`` dict (optional
+    ``'default'`` key for unlisted languages) — the CCNet per-language
+    calibration (r11): margin scales differ structurally across scripts
+    (an unspaced script has no space-anchored high-evidence grams, so its
+    clean-page margins sit well below a spaced script's), and one global
+    threshold either drops clean unspaced pages or leaks code-switched
+    spaced ones. Still a row-local CASE — no extra exchanges."""
+    if isinstance(min_margin_ppg, dict):
+        default = min_margin_ppg.get("default", LID_MIN_MARGIN_PPG)
+        thr = F.lit(default)
+        for lg, v in sorted(min_margin_ppg.items()):
+            if lg == "default":
+                continue
+            thr = F.when(F.col("pred_lang") == lg, F.lit(int(v))).otherwise(thr)
+    else:
+        thr = F.lit(min_margin_ppg)
     confident = (
         (F.col("n_grams") >= F.lit(min_grams))
         & F.col("margin_ppg").isNotNull()
-        & (F.col("margin_ppg") >= F.lit(min_margin_ppg))
+        & (F.col("margin_ppg") >= thr)
     )
     return scored.withColumn(
         "lid_lang",

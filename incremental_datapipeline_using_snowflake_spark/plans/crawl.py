@@ -33,7 +33,7 @@ def run_crawl_pipeline(
     *,
     lid_model: DataFrame | None = None,
     lid_n_features: int | None = None,
-    min_margin_ppg: int | None = None,
+    min_margin_ppg: int | dict[str, int] | None = None,
     min_grams: int | None = None,
     main_content: bool = True,
     drop_tail: bool = True,
@@ -140,36 +140,69 @@ def run_crawl_pipeline(
 # bimodal distribution a routing threshold needs. (A shared vowel set
 # left the distributions overlapping: unique-page min 98k ppg vs mixed
 # max 664k in the first cut.)
-_LANG_CONS = {"aa": "bdfg", "bb": "klpt", "cc": "mnrs"}
-_LANG_VOWS = {"aa": "aeiou", "bb": "cghjq", "cc": "vwxyz"}
+_LANG_CONS = {"aa": "bdfg", "bb": "klpt", "cc": "mnrs", "zh": "一二三四五六七八九十"}
+_LANG_VOWS = {"aa": "aeiou", "bb": "cghjq", "cc": "vwxyz", "zh": "天地人山川水火木金土"}
+# zh (r11) is the UNSPACED pseudo-language (VERDICT r10 ask #1): words are
+# Han-syllable strings concatenated with NO separators, so every word-level
+# stage (LID, Gopher gates, MinHash shingles, CCNet scoring) exercises the
+# script-aware segmentation path on this fixture. Its 20-char inventory is
+# disjoint from the ASCII languages AND from the textops HAN20 fixture
+# alphabet where it matters (construction is injective per language).
+_UNSPACED = frozenset({"zh"})
 
 
 def _synth_word(lang: str, i: int) -> str:
-    """Word = the base-20 digits of ``i`` as consonant+vowel syllables
-    (little-endian, padded to 3 syllables) — INJECTIVE per language, so
-    every word in a page is distinct and the Gopher repetition gates
-    (distinct-word fraction, duplicate trigrams, top-bigram mass) pass by
+    """Word = the base-(|cons|*|vows|) digits of ``i`` as consonant+vowel
+    syllables (little-endian, padded to 3 syllables) — INJECTIVE per
+    language, so every word in a page is distinct and the Gopher
+    repetition gates (duplicate trigrams, top-bigram mass) pass by
     construction. A periodic generator here silently collapsed to ~8
-    words/language and gate-failed every page (r10 first cut)."""
+    words/language and gate-failed every page (r10 first cut). The ASCII
+    languages' 4x5 inventories keep their original base-20 digits
+    byte-identically; zh's 10x10 inventory gives base-100 Han syllables."""
     cons, vows = _LANG_CONS[lang], _LANG_VOWS[lang]
+    base = len(cons) * len(vows)
     out = []
     v = i
     while v or len(out) < 3:
-        d = v % 20
-        out.append(cons[d % 4] + vows[d // 4])
-        v //= 20
+        d = v % base
+        out.append(cons[d % len(cons)] + vows[d // len(cons)])
+        v //= base
+    if lang in _UNSPACED:
+        # one word-specific ENTROPY syllable (Fibonacci-hash of the word
+        # index — pure int arithmetic, injectivity preserved): without it
+        # low-index unspaced pages degenerate into near-constant
+        # digit-suffix repetition, and unit-level shingles make UNRELATED
+        # pages measure jaccard up to 0.97 — spurious near-dup chains
+        # whose transitive edges then break curation replay determinism.
+        # With it, unrelated pages measure <= 0.24 vs >= 0.95 for true
+        # near-dups (the separation the ASCII languages get for free from
+        # whole-word injectivity).
+        h = ((i ^ (i >> 7)) * 2654435761) % (1 << 32)
+        out.append(cons[(h % base) % len(cons)] + vows[(h % base) // len(cons)])
     return "".join(out)
 
 
-def _synth_text(lang: str, i: int, n_words: int) -> str:
+def _synth_text(lang: str, i: int, n_words: int, skip: int = 0) -> str:
     # stride 101 > any page's word count: page index ranges are DISJOINT,
     # so no two distinct pages share words (near-dup structure is exactly
-    # what make_synthetic_crawl plants, nothing accidental)
-    return " ".join(_synth_word(lang, i * 101 + j) for j in range(n_words))
+    # what make_synthetic_crawl plants, nothing accidental). ``skip``
+    # drops the first words — the near-dup surgery, expressed here so it
+    # works for the unspaced language too (no separators to split on).
+    sep = "" if lang in _UNSPACED else " "
+    return sep.join(
+        _synth_word(lang, i * 101 + j) for j in range(skip, n_words)
+    )
 
 
 def _page_html(title: str, text: str) -> str:
     paras = text.split(" ")
+    if len(paras) <= 1 and len(text) > 3:
+        # unspaced scripts carry no space to paragraph on: block
+        # boundaries fall at character thirds instead (segmentation makes
+        # the inserted block breaks unit-neutral downstream)
+        tc = max(1, len(text) // 3)
+        paras = [text[:tc], text[tc : 2 * tc], text[2 * tc :]]
     third = max(1, len(paras) // 3)
     blocks = "".join(
         f"<p>{' '.join(paras[k * third: (k + 1) * third if k < 2 else len(paras)])}</p>"
@@ -205,7 +238,11 @@ def make_synthetic_crawl(out_dir: str, scale: int = 1, n_shards: int = 8) -> dic
         exact.append((lg, i, t))
     for j in range(30 * scale):
         lg, i, t = uniq[(j * 7 + 1) % len(uniq)]
-        near.append((lg, i, t.split(" ", 2)[2]))
+        near.append((lg, i, _synth_text(lg, i, 40 + (i % 25), skip=2)))
+    # code-switched pages stay over the ASCII languages (j % 3 over the
+    # sorted [aa, bb, cc, zh] never reaches zh): the margin-collapse
+    # routing they exercise is symmetric-evidence behavior, which a
+    # cross-script mix would not test
     for j in range(15 * scale):
         a = _synth_text(langs[j % 3], 9000 + j, 25)
         b = _synth_text(langs[(j + 1) % 3], 9500 + j, 25)

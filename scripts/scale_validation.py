@@ -101,6 +101,14 @@ FAMILY = [
     "curriculum_order",
     "span_corruption_pairs",
     "packing_efficiency",
+    # r11 additions
+    "cjk_segmentation",
+    "cjk_quality_gates",
+    "cjk_boilerplate_scrub",
+    "fertility_by_script",
+    "dedup_winnow_recall",
+    "dedup_simhash_recall",
+    "ann_index_reindex",
 ]
 
 

@@ -36,15 +36,20 @@ def test_crawl_pipeline_end_to_end_manifest(spark, store, tmp_path):
 
     crawl = tmp_path / "crawl"
     planted = make_synthetic_crawl(str(crawl), scale=1, n_shards=4)
-    assert planted["n_records"] == 402
+    # r11: 400 unique (100 per language incl. the UNSPACED zh) + dups
+    assert planted["n_records"] == 502
 
     C.bootstrap_corpus(spark, store, _seed_corpus(spark), "crawl.docs")
     # 4096 hashed features: at the default 256, cross-language gram
-    # collisions left the clean/mixed margin distributions overlapping;
-    # at 4096 clean pages measure >=1.26M ppg and 50/50 code-switched
-    # pages <=580k — threshold 900k sits between
+    # collisions left the clean/mixed margin distributions overlapping.
+    # Thresholds are PER-LANGUAGE (r11, the CCNet calibration): under the
+    # 4-class model clean ASCII pages measure >=876k ppg vs <=580k for
+    # 50/50 code-switched pages — 700k sits between; zh's clean margins
+    # sit structurally lower (an unspaced script has no space-anchored
+    # high-evidence grams), so zh routes at a 20k floor — which no ASCII
+    # page ever consults, since the threshold keys on the PREDICTED lang
     nf = 4096
-    thr = 900_000
+    thr = {"default": 700_000, "zh": 20_000}
     model = train_char_lid(make_lid_seed(spark), n_features=nf)
 
     man = run_crawl_pipeline(
@@ -52,18 +57,17 @@ def test_crawl_pipeline_end_to_end_manifest(spark, store, tmp_path):
         lid_n_features=nf, min_margin_ppg=thr,
     )
     assert man["n_quarantined"] == 0
-    assert man["n_docs"] == 402
-    # unknown-routing absorbs the 15 code-switched pages AND the 12
+    assert man["n_docs"] == 502
+    # unknown-routing absorbs the 15 code-switched pages and the 12
     # chrome-only pages (empty extraction -> zero grams -> no LID row);
-    # every clean page routes confidently
+    # every clean page — including all 118 unspaced zh pages — routes
+    # confidently under the per-language thresholds
     assert man["n_lang_unknown"] == planted["n_mixed"] + planted["n_chrome_only"]
-    # CCNet tail: one third per language of the 375 labeled pages — 123,
-    # not 125: per-language counts aren't multiples of 3 (the dup plants
-    # land unevenly across languages) and ntile gives remainders to the
-    # EARLIER buckets, so tail gets the floor
+    # CCNet tail: one third per language of the labeled pages, ntile
+    # remainders to the EARLIER buckets so tail gets the floor
     labeled = man["n_docs"] - man["n_lang_unknown"]
-    assert labeled == 375
-    assert man["n_tail_dropped"] == 123
+    assert labeled == 475
+    assert man["n_tail_dropped"] == 157
     # curation sees labeled - tail docs; planted batch-internal dups show
     v = man["verdicts"]
     assert sum(v.values()) == labeled - man["n_tail_dropped"]

@@ -2645,3 +2645,34 @@ def test_ivf_rebuild_equals_from_scratch(spark, tmp_path):
     qa = S.query_ivf_index(spark, st_a, "t.emb", base.filter("vec_id < 3"), k=3)
     qb = S.query_ivf_index(spark, st_b, "t.emb", base.filter("vec_id < 3"), k=3)
     assert sorted(map(tuple, qa.collect())) == sorted(map(tuple, qb.collect()))
+
+
+def test_route_lid_unknown_per_language_thresholds(spark):
+    # r11: dict thresholds key on the PREDICTED language — the CCNet
+    # per-language calibration (margin scales differ across scripts)
+    from incremental_datapipeline_using_snowflake_spark.ops.text import (
+        route_lid_unknown,
+    )
+
+    scored = spark.createDataFrame(
+        [
+            (1, "en", 100, 50_000),   # en under its 900k default -> unknown
+            (2, "zh", 100, 50_000),   # zh over its 20k floor -> labeled
+            (3, "zh", 100, 10_000),   # zh under its floor -> unknown
+            (4, "de", 100, 950_000),  # unlisted lang takes 'default'
+        ],
+        "doc_id long, pred_lang string, n_grams long, margin_ppg long",
+    )
+    out = {
+        r["doc_id"]: r["lid_lang"]
+        for r in route_lid_unknown(
+            scored, min_margin_ppg={"default": 900_000, "zh": 20_000}
+        ).collect()
+    }
+    assert out == {1: "unknown", 2: "zh", 3: "unknown", 4: "de"}
+    # scalar form byte-identical to r10 behavior
+    out2 = {
+        r["doc_id"]: r["lid_lang"]
+        for r in route_lid_unknown(scored, min_margin_ppg=60_000).collect()
+    }
+    assert out2 == {1: "unknown", 2: "unknown", 3: "unknown", 4: "de"}
