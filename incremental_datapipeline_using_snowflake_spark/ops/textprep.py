@@ -105,6 +105,86 @@ def pack_sequences(
     )
 
 
+
+def length_bucket_batches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_tokens: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Length-bucketed dynamic batching — the padding-waste killer every
+    training loader applies before collation: documents group into
+    power-of-two length buckets, batches fill within a bucket, and each
+    batch pads only to ITS max length instead of the global context.
+
+    Determinism discipline: bucket = bit_length(n_tokens) - 1 computed
+    via ``length(bin(n))`` (pure integer — a float log2 rounds
+    differently across engines at exact powers of two); within-bucket
+    order is the salted md5 of the id (stable across runs/partitionings,
+    the epoch-shuffle discipline) with the id as total-order tiebreak;
+    rows per batch = ``max(1, batch_tokens div 2^(bucket+1))`` — a
+    per-bucket constant, so ``batch_idx`` is a plain integer division of
+    the row_number.
+
+    Scale shape: mirrors :func:`pack_sequences` — bucketing is a narrow
+    map; the one shuffle keys on (shard, bucket) (shard = id % n_shards),
+    so no bucket ever single-partitions the corpus and batches are
+    independent per shard, which is how a sharded loader consumes them.
+
+    Output: one row per (shard, bucket, batch_idx) with n_docs, tokens,
+    batch_max (the pad target), padded = n_docs * batch_max, and
+    waste_frac = 1 - tokens/padded rounded to 4 dp.
+    """
+    from .text import words_col as _wc
+
+    n = F.size(_wc(F.col(text_col)))
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(id_col) % n_shards).alias("shard"),
+        n.alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 1)
+    bucket = (F.length(F.bin(F.col("n_tokens"))) - 1).cast("int")
+    key = F.conv(
+        F.substring(F.md5(F.concat(F.lit("lenb:"), F.col("id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    b = toks.select("id", "shard", "n_tokens", bucket.alias("bucket"), key.alias("_k"))
+    per_batch = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(
+            f"cast({int(batch_tokens)} as bigint) div "
+            "shiftleft(cast(1 as bigint), bucket + 1)"
+        ),
+    )
+    w = W.partitionBy("shard", "bucket").orderBy(F.asc("_k"), F.asc("id"))
+    seq = F.row_number().over(w)
+    assigned = b.select(
+        "shard",
+        "bucket",
+        "n_tokens",
+        (((seq - 1) / per_batch).cast("long")).alias("batch_idx"),
+    )
+    agg = assigned.groupBy("shard", "bucket", "batch_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+        F.max("n_tokens").cast("long").alias("batch_max"),
+    )
+    return agg.select(
+        "shard",
+        "bucket",
+        "batch_idx",
+        "n_docs",
+        "tokens",
+        "batch_max",
+        (F.col("n_docs") * F.col("batch_max")).alias("padded"),
+        F.round(
+            F.lit(1.0) - F.col("tokens") / (F.col("n_docs") * F.col("batch_max")), 4
+        ).alias("waste_frac"),
+    )
+
+
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+?\d[\d-]{7,}\d"
 

@@ -581,6 +581,56 @@ def bm25_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_bm25_index(spark, store, "idx.docs", BM25_TERMS, k=15)
 
 
+# ---------------------------------------------------------------------------
+# length_bucket_batches (r11) — dynamic batching by length bucket: the
+# report that justifies bucketed collation (each batch pads to ITS max,
+# not the context length). Sibling of packing_efficiency: packing fills a
+# fixed budget by concatenation; bucketing minimizes padding when docs
+# must stay whole. Integer-exact bucket (length(bin(n))-1), salted-md5
+# within-bucket order, per-bucket constant batch capacity.
+# ---------------------------------------------------------------------------
+def length_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.textprep import length_bucket_batches
+
+    docs = load(spark, sf_dir, "documents")
+    return length_bucket_batches(docs, batch_tokens=2048, n_shards=8).orderBy(
+        "shard", "bucket", "batch_idx"
+    )
+
+
+LENGTH_BUCKET_SQL = r"""
+WITH toks AS (
+  SELECT doc_id AS id, doc_id % 8 AS shard,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT id, shard, n_tokens,
+         CAST(length(bin(n_tokens)) - 1 AS INTEGER) AS bucket,
+         (('0x' || substr(md5('lenb:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT) AS k
+  FROM toks WHERE n_tokens >= 1
+),
+assigned AS (
+  SELECT shard, bucket, n_tokens,
+         CAST((row_number() OVER (PARTITION BY shard, bucket ORDER BY k, id) - 1)
+              // greatest(1, 2048 // (1 << (bucket + 1))) AS BIGINT) AS batch_idx
+  FROM b
+),
+agg AS (
+  SELECT shard, bucket, batch_idx,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens,
+         CAST(max(n_tokens) AS BIGINT) AS batch_max
+  FROM assigned GROUP BY shard, bucket, batch_idx
+)
+SELECT shard, bucket, batch_idx, n_docs, tokens, batch_max,
+       n_docs * batch_max AS padded,
+       round(1.0 - CAST(tokens AS DOUBLE) / (n_docs * batch_max), 4) AS waste_frac
+FROM agg
+ORDER BY shard, bucket, batch_idx
+"""
+
+
 QUERIES: dict = {
     "asof_view_purchase": (asof_view_purchase, ASOF_SQL),
     "asof_cogrouped": (asof_cogrouped, ASOF_SQL),
@@ -595,4 +645,5 @@ QUERIES: dict = {
     "packing_efficiency": (packing_efficiency, PACKING_EFFICIENCY_SQL),
     "hybrid_search_rrf": (hybrid_search_rrf, _hybrid_rrf_sql()),
     "calendar_gapfill": (calendar_gapfill, GAPFILL_SQL),
+    "length_bucket_report": (length_bucket_report, LENGTH_BUCKET_SQL),
 }

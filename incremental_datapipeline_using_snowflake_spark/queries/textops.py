@@ -3032,49 +3032,65 @@ cand AS (SELECT id_a, id_b FROM candh WHERE hamming <= 3),
 # the downstream operator on genuinely unsegmented text.
 # ===========================================================================
 HAN20 = "零一二三四五六七八九十百千万兆天地人日月"
+# 20 Thai SYLLABLES — base consonant + a COMBINING vowel/tone mark
+# (U+0E31/0E34-0E3A/0E47-0E4E): concatenated with no separators they
+# exercise the mark-stays-attached half of the segmenter, the part the
+# Han fixture cannot reach
+THAI20 = [
+    "กิ", "ขี", "คึ", "งื", "จุ",
+    "ฉู", "ชั", "ซ่", "ญ้", "ด๊",
+    "ติ", "ถี", "ทึ", "ธื", "นุ",
+    "บู", "ปั", "ผ่", "ฝ้", "พ๊",
+]
 _CJK_BANNER_A = "天天向上好好学习日日新"  # 11 units post-segmentation
 _CJK_BANNER_B = "春夏秋冬风花雪月山川湖海"  # 12 units
 _CJK_OFFSET = 300000
 
 
-def _cjk_text_col(text_col: str = "text"):
-    """Unspaced Han rendering of an ASCII text column (Spark side)."""
-    han = F.array(*[F.lit(c) for c in HAN20])
+def _cjk_text_col(text_col: str = "text", alphabet: list[str] | str = HAN20):
+    """Unspaced rendering of an ASCII text column (Spark side): every
+    word maps to one ``alphabet`` unit by its md5, concatenated with no
+    separators."""
+    units = F.array(*[F.lit(c) for c in alphabet])
     w = X.words_col(text_col)
     return F.array_join(
         F.transform(
-            w, lambda t: F.element_at(han, (md5_long(t) % 20 + 1).cast("int"))
+            w, lambda t: F.element_at(units, (md5_long(t) % 20 + 1).cast("int"))
         ),
         "",
     )
 
 
 _HAN20_SQL = "string_split('" + ",".join(HAN20) + "', ',')"
+_THAI20_SQL = "string_split('" + ",".join(THAI20) + "', ',')"
 
 
-def _cjk_text_sql(x: str = "text") -> str:
-    """DuckDB twin of :func:`_cjk_text_col` — same md5-keyed Han mapping."""
+def _cjk_text_sql(x: str = "text", alphabet_sql: str = _HAN20_SQL) -> str:
+    """DuckDB twin of :func:`_cjk_text_col` — same md5-keyed mapping."""
     h = ORACLE_MD5_LONG.format(x="w")
     return (
         f"array_to_string(list_transform(string_split_regex(trim({x}), '\\s+'), "
-        f"w -> list_extract({_HAN20_SQL}, CAST({h} % 20 + 1 AS INTEGER))), '')"
+        f"w -> list_extract({alphabet_sql}, CAST({h} % 20 + 1 AS INTEGER))), '')"
     )
 
 
 # ---------------------------------------------------------------------------
 # cjk_segmentation — the parity core: per-doc unit stats + an md5 over the
 # exact unit sequence. doc_id % 11 rows are MIXED script (ASCII prefix
-# glued to the Han body) so run-boundary handling is hash-pinned too.
+# glued to the Han body) so run-boundary handling is hash-pinned too;
+# doc_id % 17 rows are UNSPACED THAI built from combining-mark syllables,
+# hash-pinning the marks-stay-attached rule across Java regex and RE2.
 # ---------------------------------------------------------------------------
 def cjk_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     cjk = _cjk_text_col("text")
+    thai = _cjk_text_col("text", alphabet=THAI20)
     mixed = F.when(
         F.col("doc_id") % 11 == 0,
         F.concat(
             F.lit("doc"), F.col("doc_id").cast("string"), F.lit(" en "), cjk
         ),
-    ).otherwise(cjk)
+    ).when(F.col("doc_id") % 17 == 0, thai).otherwise(cjk)
     base = docs.select("doc_id", mixed.alias("text"))
     w = X.words_col("text")
     return base.select(
@@ -3092,6 +3108,8 @@ WITH base AS (
   SELECT doc_id,
          CASE WHEN doc_id % 11 = 0
               THEN 'doc' || CAST(doc_id AS VARCHAR) || ' en ' || {_cjk_text_sql("text")}
+              WHEN doc_id % 17 = 0
+              THEN {_cjk_text_sql("text", _THAI20_SQL)}
               ELSE {_cjk_text_sql("text")} END AS text
   FROM documents
 ),

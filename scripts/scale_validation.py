@@ -109,6 +109,7 @@ FAMILY = [
     "dedup_winnow_recall",
     "dedup_simhash_recall",
     "ann_index_reindex",
+    "length_bucket_report",
 ]
 
 

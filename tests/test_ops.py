@@ -2676,3 +2676,48 @@ def test_route_lid_unknown_per_language_thresholds(spark):
         for r in route_lid_unknown(scored, min_margin_ppg=60_000).collect()
     }
     assert out2 == {1: "unknown", 2: "unknown", 3: "unknown", 4: "de"}
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed dynamic batching (r11)
+# ---------------------------------------------------------------------------
+def test_length_bucket_batches_capacity_and_waste(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.textprep import (
+        length_bucket_batches,
+    )
+
+    # 12 short docs (7 tokens -> bucket 2, cap = 64 div 8 = 8/batch) and
+    # 3 long docs (30 tokens -> bucket 4, cap = 64 div 32 = 2/batch)
+    rows = [(i, "w " * 7) for i in range(12)] + [
+        (100 + i, "w " * 30) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = length_bucket_batches(df, batch_tokens=64, n_shards=1).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) == {2, 4}
+    # bucket 2: 12 docs at cap 8 -> batches of 8 and 4
+    sizes2 = sorted(r["n_docs"] for r in by_bucket[2])
+    assert sizes2 == [4, 8]
+    # bucket 4: 3 docs at cap 2 -> batches of 2 and 1
+    sizes4 = sorted(r["n_docs"] for r in by_bucket[4])
+    assert sizes4 == [1, 2]
+    # equal-length docs in a batch pad nothing
+    assert all(r["waste_frac"] == 0.0 for r in out)
+    # bucketed padding beats padding every doc to the global max
+    padded = sum(r["padded"] for r in out)
+    naive = 15 * 30
+    assert padded < naive
+
+
+def test_length_bucket_order_is_stable_across_runs(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.textprep import (
+        length_bucket_batches,
+    )
+
+    rows = [(i, "w " * (5 + i % 9)) for i in range(40)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    a = sorted(map(tuple, length_bucket_batches(df).collect()))
+    b = sorted(map(tuple, length_bucket_batches(df.repartition(7)).collect()))
+    assert a == b  # salted-hash order: partitioning can't leak into batches
