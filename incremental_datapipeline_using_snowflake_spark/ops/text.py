@@ -304,6 +304,145 @@ def repetition_signals(
     ).drop("_seg_major")
 
 
+
+# Gopher Table A1 char-coverage thresholds (Rae et al. 2021): the most
+# characters a single repeated n-gram may account for (n = 2, 3, 4) and
+# the most characters duplicated n-grams may cover (n = 5, 10).
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 10: 0.10}
+
+
+def gopher_char_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The CHAR-COVERAGE half of Gopher's repetition gates (Rae et al.
+    2021 §A1.1), complementing :func:`repetition_signals`' instance-count
+    fractions: ``top{2,3,4}gram_frac`` = the largest fraction of
+    characters attributable to a single repeated word n-gram
+    (count x n-gram char length / total word chars — the max-coverage
+    form: deterministic with NO tie-break dependence, since the value is
+    a pure max over (count, length) products), and ``dup{5,10}gram_frac``
+    = the fraction of characters lying inside word n-grams that occur
+    more than once in the document (position-UNION mask, so overlapping
+    duplicate windows never double-count a character). Character base =
+    the sum of word lengths — separator-free, so spaced and segmented
+    scripts are measured on the same footing.
+
+    Scale shape: per n, one posexplode of rolling 64-bit window keys
+    (:func:`ops.dedup.passage_keys_col`'s discipline — longs on the wire,
+    never window strings) and one doc-keyed aggregation; duplicated-start
+    arrays join back per doc and the mask is a row-local array fold.
+    Strictly doc-keyed throughout — corpus-wide hot n-grams never meet in
+    a bucket. ``char_gates_pass`` applies the Table A1 thresholds.
+    """
+    from .dedup import passage_keys_col
+
+    w = words_col(F.col(text_col))
+    wl = F.transform(w, lambda x: F.length(x))
+    total = F.aggregate(wl, F.lit(0).cast("long"), lambda a, b: a + b)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        w.alias("_w"),
+        wl.alias("_wl"),
+        total.alias("_total"),
+    )
+    base = base.localCheckpoint(eager=True)
+
+    def window_lens(n: int) -> Column:
+        # char length of the n-word window starting at each position
+        out = F.col("_wl")
+        for j in range(1, n):
+            out = F.zip_with(
+                out, F.slice(F.col("_wl"), j + 1, F.size(F.col("_wl"))),
+                lambda a, b: a + b,
+            )
+        # zip_with pads the shorter side with NULL -> tail windows NULL out
+        return out
+
+    def keyed(n: int) -> DataFrame:
+        keys = passage_keys_col(F.array_join(F.col("_w"), " "), n)
+        return (
+            base.select(
+                "_id",
+                F.arrays_zip(keys.alias("k"), window_lens(n).alias("l")).alias("_z"),
+            )
+            .select("_id", F.posexplode("_z").alias("_pos", "_kl"))
+            .filter(F.col("_kl.k").isNotNull() & F.col("_kl.l").isNotNull())
+            .select(
+                "_id",
+                "_pos",
+                F.col("_kl.k").alias("_key"),
+                F.col("_kl.l").cast("long").alias("_len"),
+            )
+        )
+
+    tops = None
+    for n in sorted(GOPHER_TOP_NGRAM_MAX):
+        t = (
+            keyed(n)
+            .groupBy("_id", "_key")
+            .agg(F.count(F.lit(1)).alias("_c"), F.min("_len").alias("_l"))
+            .filter(F.col("_c") >= 2)
+            .groupBy("_id")
+            .agg(F.max(F.col("_c") * F.col("_l")).alias(f"_topcov{n}"))
+        )
+        tops = t if tops is None else tops.join(t, "_id", "full_outer")
+
+    dups = None
+    for n in sorted(GOPHER_DUP_NGRAM_MAX):
+        k = keyed(n)
+        starts = (
+            k.groupBy("_id", "_key")
+            .agg(F.count(F.lit(1)).alias("_c"), F.collect_list("_pos").alias("_ps"))
+            .filter(F.col("_c") >= 2)
+            .select("_id", F.explode("_ps").alias("_p"))
+            .groupBy("_id")
+            .agg(F.sort_array(F.array_distinct(F.collect_list("_p"))).alias(f"_ds{n}"))
+        )
+        dups = starts if dups is None else dups.join(starts, "_id", "full_outer")
+
+    j = base
+    for frame in (tops, dups):
+        if frame is not None:
+            j = j.join(frame, "_id", "left")
+
+    def dup_frac(n: int) -> Column:
+        ds = F.coalesce(F.col(f"_ds{n}"), F.array().cast("array<int>"))
+        idxs = F.when(
+            F.size("_w") > 0, F.sequence(F.lit(0), F.size("_w") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        covered = F.aggregate(
+            F.zip_with(
+                idxs,
+                F.col("_wl"),
+                lambda i, ln: F.when(
+                    F.exists(ds, lambda p: (p <= i) & (i < p + F.lit(n))), ln
+                ).otherwise(F.lit(0)),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b.cast("long"),
+        )
+        return F.round(covered / F.greatest(F.col("_total"), F.lit(1)), 4)
+
+    def top_frac(n: int) -> Column:
+        return F.round(
+            F.coalesce(F.col(f"_topcov{n}"), F.lit(0).cast("long"))
+            / F.greatest(F.col("_total"), F.lit(1)),
+            4,
+        )
+
+    cols = [F.col("_id").alias(id_col), F.col("_total").alias("n_word_chars")]
+    gate = F.lit(True)
+    for n, thr in sorted(GOPHER_TOP_NGRAM_MAX.items()):
+        cols.append(top_frac(n).alias(f"top{n}gram_frac"))
+        gate = gate & (top_frac(n) <= thr)
+    for n, thr in sorted(GOPHER_DUP_NGRAM_MAX.items()):
+        cols.append(dup_frac(n).alias(f"dup{n}gram_frac"))
+        gate = gate & (dup_frac(n) <= thr)
+    cols.append(gate.alias("char_gates_pass"))
+    return j.select(*cols)
+
+
 # ---------------------------------------------------------------------------
 # Perplexity-proxy scoring (the CCNet/Gopher LM-filter family): average
 # bigram log-probability under the corpus's own bigram model. Degenerate

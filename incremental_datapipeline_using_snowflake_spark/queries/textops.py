@@ -3327,6 +3327,108 @@ ORDER BY script
 """
 
 
+# ---------------------------------------------------------------------------
+# gopher_char_gates (r11) — the CHAR-COVERAGE half of Gopher's repetition
+# gates (Table A1: top{2,3,4}-gram and dup{5,10}-gram character
+# fractions), over documents with planted repetitive rows: doc_id % 9
+# rows get a 4x-repeated phrase appended so both signal families move.
+# ---------------------------------------------------------------------------
+_GOPHER_PHRASE = " limited time offer call now before supplies run out"
+
+
+def gopher_char_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    noisy = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.repeat(F.lit(_GOPHER_PHRASE), 4)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return X.gopher_char_signals(noisy).orderBy("doc_id")
+
+
+def _gopher_char_sql() -> str:
+    def wins(n: int) -> str:
+        return f"""w{n} AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(sp, i, i + {n} - 1), ' ') AS win,
+         CAST(list_aggregate(list_transform(list_slice(sp, i, i + {n} - 1),
+                                            x -> length(x)), 'sum') AS BIGINT) AS wlen
+  FROM base, LATERAL (SELECT unnest(range(1, len(sp) - {n} + 2)) AS i)
+  WHERE len(sp) >= {n}
+)"""
+
+    def top(n: int) -> str:
+        return f"""top{n} AS (
+  SELECT doc_id, CAST(max(c * l) AS BIGINT) AS cov
+  FROM (SELECT doc_id, win, count(*) AS c, min(wlen) AS l
+        FROM w{n} GROUP BY 1, 2 HAVING count(*) >= 2)
+  GROUP BY doc_id
+)"""
+
+    def dup(n: int) -> str:
+        return f"""ds{n} AS (
+  SELECT doc_id, list(DISTINCT pos) AS ds
+  FROM (SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY doc_id, win) AS c
+        FROM w{n})
+  WHERE c >= 2 GROUP BY doc_id
+),
+cov{n} AS (
+  SELECT b.doc_id,
+         CAST(coalesce(list_aggregate(
+           list_transform(range(1, len(b.sp) + 1),
+             i -> CASE WHEN len(list_filter(coalesce(d.ds, CAST([] AS BIGINT[])),
+                                p -> p <= i - 1 AND i - 1 < p + {n})) > 0
+                  THEN b.wl[i] ELSE 0 END), 'sum'), 0) AS BIGINT) AS cov
+  FROM base b LEFT JOIN ds{n} d USING (doc_id)
+)"""
+
+    parts = [wins(n) for n in (2, 3, 4, 5, 10)]
+    parts += [top(n) for n in (2, 3, 4)]
+    parts += [dup(n) for n in (5, 10)]
+    ctes = ",\n".join(parts)
+    return f"""
+WITH noisy AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0
+              THEN text || repeat('{_GOPHER_PHRASE}', 4)
+              ELSE text END AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id, sp, list_transform(sp, x -> length(x)) AS wl,
+         CAST(coalesce(list_aggregate(list_transform(sp, x -> length(x)), 'sum'), 0)
+           AS BIGINT) AS total
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS sp FROM noisy)
+),
+{ctes}
+SELECT b.doc_id,
+       b.total AS n_word_chars,
+       round(coalesce(t2.cov, 0) / CAST(greatest(b.total, 1) AS DOUBLE), 4) AS top2gram_frac,
+       round(coalesce(t3.cov, 0) / CAST(greatest(b.total, 1) AS DOUBLE), 4) AS top3gram_frac,
+       round(coalesce(t4.cov, 0) / CAST(greatest(b.total, 1) AS DOUBLE), 4) AS top4gram_frac,
+       round(c5.cov / CAST(greatest(b.total, 1) AS DOUBLE), 4) AS dup5gram_frac,
+       round(c10.cov / CAST(greatest(b.total, 1) AS DOUBLE), 4) AS dup10gram_frac,
+       (round(coalesce(t2.cov, 0) / CAST(greatest(b.total, 1) AS DOUBLE), 4) <= 0.20
+        AND round(coalesce(t3.cov, 0) / CAST(greatest(b.total, 1) AS DOUBLE), 4) <= 0.18
+        AND round(coalesce(t4.cov, 0) / CAST(greatest(b.total, 1) AS DOUBLE), 4) <= 0.16
+        AND round(c5.cov / CAST(greatest(b.total, 1) AS DOUBLE), 4) <= 0.15
+        AND round(c10.cov / CAST(greatest(b.total, 1) AS DOUBLE), 4) <= 0.10)
+         AS char_gates_pass
+FROM base b
+LEFT JOIN top2 t2 USING (doc_id)
+LEFT JOIN top3 t3 USING (doc_id)
+LEFT JOIN top4 t4 USING (doc_id)
+JOIN cov5 c5 USING (doc_id)
+JOIN cov10 c10 USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict = {
     "text_profile": (text_profile, _text_profile_sql()),
     "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SQL),
@@ -3388,4 +3490,5 @@ QUERIES: dict = {
     "fertility_by_script": (fertility_by_script, _fertility_by_script_sql()),
     "dedup_winnow_recall": (dedup_winnow_recall, _winnow_recall_sql()),
     "dedup_simhash_recall": (dedup_simhash_recall, _simhash_recall_sql()),
+    "gopher_char_gates": (gopher_char_gates, _gopher_char_sql()),
 }

@@ -110,6 +110,7 @@ FAMILY = [
     "dedup_simhash_recall",
     "ann_index_reindex",
     "length_bucket_report",
+    "gopher_char_gates",
 ]
 
 

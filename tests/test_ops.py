@@ -2721,3 +2721,39 @@ def test_length_bucket_order_is_stable_across_runs(spark):
     a = sorted(map(tuple, length_bucket_batches(df).collect()))
     b = sorted(map(tuple, length_bucket_batches(df.repartition(7)).collect()))
     assert a == b  # salted-hash order: partitioning can't leak into batches
+
+
+# ---------------------------------------------------------------------------
+# Gopher char-coverage repetition gates (r11)
+# ---------------------------------------------------------------------------
+def test_gopher_char_signals_coverage_semantics(spark):
+    from incremental_datapipeline_using_snowflake_spark.ops.text import (
+        gopher_char_signals,
+    )
+
+    rows = [
+        # "aa bb" repeated 5x: top-2-gram covers everything; overlapping
+        # dup windows must not double-count characters (union mask)
+        (1, "aa bb " * 5),
+        # unique words: all signals 0, gate passes
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        # one 10-word chorus twice: dup10 covers exactly the chorus chars
+        (3, " ".join(f"u{i}" for i in range(12)) + " "
+            + " ".join(f"c{i}" for i in range(10)) + " "
+            + " ".join(f"c{i}" for i in range(10))),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_char_signals(df).collect()}
+    # doc 1: every word is inside a duplicated 5-gram -> dup5 == 1.0
+    assert out[1]["dup5gram_frac"] == 1.0
+    assert not out[1]["char_gates_pass"]
+    # the top 2-gram ("aa bb" or "bb aa", 4 chars x >=4 occurrences) covers
+    # >= 16 of 20 chars
+    assert out[1]["top2gram_frac"] >= 0.8
+    assert out[2]["dup5gram_frac"] == 0.0 and out[2]["top2gram_frac"] == 0.0
+    assert out[2]["char_gates_pass"]
+    # doc 3: chorus = 2x10 words of 2-3 chars; dup10 counts those words'
+    # chars (union over both occurrences), none of the unique prefix
+    chorus_chars = 2 * sum(len(f"c{i}") for i in range(10))
+    total = out[3]["n_word_chars"]
+    assert abs(out[3]["dup10gram_frac"] - round(chorus_chars / total, 4)) < 1e-9
