@@ -755,6 +755,35 @@ def embedding_near_pairs_lsh(
     )
 
 
+def embedding_lsh_candidate_pairs(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The hyperplane-LSH BLOCKING stage alone — distinct (id_a, id_b)
+    sharing a signature bucket, before any cosine verification. Exposed
+    for ``dedup_emblsh_recall``, which grades the bucket join against
+    exact-cosine truth the same way the MinHash/winnowing referees grade
+    their blocking stages (r11 — completing the referee family across
+    all four candidate generators)."""
+    from .similarity import lsh_signatures
+
+    sigs = lsh_signatures(df, dim, vec_col=vec_col, id_col=id_col).select(
+        F.col(id_col).alias("id"), "bucket"
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def incremental_minhash_pairs(
     new_docs: DataFrame,
     corpus: DataFrame,

@@ -324,6 +324,92 @@ ORDER BY id_a, id_b
 """
 
 
+
+# dedup_emblsh_recall (r11) — the fourth and last dedup-accuracy referee:
+# the hyperplane-LSH BLOCKING stage graded against exact brute-force
+# cosine truth on a fixed-size sample (the textops referee discipline —
+# an eval budget must not scale with the corpus it audits). The sample
+# keys on vec_id % 100000 so every planted x1.001 variant co-samples with
+# its base vector; truth is the all-pairs cosine over the ~100-vector
+# sample (bounded by construction).
+def dedup_emblsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import dedup as D
+    from .textops import _referee_counts
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    mod = max(4, n // 100)
+    corpus = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(
+        emb.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") * 1.001
+            ).alias("embedding"),
+        )
+    ).filter((F.col("vec_id") % 100000) % mod == 0)
+    corpus = corpus.localCheckpoint(eager=True)
+    truth = D.embedding_near_pairs(corpus, threshold=0.999).select("id_a", "id_b")
+    cand = D.embedding_lsh_candidate_pairs(corpus, dim=EMB_DIM)
+    return _referee_counts(truth, cand, "bucket")
+
+
+def _emblsh_recall_sql() -> str:
+    return f"""
+WITH corpus AS (
+  SELECT * FROM (
+    SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS id,
+           list_transform(embedding::DOUBLE[], x -> x * 1.001) AS v
+    FROM embeddings WHERE vec_id % 5 = 0
+  )
+  WHERE (id % 100000) % (SELECT greatest(4, count(*) // 100) FROM embeddings) = 0
+),
+planes AS (
+  SELECT p, d, ({_H.format(x="p || '_' || d")} % 2001) - 1000 AS w
+  FROM (SELECT unnest(range(0, {S.N_PLANES})) AS p),
+       (SELECT unnest(range(1, {EMB_DIM + 1})) AS d)
+),
+flat AS (
+  SELECT id, generate_subscripts(v, 1) AS d,
+         CAST(floor(unnest(v) * 1000000 + 0.5) AS BIGINT) AS xq
+  FROM corpus
+),
+proj AS (
+  SELECT id, p, sum(xq * w) AS s FROM flat JOIN planes USING (d) GROUP BY id, p
+),
+sig AS (
+  SELECT id, sum(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS bucket
+  FROM proj GROUP BY id
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.id < b.id
+),
+truth AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM corpus a JOIN corpus b ON a.id < b.id
+  ) WHERE cosine >= 0.999
+),
+hit AS (SELECT id_a, id_b FROM cand INTERSECT SELECT id_a, id_b FROM truth)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+       CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+       round((SELECT count(*) FROM hit)
+             / CAST((SELECT count(*) FROM cand) AS DOUBLE), 4) AS precision_bucket,
+       round((SELECT count(*) FROM hit)
+             / CAST((SELECT count(*) FROM truth) AS DOUBLE), 4) AS recall_bucket,
+       round(2.0 * (SELECT count(*) FROM hit)
+             / CAST((SELECT count(*) FROM cand)
+                    + (SELECT count(*) FROM truth) AS DOUBLE), 4) AS f1_bucket
+"""
+
+
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (seed codebooks, integer-exact ADC)."""
     emb = load(spark, sf_dir, "embeddings")
@@ -1483,6 +1569,7 @@ QUERIES: dict = {
     "ann_pq_topk": (ann_pq_topk, _pq_sql()),
     "ann_ivfpq_topk": (ann_ivfpq_topk, _ivfpq_sql()),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_SQL),
+    "dedup_emblsh_recall": (dedup_emblsh_recall, _emblsh_recall_sql()),
     "semdedup_keep": (semdedup_keep, SEMDEDUP_SQL),
     "semdedup_keep_lsh": (semdedup_keep_lsh_q, SEMDEDUP_LSH_SQL),
     "dedup_embedding_incremental": (dedup_embedding_incremental, INC_EMB_SQL),

@@ -111,6 +111,7 @@ FAMILY = [
     "ann_index_reindex",
     "length_bucket_report",
     "gopher_char_gates",
+    "dedup_emblsh_recall",
 ]
 
 

@@ -2757,3 +2757,18 @@ def test_gopher_char_signals_coverage_semantics(spark):
     chorus_chars = 2 * sum(len(f"c{i}") for i in range(10))
     total = out[3]["n_word_chars"]
     assert abs(out[3]["dup10gram_frac"] - round(chorus_chars / total, 4)) < 1e-9
+
+
+def test_emblsh_referee_recall_and_blocking(spark):
+    from incremental_datapipeline_using_snowflake_spark.queries.similarity import (
+        dedup_emblsh_recall,
+    )
+
+    r = dedup_emblsh_recall(spark, "/root/testdata/sf0.001").collect()[0]
+    # every planted x1.001 variant shares all hyperplane signs with its
+    # base vector: the bucket join may not miss ANY truth pair
+    assert r["n_true"] > 0 and r["recall_bucket"] == 1.0
+    # the bucket join is a real blocking stage, not all-pairs: candidates
+    # stay far under the sample's pair space
+    n = r["n_cand"]
+    assert n < 2000  # ~120-vector sample -> all-pairs would be ~7k
