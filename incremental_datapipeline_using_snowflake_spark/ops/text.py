@@ -74,16 +74,30 @@ WORDLIKE_RE = f"[A-Za-z{HAN_RANGES}{KANA_RANGES}{THAI_LETTER_RANGES}]"
 # char when a non-space, non-segmented char follows (the "好world" case)
 SEG_P1 = f"([{SEG_START}])"
 SEG_P2 = f"([{SEG_ALL}])([^\\s{SEG_ALL}])"
+# guard class: one coarse contiguous superset range (Thai block through
+# fullwidth forms). A find-first scan on a single range is far cheaper
+# than the three global replace passes it gates; false positives (e.g.
+# Hangul) merely pay a segmentation that is the identity for them.
+SEG_GUARD_RE = "[ก-￯]"
 
 
 def segment_text(text: Column | str) -> Column:
     """Inject word boundaries around whitespace-free-script units; the
-    identity on text without such characters. Two global regexp_replace
-    passes + an ideographic-space translate — all JVM codegen, no UDFs."""
+    identity on text without such characters. Guarded: the translate +
+    two global regexp_replace passes only run when a find-first scan
+    sees a candidate codepoint — pure-ASCII rows (the overwhelming case
+    in a mixed corpus) pay ONE short-circuiting scan instead of three
+    full replace passes with string allocation (the r11 bench regression:
+    words_col consumers measured 2-7x without the guard). All JVM
+    codegen, no UDFs; output is byte-identical with or without the guard
+    (the passes are the identity exactly when the guard is false)."""
     t = F.col(text) if isinstance(text, str) else text
-    t = F.translate(t, "　", " ")
-    t = F.regexp_replace(t, SEG_P1, " $1")
-    return F.regexp_replace(t, SEG_P2, "$1 $2")
+    seg = F.regexp_replace(
+        F.regexp_replace(F.translate(t, "　", " "), SEG_P1, " $1"),
+        SEG_P2,
+        "$1 $2",
+    )
+    return F.when(t.rlike(SEG_GUARD_RE), seg).otherwise(t)
 
 
 def words_col(text: Column | str) -> Column:
