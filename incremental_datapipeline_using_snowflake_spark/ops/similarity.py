@@ -1055,6 +1055,8 @@ def maybe_reindex_ivf(
     row = per.agg(
         F.sum("n").alias("n_vec"), F.max("n").alias("max_cell")
     ).first()
+    if row["n_vec"] is None:
+        return None  # empty index: nothing to probe, nothing to rebuild
     n_vec, max_cell = int(row["n_vec"]), int(row["max_cell"])
     n_cells_stored = store.read(spark, f"{name}.centroids").count()
     target = max(N_IVF_CELLS, int(n_vec**0.5))
