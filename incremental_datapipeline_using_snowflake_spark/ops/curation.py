@@ -1618,7 +1618,23 @@ def publish_corpus_delta(
     v_now = int(store.current_version(corpus_table))
     if v_now == v_head:
         return {"published": None, "base_version": v_head, "store_version": v_now}
-    new_name = f"link-{len(links) + 1:06d}"
+    # next index = max over ALL link-* dirs (manifest-less ones included:
+    # a crashed/partial export dir must still advance the numbering), never
+    # len(links) — a gap in the chain (link-000001, link-000003) would make
+    # the count-derived name collide with the existing complete head and
+    # the export would overwrite it, corrupting the chain (ADVICE r11)
+    taken = [
+        int(d.split("-", 1)[1])
+        for d in os.listdir(publish_dir)
+        if d.startswith("link-") and d.split("-", 1)[1].isdigit()
+    ]
+    new_name = f"link-{(max(taken) if taken else 0) + 1:06d}"
+    if os.path.exists(os.path.join(publish_dir, new_name)):
+        raise ValueError(
+            f"refusing to publish into existing dir {new_name!r} under "
+            f"{publish_dir!r} — the chain is inconsistent (remove the "
+            "stale dir or repair the numbering first)"
+        )
     export_corpus_delta(
         spark, store, corpus_table,
         os.path.join(publish_dir, new_name), head,

@@ -1059,6 +1059,15 @@ def maybe_reindex_ivf(
         return None  # empty index: nothing to probe, nothing to rebuild
     n_vec, max_cell = int(row["n_vec"]), int(row["max_cell"])
     n_cells_stored = store.read(spark, f"{name}.centroids").count()
+    if n_cells_stored == 0:
+        # non-empty assignments with an empty centroid table is not a
+        # drift state, it is a half-written/externally-damaged index —
+        # fail with the diagnosis instead of a ZeroDivisionError (ADVICE
+        # r11); the remedy is an explicit build_ivf_index rebuild
+        raise ValueError(
+            f"inconsistent IVF index {name!r}: {n_vec} stored assignments "
+            "but zero centroids — rebuild with build_ivf_index"
+        )
     target = max(N_IVF_CELLS, int(n_vec**0.5))
     mean_pop = n_vec / n_cells_stored
     size_fire = target >= size_drift * n_cells_stored

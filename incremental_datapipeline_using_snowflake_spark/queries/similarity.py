@@ -982,6 +982,18 @@ def ann_index_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _ANN_INDEX_CACHE.get(key)
     emb = load(spark, sf_dir, "embeddings")
     if store is None:
+        # FIXTURE PRECONDITION (ADVICE r11): the volume probe fires when
+        # auto_n_cells(4n) >= 2 * auto_n_cells(n); below 256 base vectors
+        # the N_IVF_CELLS floor absorbs the planted 4x growth (target
+        # stays 16 < 32) and the query cannot exercise the fired branch.
+        # Fail up front with the diagnosis, not after the build.
+        n_base = emb.count()
+        if n_base < S.N_IVF_CELLS**2:
+            raise ValueError(
+                f"ann_index_reindex needs >= {S.N_IVF_CELLS ** 2} base "
+                f"vectors (sqrt(4n) >= 2 * {S.N_IVF_CELLS}) for the planted "
+                f"4x growth to outgrow the cell floor; fixture has {n_base}"
+            )
         store = TableStore(root=tempfile.mkdtemp(prefix="spark_annidx_"))
         S.build_ivf_index(spark, store, emb, "idx.emb", n_cells=None)
         for j, f in enumerate(_REINDEX_FACTORS, start=1):

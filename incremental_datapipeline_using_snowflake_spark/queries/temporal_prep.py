@@ -14,7 +14,14 @@ from pyspark.sql import functions as F
 
 from ..ops import temporal as T
 from ..ops import textprep as TP
-from .util import load
+from .util import load, seg_words_sql
+
+# script-aware token split for the oracles (ADVICE r11): the Spark side
+# tokenizes through ops.text.words_col, so every token-count oracle must
+# run the same segmentation passes — identity on the ASCII documents
+# fixture (hashes unchanged), parity-preserving the day non-ASCII text
+# enters the corpus
+_WORDS_TXT = seg_words_sql("text")
 
 # ---------------------------------------------------------------------------
 # asof_join — point-in-time lookup: for every 'view' event, the latest
@@ -191,9 +198,9 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CHUNKING_SQL = r"""
+CHUNKING_SQL = rf"""
 WITH w AS (
-  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS words
+  SELECT doc_id AS id, {_WORDS_TXT} AS words
   FROM documents
 ),
 starts AS (
@@ -255,10 +262,10 @@ def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("shard")
 
 
-PACKING_EFFICIENCY_SQL = r"""
+PACKING_EFFICIENCY_SQL = rf"""
 WITH toks AS (
   SELECT doc_id AS id, doc_id % 8 AS shard,
-         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+         len({_WORDS_TXT}) AS n_tokens
   FROM documents
 ),
 binned AS (
@@ -283,10 +290,10 @@ ORDER BY shard
 """
 
 
-PACKING_SQL = r"""
+PACKING_SQL = rf"""
 WITH toks AS (
   SELECT doc_id AS id, doc_id % 8 AS shard,
-         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+         len({_WORDS_TXT}) AS n_tokens
   FROM documents
 ),
 binned AS (
@@ -598,10 +605,10 @@ def length_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LENGTH_BUCKET_SQL = r"""
+LENGTH_BUCKET_SQL = rf"""
 WITH toks AS (
   SELECT doc_id AS id, doc_id % 8 AS shard,
-         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+         len({_WORDS_TXT}) AS n_tokens
   FROM documents
 ),
 b AS (

@@ -2453,20 +2453,25 @@ def jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.struct("lang", "n_chars").alias("metadata"),
         ).write.mode("overwrite").json(path)
-        holder = SimpleNamespace(root=path)
+        schema = (
+            "id string, text string, source string, "
+            "metadata struct<lang:string, n_chars:long>"
+        )
+        back = spark.read.schema(schema).json(path).select(
+            F.col("id").cast("long").alias("doc_id"),
+            "text",
+            F.col("metadata.lang").alias("lang"),
+            "source",
+            F.col("metadata.n_chars").alias("n_chars"),
+        )
+        # pin the read-back EAGERLY: memo eviction (memo_evict_new /
+        # _sweep_memo_tempdirs) rmtrees `root`, so a lazy frame handed out
+        # before eviction would fail on its first action with a
+        # missing-path error (ADVICE r11). The checkpointed blocks live in
+        # the block manager, independent of the evictable tempdir.
+        holder = SimpleNamespace(root=path, df=back.localCheckpoint(eager=True))
         _JSONL_CACHE[key] = holder
-    schema = (
-        "id string, text string, source string, "
-        "metadata struct<lang:string, n_chars:long>"
-    )
-    back = spark.read.schema(schema).json(holder.root)
-    return back.select(
-        F.col("id").cast("long").alias("doc_id"),
-        "text",
-        F.col("metadata.lang").alias("lang"),
-        "source",
-        F.col("metadata.n_chars").alias("n_chars"),
-    ).orderBy("doc_id")
+    return holder.df.orderBy("doc_id")
 
 
 JSONL_INGEST_SQL = """
