@@ -373,52 +373,70 @@ def gopher_char_signals(
         # zip_with pads the shorter side with NULL -> tail windows NULL out
         return out
 
-    def keyed(n: int) -> DataFrame:
-        keys = passage_keys_col(F.array_join(F.col("_w"), " "), n)
-        return (
-            base.select(
-                "_id",
-                F.arrays_zip(keys.alias("k"), window_lens(n).alias("l")).alias("_z"),
+    # ONE explode + TWO doc-keyed shuffles for all five n (r12, VERDICT
+    # r11 efficiency note): each position emits its five (n, pos, key,
+    # len) entries in a single pass, one (_id, n, key) aggregation finds
+    # every repeated window (count, min-len, positions), and one (_id)
+    # aggregation folds the per-n top-coverage scalars and dup-start
+    # arrays with conditional aggregates. The r11 shape re-ran the
+    # explode and its groupBy pair once per n — 12 exchanges and five
+    # scans of the word arrays; this plan ships the same bytes through 2.
+    all_n = sorted(GOPHER_TOP_NGRAM_MAX) + sorted(GOPHER_DUP_NGRAM_MAX)
+    joined = F.array_join(F.col("_w"), " ")
+
+    def entries(n: int) -> Column:
+        z = F.arrays_zip(
+            passage_keys_col(joined, n).alias("k"), window_lens(n).alias("l")
+        )
+        return F.transform(
+            z,
+            lambda s, i: F.struct(
+                F.lit(n).alias("n"),
+                i.alias("p"),
+                s["k"].alias("k"),
+                s["l"].cast("long").alias("l"),
+            ),
+        )
+
+    # arrays_zip pads every column to the longest array, so tail positions
+    # carry NULL key/len for each n and drop here — the same rows the
+    # per-n explodes produced
+    allent = F.filter(
+        F.concat(*[entries(n) for n in all_n]),
+        lambda s: s["k"].isNotNull() & s["l"].isNotNull(),
+    )
+    rows = base.select("_id", F.explode(allent).alias("_e")).select(
+        "_id",
+        F.col("_e.n").alias("_n"),
+        F.col("_e.p").alias("_pos"),
+        F.col("_e.k").alias("_key"),
+        F.col("_e.l").alias("_len"),
+    )
+    repeated = (
+        rows.groupBy("_id", "_n", "_key")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min("_len").alias("_l"),
+            F.collect_list("_pos").alias("_ps"),
+        )
+        .filter(F.col("_c") >= 2)
+    )
+    sig_aggs = [
+        F.max(F.when(F.col("_n") == n, F.col("_c") * F.col("_l"))).alias(
+            f"_topcov{n}"
+        )
+        for n in sorted(GOPHER_TOP_NGRAM_MAX)
+    ] + [
+        F.sort_array(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.when(F.col("_n") == n, F.col("_ps"))))
             )
-            .select("_id", F.posexplode("_z").alias("_pos", "_kl"))
-            .filter(F.col("_kl.k").isNotNull() & F.col("_kl.l").isNotNull())
-            .select(
-                "_id",
-                "_pos",
-                F.col("_kl.k").alias("_key"),
-                F.col("_kl.l").cast("long").alias("_len"),
-            )
-        )
+        ).alias(f"_ds{n}")
+        for n in sorted(GOPHER_DUP_NGRAM_MAX)
+    ]
+    sig = repeated.groupBy("_id").agg(*sig_aggs)
 
-    tops = None
-    for n in sorted(GOPHER_TOP_NGRAM_MAX):
-        t = (
-            keyed(n)
-            .groupBy("_id", "_key")
-            .agg(F.count(F.lit(1)).alias("_c"), F.min("_len").alias("_l"))
-            .filter(F.col("_c") >= 2)
-            .groupBy("_id")
-            .agg(F.max(F.col("_c") * F.col("_l")).alias(f"_topcov{n}"))
-        )
-        tops = t if tops is None else tops.join(t, "_id", "full_outer")
-
-    dups = None
-    for n in sorted(GOPHER_DUP_NGRAM_MAX):
-        k = keyed(n)
-        starts = (
-            k.groupBy("_id", "_key")
-            .agg(F.count(F.lit(1)).alias("_c"), F.collect_list("_pos").alias("_ps"))
-            .filter(F.col("_c") >= 2)
-            .select("_id", F.explode("_ps").alias("_p"))
-            .groupBy("_id")
-            .agg(F.sort_array(F.array_distinct(F.collect_list("_p"))).alias(f"_ds{n}"))
-        )
-        dups = starts if dups is None else dups.join(starts, "_id", "full_outer")
-
-    j = base
-    for frame in (tops, dups):
-        if frame is not None:
-            j = j.join(frame, "_id", "left")
+    j = base.join(sig, "_id", "left")
 
     def dup_frac(n: int) -> Column:
         ds = F.coalesce(F.col(f"_ds{n}"), F.array().cast("array<int>"))
