@@ -57,18 +57,49 @@ THAI_COMBINING = "ัิ-ฺ็-๎"
 HAN_RANGES = "㐀-䶿一-鿿豈-﫿"  # Ext A + Unified + Compatibility
 KANA_RANGES = "぀-ヿ"  # Hiragana + Katakana
 THAI_LETTER_RANGES = "ก-๎"  # Thai letters/vowels/tones (excl. digits+signs)
+# r12 (VERDICT r11 missing #3): Lao / Khmer / Myanmar are also
+# whitespace-free Common-Crawl scripts; same two-pass machinery,
+# CONSTANTS ONLY — each extends the Thai discipline: per base character
+# with its non-spacing (Mn) marks attached. Spacing vowels (the Thai
+# sara-a/am analogues) are unit starts, exactly as in the Thai rows.
+# Known approximation, deterministic and parity-pinned by
+# sea_segmentation: the Khmer COENG (U+17D2, Mn — attaches) is followed
+# by a base consonant that starts a NEW unit, so a subscript cluster
+# segments as (base+COENG, consonant) — the per-codepoint analogue of
+# the documented supplementary-plane pass-through.
+LAO_COMBINING = "ັິ-ຼ່-ໍ"  # U+0EB1, U+0EB4-0EBC, U+0EC8-0ECD
+LAO_START = "ກ-ະາ-ຳຽ-ໄໆ໐-ໟ"  # U+0E81-0EB0, 0EB2-0EB3, 0EBD-0EC4, 0EC6, 0ED0-0EDF
+LAO_LETTER_RANGES = "ກ-ໍ"  # U+0E81-0ECD
+MYANMAR_COMBINING = "ိ-ူဲ-့္-်ွ-ှ"  # U+102D-1030, 1032-1037, 1039-103A, 103D-103E
+MYANMAR_START = "က-ာေးျ-ြဿ-၏"  # U+1000-102C, 1031, 1038, 103B-103C, 103F-104F
+MYANMAR_LETTER_RANGES = "က-ဿ"  # U+1000-103F
+KHMER_COMBINING = "ិ-ួំ៉-៓៝"  # U+17B7-17BD, 17C6, 17C9-17D3 (incl. COENG), 17DD
+KHMER_START = "ក-ាើ-ៅះ-ៈ។-ៜ០-៩៰-៹"  # U+1780-17B6, 17BE-17C5, 17C7-17C8, 17D4-17DC, digits, lunar
+KHMER_LETTER_RANGES = "ក-៓"  # U+1780-17D3
 SEG_START = (
     "ก-ะาำ฿-ๆ๏-๛"  # Thai, non-combining
-    "、-〿"  # CJK symbols/punctuation (U+3000 handled as whitespace)
+    + LAO_START
+    + MYANMAR_START
+    + KHMER_START
+    + "、-〿"  # CJK symbols/punctuation (U+3000 handled as whitespace)
     + KANA_RANGES
     + HAN_RANGES
     + "＀-￯"  # fullwidth / halfwidth forms
 )
-SEG_ALL = SEG_START + THAI_COMBINING
+SEG_ALL = (
+    SEG_START
+    + THAI_COMBINING
+    + LAO_COMBINING
+    + MYANMAR_COMBINING
+    + KHMER_COMBINING
+)
 # "looks like a word" char class for quality gates: ASCII letters OR a
 # letter of a segmented script (punctuation blocks deliberately excluded,
 # so a punctuation-only unit fails the gate in every script)
-WORDLIKE_RE = f"[A-Za-z{HAN_RANGES}{KANA_RANGES}{THAI_LETTER_RANGES}]"
+WORDLIKE_RE = (
+    f"[A-Za-z{HAN_RANGES}{KANA_RANGES}{THAI_LETTER_RANGES}"
+    f"{LAO_LETTER_RANGES}{MYANMAR_LETTER_RANGES}{KHMER_LETTER_RANGES}]"
+)
 # pass 1: boundary BEFORE every unit-start char (combining marks excluded,
 # so they stay glued to their base); pass 2: boundary AFTER a run's last
 # char when a non-space, non-segmented char follows (the "好world" case)

@@ -3130,6 +3130,79 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# sea_segmentation (r12, VERDICT r11 missing #3) — the cjk_segmentation
+# parity pin extended to the OTHER whitespace-free Common-Crawl scripts:
+# Lao, Myanmar, Khmer. Each doc renders unspaced in one script
+# (doc_id % 3) from a 20-syllable alphabet of base consonant + COMBINING
+# vowel/tone mark — concatenated with no separators they exercise the
+# marks-stay-attached rule for all three new combining classes across
+# Java regex and RE2. The Khmer alphabet deliberately includes two COENG
+# subscript clusters (U+17D2), hash-pinning the documented
+# split-after-COENG approximation. doc_id % 11 rows carry an ASCII
+# prefix, pinning mixed-run boundaries per script.
+# ---------------------------------------------------------------------------
+LAO20 = ["ກິ", "ຂີ", "ຄຶ", "ງື", "ຈຸ", "ຊູ", "ຍັ", "ດ່", "ຕ້", "ຖ໊", "ທິ", "ນີ", "ບຶ", "ປື", "ຜຸ", "ຝູ", "ພັ", "ຟ່", "ມ້", "ຢ໊"]
+MYA20 = ["ကိ", "ခီ", "ဂု", "ဃူ", "ငဲ", "စံ", "ဆ့", "ဇ်", "ဈွ", "ညှ", "ဋိ", "ဌီ", "ဍု", "ဎူ", "ဏဲ", "တံ", "ထ့", "ဒ်", "ဓွ", "နှ"]
+KHM20 = ["កិ", "ខី", "គឹ", "ឃឺ", "ងុ", "ចូ", "ឆួ", "ជំ", "ឈ៉", "ញ៊", "ដិ", "ឋី", "ឌឹ", "ឍឺ", "ណុ", "តូ", "ថួ", "ទំ", "ក្រ", "ត្រ"]
+_LAO20_SQL = "string_split('" + ",".join(LAO20) + "', ',')"
+_MYA20_SQL = "string_split('" + ",".join(MYA20) + "', ',')"
+_KHM20_SQL = "string_split('" + ",".join(KHM20) + "', ',')"
+
+
+def sea_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    rendered = (
+        F.when(F.col("doc_id") % 3 == 0, _cjk_text_col("text", alphabet=LAO20))
+        .when(F.col("doc_id") % 3 == 1, _cjk_text_col("text", alphabet=MYA20))
+        .otherwise(_cjk_text_col("text", alphabet=KHM20))
+    )
+    mixed = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.lit("doc"), F.col("doc_id").cast("string"), F.lit(" en "), rendered
+        ),
+    ).otherwise(rendered)
+    script = F.element_at(
+        F.array(F.lit("lao"), F.lit("myanmar"), F.lit("khmer")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    base = docs.select("doc_id", script.alias("script"), mixed.alias("text"))
+    w = X.words_col("text")
+    return base.select(
+        "doc_id",
+        "script",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(w).cast("long").alias("n_units"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+        F.md5(F.array_join(w, " ")).alias("units_fp"),
+    ).orderBy("doc_id")
+
+
+def _sea_segmentation_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'lao'
+              WHEN 1 THEN 'myanmar' ELSE 'khmer' END AS script,
+         (CASE WHEN doc_id % 11 = 0
+               THEN 'doc' || CAST(doc_id AS VARCHAR) || ' en ' ELSE '' END)
+         || (CASE CAST(doc_id % 3 AS INTEGER)
+              WHEN 0 THEN {_cjk_text_sql("text", _LAO20_SQL)}
+              WHEN 1 THEN {_cjk_text_sql("text", _MYA20_SQL)}
+              ELSE {_cjk_text_sql("text", _KHM20_SQL)} END) AS text
+  FROM documents
+),
+w AS (SELECT doc_id, script, text, {seg_words_sql("text")} AS sp FROM base)
+SELECT doc_id, script,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(sp) AS BIGINT) AS n_units,
+       CAST(len(list_distinct(sp)) AS BIGINT) AS n_distinct,
+       md5(array_to_string(sp, ' ')) AS units_fp
+FROM w
+ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
 # cjk_quality_gates — the Gopher repetition/quality signals over unspaced
 # text: units are real words now (pre-segmentation every doc read
 # n_words=1 and every signal was vacuous). doc_id % 13 rows are replaced
@@ -3490,6 +3563,7 @@ QUERIES: dict = {
     "curriculum_order": (curriculum_order, _curriculum_sql()),
     "span_corruption_pairs": (span_corruption_pairs, _span_corruption_sql()),
     "cjk_segmentation": (cjk_segmentation, _cjk_segmentation_sql()),
+    "sea_segmentation": (sea_segmentation, _sea_segmentation_sql()),
     "cjk_quality_gates": (cjk_quality_gates, _cjk_quality_sql()),
     "cjk_boilerplate_scrub": (cjk_boilerplate_scrub, _cjk_scrub_sql()),
     "fertility_by_script": (fertility_by_script, _fertility_by_script_sql()),
