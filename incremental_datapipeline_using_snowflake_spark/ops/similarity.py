@@ -218,6 +218,128 @@ def ivf_assignments(
     return cents, assigned
 
 
+IVF_ROUTE_PROBES = 2
+
+
+def ivf_assignments_routed(
+    corpus: DataFrame,
+    n_cells: int | None = N_IVF_CELLS,
+    n_route: int | None = None,
+    r_probe: int = IVF_ROUTE_PROBES,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """ROUTED IVF assignment — the sub-Θ(n^1.5) rebuild kernel (r12,
+    VERDICT r11 #1). Same centroid set as :func:`ivf_assignments` (the
+    ``n_cells`` lowest-id vectors), but a vector never scores all
+    sqrt(n) centroids: the centroids are themselves grouped under
+    ``n_route ≈ sqrt(n_cells)`` route seeds (each centroid assigned to
+    its nearest seed — a centroids-only mini-join), each vector ranks
+    only the ``n_route`` seeds (broadcast), keeps its ``r_probe`` best
+    routes, and scores just those routes' centroids through a
+    route-keyed join. Total work n·n_route + r_probe·n·(n_cells/n_route)
+    = Θ(n^1.25) at the sqrt sizing — the hierarchical-IVF assignment
+    (the flat kernel's n·sqrt(n) is what made a fired re-index
+    infeasible at corpus scale).
+
+    The assignment is deliberately approximate in the standard IVF
+    sense — a vector whose true nearest centroid lives outside its
+    ``r_probe`` routes lands in its best in-route cell; query-time
+    recall remains governed by ``n_probe``. Every stage is
+    deterministic (lowest-id seeds, cosine ranking with ascending-id
+    tie-breaks), so a SQL oracle replays the full routed composition.
+
+    Returns (centroids, assignments(id, v, cell)) — the same contract as
+    the flat kernel, drop-in for :func:`build_ivf_index`.
+    """
+    if n_cells is None:
+        n_cells = auto_n_cells(corpus)
+    c = corpus.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
+    cents = (
+        c.orderBy("id")
+        .limit(n_cells)
+        .select(F.col("id").alias("cell"), F.col("v").alias("cv"))
+        .withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    )
+    if n_route is None:
+        # half-up like knn_graph_ivf2: GREATEST(4, floor(sqrt(c) + 0.5))
+        n_route = max(4, int(n_cells**0.5 + 0.5))
+    assigned = route_assign(c, cents, n_route=n_route, r_probe=r_probe)
+    return cents, assigned
+
+
+def route_assign(
+    vecs: DataFrame,
+    cents: DataFrame,
+    n_route: int | None = None,
+    r_probe: int = IVF_ROUTE_PROBES,
+) -> DataFrame:
+    """Assign ``vecs(id, v)`` to their (approximate) nearest of
+    ``cents(cell, cv, cn)`` through route seeds — the shared routed
+    kernel behind :func:`ivf_assignments_routed` and
+    ``append_to_ivf_index(routed=True)``. Work |vecs|·(n_route +
+    r_probe·n_cells/n_route) instead of the flat |vecs|·n_cells.
+    Deterministic throughout (lowest-id seeds, cosine rank, ascending-id
+    ties). Returns (id, v, cell)."""
+    if n_route is None:
+        # sized from the centroid table; one count on a table that is
+        # sqrt(corpus)-small. Half-up like knn_graph_ivf2:
+        # GREATEST(4, floor(sqrt(c) + 0.5))
+        n_route = max(4, int(cents.count() ** 0.5 + 0.5))
+    # route seeds = the n_route lowest-id centroids; assign every centroid
+    # to its nearest seed (n_cells x n_route — a centroids-only join)
+    seeds = (
+        cents.orderBy("cell")
+        .limit(n_route)
+        .select(
+            F.col("cell").alias("route"),
+            F.col("cv").alias("rv"),
+            F.col("cn").alias("rn"),
+        )
+    )
+    cscored = cents.join(F.broadcast(seeds)).select(
+        "cell",
+        "cv",
+        "cn",
+        "route",
+        (dot(F.col("cv"), F.col("rv")) / (F.col("cn") * F.col("rn"))).alias("_sim"),
+    )
+    wc = W.partitionBy("cell").orderBy(F.desc("_sim"), F.asc("route"))
+    routed_cents = (
+        cscored.withColumn("_rk", F.row_number().over(wc))
+        .filter(F.col("_rk") == 1)
+        .select("cell", "cv", "cn", "route")
+    )
+    # each vector ranks the n_route seeds and keeps its r_probe best routes
+    v = vecs.withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"))))
+    vscored = v.join(F.broadcast(seeds)).select(
+        "id",
+        "v",
+        "n",
+        "route",
+        (dot(F.col("v"), F.col("rv")) / (F.col("n") * F.col("rn"))).alias("_sim"),
+    )
+    wv = W.partitionBy("id").orderBy(F.desc("_sim"), F.asc("route"))
+    vroutes = (
+        vscored.withColumn("_rk", F.row_number().over(wv))
+        .filter(F.col("_rk") <= r_probe)
+        .select("id", "v", "n", "route")
+    )
+    # route-keyed join: a vector scores ONLY its routes' centroids
+    scored = vroutes.join(F.broadcast(routed_cents), "route").select(
+        "id",
+        "v",
+        "cell",
+        (dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))).alias("_sim"),
+    )
+    w = W.partitionBy("id").orderBy(F.desc("_sim"), F.asc("cell"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("id", "v", "cell")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     query_ids: list[int],
@@ -878,6 +1000,7 @@ def build_ivf_index(
     n_cells: int | None = N_IVF_CELLS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    routed: bool = False,
 ) -> dict:
     """Materialize the seed-IVF structure under ``<name>.centroids`` /
     ``<name>.assignments`` in a :class:`TableStore`.
@@ -889,11 +1012,17 @@ def build_ivf_index(
     atomic stage-and-swap, so an index rebuild is a versioned, crash-safe
     pointer flip and in-flight queries keep their snapshot.
 
+    ``routed=True`` assigns through :func:`ivf_assignments_routed`
+    (Θ(n^1.25) instead of the flat kernel's Θ(n^1.5)) — the shape a
+    FIRED re-index uses, where the corpus has already outgrown the
+    n·sqrt(n) pass (VERDICT r11 #1).
+
     Returns ``{"n_cells": ..., "n_vectors": ...}``.
     """
     if n_cells is None:
         n_cells = auto_n_cells(corpus)
-    cents, assigned = ivf_assignments(corpus, n_cells, vec_col, id_col)
+    assign_fn = ivf_assignments_routed if routed else ivf_assignments
+    cents, assigned = assign_fn(corpus, n_cells, vec_col=vec_col, id_col=id_col)
     store.overwrite(
         cents.select("cell", F.col("cv").alias("v")), f"{name}.centroids"
     )
@@ -980,6 +1109,7 @@ def append_to_ivf_index(
     name: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    routed: bool = False,
 ) -> int:
     """Incremental index maintenance: assign a NEW vector batch to the
     STORED centroids (broadcast join — the index is never re-trained or
@@ -989,6 +1119,12 @@ def append_to_ivf_index(
     (seed-IVF semantics — rebuild when drift warrants); returns the number
     of vectors appended. Queries see the grown index atomically per
     append (parquet append into the current version's cell directories).
+
+    ``routed=True`` assigns through :func:`route_assign` — batch ×
+    ~2·sqrt(n_cells) work instead of batch × n_cells. The flat default is
+    right for daily batch-bounded appends; routed is for corpus-scale
+    backfills, where the flat pass is the same Θ(n^1.5) a fired rebuild
+    pays (VERDICT r11 #1).
     """
     cents = store.read(spark, f"{name}.centroids").select(
         "cell", F.col("v").alias("cv")
@@ -996,18 +1132,21 @@ def append_to_ivf_index(
     v = new_vecs.select(
         F.col(id_col).alias("id"), _dvec(vec_col).alias("v")
     ).withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"))))
-    scored = v.join(F.broadcast(cents)).select(
-        "id",
-        "v",
-        "cell",
-        (dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))).alias("_sim"),
-    )
-    w = W.partitionBy("id").orderBy(F.desc("_sim"), F.asc("cell"))
-    assigned = (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select("id", "v", "cell")
-    )
+    if routed:
+        assigned = route_assign(v.select("id", "v"), cents)
+    else:
+        scored = v.join(F.broadcast(cents)).select(
+            "id",
+            "v",
+            "cell",
+            (dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))).alias("_sim"),
+        )
+        w = W.partitionBy("id").orderBy(F.desc("_sim"), F.asc("cell"))
+        assigned = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("id", "v", "cell")
+        )
     # The stored assignment table's partition column comes back through
     # parquet partition-value inference (int when cell ids fit), while the
     # batch carries the centroid table's physical type — cast to the stored
@@ -1077,7 +1216,12 @@ def maybe_reindex_ivf(
     vecs = asg.select(
         F.col("id").alias("vec_id"), F.col("v").alias("embedding")
     )
-    info = build_ivf_index(spark, store, vecs, name, n_cells=target)
+    # routed assignment (r12, VERDICT r11 #1): a FIRED rebuild runs on a
+    # corpus that has already outgrown its index — paying the flat
+    # kernel's n·sqrt(n) centroid scan there is Θ(n^1.5) (measured
+    # alpha_t 1.48 in r11); the route-then-assign kernel is Θ(n^1.25)
+    # with the same deterministic, oracle-replayable composition
+    info = build_ivf_index(spark, store, vecs, name, n_cells=target, routed=True)
     info.update(
         {
             "fired_volume": bool(size_fire),

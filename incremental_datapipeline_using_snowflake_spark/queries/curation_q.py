@@ -732,8 +732,97 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_chain_rebase (r12, VERDICT r11 missing #4) — the publish-chain
+# LIFECYCLE hash-checked end to end: bootstrap → base snapshot → two
+# takedown rounds, each publishing a churn-only delete link → REBASE
+# (links folded into a fresh verified base, chain length back to zero) →
+# a third takedown + publish chaining off the REBASED base →
+# verify_corpus_chain → materialize. Every structural claim (rebase
+# fired, folded exactly 2 links, post-rebase numbering restarts at
+# link-000001, chain verifies) is asserted fail-loud inside the query;
+# the returned table is the materialized post-rebase chain — doc ids,
+# round-tripped text lengths, and per-doc text fingerprints — which the
+# oracle replays as plain set algebra over `documents`. Deletes-only by
+# design: the chain machinery is what's under test (upsert links are
+# pinned by test_curation's curate-driven chains), and a takedown chain
+# is the lifecycle case that MUST NOT re-ship text (ids-only links).
+# ---------------------------------------------------------------------------
+def corpus_chain_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.table_store import TableStore
+    from ..ops import curation as C
+
+    key = (spark.sparkContext.applicationId, sf_dir, "rebase")
+    got = _CURATE_CACHE.get(key)
+    if got is None:
+        docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+        store = TableStore(
+            root=tempfile.mkdtemp(prefix="spark_rebase_"), keep_versions=8
+        )
+        C.bootstrap_corpus(spark, store, docs, "reb.docs")
+        pub = tempfile.mkdtemp(prefix="spark_rebase_pub_")
+        C.publish_corpus_delta(spark, store, "reb.docs", pub, compression=None)
+        for i, cond in enumerate(
+            ("doc_id % 7 = 2", "doc_id % 11 = 5"), start=1
+        ):
+            C.delete_docs(
+                spark, store, "reb.docs",
+                docs.filter(cond).select("doc_id"), run_id=f"r12-take-{i}",
+            )
+            info = C.publish_corpus_delta(
+                spark, store, "reb.docs", pub, compression=None
+            )
+            if info["published"] != f"link-{i:06d}":
+                raise RuntimeError(f"expected link-{i:06d}, got {info}")
+        reb = C.rebase_corpus_chain(spark, pub, compression=None)
+        if not reb["rebased"] or reb["links_folded"] != 2:
+            raise RuntimeError(f"rebase did not fold the chain: {reb}")
+        if C.rebase_corpus_chain(spark, pub, compression=None)["rebased"]:
+            raise RuntimeError("rebase replay must be a no-op")
+        C.delete_docs(
+            spark, store, "reb.docs",
+            docs.filter("doc_id % 13 = 3").select("doc_id"), run_id="r12-take-3",
+        )
+        info = C.publish_corpus_delta(
+            spark, store, "reb.docs", pub, compression=None
+        )
+        if info["published"] != "link-000001":
+            raise RuntimeError(
+                f"post-rebase numbering must restart at link-000001: {info}"
+            )
+        base, link = os.path.join(pub, "base"), os.path.join(pub, "link-000001")
+        C.verify_corpus_chain(spark, base, [link])
+        got = (
+            C.materialize_corpus_chain(spark, base, [link])
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.length("text").cast("long").alias("n_chars_live"),
+                F.md5("text").alias("text_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _CURATE_CACHE[key] = got
+    return got.orderBy("doc_id")
+
+
+CHAIN_REBASE_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_live,
+       md5(text) AS text_fp
+FROM documents
+WHERE doc_id < 400
+  AND doc_id % 7 != 2
+  AND doc_id % 11 != 5
+  AND doc_id % 13 != 3
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict = {
     "corpus_curate_append": (corpus_curate_append, _materialize_ctes(_curate_sql())),
     "corpus_delete_apply": (corpus_delete_apply, _materialize_ctes(_delete_sql())),
     "crawl_curate_pipeline": (crawl_curate_pipeline, _materialize_ctes(_crawl_sql())),
+    "corpus_chain_rebase": (corpus_chain_rebase, CHAIN_REBASE_SQL),
 }

@@ -968,8 +968,10 @@ ORDER BY query_id, rank
 # deterministically replay the FIRED branch) and answer queries from the
 # atomically swapped, retrained index. The oracle replays the rebuild
 # from scratch in SQL — centroids re-seeded from the union's lowest ids
-# at the new auto cell count — proving the policy's rebuild is exactly a
-# from-scratch build over the grown corpus.
+# at the new auto cell count, vectors assigned through the ROUTED
+# Theta(n^1.25) kernel the fired rebuild uses (r12, VERDICT r11 #1) —
+# proving the policy's rebuild is exactly a from-scratch routed build
+# over the grown corpus.
 _REINDEX_FACTORS = ["1.001", "1.002", "1.003"]
 
 
@@ -995,7 +997,17 @@ def ann_index_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"4x growth to outgrow the cell floor; fixture has {n_base}"
             )
         store = TableStore(root=tempfile.mkdtemp(prefix="spark_annidx_"))
-        S.build_ivf_index(spark, store, emb, "idx.emb", n_cells=None)
+        # routed=True throughout the growth phase (r12): the planted
+        # batches are corpus-SIZED (they must be, to fire the volume
+        # probe), so the flat kernel's batch x n_cells pass here is the
+        # same Theta(n^1.5) the fired rebuild pays — the r12 scale row
+        # measured the composition at alpha_t 1.38 with routed rebuild
+        # alone because the flat build + backfill appends dominated.
+        # Output-hash neutral by construction: the fired rebuild
+        # re-derives every assignment from the stored (id, v) pairs, and
+        # the centroid SET is kernel-independent, so only the transient
+        # pre-rebuild cell layout differs.
+        S.build_ivf_index(spark, store, emb, "idx.emb", n_cells=None, routed=True)
         for j, f in enumerate(_REINDEX_FACTORS, start=1):
             batch = emb.select(
                 (F.col("vec_id") + 400000 * j).alias("vec_id"),
@@ -1003,7 +1015,7 @@ def ann_index_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"transform(embedding, x -> cast(x as double) * {f})"
                 ).alias("embedding"),
             )
-            S.append_to_ivf_index(spark, store, batch, "idx.emb")
+            S.append_to_ivf_index(spark, store, batch, "idx.emb", routed=True)
         info = S.maybe_reindex_ivf(spark, store, "idx.emb")
         if info is None or not info["fired_volume"]:
             raise RuntimeError(
@@ -1037,19 +1049,52 @@ tgt AS (
                   CAST(floor(sqrt(count(*))) AS BIGINT)) AS n_cells
   FROM u
 ),
+nrt AS (
+  SELECT greatest(4, CAST(floor(sqrt(n_cells) + 0.5) AS BIGINT)) AS n_route
+  FROM tgt
+),
 cents AS (
   SELECT id AS cell, v AS cv FROM (
     SELECT id, v, row_number() OVER (ORDER BY id) AS rk FROM u
   ) WHERE rk <= (SELECT n_cells FROM tgt)
 ),
-assigned AS (
-  SELECT id, v, cell FROM (
-    SELECT a.id, a.v, cents.cell,
+-- ROUTED assignment replay (r12): the fired rebuild's Theta(n^1.25)
+-- kernel — route seeds = the n_route lowest-id centroids, each centroid
+-- to its nearest seed, each vector to its {S.IVF_ROUTE_PROBES} best
+-- routes, final cell = nearest centroid among those routes only
+seeds AS (
+  SELECT cell AS route, cv AS rv FROM (
+    SELECT cell, cv, row_number() OVER (ORDER BY cell) AS rk FROM cents
+  ) WHERE rk <= (SELECT n_route FROM nrt)
+),
+crt AS (
+  SELECT cell, cv, route FROM (
+    SELECT c.cell, c.cv, s.route,
+           row_number() OVER (
+             PARTITION BY c.cell
+             ORDER BY list_cosine_similarity(c.cv, s.rv) DESC, s.route
+           ) AS rk
+    FROM cents c CROSS JOIN seeds s
+  ) WHERE rk = 1
+),
+vrt AS (
+  SELECT id, v, route FROM (
+    SELECT a.id, a.v, s.route,
            row_number() OVER (
              PARTITION BY a.id
-             ORDER BY list_cosine_similarity(a.v, cents.cv) DESC, cents.cell
+             ORDER BY list_cosine_similarity(a.v, s.rv) DESC, s.route
            ) AS rk
-    FROM u a CROSS JOIN cents
+    FROM u a CROSS JOIN seeds s
+  ) WHERE rk <= {S.IVF_ROUTE_PROBES}
+),
+assigned AS (
+  SELECT id, v, cell FROM (
+    SELECT a.id, a.v, c.cell,
+           row_number() OVER (
+             PARTITION BY a.id
+             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cell
+           ) AS rk
+    FROM vrt a JOIN crt c ON a.route = c.route
   ) WHERE rk = 1
 ),
 q AS (
@@ -1566,8 +1611,107 @@ ORDER BY e.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# ivf_routed_assign (r12) — the routed Theta(n^1.25) assignment kernel
+# hash-checked DIRECTLY (ann_index_reindex exercises it only inside the
+# fired-rebuild composition): per-cell population, id fold, and a
+# decimal-routed member→centroid cosine fold over the full routed
+# assignment of the embeddings table at auto sizing. The oracle replays
+# route-seed selection, centroid routing, per-vector top-r route probing,
+# and the in-route argmax — the complete kernel.
+# ---------------------------------------------------------------------------
+def ivf_routed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..queries.util import dsum
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents, assigned = S.ivf_assignments_routed(emb, n_cells=None)
+    m = assigned.join(cents, "cell").select(
+        "cell",
+        "id",
+        F.round(
+            S.dot(F.col("v"), F.col("cv"))
+            / (F.sqrt(S.dot(F.col("v"), F.col("v"))) * F.col("cn")),
+            6,
+        ).alias("_cos"),
+    )
+    return (
+        m.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("id").cast("long").alias("id_sum"),
+            F.round(dsum("_cos"), 6).alias("cos_sum"),
+        )
+        .orderBy("cell")
+    )
+
+
+IVF_ROUTED_ASSIGN_SQL = f"""
+WITH u AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+tgt AS (
+  SELECT greatest({S.N_IVF_CELLS},
+                  CAST(floor(sqrt(count(*))) AS BIGINT)) AS n_cells
+  FROM u
+),
+nrt AS (
+  SELECT greatest(4, CAST(floor(sqrt(n_cells) + 0.5) AS BIGINT)) AS n_route
+  FROM tgt
+),
+cents AS (
+  SELECT id AS cell, v AS cv FROM (
+    SELECT id, v, row_number() OVER (ORDER BY id) AS rk FROM u
+  ) WHERE rk <= (SELECT n_cells FROM tgt)
+),
+seeds AS (
+  SELECT cell AS route, cv AS rv FROM (
+    SELECT cell, cv, row_number() OVER (ORDER BY cell) AS rk FROM cents
+  ) WHERE rk <= (SELECT n_route FROM nrt)
+),
+crt AS (
+  SELECT cell, cv, route FROM (
+    SELECT c.cell, c.cv, s.route,
+           row_number() OVER (
+             PARTITION BY c.cell
+             ORDER BY list_cosine_similarity(c.cv, s.rv) DESC, s.route
+           ) AS rk
+    FROM cents c CROSS JOIN seeds s
+  ) WHERE rk = 1
+),
+vrt AS (
+  SELECT id, v, route FROM (
+    SELECT a.id, a.v, s.route,
+           row_number() OVER (
+             PARTITION BY a.id
+             ORDER BY list_cosine_similarity(a.v, s.rv) DESC, s.route
+           ) AS rk
+    FROM u a CROSS JOIN seeds s
+  ) WHERE rk <= {S.IVF_ROUTE_PROBES}
+),
+assigned AS (
+  SELECT id, v, cell FROM (
+    SELECT a.id, a.v, c.cell,
+           row_number() OVER (
+             PARTITION BY a.id
+             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cell
+           ) AS rk
+    FROM vrt a JOIN crt c ON a.route = c.route
+  ) WHERE rk = 1
+)
+SELECT a.cell,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(a.id) AS BIGINT) AS id_sum,
+       round(CAST(sum(CAST(round(list_cosine_similarity(a.v, c.cv), 6)
+                           AS DECIMAL(30,8))) AS DOUBLE), 6) AS cos_sum
+FROM assigned a JOIN cents c ON a.cell = c.cell
+GROUP BY a.cell
+ORDER BY a.cell
+"""
+
+
 QUERIES: dict = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
+    "ivf_routed_assign": (ivf_routed_assign, IVF_ROUTED_ASSIGN_SQL),
     "hard_negative_mining": (hard_negative_mining, HARD_NEG_SQL),
     "hard_negative_mining_ivf": (hard_negative_mining_ivf, HARD_NEG_IVF_SQL),
     "ann_recall_eval": (ann_recall_eval, ANN_RECALL_SQL),

@@ -341,14 +341,11 @@ _NGRAM_BANDS = " UNION ALL ".join(
     for b in range(D.N_MINHASH // 2)
 )
 
-# candidates = anchor buckets UNION minhash band buckets (ops default
-# "union" — the band side keeps recall alive on vocabulary-saturated
-# corpora where every anchor's DF exceeds the cap; see
-# ops/dedup.ngram_jaccard_pairs and scripts/scale_validation.py)
-DEDUP_NGRAM_SQL = f"""
-WITH {CORPUS_SQL.strip()},
-{_SHINGLES_SQL.strip()},
-anchors0 AS (
+def _anchor_cand_cte(name: str = "acand") -> str:
+    """Anchor-blocking CTE chain over a preceding `docs2` shingle CTE —
+    the blocking stage of ops.dedup.ngram_anchor_candidates, shared by
+    the pair listing (dedup_ngram_jaccard) and the r12 referee."""
+    return f"""anchors0 AS (
   SELECT id, unnest(list_filter(sh, s -> (s % 20 = 0))) AS anchor
   FROM docs2
 ),
@@ -358,10 +355,20 @@ rare AS (
 anchors AS (
   SELECT a.id, a.anchor FROM anchors0 a JOIN rare USING (anchor)
 ),
-acand AS (
+{name} AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM anchors a JOIN anchors b ON a.anchor = b.anchor AND a.id < b.id
-),
+)"""
+
+
+# candidates = anchor buckets UNION minhash band buckets (ops default# candidates = anchor buckets UNION minhash band buckets (ops default
+# "union" — the band side keeps recall alive on vocabulary-saturated
+# corpora where every anchor's DF exceeds the cap; see
+# ops/dedup.ngram_jaccard_pairs and scripts/scale_validation.py)
+DEDUP_NGRAM_SQL = f"""
+WITH {CORPUS_SQL.strip()},
+{_SHINGLES_SQL.strip()},
+{_anchor_cand_cte('acand')},
 nsigs AS (
   SELECT id, {_NGRAM_MINS}
   FROM (
@@ -663,6 +670,194 @@ SELECT keep, count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters,
 FROM verdicts GROUP BY keep ORDER BY keep
 """
 
+
+# ---------------------------------------------------------------------------
+# dedup_impact_report (r12) — the audit a data lead reads after a dedup
+# pass: per power-of-two cluster-size bucket, how many near-dup clusters
+# exist and what dropping non-canonical members saves (docs + chars).
+# Composes the FAMILY-SHARED pair/component tables (zero extra shingle or
+# banding work when any dedup_* sibling ran first) with one cluster-keyed
+# and one bucket-keyed aggregation; buckets via the engine-portable
+# length(bin(n))-1 idiom. The oracle replays the identical CC closure +
+# folds over the augmented corpus.
+# ---------------------------------------------------------------------------
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_df(spark, sf_dir)
+    _pairs, comp = _shared_pairs_components(spark, sf_dir)
+    members = corpus.select(
+        "doc_id", F.length("text").cast("long").alias("chars")
+    ).join(
+        comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")),
+        "doc_id",
+    )
+    per = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(
+            F.when(F.col("doc_id") != F.col("cluster_id"), F.col("chars")).otherwise(
+                F.lit(0)
+            )
+        ).alias("_chars_rm"),
+    )
+    bucket = (F.length(F.bin(F.col("n_members"))) - 1).cast("int")
+    return (
+        per.groupBy(bucket.alias("size_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum(F.col("n_members") - 1).cast("long").alias("docs_removed"),
+            F.sum("_chars_rm").cast("long").alias("chars_removed"),
+        )
+        .orderBy("size_bucket")
+    )
+
+
+def _dedup_impact_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pairs_cte()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r
+),
+comp AS (SELECT id, min(r) AS cluster_id FROM walk GROUP BY id),
+members AS (
+  SELECT comp.id AS doc_id, comp.cluster_id, length(c.text) AS chars
+  FROM comp JOIN corpus c ON c.doc_id = comp.id
+),
+per AS (
+  SELECT cluster_id, count(*) AS n_members,
+         sum(CASE WHEN doc_id != cluster_id THEN chars ELSE 0 END) AS chars_rm
+  FROM members GROUP BY cluster_id
+)
+SELECT CAST(length(bin(n_members)) - 1 AS INTEGER) AS size_bucket,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(n_members - 1) AS BIGINT) AS docs_removed,
+       CAST(sum(chars_rm) AS BIGINT) AS chars_removed
+FROM per
+GROUP BY 1
+ORDER BY size_bucket
+"""
+
+# ---------------------------------------------------------------------------
+# classifier_pr_curve (r12) — the threshold-tuning artifact a curation
+# lead reads before wiring a quality classifier into the gate: the NB
+# quality scorer's precision/recall at each score decile, graded against
+# the fixture's own labels (lang == 'en'). Train on the FULL corpus (the
+# production pass), evaluate on the fixed-size sample discipline every
+# referee uses — the global score ordering (one window) runs over ~100
+# rows, never the corpus, so the curve costs the same at any scale.
+# ---------------------------------------------------------------------------
+PR_DECILES = 10
+
+
+def classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    model = X.train_hashed_nb(
+        docs, label_col=(F.col("lang") == "en"), n_features=CLF_FEATURES
+    )
+    n = docs.count()
+    mod = max(10, n // 100)
+    ev = docs.filter(F.col("doc_id") % mod == 0)
+    scored = X.score_hashed_nb(ev, model, n_features=CLF_FEATURES).join(
+        ev.select("doc_id", (F.col("lang") == "en").cast("int").alias("_y")),
+        "doc_id",
+    )
+    w = Window.orderBy(F.desc("llr"), F.asc("doc_id"))
+    ranked = scored.select(
+        "llr",
+        "_y",
+        F.row_number().over(w).alias("_rk"),
+        F.sum("_y").over(w).alias("_cum_tp"),
+        F.ntile(PR_DECILES).over(w).alias("decile"),
+        F.sum("_y").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_pos"),
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.round(F.min("llr"), 6).alias("threshold"),
+            F.max("_rk").cast("long").alias("n_kept"),
+            F.max_by("_cum_tp", "_rk").cast("long").alias("tp"),
+            F.round(F.max_by("_cum_tp", "_rk") / F.max("_rk"), 4).alias("precision"),
+            F.round(F.max_by("_cum_tp", "_rk") / F.max("_pos"), 4).alias("recall"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _pr_curve_sql() -> str:
+    # the NB scoring chain verbatim (model trained on the full corpus),
+    # then the decile sweep over the fixed-size eval sample
+    return f"""
+WITH sp AS (
+  SELECT doc_id, lang = 'en' AS y,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     w -> w != '') AS ws
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, y, {_CLF_FEAT} AS feature
+  FROM (SELECT doc_id, y, unnest(ws) AS w FROM sp)
+),
+model AS (
+  SELECT feature,
+         SUM(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+         SUM(CASE WHEN y THEN 0 ELSE 1 END) AS c_neg
+  FROM toks GROUP BY feature
+),
+tot AS (SELECT SUM(c_pos) AS tp, SUM(c_neg) AS tn FROM model),
+evdoc AS (
+  SELECT doc_id, y FROM sp
+  WHERE doc_id % (SELECT greatest(10, count(*) // 100) FROM documents) = 0
+),
+scored0 AS (
+  SELECT t.doc_id,
+         CAST(round(ln((m.c_pos + 1) / (tot.tp + {CLF_FEATURES}.0))
+                    - ln((m.c_neg + 1) / (tot.tn + {CLF_FEATURES}.0)), 6)
+              AS DECIMAL(20,10)) AS llr1
+  FROM toks t JOIN model m USING (feature) CROSS JOIN tot
+  WHERE t.doc_id IN (SELECT doc_id FROM evdoc)
+),
+scored AS (
+  SELECT s.doc_id, round(CAST(sum(llr1) AS DOUBLE), 6) AS llr,
+         CAST(max(CASE WHEN e.y THEN 1 ELSE 0 END) AS INTEGER) AS y
+  FROM scored0 s JOIN evdoc e USING (doc_id)
+  GROUP BY s.doc_id
+),
+ranked AS (
+  SELECT llr, y,
+         row_number() OVER (ORDER BY llr DESC, doc_id) AS rk,
+         sum(y) OVER (ORDER BY llr DESC, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum_tp,
+         ntile({PR_DECILES}) OVER (ORDER BY llr DESC, doc_id) AS decile,
+         sum(y) OVER () AS pos
+  FROM scored
+)
+SELECT decile,
+       round(min(llr), 6) AS threshold,
+       CAST(max(rk) AS BIGINT) AS n_kept,
+       CAST(max_by(cum_tp, rk) AS BIGINT) AS tp,
+       round(max_by(cum_tp, rk) / CAST(max(rk) AS DOUBLE), 4) AS precision,
+       round(max_by(cum_tp, rk) / CAST(max(pos) AS DOUBLE), 4) AS recall
+FROM ranked
+GROUP BY decile
+ORDER BY decile
+"""
+
+# ---------------------------------------------------------------------------
+# dedup_simhash — equal-16-bit-SimHash candidate groups.
+
+# ---------------------------------------------------------------------------
+# dedup_simhash — equal-16-bit-SimHash candidate groups.
 
 # ---------------------------------------------------------------------------
 # dedup_simhash — equal-16-bit-SimHash candidate groups.
@@ -3025,6 +3220,31 @@ cand AS (SELECT id_a, id_b FROM candh WHERE hamming <= 3),
 """
 
 
+def dedup_ngram_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 (VERDICT r11 #2): the LAST ungraded candidate generator — the
+    anchor-blocked n-gram Jaccard stage — measured against exact truth on
+    the shared fixed-size sample. The DF cap drops candidates by
+    construction; this row measures what that costs in recall (and what
+    the blocking wastes in precision) instead of arguing it."""
+    corpus = _eval_corpus(spark, sf_dir)
+    truth = D.exact_jaccard_pairs(corpus, threshold=0.5).select("id_a", "id_b")
+    docs = corpus.select(
+        F.col("doc_id").alias("id"),
+        D.hashed_shingles_col(F.col("text")).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    cand = D.ngram_anchor_candidates(docs)
+    return _referee_counts(truth, cand, "anchor")
+
+
+def _ngram_recall_sql() -> str:
+    return f"""
+WITH {_EVAL_CORPUS_SQL.strip()},
+{_SHINGLES_SQL.strip()},
+{_anchor_cand_cte("cand")},
+{_TRUTH_HIT_SQL}
+{_referee_metrics_sql("anchor")}
+"""
+
 # ===========================================================================
 # CJK / whitespace-free-script family (r11) — the text stack driven through
 # script-aware segmentation (ops/text.py segment_text, VERDICT r10 missing
@@ -3569,5 +3789,8 @@ QUERIES: dict = {
     "fertility_by_script": (fertility_by_script, _fertility_by_script_sql()),
     "dedup_winnow_recall": (dedup_winnow_recall, _winnow_recall_sql()),
     "dedup_simhash_recall": (dedup_simhash_recall, _simhash_recall_sql()),
+    "dedup_ngram_recall": (dedup_ngram_recall, _ngram_recall_sql()),
+    "dedup_impact_report": (dedup_impact_report, _dedup_impact_sql()),
+    "classifier_pr_curve": (classifier_pr_curve, _pr_curve_sql()),
     "gopher_char_gates": (gopher_char_gates, _gopher_char_sql()),
 }

@@ -112,6 +112,13 @@ FAMILY = [
     "length_bucket_report",
     "gopher_char_gates",
     "dedup_emblsh_recall",
+    # r12 additions
+    "sea_segmentation",
+    "ivf_routed_assign",
+    "dedup_ngram_recall",
+    "corpus_chain_rebase",
+    "dedup_impact_report",
+    "classifier_pr_curve",
 ]
 
 

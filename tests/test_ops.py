@@ -2563,6 +2563,48 @@ def test_winnow_referee_guarantee_and_simhash_calibration(spark):
     assert s["n_hit"] <= min(s["n_true"], s["n_cand"])
 
 
+def test_ngram_anchor_referee_and_blocking(spark):
+    """r12 (verdict r11 #2): the anchor-blocked generator's measured row —
+    planted exact dups share every shingle (hence almost surely an
+    anchor), so hits must be substantial; the DF cap's recall cost is
+    whatever the row reports, bounded sane."""
+    from incremental_datapipeline_using_snowflake_spark.ops import dedup as D
+    from incremental_datapipeline_using_snowflake_spark.queries.textops import (
+        dedup_ngram_recall,
+    )
+
+    r = dedup_ngram_recall(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_true"] > 0 and r["n_cand"] > 0
+    assert 0.0 <= r["precision_anchor"] <= 1.0
+    assert 0.0 <= r["recall_anchor"] <= 1.0
+    assert r["n_hit"] <= min(r["n_true"], r["n_cand"])
+    # exact copies share ALL shingles: with >= 1 anchor among them the
+    # pair collides — on this fixture the anchor stage must recover a
+    # clear majority of truth
+    assert r["recall_anchor"] >= 0.5
+
+    # blocking shape: shared rare anchor pairs, hot anchor (df > cap) drops
+    rows = [
+        (1, "p q r shared anchor words here now one two three four"),
+        (2, "x y z shared anchor words here now five six seven eight"),
+        (3, "totally different vocabulary in this document entirely"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    from pyspark.sql import functions as SF
+
+    shingled = df.select(
+        SF.col("doc_id").alias("id"),
+        D.hashed_shingles_col(SF.col("text")).alias("sh"),
+    )
+    cand = {
+        (r2["id_a"], r2["id_b"])
+        for r2 in D.ngram_anchor_candidates(shingled, anchor_mod=1).collect()
+    }
+    assert (1, 2) in cand and (1, 3) not in cand and (2, 3) not in cand
+    # DF cap: with the cap at 1 every shared anchor exceeds it -> no pairs
+    none = D.ngram_anchor_candidates(shingled, anchor_mod=1, max_anchor_df=1)
+    assert none.count() == 0
+
 def test_winnow_candidate_pairs_matches_verified_superset(spark):
     from incremental_datapipeline_using_snowflake_spark.ops import dedup as D
 
@@ -2665,9 +2707,11 @@ def test_ivf_rebuild_equals_from_scratch(spark, tmp_path):
         S.append_to_ivf_index(spark, st_a, b, "t.emb")
     info = S.maybe_reindex_ivf(spark, st_a, "t.emb")
     assert info is not None and info["fired_volume"]
-    # path B: from-scratch build over the grown corpus at the same sizing
+    # path B: from-scratch ROUTED build over the grown corpus at the same
+    # sizing — the fired rebuild runs the routed Theta(n^1.25) kernel
+    # (r12), so equivalence is against the same kernel from scratch
     st_b = TableStore(root=str(tmp_path / "ivfB"))
-    S.build_ivf_index(spark, st_b, grown, "t.emb", n_cells=None)
+    S.build_ivf_index(spark, st_b, grown, "t.emb", n_cells=None, routed=True)
 
     for tbl in ("t.emb.centroids", "t.emb.assignments"):
         a = sorted(map(tuple, st_a.read(spark, tbl).collect()))
@@ -2676,6 +2720,33 @@ def test_ivf_rebuild_equals_from_scratch(spark, tmp_path):
     qa = S.query_ivf_index(spark, st_a, "t.emb", base.filter("vec_id < 3"), k=3)
     qb = S.query_ivf_index(spark, st_b, "t.emb", base.filter("vec_id < 3"), k=3)
     assert sorted(map(tuple, qa.collect())) == sorted(map(tuple, qb.collect()))
+
+
+def test_ivf_routed_assignment_invariants(spark):
+    """r12 routed kernel: exactly-once assignment, centroid self-assignment,
+    identical centroid set to the flat kernel, and high flat-agreement (the
+    r_probe route restriction may move a small minority of vectors)."""
+    from incremental_datapipeline_using_snowflake_spark.ops import similarity as S
+
+    corpus = spark.createDataFrame(
+        [(i, _mk_vec(i)) for i in range(400)], "vec_id long, embedding array<double>"
+    )
+    cents_r, asg_r = S.ivf_assignments_routed(corpus, n_cells=20)
+    cents_f, asg_f = S.ivf_assignments(corpus, n_cells=20)
+    # same centroid set (the routed kernel changes assignment, never seeds)
+    cr = sorted(r["cell"] for r in cents_r.select("cell").collect())
+    cf = sorted(r["cell"] for r in cents_f.select("cell").collect())
+    assert cr == cf and len(cr) == 20
+    rows_r = {r["id"]: r["cell"] for r in asg_r.select("id", "cell").collect()}
+    rows_f = {r["id"]: r["cell"] for r in asg_f.select("id", "cell").collect()}
+    # exactly once, all ids covered
+    assert len(rows_r) == 400 and set(rows_r) == set(rows_f)
+    # a centroid vector's best cell is itself in any kernel
+    for c in cr:
+        assert rows_r[c] == c
+    # routed is an approximation of flat — agreement must dominate
+    agree = sum(1 for i in rows_r if rows_r[i] == rows_f[i])
+    assert agree >= 360, f"routed/flat agreement {agree}/400 too low"
 
 
 def test_route_lid_unknown_per_language_thresholds(spark):
