@@ -1060,8 +1060,9 @@ cents AS (
 ),
 -- ROUTED assignment replay (r12): the fired rebuild's Theta(n^1.25)
 -- kernel — route seeds = the n_route lowest-id centroids, each centroid
--- to its nearest seed, each vector to its {S.IVF_ROUTE_PROBES} best
--- routes, final cell = nearest centroid among those routes only
+-- under its {S.IVF_CENT_ROUTES} nearest seeds (two-sided membership),
+-- each vector probing its {S.IVF_ROUTE_PROBES} best routes, final cell =
+-- nearest centroid among those routes only
 seeds AS (
   SELECT cell AS route, cv AS rv FROM (
     SELECT cell, cv, row_number() OVER (ORDER BY cell) AS rk FROM cents
@@ -1075,7 +1076,7 @@ crt AS (
              ORDER BY list_cosine_similarity(c.cv, s.rv) DESC, s.route
            ) AS rk
     FROM cents c CROSS JOIN seeds s
-  ) WHERE rk = 1
+  ) WHERE rk <= {S.IVF_CENT_ROUTES}
 ),
 vrt AS (
   SELECT id, v, route FROM (
@@ -1676,7 +1677,7 @@ crt AS (
              ORDER BY list_cosine_similarity(c.cv, s.rv) DESC, s.route
            ) AS rk
     FROM cents c CROSS JOIN seeds s
-  ) WHERE rk = 1
+  ) WHERE rk <= {S.IVF_CENT_ROUTES}
 ),
 vrt AS (
   SELECT id, v, route FROM (
@@ -1709,9 +1710,145 @@ ORDER BY a.cell
 """
 
 
+# ---------------------------------------------------------------------------
+# ivf_routed_agreement (r12) — the routed kernel's referee: what fraction
+# of vectors the Theta(n^1.25) route-restricted assignment lands in the
+# SAME cell the flat Theta(n^1.5) kernel would have chosen, at identical
+# auto sizing. The approximation is by design (hierarchical IVF); this
+# row turns "a small minority may move" into a measured number, the same
+# discipline as the five dedup-candidate referees.
+# ---------------------------------------------------------------------------
+def ivf_routed_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed-size-sample referee (the dedup referees' discipline: the
+    # flat side is the Theta(n^1.5) pass the routed kernel exists to
+    # avoid — an eval budget must not scale with the thing it audits).
+    # Centroids come from the FULL corpus (both kernels' real seed set);
+    # only the audited vectors sample.
+    emb = load(spark, sf_dir, "embeddings")
+    c = emb.select(F.col("vec_id").alias("id"), S._dvec("embedding").alias("v"))
+    n = c.count()
+    n_cells = max(S.N_IVF_CELLS, int(n**0.5))
+    cents = (
+        c.orderBy("id")
+        .limit(n_cells)
+        .select(F.col("id").alias("cell"), F.col("v").alias("cv"))
+        .withColumn("cn", F.sqrt(S.dot(F.col("cv"), F.col("cv"))))
+    )
+    mod = max(10, n // 100)
+    ev = c.filter(F.col("id") % mod == 0)
+    scored = ev.withColumn("n", F.sqrt(S.dot(F.col("v"), F.col("v")))).join(
+        F.broadcast(cents)
+    ).select(
+        "id",
+        "cell",
+        (S.dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))).alias("_sim"),
+    )
+    from pyspark.sql import Window as _W
+
+    wf = _W.partitionBy("id").orderBy(F.desc("_sim"), F.asc("cell"))
+    flat = (
+        scored.withColumn("_rk", F.row_number().over(wf))
+        .filter(F.col("_rk") == 1)
+        .select("id", F.col("cell").alias("_cf"))
+    )
+    routed = S.route_assign(ev, cents).select("id", F.col("cell").alias("_cr"))
+    j = flat.join(routed, "id")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum((F.col("_cf") == F.col("_cr")).cast("int"))
+        .cast("long")
+        .alias("n_same_cell"),
+        F.round(
+            F.sum((F.col("_cf") == F.col("_cr")).cast("int"))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("cell_agreement"),
+    )
+
+
+def _routed_agreement_sql() -> str:
+    # routed chain with centroids/seeds from the FULL corpus, both
+    # kernels evaluated over the fixed-size sampled vectors only
+    return f"""
+WITH u AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+tgt AS (
+  SELECT greatest({S.N_IVF_CELLS},
+                  CAST(floor(sqrt(count(*))) AS BIGINT)) AS n_cells
+  FROM u
+),
+nrt AS (
+  SELECT greatest(4, CAST(floor(sqrt(n_cells) + 0.5) AS BIGINT)) AS n_route
+  FROM tgt
+),
+cents AS (
+  SELECT id AS cell, v AS cv FROM (
+    SELECT id, v, row_number() OVER (ORDER BY id) AS rk FROM u
+  ) WHERE rk <= (SELECT n_cells FROM tgt)
+),
+seeds AS (
+  SELECT cell AS route, cv AS rv FROM (
+    SELECT cell, cv, row_number() OVER (ORDER BY cell) AS rk FROM cents
+  ) WHERE rk <= (SELECT n_route FROM nrt)
+),
+crt AS (
+  SELECT cell, cv, route FROM (
+    SELECT c.cell, c.cv, s.route,
+           row_number() OVER (
+             PARTITION BY c.cell
+             ORDER BY list_cosine_similarity(c.cv, s.rv) DESC, s.route
+           ) AS rk
+    FROM cents c CROSS JOIN seeds s
+  ) WHERE rk <= {S.IVF_CENT_ROUTES}
+),
+ev AS (
+  SELECT id, v FROM u
+  WHERE id % (SELECT greatest(10, count(*) // 100) FROM u) = 0
+),
+vrt AS (
+  SELECT id, v, route FROM (
+    SELECT a.id, a.v, s.route,
+           row_number() OVER (
+             PARTITION BY a.id
+             ORDER BY list_cosine_similarity(a.v, s.rv) DESC, s.route
+           ) AS rk
+    FROM ev a CROSS JOIN seeds s
+  ) WHERE rk <= {S.IVF_ROUTE_PROBES}
+),
+routed AS (
+  SELECT id, cell FROM (
+    SELECT a.id, c.cell,
+           row_number() OVER (
+             PARTITION BY a.id
+             ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cell
+           ) AS rk
+    FROM vrt a JOIN crt c ON a.route = c.route
+  ) WHERE rk = 1
+),
+flat AS (
+  SELECT id, cell FROM (
+    SELECT a.id, cents.cell,
+           row_number() OVER (
+             PARTITION BY a.id
+             ORDER BY list_cosine_similarity(a.v, cents.cv) DESC, cents.cell
+           ) AS rk
+    FROM ev a CROSS JOIN cents
+  ) WHERE rk = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN f.cell = r.cell THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_cell,
+       round(sum(CASE WHEN f.cell = r.cell THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS cell_agreement
+FROM flat f JOIN routed r ON f.id = r.id
+"""
+
+
 QUERIES: dict = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ivf_routed_assign": (ivf_routed_assign, IVF_ROUTED_ASSIGN_SQL),
+    "ivf_routed_agreement": (ivf_routed_agreement, _routed_agreement_sql()),
     "hard_negative_mining": (hard_negative_mining, HARD_NEG_SQL),
     "hard_negative_mining_ivf": (hard_negative_mining_ivf, HARD_NEG_IVF_SQL),
     "ann_recall_eval": (ann_recall_eval, ANN_RECALL_SQL),

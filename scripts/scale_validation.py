@@ -119,6 +119,7 @@ FAMILY = [
     "corpus_chain_rebase",
     "dedup_impact_report",
     "classifier_pr_curve",
+    "ivf_routed_agreement",
 ]
 
 

@@ -2748,6 +2748,14 @@ def test_ivf_routed_assignment_invariants(spark):
     agree = sum(1 for i in rows_r if rows_r[i] == rows_f[i])
     assert agree >= 360, f"routed/flat agreement {agree}/400 too low"
 
+    # and the declared referee reads high agreement on the real fixture
+    from incremental_datapipeline_using_snowflake_spark.queries.similarity import (
+        ivf_routed_agreement,
+    )
+
+    row = ivf_routed_agreement(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_vectors"] == row["n_same_cell"] or row["cell_agreement"] >= 0.8
+
 
 def test_route_lid_unknown_per_language_thresholds(spark):
     # r11: dict thresholds key on the PREDICTED language — the CCNet
