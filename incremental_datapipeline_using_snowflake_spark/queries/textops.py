@@ -3245,7 +3245,26 @@ WITH {_EVAL_CORPUS_SQL.strip()},
 {_referee_metrics_sql("anchor")}
 """
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (doc_id, text) spread across the session's cores (r12):
+    the sf-scale documents table is ONE parquet split locally, so the
+    CJK/SEA fixture rendering — an md5-per-word transform plus the
+    segmentation passes, pure CPU — ran on a single thread and its bench
+    wall tracked whole-JVM GC pressure instead of its own work (measured
+    2.5x round-over-round inflation with the query code at fresh-session
+    parity). One hash repartition parallelizes the narrow map 32-way; at
+    warehouse scale the input arrives in many splits and this exchange is
+    noise. Deterministic: hash partitioning only moves rows, every
+    downstream op is row-local, and outputs are sorted."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+
+
 # ===========================================================================
+# CJK / whitespace-free-script family (r11)# ===========================================================================
 # CJK / whitespace-free-script family (r11) — the text stack driven through
 # script-aware segmentation (ops/text.py segment_text, VERDICT r10 missing
 # #1). The fixture is a deterministic UNSPACED pseudo-Chinese re-rendering
@@ -3307,7 +3326,7 @@ def _cjk_text_sql(x: str = "text", alphabet_sql: str = _HAN20_SQL) -> str:
 # hash-pinning the marks-stay-attached rule across Java regex and RE2.
 # ---------------------------------------------------------------------------
 def cjk_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir)
     cjk = _cjk_text_col("text")
     thai = _cjk_text_col("text", alphabet=THAI20)
     mixed = F.when(
@@ -3370,7 +3389,7 @@ _KHM20_SQL = "string_split('" + ",".join(KHM20) + "', ',')"
 
 
 def sea_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir)
     rendered = (
         F.when(F.col("doc_id") % 3 == 0, _cjk_text_col("text", alphabet=LAO20))
         .when(F.col("doc_id") % 3 == 1, _cjk_text_col("text", alphabet=MYA20))
@@ -3432,7 +3451,7 @@ ORDER BY doc_id
 # (units are 1 char by construction) and is reported but not gated on.
 # ---------------------------------------------------------------------------
 def cjk_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir)
     body = F.when(
         F.col("doc_id") % 13 == 0, F.repeat(F.lit(_CJK_BANNER_A), 6)
     ).otherwise(_cjk_text_col("text"))
@@ -3513,7 +3532,7 @@ ORDER BY doc_id
 # Reuses the ASCII scrub's oracle chain verbatim past the split.
 # ---------------------------------------------------------------------------
 def cjk_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir)
     noisy = docs.select(
         "doc_id",
         F.concat(
@@ -3635,7 +3654,9 @@ _GOPHER_PHRASE = " limited time offer call now before supplies run out"
 
 
 def gopher_char_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # same single-split CPU-bound shape as the CJK renders (r12): the
+    # rolling-key base build parallelizes the same way
+    docs = _docs_parallel(spark, sf_dir)
     noisy = docs.select(
         "doc_id",
         F.when(
