@@ -1705,6 +1705,11 @@ def rebase_corpus_chain(
     import shutil
 
     base = os.path.join(publish_dir, "base")
+    if not os.path.exists(os.path.join(base, "_manifest.jsonl")):
+        raise ValueError(
+            f"{publish_dir!r} has no published base snapshot — nothing to "
+            "rebase (publish_corpus_delta writes base/ on its first call)"
+        )
     links = sorted(
         d for d in os.listdir(publish_dir)
         if d.startswith("link-")

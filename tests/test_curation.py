@@ -1147,3 +1147,12 @@ def test_rebase_verification_rejects_corrupt_link(spark, tmp_path):
     assert os.path.exists(f"{pub}/link-000001/_manifest.jsonl")
     assert os.path.exists(f"{pub}/base/_manifest.jsonl")
     assert not os.path.exists(f"{pub}/_rebase-tmp")
+def test_rebase_requires_published_base(spark, tmp_path):
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    empty = tmp_path / "pub_empty"
+    empty.mkdir()
+    with _pytest.raises(ValueError, match="no published base snapshot"):
+        C.rebase_corpus_chain(spark, str(empty))
