@@ -2882,3 +2882,63 @@ def test_emblsh_referee_recall_and_blocking(spark):
     # stay far under the sample's pair space
     n = r["n_cand"]
     assert n < 2000  # ~120-vector sample -> all-pairs would be ~7k
+def test_routed_append_exactly_once_and_flat_agreement(spark, tmp_path):
+    """r12: append_to_ivf_index(routed=True) — the corpus-scale backfill
+    path — assigns every batch row exactly once into stored cells and
+    dominantly agrees with the flat append."""
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.ops import similarity as S
+    from pyspark.sql import functions as SF
+
+    base = spark.createDataFrame(
+        [(i, _mk_vec(i)) for i in range(300)], "vec_id long, embedding array<double>"
+    )
+    batch = base.select(
+        (SF.col("vec_id") + 9000).alias("vec_id"),
+        SF.expr("transform(embedding, x -> x * 1.001)").alias("embedding"),
+    )
+    assigns = {}
+    for routed in (False, True):
+        st = TableStore(root=str(tmp_path / f"ap{routed}"))
+        S.build_ivf_index(spark, st, base, "t.e", n_cells=None)
+        n = S.append_to_ivf_index(spark, st, batch, "t.e", routed=routed)
+        assert n == 300
+        rows = {
+            r["id"]: r["cell"]
+            for r in st.read(spark, "t.e.assignments")
+            .filter("id >= 9000").select("id", "cell").collect()
+        }
+        assert len(rows) == 300  # exactly once
+        assigns[routed] = rows
+    agree = sum(1 for i in assigns[True] if assigns[True][i] == assigns[False][i])
+    assert agree >= 270, f"routed/flat append agreement {agree}/300 too low"
+
+
+def test_pr_curve_monotone_recall_and_impact_report_conservation(spark):
+    """r12 extras: the PR curve's cumulative recall is nondecreasing over
+    deciles and ends at 1.0; the dedup impact report's bucketed totals
+    conserve the per-cluster sums."""
+    from incremental_datapipeline_using_snowflake_spark.queries.textops import (
+        _shared_pairs_components,
+        classifier_pr_curve,
+        dedup_impact_report,
+    )
+
+    rows = classifier_pr_curve(spark, "/root/testdata/sf0.001").collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    recalls = [r["recall"] for r in rows]
+    assert all(b >= a for a, b in zip(recalls, recalls[1:]))
+    assert abs(recalls[-1] - 1.0) < 1e-9
+    # precision within [0,1], kept counts strictly increasing
+    assert all(0.0 <= r["precision"] <= 1.0 for r in rows)
+    kept = [r["n_kept"] for r in rows]
+    assert all(b > a for a, b in zip(kept, kept[1:]))
+
+    rep = dedup_impact_report(spark, "/root/testdata/sf0.001").collect()
+    _pairs, comp = _shared_pairs_components(spark, "/root/testdata/sf0.001")
+    n_clustered = comp.count()
+    n_clusters = comp.select("comp").distinct().count()
+    assert sum(r["n_clusters"] for r in rep) == n_clusters
+    # every non-canonical member is removed exactly once
+    assert sum(r["docs_removed"] for r in rep) == n_clustered - n_clusters
+    assert all(r["chars_removed"] > 0 for r in rep)
