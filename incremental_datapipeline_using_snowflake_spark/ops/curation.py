@@ -1684,27 +1684,86 @@ def rebase_corpus_chain(
     full-snapshot write, amortized over however many drains built the
     chain.
 
-    Safety order: the new base is staged COMPLETELY (manifest last)
-    under ``_rebase-tmp`` and verified against the head manifest's
-    result stats — the same mod-2^61 fold every link proved — before
-    anything is touched. Then link manifests are removed (dropping the
-    links from discovery; the chain degrades to the still-consistent old
-    base), the base dirs are swapped with two renames, and the garbage
-    is swept. The two-rename window is the one non-atomic gap: a reader
-    racing it re-lists and finds either the old or the new base
-    manifest, never a half-written one.
+    Safety order (r13, ADVICE r12): the new base is staged COMPLETELY
+    (manifest last) under ``_rebase-tmp``, verified TWICE — against the
+    head manifest's result stats (the same mod-2^61 fold every link
+    proved), then by :func:`verify_corpus_snapshot` re-deriving those
+    stats from the JSONL shards actually written to disk, so a silently
+    lossy write can never be sworn in as the only surviving copy — and
+    only then is ``_rebase-intent.json`` written. The intent marker is
+    the COMMIT POINT: once it exists the rebase is completed, never
+    reverted. After it: link manifests are removed (dropping the links
+    from discovery), the base dirs are swapped with two renames, garbage
+    is swept, and the marker is cleared. A crash anywhere after the
+    commit point is healed by the recovery block at the top of this
+    function on the NEXT call — it finishes the swap from the already-
+    verified ``_rebase-tmp`` (or, if the swap completed, just sweeps),
+    so folded takedowns cannot silently resurrect. A crash BEFORE the
+    commit point leaves the old chain fully intact (links still
+    discoverable) and the stale tmp is discarded on replay.
+
+    Honest non-atomicity note: between the two renames there is a
+    reader-visible window (two rename syscalls wide) with NO ``base/``
+    at all — a reader listing in exactly that window must retry. A
+    crash inside the window leaves no base until the next rebase call
+    runs recovery; it never exposes a half-written or wrong-content
+    base.
 
     Idempotent by construction: a rebased dir has no links, so a replay
     returns ``{"rebased": False}``; the version gate in
     :func:`publish_corpus_delta` is preserved because the new base pins
     the head's ``store_version``.
 
-    Returns ``{"rebased": bool, "links_folded": n, "store_version": v}``.
+    Returns ``{"rebased": bool, "links_folded": n, "store_version": v}``
+    (plus ``"recovered": True`` when the call completed a crashed
+    predecessor's commit instead of starting a new fold).
     """
+    import json
     import os
     import shutil
 
     base = os.path.join(publish_dir, "base")
+    tmp = os.path.join(publish_dir, "_rebase-tmp")
+    intent = os.path.join(publish_dir, "_rebase-intent.json")
+
+    # ---- crash recovery: an intent marker means a prior rebase passed
+    # BOTH verifications and committed to the swap but died mid-sequence.
+    # Complete that commit — deleting tmp here would revert consumers to
+    # the pre-takedown base and make the folded takedowns unrecoverable.
+    if os.path.exists(intent):
+        with open(intent) as fh:
+            plan = json.load(fh)
+        folded = list(plan["links"])
+        retired = os.path.join(publish_dir, plan["retired"])
+        if os.path.exists(os.path.join(tmp, "_manifest.jsonl")):
+            # swap unfinished: re-drop any surviving link manifests,
+            # retire the old base if it is still in place, move the
+            # verified staged base in (every step exists-guarded, so a
+            # crash DURING recovery just resumes here next call)
+            for d in folded:
+                m = os.path.join(publish_dir, d, "_manifest.jsonl")
+                if os.path.exists(m):
+                    shutil.rmtree(m)
+            if os.path.exists(base):
+                if os.path.exists(retired):
+                    shutil.rmtree(retired)
+                os.rename(base, retired)
+            os.rename(tmp, base)
+        # swap done (either before the crash or just above): sweep
+        for d in folded:
+            p = os.path.join(publish_dir, d)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        if os.path.exists(retired):
+            shutil.rmtree(retired)
+        os.remove(intent)
+        return {
+            "rebased": True,
+            "links_folded": len(folded),
+            "store_version": int(plan["store_version"]),
+            "recovered": True,
+        }
+
     if not os.path.exists(os.path.join(base, "_manifest.jsonl")):
         raise ValueError(
             f"{publish_dir!r} has no published base snapshot — nothing to "
@@ -1721,9 +1780,10 @@ def rebase_corpus_chain(
     link_dirs = [os.path.join(publish_dir, d) for d in links]
     head_stats, v_head, table, split_col = _manifest_stats(spark, link_dirs[-1])
     mat = materialize_corpus_chain(spark, base, link_dirs, id_col=id_col)
-    tmp = os.path.join(publish_dir, "_rebase-tmp")
     if os.path.exists(tmp):
-        shutil.rmtree(tmp)  # a crashed prior rebase never swapped in
+        # no intent marker (checked above), so the prior rebase died
+        # BEFORE its commit point — the old chain is intact; discard
+        shutil.rmtree(tmp)
     _write_snapshot_files(
         spark, mat, tmp,
         version=v_head, corpus_table=table, split_col=split_col or None,
@@ -1741,13 +1801,38 @@ def rebase_corpus_chain(
             f"rebase verification failed for splits {bad}: the materialized "
             "chain does not reproduce the head manifest's result stats"
         )
-    # drop links from discovery FIRST: were a crash to land between the
-    # renames below, a publisher restarting against the old base must not
-    # chain a delta off a link the new base has already folded
-    # (the manifest is a Spark-written DIRECTORY of part files)
+    # second verification (r13, ADVICE r12): the tmp manifest above was
+    # aggregated from the in-memory materialized chain, not from the
+    # bytes on disk — re-derive counts/checksums from the JSONL shards
+    # actually written to tmp, so a write that silently lost or mangled
+    # rows is caught while the links that could rebuild it still exist
+    try:
+        verify_corpus_snapshot(spark, tmp, id_col=id_col, text_col=text_col)
+    except ValueError as exc:
+        shutil.rmtree(tmp)
+        raise ValueError(
+            "rebase staging verification failed: the shards written to "
+            f"_rebase-tmp do not reproduce their own manifest ({exc}); "
+            "chain left untouched"
+        ) from exc
+    retired_name = f"_retired-upto-{links[-1]}"
+    retired = os.path.join(publish_dir, retired_name)
+    # COMMIT POINT: the intent marker (written atomically via rename)
+    # records the full swap plan; from here on a crash is completed —
+    # never reverted — by the recovery block at the top of this function
+    marker_tmp = intent + ".writing"
+    with open(marker_tmp, "w") as fh:
+        json.dump(
+            {"links": links, "retired": retired_name,
+             "store_version": int(v_head)},
+            fh,
+        )
+    os.replace(marker_tmp, intent)
+    # drop links from discovery: a publisher restarting against the old
+    # base must not chain a delta off a link the new base has already
+    # folded (the manifest is a Spark-written DIRECTORY of part files)
     for d in link_dirs:
         shutil.rmtree(os.path.join(d, "_manifest.jsonl"))
-    retired = os.path.join(publish_dir, f"_retired-upto-{links[-1]}")
     if os.path.exists(retired):
         shutil.rmtree(retired)
     os.rename(base, retired)
@@ -1755,6 +1840,7 @@ def rebase_corpus_chain(
     for d in link_dirs:
         shutil.rmtree(d)
     shutil.rmtree(retired)
+    os.remove(intent)
     return {
         "rebased": True,
         "links_folded": len(links),

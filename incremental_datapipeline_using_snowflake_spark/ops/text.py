@@ -412,7 +412,11 @@ def gopher_char_signals(
     # arrays with conditional aggregates. The r11 shape re-ran the
     # explode and its groupBy pair once per n — 12 exchanges and five
     # scans of the word arrays; this plan ships the same bytes through 2.
-    all_n = sorted(GOPHER_TOP_NGRAM_MAX) + sorted(GOPHER_DUP_NGRAM_MAX)
+    # set-union, not list-concat (r13, ADVICE r12): if an n ever appears
+    # in BOTH gate dicts, concat would emit its windows twice and double
+    # the shared (_id, n, key) counts — the per-n pre-fusion plan was
+    # immune to that, so the fused plan must dedupe the n values
+    all_n = sorted(set(GOPHER_TOP_NGRAM_MAX) | set(GOPHER_DUP_NGRAM_MAX))
     joined = F.array_join(F.col("_w"), " ")
 
     def entries(n: int) -> Column:

@@ -361,7 +361,7 @@ anchors AS (
 )"""
 
 
-# candidates = anchor buckets UNION minhash band buckets (ops default# candidates = anchor buckets UNION minhash band buckets (ops default
+# candidates = anchor buckets UNION minhash band buckets (ops default
 # "union" — the band side keeps recall alive on vocabulary-saturated
 # corpora where every anchor's DF exceeds the cap; see
 # ops/dedup.ngram_jaccard_pairs and scripts/scale_validation.py)
@@ -852,12 +852,6 @@ FROM ranked
 GROUP BY decile
 ORDER BY decile
 """
-
-# ---------------------------------------------------------------------------
-# dedup_simhash — equal-16-bit-SimHash candidate groups.
-
-# ---------------------------------------------------------------------------
-# dedup_simhash — equal-16-bit-SimHash candidate groups.
 
 # ---------------------------------------------------------------------------
 # dedup_simhash — equal-16-bit-SimHash candidate groups.
@@ -3264,7 +3258,6 @@ def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# CJK / whitespace-free-script family (r11)# ===========================================================================
 # CJK / whitespace-free-script family (r11) — the text stack driven through
 # script-aware segmentation (ops/text.py segment_text, VERDICT r10 missing
 # #1). The fixture is a deterministic UNSPACED pseudo-Chinese re-rendering

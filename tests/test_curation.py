@@ -1156,3 +1156,199 @@ def test_rebase_requires_published_base(spark, tmp_path):
     empty.mkdir()
     with _pytest.raises(ValueError, match="no published base snapshot"):
         C.rebase_corpus_chain(spark, str(empty))
+
+
+# ---------------------------------------------------------------------------
+# r13 (ADVICE r12): rebase crash-safety — the intent-marker commit protocol.
+# A crash AFTER the commit point must be completed (never reverted: reverting
+# resurrects folded takedowns); a crash BEFORE it must leave the chain intact.
+# ---------------------------------------------------------------------------
+
+
+def _build_chain_with_takedown(spark, tmp_path):
+    """store + publish dir with base, one upsert link, one takedown link.
+    Returns (store, pub, live_ids, removed_id)."""
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    store = TableStore(root=str(tmp_path / "store"), keep_versions=8)
+    rows, _base = _corpus_rows()
+    C.bootstrap_corpus(spark, store, spark.createDataFrame(rows, DOC_SCHEMA), "cur.docs")
+    pub = str(tmp_path / "pub")
+    C.publish_corpus_delta(spark, store, "cur.docs", pub, compression=None)
+    C.curate_append(
+        spark, store,
+        spark.createDataFrame(
+            [_mk_doc(800, "quark lepton boson gluon photon hadron meson baryon neutrino positron muon tauon".split())],
+            DOC_SCHEMA,
+        ),
+        "cur.docs", "crash-0",
+    )
+    C.publish_corpus_delta(spark, store, "cur.docs", pub, compression=None)
+    C.delete_docs(
+        spark, store, "cur.docs",
+        spark.createDataFrame([(0,)], "doc_id long"), run_id="crash-take",
+    )
+    C.publish_corpus_delta(spark, store, "cur.docs", pub, compression=None)
+    live = {r["doc_id"] for r in store.read(spark, "cur.docs").select("doc_id").collect()}
+    assert 0 not in live and 800 in live
+    return store, pub, live, 0
+
+
+def _assert_recovered_clean(spark, pub, live, removed_id):
+    import os
+
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    assert C.verify_corpus_snapshot(spark, f"{pub}/base") is True
+    mat = {r["doc_id"] for r in C.materialize_corpus_chain(spark, f"{pub}/base", []).collect()}
+    assert mat == live and removed_id not in mat
+    assert not os.path.exists(f"{pub}/_rebase-intent.json")
+    assert not os.path.exists(f"{pub}/_rebase-tmp")
+    assert [d for d in os.listdir(pub) if d.startswith("link-")] == []
+    assert [d for d in os.listdir(pub) if d.startswith("_retired")] == []
+    # post-recovery replay is the normal no-op
+    assert C.rebase_corpus_chain(spark, pub, compression=None)["rebased"] is False
+
+
+def test_rebase_crash_before_base_retire_recovers(spark, tmp_path, monkeypatch):
+    """ADVICE r12 (medium): crash after link manifests were dropped but
+    before the old base was retired. The old (pre-takedown) base is still
+    in place and the links are gone from discovery — the next call must
+    complete the committed swap from the verified _rebase-tmp, NOT delete
+    tmp and silently revert consumers to the resurrected old base."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    _store, pub, live, removed = _build_chain_with_takedown(spark, tmp_path)
+    real_rename = _os.rename
+
+    def boom(src, dst):
+        if _os.path.basename(src) == "base":
+            raise RuntimeError("simulated crash before base retire")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", boom)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        C.rebase_corpus_chain(spark, pub, compression=None)
+    monkeypatch.undo()
+
+    # post-crash: commit marker present, verified tmp staged, links
+    # manifest-less, old base still physically present
+    assert _os.path.exists(f"{pub}/_rebase-intent.json")
+    assert _os.path.exists(f"{pub}/_rebase-tmp/_manifest.jsonl")
+    assert _os.path.exists(f"{pub}/base/_manifest.jsonl")
+    assert not _os.path.exists(f"{pub}/link-000002/_manifest.jsonl")
+
+    info = C.rebase_corpus_chain(spark, pub, compression=None)
+    assert info["rebased"] is True and info.get("recovered") is True
+    assert info["links_folded"] == 2
+    _assert_recovered_clean(spark, pub, live, removed)
+
+
+def test_rebase_crash_between_renames_recovers(spark, tmp_path, monkeypatch):
+    """ADVICE r12 (low): crash in the two-rename window — the publish dir
+    transiently has NO base at all. The next call must heal it from tmp
+    rather than raising 'no published base snapshot'."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    _store, pub, live, removed = _build_chain_with_takedown(spark, tmp_path)
+    real_rename = _os.rename
+
+    def boom(src, dst):
+        if _os.path.basename(src) == "_rebase-tmp":
+            raise RuntimeError("simulated crash between renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", boom)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        C.rebase_corpus_chain(spark, pub, compression=None)
+    monkeypatch.undo()
+
+    # post-crash: no base dir AT ALL (the honest gap), old base retired
+    assert not _os.path.exists(f"{pub}/base")
+    assert _os.path.exists(f"{pub}/_rebase-intent.json")
+
+    info = C.rebase_corpus_chain(spark, pub, compression=None)
+    assert info["rebased"] is True and info.get("recovered") is True
+    _assert_recovered_clean(spark, pub, live, removed)
+
+
+def test_rebase_crash_mid_sweep_recovers(spark, tmp_path, monkeypatch):
+    """Crash after the swap but during garbage sweep: recovery just
+    finishes sweeping and clears the marker (no second swap)."""
+    import os as _os
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    _store, pub, live, removed = _build_chain_with_takedown(spark, tmp_path)
+    real_rmtree = _shutil.rmtree
+
+    def boom(path, *a, **kw):
+        if _os.path.basename(str(path)).startswith("_retired-upto-"):
+            raise RuntimeError("simulated crash mid-sweep")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(_shutil, "rmtree", boom)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        C.rebase_corpus_chain(spark, pub, compression=None)
+    monkeypatch.undo()
+
+    # post-crash: swap done (new base in place), retired dir lingering
+    assert _os.path.exists(f"{pub}/base/_manifest.jsonl")
+    assert not _os.path.exists(f"{pub}/_rebase-tmp")
+    assert _os.path.exists(f"{pub}/_rebase-intent.json")
+
+    info = C.rebase_corpus_chain(spark, pub, compression=None)
+    assert info["rebased"] is True and info.get("recovered") is True
+    _assert_recovered_clean(spark, pub, live, removed)
+
+
+def test_rebase_lossy_staging_write_caught(spark, tmp_path, monkeypatch):
+    """ADVICE r12 (medium): the staged base's manifest is computed from
+    the in-memory chain — a write that silently loses shards must be
+    caught by re-deriving stats from the files on disk BEFORE the links
+    that could rebuild the corpus are dropped."""
+    import glob
+    import os as _os
+
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    _store, pub, _live, _removed = _build_chain_with_takedown(spark, tmp_path)
+    real_write = C._write_snapshot_files
+
+    def lossy(spark_, corpus, out_dir, **kw):
+        man = real_write(spark_, corpus, out_dir, **kw)
+        if _os.path.basename(out_dir) == "_rebase-tmp":
+            # simulate silent data loss: drop one written data shard
+            parts = sorted(glob.glob(f"{out_dir}/data/**/part-*.json*", recursive=True))
+            assert parts, "staging wrote no data shards"
+            _os.remove(parts[0])
+        return man
+
+    monkeypatch.setattr(C, "_write_snapshot_files", lossy)
+    with _pytest.raises(ValueError, match="rebase staging verification failed"):
+        C.rebase_corpus_chain(spark, pub, compression=None)
+    monkeypatch.undo()
+
+    # chain untouched: both links still discoverable, old base intact,
+    # no commit marker, tmp cleaned up
+    assert _os.path.exists(f"{pub}/link-000001/_manifest.jsonl")
+    assert _os.path.exists(f"{pub}/link-000002/_manifest.jsonl")
+    assert _os.path.exists(f"{pub}/base/_manifest.jsonl")
+    assert not _os.path.exists(f"{pub}/_rebase-intent.json")
+    assert not _os.path.exists(f"{pub}/_rebase-tmp")
+    # and a clean retry succeeds end-to-end
+    assert C.rebase_corpus_chain(spark, pub, compression=None)["rebased"] is True
