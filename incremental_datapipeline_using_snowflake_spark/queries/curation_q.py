@@ -820,8 +820,80 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_shard_export (r13, VERDICT r12 missing #1) — size-targeted
+# training-shard export, hash-checked end to end: the REAL exporter
+# (ops.curation.export_training_shards) writes documents as
+# ~SHARD_TARGET_BYTES JSONL shards (exactly one file per shard, ids
+# strictly increasing across shards) into a scratch dir, the consumer-side
+# verifier re-derives every stat from the files ON DISK (fail-loud inside
+# the query), and the returned table is the shard index itself — which the
+# oracle replays as a pure window-cumsum over `documents` (the assignment
+# is a deterministic function of (ids, byte lengths, target), so DuckDB
+# reproduces docs/bytes/tokens/id-ranges/checksums without seeing the
+# files). Reference anchor: S7's single-file-parity CSV sink
+# (loading_data_sp/function.py:222-238) scaled to shard discipline.
+# ---------------------------------------------------------------------------
+SHARD_TARGET_BYTES = 16384
+
+
+def corpus_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import curation as C
+
+    key = (spark.sparkContext.applicationId, sf_dir, "shard_export")
+    got = _CURATE_CACHE.get(key)
+    if got is None:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        out = tempfile.mkdtemp(prefix="spark_shards_")
+        C.export_training_shards(
+            spark, docs, out,
+            target_bytes=SHARD_TARGET_BYTES, compression=None,
+        )
+        C.verify_training_shards(spark, out)  # one-file-per-shard + stats
+        got = (
+            spark.read.json(f"{out}/_shard_index.jsonl")
+            .select(
+                F.col("shard").cast("long").alias("shard"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("n_bytes").cast("long").alias("n_bytes"),
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.col("min_id").cast("long").alias("min_id"),
+                F.col("max_id").cast("long").alias("max_id"),
+                F.col("content_checksum").cast("long").alias("content_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _CURATE_CACHE[key] = got
+    return got.orderBy("shard")
+
+
+def _shard_export_sql() -> str:
+    from .util import seg_words_sql
+
+    rec = _H.format(x="CAST(doc_id AS VARCHAR) || ':' || md5(text)")
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, text, strlen(text) AS nb,
+         coalesce(sum(strlen(text)) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) // {SHARD_TARGET_BYTES} AS shard
+  FROM documents
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(nb) AS BIGINT) AS n_bytes,
+       CAST(sum(len({seg_words_sql('text')})) AS BIGINT) AS n_tokens,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id,
+       CAST(CAST(sum(CAST({rec} AS HUGEINT)) AS HUGEINT)
+            % 2305843009213693952 AS BIGINT) AS content_checksum
+FROM assigned GROUP BY shard ORDER BY shard
+"""
+
+
 QUERIES: dict = {
     "corpus_curate_append": (corpus_curate_append, _materialize_ctes(_curate_sql())),
+    "corpus_shard_export": (corpus_shard_export, _shard_export_sql()),
     "corpus_delete_apply": (corpus_delete_apply, _materialize_ctes(_delete_sql())),
     "crawl_curate_pipeline": (crawl_curate_pipeline, _materialize_ctes(_crawl_sql())),
     "corpus_chain_rebase": (corpus_chain_rebase, CHAIN_REBASE_SQL),

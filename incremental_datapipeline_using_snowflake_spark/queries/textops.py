@@ -176,30 +176,29 @@ LOGPROB_HI = -3.355  # degenerate tail (over-represented bigrams)
 
 
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 (VERDICT r12 ask #1): ops.text.curation_signals computes the
+    # Gopher gate, bigram-LM logprob, lang-id and split in one call —
+    # narrow signals + lang + split in ONE scan with the words arrays
+    # materialized once (the old shape re-split per signal and joined a
+    # separate base scan); the wide branches stay concurrent. The full
+    # single-explode fusion was A/B-REJECTED at sf0.1 (1.13-1.35x slower,
+    # stage serialization) — numbers in BASELINE.md r13.
     from ..ops.sampling import split_column
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sig = X.repetition_signals(docs).select("doc_id", "quality_pass")
-    lp = X.ngram_logprob_scores(docs).select("doc_id", "avg_logprob")
-    base = docs.select(
-        "doc_id",
-        X.lang_id(F.col("text")).alias("pred_lang"),
-        split_column("doc_id").alias("split"),
+    sig = X.curation_signals(
+        docs, extra_cols={"split": split_column("doc_id")},
     )
-    manifest = (
-        base.join(sig, "doc_id")
-        .join(lp, "doc_id", "left")
-        .select(
-            "doc_id",
-            "pred_lang",
-            "split",
-            (
-                F.col("quality_pass")
-                & F.col("avg_logprob").isNotNull()
-                & (F.col("avg_logprob") >= LOGPROB_LO)
-                & (F.col("avg_logprob") <= LOGPROB_HI)
-            ).alias("kept"),
-        )
+    manifest = sig.select(
+        "doc_id",
+        "pred_lang",
+        "split",
+        (
+            F.col("quality_pass")
+            & F.col("avg_logprob").isNotNull()
+            & (F.col("avg_logprob") >= LOGPROB_LO)
+            & (F.col("avg_logprob") <= LOGPROB_HI)
+        ).alias("kept"),
     )
     return (
         manifest.groupBy("pred_lang", "split")

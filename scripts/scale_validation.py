@@ -120,6 +120,11 @@ FAMILY = [
     "dedup_impact_report",
     "classifier_pr_curve",
     "ivf_routed_agreement",
+    # r13 additions
+    "ann_sq8_topk",
+    "ann_ivf_sq8_topk",
+    "sq8_recall",
+    "corpus_shard_export",
 ]
 
 
@@ -396,6 +401,27 @@ def main() -> int:
                         run_fn(spark, w).collect()
                     else:
                         qs[n](spark, w).collect()
+            # explicit family warm (r13, VERDICT r12 ask #5): the shared
+            # MinHash pair table + CC labels (_PAIR_CACHE) otherwise land
+            # on whichever dedup sibling runs FIRST at each size, so that
+            # query's alpha measures the family build, not its own work
+            # (dedup_impact_report read alpha_t 1.36 in r12 for exactly
+            # this reason). Build it untimed here and report its wall as
+            # its own row — the per-query rows then measure per-query work.
+            _pair_users = {
+                "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_clusters",
+                "dedup_keep_summary", "dedup_keep_best", "dedup_impact_report",
+                "neardup_triangles", "neardup_clustering_coeff",
+            }
+            if _pair_users & set(names):
+                from incremental_datapipeline_using_snowflake_spark.queries import (
+                    textops as _to,
+                )
+
+                t0 = time.time()
+                _to._shared_pairs_components(spark, d)
+                print(f"  {'[pair-family build]':26s} {time.time() - t0:7.2f}s"
+                      "  (untimed in the per-query rows below)")
             for n in names:
                 # (setup, run) pairs: setup is UNTIMED state-building (e.g.
                 # the reindex entry's bootstrap + trigger-firing first run);
