@@ -1107,6 +1107,53 @@ def sq8_topk(
     )
 
 
+def sq8_rerank_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    shortlist: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    stats: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Two-stage SQ8 search (the production shape FAISS calls refine):
+    stage 1 shortlists ``shortlist * k`` candidates per query by int8-code
+    L2 — the corpus-sized pass moves 1 byte/dim — and stage 2 re-scores
+    ONLY the shortlist with exact double cosine. Recall converges to the
+    exact answer as the shortlist widens while the full-precision reads
+    stay k·shortlist per query: the byte savings of :func:`sq8_topk`
+    where the bytes are (the corpus scan/shuffle), the exact ranking
+    where it matters (the final k). Ties: stage 1 (dist, id), stage 2
+    (cosine desc, id)."""
+    cand = sq8_topk(
+        corpus, query_ids, k=k * shortlist,
+        vec_col=vec_col, id_col=id_col, stats=stats,
+    ).select("query_id", "nbr_id")
+    vecs = corpus.select(
+        F.col(id_col).alias("nbr_id"), _dvec(vec_col).alias("cv")
+    ).withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    q = corpus.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv")
+    ).withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    scored = (
+        cand.join(vecs, "nbr_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(
+                dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "cosine")
+    )
+
+
 def ivf_sq8_topk(
     corpus: DataFrame,
     query_ids: list[int],

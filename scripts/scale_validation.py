@@ -123,6 +123,7 @@ FAMILY = [
     # r13 additions
     "ann_sq8_topk",
     "ann_ivf_sq8_topk",
+    "ann_sq8_rerank",
     "sq8_recall",
     "corpus_shard_export",
 ]

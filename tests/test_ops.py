@@ -3020,3 +3020,26 @@ def test_ivf_sq8_topk_agrees_with_sq8_inside_probed_cells(spark):
         key = (r["query_id"], r["nbr_id"])
         if key in flat:  # probed candidate also in the flat top-50
             assert flat[key] == r["sq8_dist"]
+
+
+def test_sq8_rerank_recovers_exact_topk(spark):
+    """Two-stage refine: with a wide-enough shortlist the reranked top-k
+    must EQUAL the exact bruteforce top-k (same ranking column, same
+    tie-break), not just overlap it."""
+    from pyspark.sql import functions as F
+
+    from incremental_datapipeline_using_snowflake_spark.ops import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2]
+    exact = {
+        (r["query_id"], r["rank"]): (r["nbr_id"], r["cosine"])
+        for r in S.bruteforce_topk(
+            emb, emb.filter(F.col("vec_id").isin(qids)), k=5
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["nbr_id"], r["cosine"])
+        for r in S.sq8_rerank_topk(emb, query_ids=qids, k=5, shortlist=8).collect()
+    }
+    assert got == exact
