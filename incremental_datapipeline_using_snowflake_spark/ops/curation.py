@@ -1949,52 +1949,64 @@ def shard_assignments(
 
     Scale shape (the reason this is not ONE global window): a
     ``Window.orderBy(id)`` cumulative sum collapses the corpus into a
-    single partition. Instead: range-repartition on id (Spark samples
-    boundaries), ONE narrow aggregation collects per-partition byte
-    sums — one row per partition, meta-only, like every other collect in
-    this module — the driver prefix-sums them into per-partition offsets
-    (broadcast join), and a PARTITION-LOCAL cumulative-sum window closes
-    the global prefix sum. Work per task is bounded by the range
-    partition size at any corpus scale. Determinism holds even though
-    range boundaries are sampled per run: the reconstructed prefix sum
-    is boundary-invariant because ``id_col`` is a total order (ids must
-    be unique — duplicate ids would make the within-partition order
-    ambiguous).
+    single partition. Instead: bucket by a DETERMINISTIC grid over the
+    id VALUE domain (``bucket = (id - min_id) DIV width`` — a pure
+    function of the id, no sampling, no runtime partition ids), collect
+    ONE narrow per-bucket byte-sum relation (meta-only, bounded by the
+    bucket count), prefix-sum it on the driver into per-bucket offsets
+    (broadcast join), and close the global prefix sum with a
+    BUCKET-LOCAL cumulative-sum window. Work per task is bounded by the
+    bucket population at any corpus scale (even for uniform ids;
+    pathological id clustering concentrates buckets the way any
+    value-range partitioning would).
 
-    Returns the input plus ``shard`` (int) and ``n_bytes`` (long),
-    range-partitioned and sorted by id.
+    Why not ``repartitionByRange`` + ``spark_partition_id()``: range
+    boundaries are SAMPLED per execution, and a Spark plan re-executes
+    per action — offsets collected under one execution's boundaries
+    applied to another execution's partitions silently mis-assign
+    shards (caught by scale_validation at 4x: a shard dir vanished
+    between the data write and the index aggregation). The grid bucket
+    is a pure column expression, so every re-execution reproduces the
+    identical assignment. (ids must be unique — duplicates would make
+    the within-bucket order ambiguous.)
+
+    Returns the input plus ``shard`` (int) and ``n_bytes`` (long).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ordered = (
-        df.withColumn("n_bytes", F.octet_length(text_col).cast("long"))
-        .repartitionByRange(n_part, F.col(id_col))
-        .sortWithinPartitions(id_col)
-        .withColumn("_pid", F.spark_partition_id())
+    n_buckets = 4 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sized = df.withColumn("n_bytes", F.octet_length(text_col).cast("long"))
+    bounds = sized.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        return sized.withColumn("shard", F.lit(0).cast("int"))
+    lo = int(bounds["lo"])
+    width = max((int(bounds["hi"]) - lo) // n_buckets + 1, 1)
+    bucket = F.expr(f"CAST(({id_col} - {lo}) DIV {width} AS INT)")
+    sized = sized.withColumn("_bkt", bucket)
+    # one row per non-empty bucket: meta-only collect, never data-plane
+    bkt_sums = (
+        sized.groupBy("_bkt").agg(F.sum("n_bytes").alias("_bsum")).collect()
     )
-    # one row per partition: meta-only collect, never data-plane
-    part_sums = (
-        ordered.groupBy("_pid").agg(F.sum("n_bytes").alias("_psum")).collect()
-    )
-    sums = {r["_pid"]: r["_psum"] for r in part_sums}
+    sums = {r["_bkt"]: r["_bsum"] for r in bkt_sums}
     offsets, acc = [], 0
-    for pid in sorted(sums):
-        offsets.append((pid, acc))
-        acc += sums[pid]
+    for b in sorted(sums):
+        offsets.append((b, acc))
+        acc += sums[b]
     offs = F.broadcast(
-        spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset long")
+        spark.createDataFrame(offsets or [(0, 0)], "_bkt int, _offset long")
     )
     w = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_bkt")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     before = F.coalesce(F.sum("n_bytes").over(w), F.lit(0).cast("long"))
     return (
-        ordered.join(offs, "_pid")
+        sized.join(offs, "_bkt")
         .withColumn("_before", F.col("_offset") + before)
         # integer DIV, not floor(double /): at 100 TB the cumulative byte
         # sum approaches 2^53, where double division starts rounding
@@ -2002,7 +2014,7 @@ def shard_assignments(
             "shard",
             F.expr(f"CAST(_before DIV {int(target_bytes)} AS INT)"),
         )
-        .drop("_pid", "_offset", "_before")
+        .drop("_bkt", "_offset", "_before")
     )
 
 
@@ -2140,9 +2152,12 @@ def verify_training_shards(
     ]
     if bad:
         raise ValueError(f"shard verification failed for shards: {sorted(bad)}")
+    # order contract: id ranges strictly increasing across shards. Shard
+    # NUMBERING may legally gap — a document larger than target_bytes
+    # advances the cumulative sum past whole shard indices
     order = sorted(idx)
     for a, b in zip(order, order[1:]):
-        if b != a + 1 or idx[a]["max_id"] >= idx[b]["min_id"]:
+        if idx[a]["max_id"] >= idx[b]["min_id"]:
             raise ValueError(
                 f"shard order contract broken between shards {a} and {b}"
             )

@@ -1447,3 +1447,21 @@ def test_training_shard_verify_catches_tamper(spark, tmp_path):
         _os.remove(crc)
     with _pytest.raises(ValueError, match="shard verification failed"):
         C.verify_training_shards(spark, out)
+
+
+def test_training_shard_oversized_doc_gaps_numbering(spark, tmp_path):
+    """A document larger than target_bytes legally skips shard indices
+    (the cumulative sum jumps whole targets); the verifier accepts the
+    gap while still enforcing strictly-increasing id ranges."""
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    rows = [(1, "a " * 100), (2, "b " * 3000), (3, "c " * 100), (4, "d " * 100)]
+    out = str(tmp_path / "shards")
+    idx = {r["shard"]: r for r in C.export_training_shards(
+        spark, spark.createDataFrame(rows, "doc_id long, text string"),
+        out, target_bytes=512,
+    ).collect()}
+    order = sorted(idx)
+    assert order != list(range(len(order))), "expected a numbering gap"
+    assert C.verify_training_shards(spark, out) is True
+    assert sum(r["n_docs"] for r in idx.values()) == 4
