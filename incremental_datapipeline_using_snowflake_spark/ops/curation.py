@@ -1936,16 +1936,20 @@ def verify_corpus_chain(
 def shard_assignments(
     df: DataFrame,
     *,
-    target_bytes: int,
+    target_bytes: int | None = None,
+    target_tokens: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Deterministic size-targeted shard assignment: documents in
     ascending ``id_col`` order are packed greedily so that
-    ``shard = floor(cum_bytes_before_doc / target_bytes)`` — every shard
-    starts below the byte target and overflows by at most one document,
-    and the assignment is a pure function of (ids, text bytes, target),
-    independent of partitioning or cluster size.
+    ``shard = floor(cum_measure_before_doc / target)`` — every shard
+    starts below the target and overflows by at most one document, and
+    the assignment is a pure function of (ids, measures, target),
+    independent of partitioning or cluster size. The measure is text
+    BYTES (``target_bytes``, octet length) or script-aware TOKENS
+    (``target_tokens``, :func:`ops.text.token_count` — the budget a
+    training run actually plans in); exactly one must be given.
 
     Scale shape (the reason this is not ONE global window): a
     ``Window.orderBy(id)`` cumulative sum collapses the corpus into a
@@ -1975,21 +1979,32 @@ def shard_assignments(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from .text import token_count
+
+    if (target_bytes is None) == (target_tokens is None):
+        raise ValueError("pass exactly one of target_bytes / target_tokens")
+    target = int(target_bytes if target_bytes is not None else target_tokens)
     spark = df.sparkSession
     n_buckets = 4 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sized = df.withColumn("n_bytes", F.octet_length(text_col).cast("long"))
+    measure = (
+        F.col("n_bytes")
+        if target_bytes is not None
+        else token_count(text_col).cast("long")
+    )
+    sized = sized.withColumn("_m", measure)
     bounds = sized.agg(
         F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
     ).first()
     if bounds["lo"] is None:
-        return sized.withColumn("shard", F.lit(0).cast("int"))
+        return sized.drop("_m").withColumn("shard", F.lit(0).cast("int"))
     lo = int(bounds["lo"])
     width = max((int(bounds["hi"]) - lo) // n_buckets + 1, 1)
     bucket = F.expr(f"CAST(({id_col} - {lo}) DIV {width} AS INT)")
     sized = sized.withColumn("_bkt", bucket)
     # one row per non-empty bucket: meta-only collect, never data-plane
     bkt_sums = (
-        sized.groupBy("_bkt").agg(F.sum("n_bytes").alias("_bsum")).collect()
+        sized.groupBy("_bkt").agg(F.sum("_m").alias("_bsum")).collect()
     )
     sums = {r["_bkt"]: r["_bsum"] for r in bkt_sums}
     offsets, acc = [], 0
@@ -2004,7 +2019,7 @@ def shard_assignments(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    before = F.coalesce(F.sum("n_bytes").over(w), F.lit(0).cast("long"))
+    before = F.coalesce(F.sum("_m").over(w), F.lit(0).cast("long"))
     return (
         sized.join(offs, "_bkt")
         .withColumn("_before", F.col("_offset") + before)
@@ -2012,9 +2027,9 @@ def shard_assignments(
         # sum approaches 2^53, where double division starts rounding
         .withColumn(
             "shard",
-            F.expr(f"CAST(_before DIV {int(target_bytes)} AS INT)"),
+            F.expr(f"CAST(_before DIV {target} AS INT)"),
         )
-        .drop("_bkt", "_offset", "_before")
+        .drop("_bkt", "_offset", "_before", "_m")
     )
 
 
@@ -2023,7 +2038,8 @@ def export_training_shards(
     df: DataFrame,
     out_dir: str,
     *,
-    target_bytes: int,
+    target_bytes: int | None = None,
+    target_tokens: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     compression: str | None = None,
@@ -2057,7 +2073,8 @@ def export_training_shards(
     from .text import token_count
 
     assigned = shard_assignments(
-        df, target_bytes=target_bytes, id_col=id_col, text_col=text_col
+        df, target_bytes=target_bytes, target_tokens=target_tokens,
+        id_col=id_col, text_col=text_col,
     )
     n_shards = assigned.agg(F.max("shard")).first()[0]
     n_shards = int(n_shards) + 1 if n_shards is not None else 0
@@ -2079,7 +2096,14 @@ def export_training_shards(
             .cast("long")
             .alias("content_checksum"),
         )
-        .withColumn("target_bytes", F.lit(int(target_bytes)).cast("long"))
+        .withColumn(
+            "target_bytes",
+            F.lit(int(target_bytes) if target_bytes is not None else -1).cast("long"),
+        )
+        .withColumn(
+            "target_tokens",
+            F.lit(int(target_tokens) if target_tokens is not None else -1).cast("long"),
+        )
         .orderBy("shard")
     )
     index.coalesce(1).write.mode("overwrite").json(f"{out_dir}/_shard_index.jsonl")

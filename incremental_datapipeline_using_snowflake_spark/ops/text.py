@@ -304,13 +304,23 @@ def repetition_signals(
 def _top_bigram_frac(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """``(id, top_bigram_frac)`` — most-frequent-bigram share per doc via
     explode -> two doc-keyed aggregations (shared by
-    :func:`repetition_signals` and :func:`curation_signals`)."""
+    :func:`repetition_signals` and :func:`curation_signals`).
+
+    The exploded key is the 60-bit md5 of the bigram, not the string —
+    the shingle-dedup wire discipline applied here (r13): the (id, key)
+    exchange ships two LONGS per window instead of the window text.
+    max(c)/sum(c) is invariant under any injective re-key; a within-doc
+    60-bit collision (~1e-12 for a 1.5k-bigram doc) would merge two
+    counts, the same accepted bound every hashed-shingle op carries."""
+    from ..queries.util import md5_long
+
     w = words_col(F.col(text_col))
     big = F.zip_with(
         w, F.slice(w, 2, F.size(w)), lambda a, b: F.concat(a, F.lit(" "), b)
     )
+    keys = F.transform(F.filter(big, lambda x: x.isNotNull()), md5_long)
     bg_counts = (
-        df.select(F.col(id_col), F.explode(F.filter(big, lambda x: x.isNotNull())).alias("bg"))
+        df.select(F.col(id_col), F.explode(keys).alias("bg"))
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("c"))
     )

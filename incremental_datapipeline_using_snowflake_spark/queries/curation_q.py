@@ -835,20 +835,19 @@ ORDER BY doc_id
 # (loading_data_sp/function.py:222-238) scaled to shard discipline.
 # ---------------------------------------------------------------------------
 SHARD_TARGET_BYTES = 16384
+SHARD_TARGET_TOKENS = 2048
 
 
-def corpus_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shard_export_query(spark: SparkSession, sf_dir: str, cache_tag: str,
+                        **targets) -> DataFrame:
     from ..ops import curation as C
 
-    key = (spark.sparkContext.applicationId, sf_dir, "shard_export")
+    key = (spark.sparkContext.applicationId, sf_dir, cache_tag)
     got = _CURATE_CACHE.get(key)
     if got is None:
         docs = load(spark, sf_dir, "documents").select("doc_id", "text")
         out = tempfile.mkdtemp(prefix="spark_shards_")
-        C.export_training_shards(
-            spark, docs, out,
-            target_bytes=SHARD_TARGET_BYTES, compression=None,
-        )
+        C.export_training_shards(spark, docs, out, compression=None, **targets)
         C.verify_training_shards(spark, out)  # one-file-per-shard + stats
         got = (
             spark.read.json(f"{out}/_shard_index.jsonl")
@@ -867,16 +866,36 @@ def corpus_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.orderBy("shard")
 
 
-def _shard_export_sql() -> str:
+def corpus_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shard_export_query(
+        spark, sf_dir, "shard_export", target_bytes=SHARD_TARGET_BYTES
+    )
+
+
+def corpus_shard_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding — the measure a training plan is actually
+    written in (script-aware segmented word counts, not bytes)."""
+    return _shard_export_query(
+        spark, sf_dir, "shard_tokens", target_tokens=SHARD_TARGET_TOKENS
+    )
+
+
+def _shard_export_sql(measure: str = "bytes") -> str:
     from .util import seg_words_sql
 
     rec = _H.format(x="CAST(doc_id AS VARCHAR) || ':' || md5(text)")
+    m = (
+        "strlen(text)"
+        if measure == "bytes"
+        else f"len({seg_words_sql('text')})"
+    )
+    target = SHARD_TARGET_BYTES if measure == "bytes" else SHARD_TARGET_TOKENS
     return f"""
 WITH assigned AS (
   SELECT doc_id, text, strlen(text) AS nb,
-         coalesce(sum(strlen(text)) OVER (
+         coalesce(sum({m}) OVER (
              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-         ), 0) // {SHARD_TARGET_BYTES} AS shard
+         ), 0) // {target} AS shard
   FROM documents
 )
 SELECT CAST(shard AS BIGINT) AS shard,
@@ -894,6 +913,7 @@ FROM assigned GROUP BY shard ORDER BY shard
 QUERIES: dict = {
     "corpus_curate_append": (corpus_curate_append, _materialize_ctes(_curate_sql())),
     "corpus_shard_export": (corpus_shard_export, _shard_export_sql()),
+    "corpus_shard_tokens": (corpus_shard_tokens, _shard_export_sql("tokens")),
     "corpus_delete_apply": (corpus_delete_apply, _materialize_ctes(_delete_sql())),
     "crawl_curate_pipeline": (crawl_curate_pipeline, _materialize_ctes(_crawl_sql())),
     "corpus_chain_rebase": (corpus_chain_rebase, CHAIN_REBASE_SQL),

@@ -126,6 +126,7 @@ FAMILY = [
     "ann_sq8_rerank",
     "sq8_recall",
     "corpus_shard_export",
+    "corpus_shard_tokens",
 ]
 
 
