@@ -1870,7 +1870,8 @@ stats AS (
   FROM comp GROUP BY d
 ),
 codes AS (
-  SELECT id, comp.d, ((xq - lo) * {S.SQ8_LEVELS}) // rng - 128 AS code
+  SELECT id, comp.d,
+         (least(greatest(xq - lo, 0), rng) * {S.SQ8_LEVELS}) // rng - 128 AS code
   FROM comp JOIN stats USING (d)
 ),
 qcodes AS (SELECT id AS query_id, d, code AS qc FROM codes WHERE id < {N_QUERIES})
@@ -2056,9 +2057,133 @@ ORDER BY e.query_id
 """
 
 
+# ann_index_sq8 (r13) — the SQ8 lifecycle close: build the stored IVF
+# index with sq8=True (codes + persisted quantizer alongside the
+# single-copy v), grow it one batch through the FROZEN-quantizer append
+# path (planted x1.001 variants — components drift outside the trained
+# ranges, exercising the saturating clamp), then answer queries via the
+# codes-only pruned scan + exact rerank. The oracle replays centroids
+# and quantizer trained on the CORPUS ONLY, assignment + codes over
+# corpus ∪ batch, the int8 shortlist inside the probed cells, and the
+# exact-cosine rerank — the grown sq8 index must reproduce it all.
+def ann_index_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.table_store import TableStore
+
+    key = (spark.sparkContext.applicationId, sf_dir, "sq8")
+    store = _ANN_INDEX_CACHE.get(key)
+    emb = load(spark, sf_dir, "embeddings")
+    if store is None:
+        store = TableStore(root=tempfile.mkdtemp(prefix="spark_annidx_"))
+        S.build_ivf_index(
+            spark, store, emb, "idx.emb", n_cells=S.N_IVF_CELLS, sq8=True
+        )
+        batch = emb.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 200000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") * 1.001
+            ).alias("embedding"),
+        )
+        S.append_to_ivf_index(spark, store, batch, "idx.emb")
+        _ANN_INDEX_CACHE[key] = store
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.query_ivf_index(
+        spark, store, "idx.emb", queries, k=TOP_K, n_probe=S.N_PROBE,
+        sq8_shortlist=SQ8_SHORTLIST,
+    ).orderBy("query_id", "rank")
+
+
+ANN_INDEX_SQ8_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+b AS (
+  SELECT vec_id + 200000 AS id,
+         list_transform(embedding::DOUBLE[], x -> x * 1.001) AS v
+  FROM embeddings WHERE vec_id % 7 = 0
+),
+cents AS (
+  SELECT id AS cell, v AS cv FROM c ORDER BY id LIMIT {S.N_IVF_CELLS}
+),
+all_vecs AS (
+  SELECT id, v FROM c UNION ALL SELECT id, v FROM b
+),
+assigned AS (
+  SELECT id, cell FROM (
+    SELECT a.id, cents.cell,
+           row_number() OVER (
+             PARTITION BY a.id
+             ORDER BY list_cosine_similarity(a.v, cents.cv) DESC, cents.cell
+           ) AS rk
+    FROM all_vecs a CROSS JOIN cents
+  ) WHERE rk = 1
+),
+comp_c AS (
+  SELECT id, generate_subscripts(v, 1) AS d,
+         CAST(floor(unnest(v) * 1000000 + 0.5) AS BIGINT) AS xq
+  FROM c
+),
+stats AS (
+  SELECT d, min(xq) AS lo, greatest(max(xq) - min(xq), 1) AS rng
+  FROM comp_c GROUP BY d
+),
+comp_all AS (
+  SELECT id, generate_subscripts(v, 1) AS d,
+         CAST(floor(unnest(v) * 1000000 + 0.5) AS BIGINT) AS xq
+  FROM all_vecs
+),
+codes AS (
+  SELECT id, comp_all.d,
+         (least(greatest(xq - lo, 0), rng) * {S.SQ8_LEVELS}) // rng - 128 AS code
+  FROM comp_all JOIN stats USING (d)
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.id AS query_id, cents.cell,
+           row_number() OVER (
+             PARTITION BY q.id
+             ORDER BY list_cosine_similarity(q.v, cents.cv) DESC, cents.cell
+           ) AS rk
+    FROM (SELECT * FROM c WHERE id < {N_QUERIES}) q CROSS JOIN cents
+  ) WHERE rk <= {S.N_PROBE}
+),
+d8 AS (
+  SELECT p.query_id, a.id AS nbr_id, a.cell,
+         CAST(sum((cc.code - qc.code) * (cc.code - qc.code)) AS BIGINT) AS _d8
+  FROM assigned a
+  JOIN probes p ON a.cell = p.cell AND a.id != p.query_id
+  JOIN codes cc ON cc.id = a.id
+  JOIN codes qc ON qc.id = p.query_id AND qc.d = cc.d
+  GROUP BY 1, 2, 3
+),
+shortlist AS (
+  SELECT query_id, nbr_id, cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY _d8, nbr_id) AS rk
+    FROM d8
+  ) WHERE rk <= {TOP_K * SQ8_SHORTLIST}
+),
+reranked AS (
+  SELECT s.query_id, s.nbr_id, s.cell,
+         round(list_cosine_similarity(cv.v, qv.v), 6) AS cosine
+  FROM shortlist s
+  JOIN all_vecs cv ON cv.id = s.nbr_id
+  JOIN c qv ON qv.id = s.query_id
+)
+SELECT query_id, rank, nbr_id, cell, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM reranked
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES: dict = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_sq8_topk": (ann_sq8_topk, ANN_SQ8_SQL),
+    "ann_index_sq8": (ann_index_sq8, ANN_INDEX_SQ8_SQL),
     "ann_ivf_sq8_topk": (ann_ivf_sq8_topk, ANN_IVF_SQ8_SQL),
     "ann_sq8_rerank": (ann_sq8_rerank, ANN_SQ8_RERANK_SQL),
     "sq8_recall": (sq8_recall, SQ8_RECALL_SQL),

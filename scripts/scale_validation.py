@@ -127,6 +127,7 @@ FAMILY = [
     "sq8_recall",
     "corpus_shard_export",
     "corpus_shard_tokens",
+    "ann_index_sq8",
 ]
 
 

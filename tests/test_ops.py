@@ -3043,3 +3043,66 @@ def test_sq8_rerank_recovers_exact_topk(spark):
         for r in S.sq8_rerank_topk(emb, query_ids=qids, k=5, shortlist=8).collect()
     }
     assert got == exact
+
+
+def test_ivf_index_sq8_lifecycle(spark, tmp_path):
+    """Build with sq8=True -> frozen-quantizer append -> codes+rerank
+    query; a fired reindex retrains BOTH centroids and quantizer."""
+    from pyspark.sql import functions as F
+
+    from incremental_datapipeline_using_snowflake_spark.operators import TableStore
+    from incremental_datapipeline_using_snowflake_spark.ops import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    store = TableStore(root=str(tmp_path / "idx"))
+    S.build_ivf_index(spark, store, emb, "t.emb", n_cells=4, sq8=True)
+    asg = store.read(spark, "t.emb.assignments")
+    assert "code" in asg.columns
+    assert dict(asg.dtypes)["code"] == "array<tinyint>"
+    assert store.exists("t.emb.sq8_stats")
+
+    # frozen-quantizer append: x1.01 variants drift outside trained
+    # ranges -> the clamp must saturate, never wrap the int8 cast
+    batch = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 900000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * 1.01).alias("embedding"),
+    )
+    n = S.append_to_ivf_index(spark, store, batch, "t.emb")
+    assert n == batch.count()
+    grown = store.read(spark, "t.emb.assignments")
+    rng = grown.select(
+        F.min(F.array_min("code")).alias("lo"), F.max(F.array_max("code")).alias("hi")
+    ).first()
+    assert -128 <= rng["lo"] and rng["hi"] <= 127
+
+    q = emb.filter(F.col("vec_id") < 3)
+    got = S.query_ivf_index(
+        spark, store, "t.emb", q, k=5, n_probe=2, sq8_shortlist=8
+    ).collect()
+    assert len(got) == 15
+    # wide shortlist within the probed cells == the float path's answer
+    flat = S.query_ivf_index(spark, store, "t.emb", q, k=5, n_probe=2).collect()
+    assert {(r["query_id"], r["rank"], r["nbr_id"]) for r in got} == \
+           {(r["query_id"], r["rank"], r["nbr_id"]) for r in flat}
+
+    # sq8_shortlist on a non-sq8 index fails loudly
+    store2 = TableStore(root=str(tmp_path / "idx2"))
+    S.build_ivf_index(spark, store2, emb, "t2.emb", n_cells=4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not built with sq8"):
+        S.query_ivf_index(spark, store2, "t2.emb", q, k=5, sq8_shortlist=4)
+
+    # grow 4x so the volume probe fires: the rebuilt index must keep the
+    # sq8 structure (codes + retrained stats)
+    for j in range(3):
+        S.append_to_ivf_index(
+            spark, store,
+            emb.select((F.col("vec_id") + (j + 1) * 1000000).alias("vec_id"),
+                       "embedding"),
+            "t.emb",
+        )
+    info = S.maybe_reindex_ivf(spark, store, "t.emb")
+    assert info is not None and info["fired_volume"]
+    re_asg = store.read(spark, "t.emb.assignments")
+    assert "code" in re_asg.columns and store.exists("t.emb.sq8_stats")
