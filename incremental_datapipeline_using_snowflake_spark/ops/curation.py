@@ -2186,3 +2186,102 @@ def verify_training_shards(
                 f"shard order contract broken between shards {a} and {b}"
             )
     return True
+
+
+def append_training_shards(
+    spark: SparkSession,
+    df_new: DataFrame,
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compression: str | None = None,
+) -> DataFrame:
+    """Grow a shard export by one batch WITHOUT touching shipped shards —
+    the nightly-delta form of :func:`export_training_shards`. Shipped
+    shard files are immutable (a training consumer may have checkpointed
+    mid-epoch against them), so a delta NEVER repacks: the new batch is
+    packed among itself with the export's own target/measure (read from
+    the index) into FRESH shards numbered after the current maximum, and
+    the shard index is rewritten as old rows + new rows (index last, the
+    completion-marker discipline — the index is shard-count-sized, never
+    data).
+
+    Contracts enforced fail-loud: the batch's ids must all exceed the
+    stored ``max_id`` (the strictly-increasing id-range contract is what
+    makes shard pruning by id range possible), and the target shard dirs
+    must not already exist (a crashed append leaves data dirs without
+    index rows — re-running would double their files; remove the orphan
+    ``shard=`` dirs named in the error, then retry).
+
+    Cost ∝ batch: the packing prefix-sum, the write, and the index stats
+    all run over ``df_new`` only.
+    """
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..queries.util import md5_long
+    from ..sources.jsonl_source import write_jsonl
+    from .text import token_count
+
+    idx = spark.read.json(f"{out_dir}/_shard_index.jsonl")
+    head = idx.agg(
+        F.max("shard").alias("last_shard"),
+        F.max("max_id").alias("max_id"),
+        F.max("target_bytes").alias("tb"),
+        F.max("target_tokens").alias("tt"),
+    ).first()
+    target_bytes = int(head["tb"]) if int(head["tb"]) > 0 else None
+    target_tokens = int(head["tt"]) if int(head["tt"]) > 0 else None
+    lo = df_new.agg(F.min(id_col)).first()[0]
+    if lo is None:
+        return idx.orderBy("shard")
+    if int(lo) <= int(head["max_id"]):
+        raise ValueError(
+            f"append batch min id {lo} does not exceed the export's "
+            f"max_id {head['max_id']} — the id-range order contract "
+            "forbids interleaving into shipped shards"
+        )
+    base = int(head["last_shard"]) + 1
+    assigned = shard_assignments(
+        df_new, target_bytes=target_bytes, target_tokens=target_tokens,
+        id_col=id_col, text_col=text_col,
+    ).withColumn("shard", (F.col("shard") + F.lit(base)).cast("int"))
+    new_ids = [r[0] for r in assigned.select("shard").distinct().collect()]
+    taken = [
+        k for k in new_ids if os.path.isdir(os.path.join(out_dir, "data", f"shard={k}"))
+    ]
+    if taken:
+        raise ValueError(
+            f"shard dirs already exist for {sorted(taken)} under "
+            f"{out_dir}/data — a crashed append left orphan data; remove "
+            "those dirs and retry"
+        )
+    data = assigned.drop("n_bytes").repartition(max(len(new_ids), 1), "shard")
+    w = data.write.mode("append").partitionBy("shard")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(f"{out_dir}/data")
+    rec = md5_long(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.md5(F.col(text_col)))
+    )
+    new_rows = (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("n_bytes"),
+            F.sum(token_count(text_col).cast("long")).alias("n_tokens"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+            (F.sum(rec.cast("decimal(38,0)")) % F.lit(_CHECKSUM_MOD).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("content_checksum"),
+        )
+        .withColumn("target_bytes", F.lit(target_bytes or -1).cast("long"))
+        .withColumn("target_tokens", F.lit(target_tokens or -1).cast("long"))
+    )
+    merged = idx.select(*new_rows.columns).unionByName(new_rows).orderBy("shard")
+    merged.coalesce(1).write.mode("overwrite").json(f"{out_dir}/_shard_index.jsonl")
+    return spark.read.json(f"{out_dir}/_shard_index.jsonl").orderBy("shard")

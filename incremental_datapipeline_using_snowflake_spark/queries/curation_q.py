@@ -880,6 +880,81 @@ def corpus_shard_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_shard_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-shard lifecycle hash-checked end to end: export the id<400
+    half as base shards, grow the series by the id>=400 batch through
+    :func:`ops.curation.append_training_shards` (fresh shards, shipped
+    files untouched), verify against the files on disk, return the
+    combined index. The oracle replays both packing phases: base cumsum
+    over id<400, batch cumsum over id>=400 offset to (last base
+    shard + 1)."""
+    from ..ops import curation as C
+
+    key = (spark.sparkContext.applicationId, sf_dir, "shard_append")
+    got = _CURATE_CACHE.get(key)
+    if got is None:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        out = tempfile.mkdtemp(prefix="spark_shards_")
+        C.export_training_shards(
+            spark, docs.filter(F.col("doc_id") < 400), out,
+            target_bytes=SHARD_TARGET_BYTES, compression=None,
+        )
+        C.append_training_shards(
+            spark, docs.filter(F.col("doc_id") >= 400), out, compression=None
+        )
+        C.verify_training_shards(spark, out)
+        got = (
+            spark.read.json(f"{out}/_shard_index.jsonl")
+            .select(
+                F.col("shard").cast("long").alias("shard"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("n_bytes").cast("long").alias("n_bytes"),
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.col("min_id").cast("long").alias("min_id"),
+                F.col("max_id").cast("long").alias("max_id"),
+                F.col("content_checksum").cast("long").alias("content_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _CURATE_CACHE[key] = got
+    return got.orderBy("shard")
+
+
+def _shard_append_sql() -> str:
+    from .util import seg_words_sql
+
+    rec = _H.format(x="CAST(doc_id AS VARCHAR) || ':' || md5(text)")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, strlen(text) AS nb,
+         coalesce(sum(strlen(text)) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) // {SHARD_TARGET_BYTES} AS shard
+  FROM documents WHERE doc_id < 400
+),
+batch AS (
+  SELECT doc_id, text, strlen(text) AS nb,
+         (SELECT max(shard) + 1 FROM base)
+         + coalesce(sum(strlen(text)) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) // {SHARD_TARGET_BYTES} AS shard
+  FROM documents WHERE doc_id >= 400
+),
+assigned AS (
+  SELECT * FROM base UNION ALL SELECT * FROM batch
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(nb) AS BIGINT) AS n_bytes,
+       CAST(sum(len({seg_words_sql('text')})) AS BIGINT) AS n_tokens,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id,
+       CAST(CAST(sum(CAST({rec} AS HUGEINT)) AS HUGEINT)
+            % 2305843009213693952 AS BIGINT) AS content_checksum
+FROM assigned GROUP BY shard ORDER BY shard
+"""
+
+
 def _shard_export_sql(measure: str = "bytes") -> str:
     from .util import seg_words_sql
 
@@ -914,6 +989,7 @@ QUERIES: dict = {
     "corpus_curate_append": (corpus_curate_append, _materialize_ctes(_curate_sql())),
     "corpus_shard_export": (corpus_shard_export, _shard_export_sql()),
     "corpus_shard_tokens": (corpus_shard_tokens, _shard_export_sql("tokens")),
+    "corpus_shard_append": (corpus_shard_append, _shard_append_sql()),
     "corpus_delete_apply": (corpus_delete_apply, _materialize_ctes(_delete_sql())),
     "crawl_curate_pipeline": (crawl_curate_pipeline, _materialize_ctes(_crawl_sql())),
     "corpus_chain_rebase": (corpus_chain_rebase, CHAIN_REBASE_SQL),

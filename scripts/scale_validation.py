@@ -128,6 +128,7 @@ FAMILY = [
     "corpus_shard_export",
     "corpus_shard_tokens",
     "ann_index_sq8",
+    "corpus_shard_append",
 ]
 
 

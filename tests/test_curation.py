@@ -1465,3 +1465,54 @@ def test_training_shard_oversized_doc_gaps_numbering(spark, tmp_path):
     assert order != list(range(len(order))), "expected a numbering gap"
     assert C.verify_training_shards(spark, out) is True
     assert sum(r["n_docs"] for r in idx.values()) == 4
+
+
+def test_training_shard_append_lifecycle(spark, tmp_path):
+    """Delta shards: shipped shard files stay byte-identical, the batch
+    packs into fresh shards continuing the numbering, the combined index
+    verifies, and the contracts fail loudly (interleaved ids; orphan
+    dirs from a crashed append)."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+
+    base_rows = [(i, f"doc {i} " + "tok " * (10 + (i * 7) % 40)) for i in range(120)]
+    out = str(tmp_path / "shards")
+    idx0 = C.export_training_shards(
+        spark, spark.createDataFrame(base_rows, "doc_id long, text string"),
+        out, target_bytes=4096,
+    ).collect()
+    files_before = {
+        f: os.path.getsize(f)
+        for f in glob.glob(f"{out}/data/shard=*/part-*.json")
+    }
+
+    batch_rows = [(200 + i, f"new {i} " + "tok " * (15 + (i * 5) % 30)) for i in range(60)]
+    idx1 = C.append_training_shards(
+        spark, spark.createDataFrame(batch_rows, "doc_id long, text string"), out
+    ).collect()
+    assert C.verify_training_shards(spark, out) is True
+    # shipped files untouched byte-for-byte
+    for f, sz in files_before.items():
+        assert os.path.getsize(f) == sz
+    # numbering continues; combined docs complete
+    assert max(r["shard"] for r in idx1) > max(r["shard"] for r in idx0)
+    assert sum(r["n_docs"] for r in idx1) == 180
+    new_rows = [r for r in idx1 if r["min_id"] >= 200]
+    assert min(r["shard"] for r in new_rows) == max(r["shard"] for r in idx0) + 1
+
+    # interleaved ids refused
+    with _pytest.raises(ValueError, match="order contract"):
+        C.append_training_shards(
+            spark, spark.createDataFrame([(150, "late doc " * 10)], "doc_id long, text string"), out
+        )
+    # crashed-append orphan dir refused by name
+    orphan = max(r["shard"] for r in idx1) + 1
+    os.makedirs(f"{out}/data/shard={orphan}")
+    with _pytest.raises(ValueError, match="already exist"):
+        C.append_training_shards(
+            spark, spark.createDataFrame([(900, "more " * 40)], "doc_id long, text string"), out
+        )
