@@ -324,12 +324,18 @@ def route_assign(
         .filter(F.col("_rk") <= IVF_CENT_ROUTES)
         .select("cell", "cv", "cn", "route")
     )
-    # each vector ranks the n_route seeds and keeps its r_probe best routes
+    # each vector ranks the n_route seeds and keeps its r_probe best
+    # routes. Wire discipline (r13): the rank windows see NARROW
+    # (id, route, _sim) rows only — the old shape carried the full
+    # float64 v through BOTH id-keyed window exchanges, replicated
+    # n_route times in the first and per-candidate (~r_probe ·
+    # IVF_CENT_ROUTES · n_cells/n_route) times in the second; now v
+    # crosses an exchange exactly twice, one copy each (the two id-keyed
+    # join-backs below). Values are identical — the same sims are
+    # computed from the same doubles, only the carrying relation changed.
     v = vecs.withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"))))
     vscored = v.join(F.broadcast(seeds)).select(
         "id",
-        "v",
-        "n",
         "route",
         (dot(F.col("v"), F.col("rv")) / (F.col("n") * F.col("rn"))).alias("_sim"),
     )
@@ -337,21 +343,26 @@ def route_assign(
     vroutes = (
         vscored.withColumn("_rk", F.row_number().over(wv))
         .filter(F.col("_rk") <= r_probe)
-        .select("id", "v", "n", "route")
+        .select("id", "route")
     )
-    # route-keyed join: a vector scores ONLY its routes' centroids
-    scored = vroutes.join(F.broadcast(routed_cents), "route").select(
-        "id",
-        "v",
-        "cell",
-        (dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))).alias("_sim"),
+    # id-keyed join brings each vector's floats back ONCE, then the
+    # route-keyed broadcast join fans out to its routes' centroids
+    scored = (
+        vroutes.join(v, "id")
+        .join(F.broadcast(routed_cents), "route")
+        .select(
+            "id",
+            "cell",
+            (dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))).alias("_sim"),
+        )
     )
     w = W.partitionBy("id").orderBy(F.desc("_sim"), F.asc("cell"))
-    return (
+    best = (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .select("id", "v", "cell")
+        .select("id", "cell")
     )
+    return best.join(vecs.select("id", "v"), "id").select("id", "v", "cell")
 
 
 def ivf_topk(
