@@ -203,18 +203,24 @@ def ivf_assignments(
         .withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
     )
     vecs = c.withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"))))
+    # narrow-row rank window (r13, the route_assign wire discipline): the
+    # old shape shipped each vector's float64 array through the id-keyed
+    # window exchange replicated n_cells times — Θ(n^1.5) BYTES in the
+    # flat kernel; the window now ranks (id, cell, _sim) scalars and the
+    # floats come back through one single-copy id-keyed join. Same
+    # doubles, same ties, bit-identical assignments.
     scored = vecs.join(F.broadcast(cents)).select(
         "id",
-        "v",
         "cell",
         (dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))).alias("_sim"),
     )
     w = W.partitionBy("id").orderBy(F.desc("_sim"), F.asc("cell"))
-    assigned = (
+    best = (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .select("id", "v", "cell")
+        .select("id", "cell")
     )
+    assigned = best.join(c, "id").select("id", "v", "cell")
     return cents, assigned
 
 
