@@ -706,21 +706,21 @@ def knn_graph_ivf2(
         )
     )
     # cell-keyed (NOT broadcast) sub-assignment join: each vector scores
-    # only its own cell's sub-seeds — n · n_cells2 pairs total
+    # only its own cell's sub-seeds — n · n_cells2 pairs total. Narrow
+    # rank window (r13 wire discipline): (id, subcell, _sim) scalars
+    # through the exchange, the floats join back once by id.
     scored = a1.join(sub, "cell").select(
         "id",
-        "v",
-        "nrm",
-        "cell",
         "subcell",
         (dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).alias("_sim"),
     )
     wassign = W.partitionBy("id").orderBy(F.desc("_sim"), F.asc("subcell"))
-    assigned = (
+    best = (
         scored.withColumn("_rk", F.row_number().over(wassign))
         .filter(F.col("_rk") == 1)
-        .select("id", "v", "nrm", "cell", "subcell")
+        .select("id", "subcell")
     )
+    assigned = best.join(a1, "id").select("id", "v", "nrm", "cell", "subcell")
     assigned = _materialize(assigned, checkpoint_dir, "knn2_level2")
 
     a = assigned.withColumnsRenamed({"id": "src_id", "v": "va", "nrm": "na"})
@@ -1477,18 +1477,20 @@ def append_to_ivf_index(
     if routed:
         assigned = route_assign(v.select("id", "v"), cents)
     else:
+        # narrow rank window (r13 wire discipline — matters for
+        # corpus-scale backfills through this path)
         scored = v.join(F.broadcast(cents)).select(
             "id",
-            "v",
             "cell",
             (dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))).alias("_sim"),
         )
         w = W.partitionBy("id").orderBy(F.desc("_sim"), F.asc("cell"))
-        assigned = (
+        best = (
             scored.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
-            .select("id", "v", "cell")
+            .select("id", "cell")
         )
+        assigned = best.join(v.select("id", "v"), "id").select("id", "v", "cell")
     # sq8 index: encode the batch with the FROZEN persisted quantizer
     # (the frozen-centroid discipline — a fired re-index retrains both)
     out_cols = ("id", "v", "cell")
