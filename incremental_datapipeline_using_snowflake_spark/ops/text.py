@@ -819,14 +819,22 @@ def train_hashed_nb(
     Returns the model as a DataFrame ``feature, c_pos, c_neg`` (Laplace
     smoothing is applied at scoring time).
     """
+    # Collapse-before-hash (r13 opt, same as train_char_lid): count per
+    # (label, word) first — vocabulary-bounded — then hash per DISTINCT
+    # word instead of per occurrence. Identical per-feature sums.
     lbl = F.col(label_col) if isinstance(label_col, str) else label_col
-    toks = df.select(
-        lbl.alias("_y"),
-        F.explode(classifier_words(text_col)).alias("_w"),
-    ).select("_y", hashed_feature(F.col("_w"), n_features).alias("feature"))
+    toks = (
+        df.select(
+            lbl.alias("_y"),
+            F.explode(classifier_words(text_col)).alias("_w"),
+        )
+        .groupBy("_y", "_w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("_y", hashed_feature(F.col("_w"), n_features).alias("feature"), "_n")
+    )
     return toks.groupBy("feature").agg(
-        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("c_pos"),
-        F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("c_neg"),
+        F.sum(F.when(F.col("_y"), F.col("_n")).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(F.col("_y"), 0).otherwise(F.col("_n"))).alias("c_neg"),
     )
 
 
@@ -946,6 +954,14 @@ def train_char_lid(
     (KBs — broadcast by AQE). Exact integers; nothing depends on
     partitioning. Returns ``(lang, feature, c)``.
     """
+    # Collapse-before-hash (r13 opt): aggregate raw gram STRINGS first —
+    # the (label, gram) relation is vocabulary-bounded (~2k distinct at
+    # sf0.1 vs ~1.2M occurrences), so the md5 feature hash runs per
+    # DISTINCT gram instead of per occurrence. Same counts exactly
+    # (Σ per-gram counts grouped by feature ≡ per-occurrence counts
+    # grouped by feature); also dodges the planner's duplicated hash
+    # evaluation (the join-key isnotnull filter below the old projection
+    # re-ran the md5 per row — guide §4.4's duplication, JVM edition).
     counts = (
         df.select(
             F.col(label_col).alias("lang"),
@@ -954,9 +970,13 @@ def train_char_lid(
         .select(
             "lang", F.explode(_grams_of_normalized(F.col("_t"), n)).alias("_g")
         )
-        .select("lang", hashed_feature(F.col("_g"), n_features).alias("feature"))
+        .groupBy("lang", "_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "lang", hashed_feature(F.col("_g"), n_features).alias("feature"), "_n"
+        )
         .groupBy("lang", "feature")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("_n").alias("c"))
     )
     langs = df.select(F.col(label_col).alias("lang")).distinct()
     feats = df.sparkSession.range(n_features).select(
@@ -1018,6 +1038,11 @@ def score_char_lid(
     # dense model once instead of re-running the training aggregation
     model = model.localCheckpoint(eager=True)
     tot = model.groupBy("lang").agg(F.sum("c").alias("tot"))
+    # NOTE (r13 opt): collapse-before-hash was A/B-tested here too and
+    # REJECTED — per-doc distinct grams only collapse ~2x (142k distinct
+    # vs 297k occurrences at sf0.1), which does not pay for the extra
+    # (doc, gram)-keyed exchange (measured 0.84s -> 1.0s). Train keeps it
+    # (600x collapse there).
     toks = (
         df.select(F.col(id_col), _lid_normalize(text_col).alias("_t"))
         .select(
