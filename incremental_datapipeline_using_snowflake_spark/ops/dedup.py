@@ -363,7 +363,14 @@ def passage_keys_col(text: Column | str, k: int = 8) -> Column:
     stable for the recovery pass. Rotation keeps the combine
     position-sensitive (non-commutative) and pure-bitwise (no ANSI-mode
     arithmetic overflow)."""
-    wh = F.transform(words_col(text), lambda w: F.xxhash64(w))
+    return passage_keys_from_words(words_col(text), k)
+
+
+def passage_keys_from_words(w: Column, k: int = 8) -> Column:
+    """:func:`passage_keys_col` over an ALREADY-split words array — for
+    callers that materialize the (possibly expensive) split/segmentation
+    once and derive window keys from the stored array (r13 opt)."""
+    wh = F.transform(w, lambda x: F.xxhash64(x))
 
     def rot_xor(a: Column, b: Column) -> Column:
         return F.shiftleft(a, 7).bitwiseOR(F.shiftrightunsigned(a, 57)).bitwiseXOR(b)
@@ -436,9 +443,16 @@ def repeated_passages(
     # ONLY for windows surviving the broadcast candidate join, by slicing
     # the doc's word array at the window position. Measured same-session
     # A/B at sf0.1 in SHUFFLE.md.
-    keys = passage_keys_col(F.col(text_col), k)
-    hashed = df.select(
-        F.col(id_col).alias("_id"), F.explode(keys).alias("_pkey")
+    # split words materialized once (r13 opt): the counting pass and the
+    # string-recovery pass both re-derived split + window keys from text
+    # (2 full tokenizations); one checkpointed (id, words) relation feeds
+    # both — same discipline as scrub_repeated_spans below.
+    base0 = df.select(
+        F.col(id_col).alias("_id"), words_col(F.col(text_col)).alias("_w")
+    ).localCheckpoint(eager=True)
+    keys = passage_keys_from_words(F.col("_w"), k)
+    hashed = base0.select(
+        "_id", F.explode(keys).alias("_pkey")
     ).filter(F.col("_pkey").isNotNull())
     cand = (
         hashed.groupBy("_pkey")
@@ -450,8 +464,8 @@ def repeated_passages(
         .filter(F.col("n_docs") >= min_docs)
     )
     strings = (
-        df.select(
-            words_col(F.col(text_col)).alias("_w"),
+        base0.select(
+            "_w",
             F.posexplode(keys).alias("_pos", "_pkey"),
         )
         .filter(F.col("_pkey").isNotNull())
@@ -510,9 +524,15 @@ def maximal_repeated_passages(
     """
     from pyspark.sql import Window as W
 
-    keys = passage_keys_col(F.col(text_col), k)
-    hashed = df.select(
-        F.col(id_col).alias("_id"), F.posexplode(keys).alias("_pos", "_pkey")
+    # split words materialized once (r13 opt) — three consumers (counting
+    # pass, survival join-back, string recovery) each re-tokenized the
+    # text; see repeated_passages/scrub_repeated_spans.
+    base0 = df.select(
+        F.col(id_col).alias("_id"), words_col(F.col(text_col)).alias("_w")
+    ).localCheckpoint(eager=True)
+    keys = passage_keys_from_words(F.col("_w"), k)
+    hashed = base0.select(
+        "_id", F.posexplode(keys).alias("_pos", "_pkey")
     ).filter(F.col("_pkey").isNotNull())
     cand = (
         hashed.groupBy("_pkey")
@@ -528,7 +548,7 @@ def maximal_repeated_passages(
         .agg(F.min("_pos").alias("_s"), F.max("_pos").alias("_e"))
     )
     return (
-        df.select(F.col(id_col).alias("_id"), words_col(F.col(text_col)).alias("_w"))
+        base0
         .join(islands, "_id")
         .select(
             F.col("_id").alias(id_col),
@@ -1245,8 +1265,19 @@ def scrub_repeated_spans(
     one row per input document. Hash collisions (2^-64 per distinct
     window pair) are the only divergence from exact string semantics.
     """
-    keys = passage_keys_col(F.col(text_col), k)
-    hashed = df.select(
+    # Materialize the split words ONCE (r13 opt): this plan referenced the
+    # tokenized text THREE times (duplicate-counting aggregation, drops
+    # join-back, rebuild), and for segmented-script / rendered inputs the
+    # split is preceded by expensive per-word transforms — unpinned, the
+    # whole render ran 3x (cjk_boilerplate_scrub measured 10.4s noop; the
+    # pinned form halves it). Same localCheckpoint discipline as
+    # _shingle_docs: the words relation is corpus-sized, which executor
+    # storage already carries for the shingle family.
+    base0 = df.select(
+        F.col(id_col), words_col(F.col(text_col)).alias("_w")
+    ).localCheckpoint(eager=True)
+    keys = passage_keys_from_words(F.col("_w"), k)
+    hashed = base0.select(
         F.col(id_col).alias("_id"), F.posexplode(keys).alias("_pos", "_pkey")
     ).filter(F.col("_pkey").isNotNull())
     dup = (
@@ -1268,10 +1299,10 @@ def scrub_repeated_spans(
         .groupBy("_id")
         .agg(F.sort_array(F.collect_set("_pos")).alias("_drop_starts"))
     )
-    # words materialize as a real column BEFORE the rebuild expressions:
-    # element_at inside the transform lambda must index a bound attribute,
-    # not re-embed the split() subtree per element.
-    base = df.select(F.col(id_col), words_col(F.col(text_col)).alias("_w"))
+    # words stay a real column BEFORE the rebuild expressions: element_at
+    # inside the transform lambda must index a bound attribute, not
+    # re-embed the split() subtree per element.
+    base = base0
     joined = base.join(drops, base[id_col] == drops["_id"], "left")
     w = F.col("_w")
     ds = F.coalesce(F.col("_drop_starts"), F.array().cast("array<int>"))
@@ -1380,8 +1411,13 @@ def scrub_intra_doc_repeats(
 
     Output: ``(id_col, clean_text, n_words, n_removed, removed_frac)``.
     """
-    keys = passage_keys_col(F.col(text_col), k)
-    hashed = df.select(
+    # split words materialized once (r13 opt): counting pass + rebuild
+    # each re-tokenized the text — see scrub_repeated_spans.
+    base0 = df.select(
+        F.col(id_col), words_col(F.col(text_col)).alias("_w")
+    ).localCheckpoint(eager=True)
+    keys = passage_keys_from_words(F.col("_w"), k)
+    hashed = base0.select(
         F.col(id_col).alias("_id"), F.posexplode(keys).alias("_pos", "_pkey")
     ).filter(F.col("_pkey").isNotNull())
     drops = (
@@ -1401,7 +1437,7 @@ def scrub_intra_doc_repeats(
             ).alias("_drop_starts")
         )
     )
-    base = df.select(F.col(id_col), words_col(F.col(text_col)).alias("_w"))
+    base = base0
     joined = base.join(drops, base[id_col] == drops["_id"], "left")
     w = F.col("_w")
     ds = F.coalesce(F.col("_drop_starts"), F.array().cast("array<int>"))
