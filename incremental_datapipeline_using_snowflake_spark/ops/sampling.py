@@ -420,11 +420,16 @@ def dsir_log_ratios(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_features: int = DSIR_FEATURES,
+    raw_features: DataFrame | None = None,
 ) -> DataFrame:
     """Per-feature round-6 ``lr = ln p_target(f) − ln p_raw(f)`` with add-1
     smoothing, DENSE over the feature grid (both corpora contribute the
     per-corpus absent-feature term, the multiclass-LID discipline).
-    Returns ``(feature, lr)`` — n_features rows, broadcastable."""
+    Returns ``(feature, lr)`` — n_features rows, broadcastable.
+
+    ``raw_features`` (r13): an already-computed ``dsir_ngram_features(raw)``
+    relation — lets :func:`dsir_select` tokenize+hash the raw pool once
+    for both the distribution and the per-doc weights."""
 
     def dist(df: DataFrame) -> DataFrame:
         return (
@@ -432,7 +437,12 @@ def dsir_log_ratios(
             .groupBy("feature")
             .agg(F.sum("c").alias("n"))
         )
-    t, r = dist(target), dist(raw)
+    t = dist(target)
+    r = (
+        raw_features.groupBy("feature").agg(F.sum("c").alias("n"))
+        if raw_features is not None
+        else dist(raw)
+    )
     spark = target.sparkSession
     feats = spark.range(n_features).select(F.col("id").alias("feature"))
     dense = (
@@ -464,11 +474,16 @@ def dsir_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_features: int = DSIR_FEATURES,
+    raw_features: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document log importance weight: ``(id, n_feats, logw)`` with
     ``logw = round(Σ c_f · lr_f, 6)`` summed exactly in DECIMAL. Docs with
     zero tokens are absent (inner join — nothing to weigh)."""
-    feats = dsir_ngram_features(raw, text_col, id_col, n_features)
+    feats = (
+        raw_features
+        if raw_features is not None
+        else dsir_ngram_features(raw, text_col, id_col, n_features)
+    )
     scored = feats.join(F.broadcast(ratios), "feature").select(
         F.col(id_col),
         F.col("c"),
@@ -499,8 +514,19 @@ def dsir_select(
     ``(id, rank, logw, key)``."""
     from pyspark.sql import Window as W
 
-    ratios = dsir_log_ratios(target, raw, text_col, id_col, n_features)
-    w = dsir_weights(raw, ratios, text_col, id_col, n_features)
+    # tokenize + feature-hash the raw pool ONCE (r13): the per-doc feature
+    # relation feeds both the raw distribution (ratios) and the per-doc
+    # weights — previously two full explode+md5 passes over ~6/7 of the
+    # corpus. Pinned eagerly so the two consumers share the computed rows;
+    # the relation is (id, feature, c) — collapsed, not the token explode.
+    raw_feats = dsir_ngram_features(raw, text_col, id_col, n_features)
+    raw_feats = raw_feats.localCheckpoint(eager=True)
+    ratios = dsir_log_ratios(
+        target, raw, text_col, id_col, n_features, raw_features=raw_feats
+    )
+    w = dsir_weights(
+        raw, ratios, text_col, id_col, n_features, raw_features=raw_feats
+    )
     u = (
         md5_long(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
         % F.lit(1_000_000)

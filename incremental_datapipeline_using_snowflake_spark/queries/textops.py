@@ -1660,9 +1660,17 @@ SELECT doc_id, lang, CAST(rk AS INT) AS sample_rank FROM (
 # ---------------------------------------------------------------------------
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 15 == 0)
-    return D.cross_corpus_overlap(
-        corpus_df(spark, sf_dir), bench, min_shared=3
-    ).orderBy("doc_id", "bench_id")
+    # corpus_df unions three one-split scans, so the md5-per-shingle
+    # hashing ran 3-wide on local[32] (the _docs_parallel condition, r13);
+    # one narrow hash repartition spreads the row-local shingle transform
+    # across the session's cores — at warehouse scale the input arrives in
+    # many splits and this exchange is noise
+    corpus = corpus_df(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return D.cross_corpus_overlap(corpus, bench, min_shared=3).orderBy(
+        "doc_id", "bench_id"
+    )
 
 
 CONTAMINATION_SQL = f"""
@@ -1788,9 +1796,14 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(c_name, 11 + CAST(c_custkey % 9 AS INT), 100)"),
         ).alias("probe_name"),
     )
+    # customer is ONE parquet split locally, so the thresholded-levenshtein
+    # kernel (the probe BNLJ streams the corpus side) ran single-threaded
+    # (the _docs_parallel condition, r13); a narrow hash repartition gives
+    # the banded-DP loop the session's cores — at warehouse scale the scan
+    # arrives in many splits and this exchange is noise
     corpus = cust.select(
         F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "id")
     out = D.fuzzy_probe_join(
         corpus, probes, text_col="name", id_col="id",
         probe_text_col="probe_name", probe_id_col="probe_id", max_distance=2,
@@ -2294,7 +2307,9 @@ DSIR_K = 200
 def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops import sampling as SA
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # one-split scan -> the token explode + md5 feature hashing ran
+    # single-threaded (the _docs_parallel condition, r13)
+    docs = _docs_parallel(spark, sf_dir)
     target = docs.filter("doc_id % 7 = 0")
     raw = docs.filter("doc_id % 7 != 0")
     return SA.dsir_select(raw, target, k=DSIR_K).orderBy("rank")
@@ -3565,12 +3580,21 @@ def fertility_by_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.textprep import bpe_encode, bpe_train
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    uni = docs.select("doc_id", "text", F.lit("latin").alias("script")).unionByName(
-        docs.select(
-            (F.col("doc_id") + _CJK_OFFSET).alias("doc_id"),
-            _cjk_text_col("text").alias("text"),
-            F.lit("cjk").alias("script"),
+    # pin the rendered union ONCE (r13 opt): bpe_train's vocab build,
+    # bpe_encode's word explode, and the per-script stats base each
+    # re-evaluated the md5-per-word CJK render (3 renders -> 1; noop A/B
+    # in OPTIMIZATION_r13.md). Values identical — the render is
+    # deterministic row-local projection.
+    uni = (
+        docs.select("doc_id", "text", F.lit("latin").alias("script"))
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") + _CJK_OFFSET).alias("doc_id"),
+                _cjk_text_col("text").alias("text"),
+                F.lit("cjk").alias("script"),
+            )
         )
+        .localCheckpoint(eager=True)
     )
     m = [
         (r["lhs"], r["rhs"])
