@@ -199,6 +199,7 @@ def ngram_jaccard_pairs(
     max_anchor_df: int = MAX_ANCHOR_DF,
     candidates: str = "union",
     checkpoint_dir: str | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by shingle-set Jaccard, candidates via anchor shingles.
 
@@ -239,8 +240,12 @@ def ngram_jaccard_pairs(
     """
     if candidates not in ("anchor", "bands", "union"):
         raise ValueError(f"candidates must be anchor|bands|union, got {candidates!r}")
-    docs = _shingle_docs(
-        df, text_col, id_col, checkpoint_dir=checkpoint_dir, checkpoint_name="ngram_shingles"
+    docs = (
+        shingled
+        if shingled is not None
+        else _shingle_docs(
+            df, text_col, id_col, checkpoint_dir=checkpoint_dir, checkpoint_name="ngram_shingles"
+        )
     )
     anchor_cand = ngram_anchor_candidates(docs, anchor_mod, max_anchor_df)
     if candidates == "anchor":
@@ -318,6 +323,7 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     checkpoint_dir: str | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with true shingle Jaccard (shingle
     pass computed once and shared between signatures and verification).
@@ -327,9 +333,16 @@ def minhash_dedup_pairs(
     owns cleanup, and the dir must outlive every action on the returned
     DataFrame (which re-reads it). Safe to share a ``checkpoint_dir`` with
     :func:`ngram_jaccard_pairs` — the subpaths are namespaced per operator.
+    ``shingled`` (r13): an already-materialized ``_shingle_docs`` relation
+    — lets a caller running several shingle-based generators over the same
+    corpus pay the shingle pass once.
     """
-    docs = _shingle_docs(
-        df, text_col, id_col, checkpoint_dir=checkpoint_dir, checkpoint_name="minhash_shingles"
+    docs = (
+        shingled
+        if shingled is not None
+        else _shingle_docs(
+            df, text_col, id_col, checkpoint_dir=checkpoint_dir, checkpoint_name="minhash_shingles"
+        )
     )
     cand = minhash_band_pairs(_signatures_from_shingles(docs))
     return _verified_pairs(cand, docs, threshold)

@@ -321,9 +321,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ≡ union-candidates-then-verify (ops ngram_jaccard_pairs
     # candidates="union"), but this shape reuses the localCheckpoint-pinned
     # pair table the cluster family already computes — the band/signature
-    # pass costs zero when any dedup_* query ran first.
-    anchor = D.ngram_jaccard_pairs(corpus_df(spark, sf_dir), candidates="anchor")
-    band_pairs, _comp = _shared_pairs_components(spark, sf_dir)
+    # pass costs zero when any dedup_* query ran first. The anchor path
+    # reuses the family's one shingle pass too (r13 — previously a second
+    # full word-split + md5-per-shingle pass over the same corpus).
+    anchor = D.ngram_jaccard_pairs(
+        corpus_df(spark, sf_dir),
+        candidates="anchor",
+        shingled=_shared_shingles(spark, sf_dir),
+    )
+    band_pairs = _shared_pairs(spark, sf_dir)
     return (
         anchor.unionByName(band_pairs)
         .distinct()
@@ -404,9 +410,39 @@ ORDER BY id_a, id_b
 # CC) runs into one. At 100 TB this is the difference between one dedup pass
 # and four — the materialized pair table is the normal production artifact.
 # Cache keyed on applicationId so a restarted session (dead checkpoint RDDs)
-# never serves stale handles; size is bounded (one entry per sf_dir).
+# never serves stale handles; size is bounded (three entries per sf_dir).
+#
+# r13: granular — shingles / pairs / components are SEPARATE keys, built on
+# first demand. The anchor generator (dedup_ngram_jaccard) shares the one
+# shingle pass with the MinHash build (previously two full word-split +
+# md5-per-shingle passes over the corpus), and the four pairs-only consumers
+# no longer pay the eager connected-components build (the first comp
+# consumer does — honest attribution, same artifacts). Granular keys keep
+# bench.py's memo_evict_new rep discipline exact: each artifact added
+# during a rep is evicted for the next rep independently.
 # ---------------------------------------------------------------------------
-_PAIR_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_PAIR_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The family's one eager shingle pass over the augmented corpus."""
+    key = (spark.sparkContext.applicationId, sf_dir, "shingles")
+    hit = _PAIR_CACHE.get(key)
+    if hit is None:
+        hit = D._shingle_docs(corpus_df(spark, sf_dir), "text", "doc_id")
+        _PAIR_CACHE[key] = hit
+    return hit
+
+
+def _shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "pairs")
+    hit = _PAIR_CACHE.get(key)
+    if hit is None:
+        hit = D.minhash_dedup_pairs(
+            corpus_df(spark, sf_dir), shingled=_shared_shingles(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+        _PAIR_CACHE[key] = hit
+    return hit
 
 
 def _shared_pairs_components(
@@ -414,15 +450,12 @@ def _shared_pairs_components(
 ) -> tuple[DataFrame, DataFrame]:
     from ..ops.graph import connected_components
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _PAIR_CACHE.get(key)
-    if hit is not None:
-        return hit
-    pairs = D.minhash_dedup_pairs(corpus_df(spark, sf_dir)).localCheckpoint(
-        eager=True
-    )
-    comp = connected_components(pairs)  # returns checkpointed labels
-    _PAIR_CACHE[key] = (pairs, comp)
+    pairs = _shared_pairs(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "comp")
+    comp = _PAIR_CACHE.get(key)
+    if comp is None:
+        comp = connected_components(pairs)  # returns checkpointed labels
+        _PAIR_CACHE[key] = comp
     return pairs, comp
 
 
@@ -430,8 +463,7 @@ def _shared_pairs_components(
 # dedup_minhash_lsh — MinHash banding candidates + true-Jaccard verify.
 # ---------------------------------------------------------------------------
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs, _comp = _shared_pairs_components(spark, sf_dir)
-    return pairs.orderBy("id_a", "id_b")
+    return _shared_pairs(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 def _minhash_pairs_cte(corpus_cte: str = CORPUS_SQL) -> str:
@@ -1706,7 +1738,7 @@ ORDER BY doc_id, bench_id
 def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.graph import triangle_counts
 
-    pairs, _comp = _shared_pairs_components(spark, sf_dir)
+    pairs = _shared_pairs(spark, sf_dir)
     return triangle_counts(pairs).orderBy(F.desc("n_triangles"), "id").limit(100)
 
 
@@ -1734,7 +1766,7 @@ LIMIT 100
 def neardup_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.graph import clustering_coefficients
 
-    pairs, _comp = _shared_pairs_components(spark, sf_dir)
+    pairs = _shared_pairs(spark, sf_dir)
     return clustering_coefficients(pairs).orderBy(
         F.desc("cc_ppm"), F.desc("degree"), "id"
     ).limit(100)

@@ -65,6 +65,44 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert (1, 5) not in pairs
 
 
+def test_shingled_reuse_matches_fresh_pass(spark, docs):
+    """r13: passing a pre-materialized shingle relation into the two
+    generators must give bit-identical pairs to the internal pass (the
+    family-shared shingle path used by dedup_ngram_jaccard)."""
+    sh = D._shingle_docs(docs, "text", "doc_id")
+    for fn, kw in (
+        (D.ngram_jaccard_pairs, dict(candidates="anchor", anchor_mod=2)),
+        (D.minhash_dedup_pairs, {}),
+    ):
+        fresh = sorted(map(tuple, fn(docs, threshold=0.3, **kw).collect()))
+        shared = sorted(map(tuple, fn(docs, threshold=0.3, shingled=sh, **kw).collect()))
+        assert fresh == shared
+
+
+def test_pair_cache_granular_eviction(spark):
+    """r13: the family cache builds shingles/pairs/comp on first demand as
+    separate memo keys, so a pairs-only consumer never pays the CC build
+    and memo_evict_new evicts exactly what a rep added."""
+    from incremental_datapipeline_using_snowflake_spark.queries import (
+        memo_evict_new,
+        memo_snapshot,
+    )
+    from incremental_datapipeline_using_snowflake_spark.queries import textops as T
+
+    sf = "/root/testdata/sf0.001"
+    app = spark.sparkContext.applicationId
+    T._PAIR_CACHE.clear()
+    snap = memo_snapshot()
+    T._shared_pairs(spark, sf)
+    assert (app, sf, "pairs") in T._PAIR_CACHE
+    assert (app, sf, "shingles") in T._PAIR_CACHE
+    assert (app, sf, "comp") not in T._PAIR_CACHE  # CC deferred
+    T._shared_pairs_components(spark, sf)
+    assert (app, sf, "comp") in T._PAIR_CACHE
+    memo_evict_new(snap)
+    assert not any(k[0] == app and k[1] == sf for k in T._PAIR_CACHE)
+
+
 def test_minhash_lsh_pairs(spark, docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
