@@ -96,7 +96,7 @@ from .dedup import (
 )
 from .graph import dedup_keep_decisions
 from .similarity import cosine as _cosine
-from .similarity import lsh_signatures
+from .similarity import lsh_bucket_col
 
 VERDICTS = (
     "gate_fail",
@@ -172,22 +172,21 @@ def _emb_signatures(
     vec_col: str, id_col: str,
 ) -> DataFrame:
     """(id, v, buckets) — one row per vector, per-table LSH buckets as an
-    array (single-copy vector storage; consumers posexplode)."""
-    out = None
-    for t in range(n_tables):
-        s = lsh_signatures(vecs, dim, vec_col, id_col, n_planes=n_planes, seed=t)
-        s = s.select(
-            F.col(id_col).alias("id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-            F.col("bucket").alias(f"b{t}"),
-        )
-        out = s if out is None else out.join(s.select("id", f"b{t}"), "id")
-    return out.select(
-        "id",
-        "v",
+    array (single-copy vector storage; consumers posexplode). All tables'
+    buckets come from ONE corpus pass (r13): the per-table
+    ``lsh_signatures`` chain paid ``n_tables`` scans and ``n_tables - 1``
+    id-keyed joins for the same expressions."""
+    return vecs.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         # explicit cast pins type AND element nullability so bootstrap-written
         # and per-run-appended rows schema-match in the store
-        F.array(*[F.col(f"b{t}") for t in range(n_tables)])
+        F.array(
+            *[
+                lsh_bucket_col(F.col(vec_col), dim, n_planes, seed=t)
+                for t in range(n_tables)
+            ]
+        )
         .cast("array<long>")
         .alias("buckets"),
     )
@@ -508,7 +507,7 @@ def rebuild_embsig(
         F.col(id_col).alias(emb_id_col)
     )
     # materialize the member relation ONCE: it feeds the auto-sizing count
-    # plus one lsh_signatures pass per table — unmaterialized, each
+    # plus the fused all-tables signature pass — unmaterialized, each
     # consumer would re-run the corpus semi-join (the multi-consumer pin
     # discipline of curate_append's shingle relation)
     from pyspark import StorageLevel
