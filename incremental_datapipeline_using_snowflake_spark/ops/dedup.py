@@ -126,6 +126,33 @@ def _shingle_docs(
     return docs.localCheckpoint(eager=True)
 
 
+def _words_docs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    id_alias: str | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_name: str = "words",
+) -> DataFrame:
+    """``(id, _w)`` with the word split materialized ONCE — the passage
+    family's shared base relation (r13 opt), given the `_shingle_docs`
+    escape hatch (r14, ADVICE r13 medium): the default eager
+    ``localCheckpoint`` pins a corpus-sized words table in executor
+    storage and truncates lineage into something an executor loss cannot
+    recompute; ``checkpoint_dir`` routes it through a parquet round-trip
+    instead — the 100 TB posture, where the table exceeds cluster memory
+    and retried stages must re-read files."""
+    docs = df.select(
+        F.col(id_col).alias(id_alias or id_col),
+        words_col(F.col(text_col)).alias("_w"),
+    )
+    if checkpoint_dir is not None:
+        path = f"{checkpoint_dir}/{checkpoint_name}"
+        docs.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+    return docs.localCheckpoint(eager=True)
+
+
 def _verified_pairs(cand: DataFrame, docs: DataFrame, threshold: float) -> DataFrame:
     """Attach shingle sets to bare (id_a, id_b) candidates and keep pairs
     with true Jaccard >= threshold.
@@ -402,6 +429,7 @@ def repeated_passages(
     min_docs: int = 2,
     top: int = 50,
     strategy: str = "narrow",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact-substring duplication finder: k-token passages appearing in at
     least ``min_docs`` distinct documents, ranked by total occurrences —
@@ -458,11 +486,13 @@ def repeated_passages(
     # A/B at sf0.1 in SHUFFLE.md.
     # split words materialized once (r13 opt): the counting pass and the
     # string-recovery pass both re-derived split + window keys from text
-    # (2 full tokenizations); one checkpointed (id, words) relation feeds
-    # both — same discipline as scrub_repeated_spans below.
-    base0 = df.select(
-        F.col(id_col).alias("_id"), words_col(F.col(text_col)).alias("_w")
-    ).localCheckpoint(eager=True)
+    # (2 full tokenizations); one materialized (id, words) relation feeds
+    # both — parquet when checkpoint_dir is given (r14, ADVICE r13), else
+    # localCheckpoint; same discipline as scrub_repeated_spans below.
+    base0 = _words_docs(
+        df, text_col, id_col, id_alias="_id",
+        checkpoint_dir=checkpoint_dir, checkpoint_name="repeated_passages_words",
+    )
     keys = passage_keys_from_words(F.col("_w"), k)
     hashed = base0.select(
         "_id", F.explode(keys).alias("_pkey")
@@ -508,6 +538,7 @@ def maximal_repeated_passages(
     id_col: str = "doc_id",
     k: int = 8,
     min_docs: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """VARIABLE-LENGTH passage dedup (r07): merge adjacent surviving
     fixed-k windows into MAXIMAL repeated passages — the per-document
@@ -540,9 +571,10 @@ def maximal_repeated_passages(
     # split words materialized once (r13 opt) — three consumers (counting
     # pass, survival join-back, string recovery) each re-tokenized the
     # text; see repeated_passages/scrub_repeated_spans.
-    base0 = df.select(
-        F.col(id_col).alias("_id"), words_col(F.col(text_col)).alias("_w")
-    ).localCheckpoint(eager=True)
+    base0 = _words_docs(
+        df, text_col, id_col, id_alias="_id",
+        checkpoint_dir=checkpoint_dir, checkpoint_name="maximal_passages_words",
+    )
     keys = passage_keys_from_words(F.col("_w"), k)
     hashed = base0.select(
         "_id", F.posexplode(keys).alias("_pos", "_pkey")
@@ -1243,6 +1275,7 @@ def scrub_repeated_spans(
     id_col: str = "doc_id",
     k: int = 8,
     min_docs: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Remove cross-document repeated spans from the text, keeping ONE
     canonical copy — the *removal* half of Lee et al. 2022 (ExactSubstr:
@@ -1283,12 +1316,12 @@ def scrub_repeated_spans(
     # join-back, rebuild), and for segmented-script / rendered inputs the
     # split is preceded by expensive per-word transforms — unpinned, the
     # whole render ran 3x (cjk_boilerplate_scrub measured 10.4s noop; the
-    # pinned form halves it). Same localCheckpoint discipline as
-    # _shingle_docs: the words relation is corpus-sized, which executor
-    # storage already carries for the shingle family.
-    base0 = df.select(
-        F.col(id_col), words_col(F.col(text_col)).alias("_w")
-    ).localCheckpoint(eager=True)
+    # pinned form halves it). checkpoint_dir routes it through parquet
+    # (r14, ADVICE r13 — the 100 TB path); default is localCheckpoint.
+    base0 = _words_docs(
+        df, text_col, id_col,
+        checkpoint_dir=checkpoint_dir, checkpoint_name="scrub_spans_words",
+    )
     keys = passage_keys_from_words(F.col("_w"), k)
     hashed = base0.select(
         F.col(id_col).alias("_id"), F.posexplode(keys).alias("_pos", "_pkey")
@@ -1401,6 +1434,7 @@ def scrub_intra_doc_repeats(
     id_col: str = "doc_id",
     k: int = 8,
     min_repeats: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Remove WITHIN-document repeated spans, keeping each document's first
     occurrence — the intra-doc half of repetition cleanup (RefinedWeb's
@@ -1426,9 +1460,10 @@ def scrub_intra_doc_repeats(
     """
     # split words materialized once (r13 opt): counting pass + rebuild
     # each re-tokenized the text — see scrub_repeated_spans.
-    base0 = df.select(
-        F.col(id_col), words_col(F.col(text_col)).alias("_w")
-    ).localCheckpoint(eager=True)
+    base0 = _words_docs(
+        df, text_col, id_col,
+        checkpoint_dir=checkpoint_dir, checkpoint_name="intra_doc_words",
+    )
     keys = passage_keys_from_words(F.col("_w"), k)
     hashed = base0.select(
         F.col(id_col).alias("_id"), F.posexplode(keys).alias("_pos", "_pkey")

@@ -777,8 +777,26 @@ def _pair_score_kernel(directed: bool):
 
     ``directed=True`` emits both (i,j) and (j,i) (kNN-graph semantics);
     ``directed=False`` emits only id-ordered pairs (SemDeDup id_a < id_b
-    semantics). Row-block loop bounds scratch memory at B×m doubles even if
-    a bucket runs hot.
+    semantics).
+
+    Memory, honestly (r14, ADVICE r13 medium): the row-block loop bounds
+    the SCRATCH at B×m doubles (B shrinks automatically for hot buckets so
+    scratch stays ≤ ~64 MB), but the OUTPUT is inherently O(m²) per bucket
+    — every in-bucket pair is emitted, exactly as the old in-bucket
+    self-join emitted it, and applyInPandas materializes one bucket's
+    result as one Arrow group before it streams back. A degenerate bucket
+    (near-duplicate embedding mass far beyond target_bucket) therefore
+    bounds the Python worker's peak at ~3·m²·8 bytes of output arrays;
+    the LSH plane count sizes buckets at ~target_bucket (64) so m² stays
+    tiny in any non-adversarial corpus, and salting/capping here would
+    CHANGE the emitted pair set (candidates across salt sub-buckets would
+    vanish) — wrong trade for a deterministic, oracle-replayed operator.
+
+    Duplicate-id guard (r14, ADVICE r13 low): the triangle is positional,
+    so two bucket rows carrying the SAME id would emit a spurious (x, x)
+    pair where the old join's ``id_a < id_b`` / ``src != nbr`` predicates
+    dropped it — equal-id pairs are masked to keep the kernel's output
+    exactly the join's under duplicate ids too.
     """
 
     def kern(pdf):
@@ -799,7 +817,8 @@ def _pair_score_kernel(directed: bool):
         nrm = pdf["nrm"].to_numpy()
         V = np.array(pdf["v"].tolist(), dtype=np.float64)
         srcs, nbrs, coss = [], [], []
-        B = 2048
+        # block rows so scratch stays ~<=64 MB even for a hot bucket
+        B = max(1, min(2048, (64 << 20) // (8 * max(1, m))))
         for s in range(0, m, B):
             e = min(s + B, m)
             Vb, nb, ib = V[s:e], nrm[s:e], ids[s:e]
@@ -807,7 +826,13 @@ def _pair_score_kernel(directed: bool):
             for d in range(V.shape[1]):
                 acc = acc + Vb[:, d, None] * V[None, :, d]
             cos = acc / (nb[:, None] * nrm[None, :])
-            bi, bj = np.nonzero(np.arange(s, e)[:, None] < np.arange(m)[None, :])
+            # strict positional upper triangle AND distinct ids: rows are
+            # sorted by id, so duplicate ids are adjacent and the id mask
+            # exactly reproduces the old join's id_a < id_b semantics
+            bi, bj = np.nonzero(
+                (np.arange(s, e)[:, None] < np.arange(m)[None, :])
+                & (ib[:, None] != ids[None, :])
+            )
             srcs.append(ib[bi])
             nbrs.append(ids[bj])
             coss.append(cos[bi, bj])

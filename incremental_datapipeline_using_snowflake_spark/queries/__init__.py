@@ -113,9 +113,35 @@ def memo_evict_new(snapshot: list[set]) -> None:
     for cache, keys in zip(_memo_caches(), snapshot):
         for k in [k for k in cache.keys() if k not in keys]:
             obj = cache.pop(k)
+            _unpersist_cached_frame(obj)  # ADVICE r13: don't strand blocks
             root = getattr(obj, "root", None)
             if isinstance(root, str) and root.startswith(tmp):
                 shutil.rmtree(root, ignore_errors=True)
+
+
+def _unpersist_cached_frame(obj) -> None:
+    """Best-effort release of executor storage behind an evicted memo
+    entry (ADVICE r13 low: eviction popped localCheckpointed frames
+    without unpersisting, stranding one more pinned block per bench rep
+    until the next release_session_frames). Frames checkpointed via
+    ``localCheckpoint`` surface as ``LogicalRDD`` leaves in the analyzed
+    plan — unpersist each leaf's RDD directly; ``df.unpersist()`` covers
+    the plain-``persist`` case. Disk-backed entries (parquet-scan
+    ``_DiskFrame``) hold no executor storage and fall through untouched."""
+    try:
+        from pyspark.sql import DataFrame
+
+        df = obj if isinstance(obj, DataFrame) else getattr(obj, "df", None)
+        if not isinstance(df, DataFrame):
+            return
+        df.unpersist()
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — cleanup must never fail an eviction
+        pass
 
 
 def release_session_frames(spark) -> None:
@@ -131,7 +157,16 @@ def release_session_frames(spark) -> None:
     building their plans."""
     from . import curation_q, textops
 
-    textops._PAIR_CACHE.clear()
+    # r14 (VERDICT r13 #1): the pair-family artifacts are parquet-backed
+    # `_DiskFrame`s now — plain file scans pinning ZERO executor storage —
+    # so this memory-release boundary has nothing to free for them and
+    # must NOT destroy them: bench.py's every-25-query call previously
+    # wiped the family cache mid-inventory, making far-from-the-block
+    # consumers (leakage_safe_split, neardup_*) rebuild shingles+pairs+CC
+    # alone. Any legacy in-memory entry (no .root) is still dropped.
+    for k in [k for k, v in textops._PAIR_CACHE.items()
+              if getattr(v, "root", None) is None]:
+        _unpersist_cached_frame(textops._PAIR_CACHE.pop(k))
     curation_q._CURATE_CACHE.clear()
     spark.catalog.clearCache()
     sc = spark.sparkContext

@@ -420,29 +420,74 @@ ORDER BY id_a, id_b
 # consumer does — honest attribution, same artifacts). Granular keys keep
 # bench.py's memo_evict_new rep discipline exact: each artifact added
 # during a rep is evicted for the next rep independently.
+#
+# r14: PARQUET-backed (VERDICT r13 #1). The artifacts were pinned as
+# localCheckpoint blocks in executor storage, so bench.py's every-25-query
+# release_session_frames boundary destroyed them mid-family — the driver
+# measured leakage_safe_split (sorted index 120, far from the dedup block
+# at 56-75) rebuilding shingles+pairs+CC alone at 7.9 s (was 3.7), and the
+# same mechanism had hit neardup_clustering_coeff before. Each artifact now
+# lives as parquet in its own session tempdir (the _shingle_docs
+# checkpoint_dir discipline — at 100 TB the pair/shingle tables exceed
+# executor storage anyway, so disk IS the production posture): a cache hit
+# is a plain parquet scan holding ZERO executor storage, so
+# release_session_frames keeps the entries alive (nothing to free) and
+# late family consumers re-read instead of rebuilding. Honesty properties
+# preserved: artifacts are computed from the parquet INPUTS fresh per
+# session, memo_evict_new still evicts per bench rep (the wrapper exposes
+# .root, so eviction rmtrees the files and rep 2 rebuilds from scratch),
+# and _sweep_memo_tempdirs removes the dirs at process exit. This also
+# closes ADVICE r13 (low) — evicting a localCheckpointed frame stranded
+# its pinned RDD blocks; a parquet scan strands nothing.
 # ---------------------------------------------------------------------------
-_PAIR_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_PAIR_CACHE: dict[tuple[str, str, str], "_DiskFrame"] = {}
+
+
+class _DiskFrame:
+    """A family artifact materialized to session-scratch parquet. ``df``
+    is the live handle (plain parquet scan), ``root`` the tempdir — the
+    attribute memo_evict_new / _sweep_memo_tempdirs key their cleanup on."""
+
+    __slots__ = ("df", "root")
+
+    def __init__(self, df: DataFrame, root: str):
+        self.df = df
+        self.root = root
+
+
+def _disk_artifact(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
+    import tempfile as _tf
+
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    hit = _PAIR_CACHE.get(key)
+    if hit is None:
+        root = _tf.mkdtemp(prefix=f"spark_pairfam_{tag}_")
+        df = build(root)
+        hit = _DiskFrame(df, root)
+        _PAIR_CACHE[key] = hit
+    return hit.df
 
 
 def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The family's one eager shingle pass over the augmented corpus."""
-    key = (spark.sparkContext.applicationId, sf_dir, "shingles")
-    hit = _PAIR_CACHE.get(key)
-    if hit is None:
-        hit = D._shingle_docs(corpus_df(spark, sf_dir), "text", "doc_id")
-        _PAIR_CACHE[key] = hit
-    return hit
+    """The family's one shingle pass over the augmented corpus."""
+    return _disk_artifact(
+        spark, sf_dir, "shingles",
+        lambda root: D._shingle_docs(
+            corpus_df(spark, sf_dir), "text", "doc_id",
+            checkpoint_dir=root, checkpoint_name="data",
+        ),
+    )
 
 
 def _shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, "pairs")
-    hit = _PAIR_CACHE.get(key)
-    if hit is None:
-        hit = D.minhash_dedup_pairs(
+    def build(root: str) -> DataFrame:
+        out = D.minhash_dedup_pairs(
             corpus_df(spark, sf_dir), shingled=_shared_shingles(spark, sf_dir)
-        ).localCheckpoint(eager=True)
-        _PAIR_CACHE[key] = hit
-    return hit
+        )
+        out.write.mode("overwrite").parquet(f"{root}/data")
+        return spark.read.parquet(f"{root}/data")
+
+    return _disk_artifact(spark, sf_dir, "pairs", build)
 
 
 def _shared_pairs_components(
@@ -451,12 +496,13 @@ def _shared_pairs_components(
     from ..ops.graph import connected_components
 
     pairs = _shared_pairs(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir, "comp")
-    comp = _PAIR_CACHE.get(key)
-    if comp is None:
+
+    def build(root: str) -> DataFrame:
         comp = connected_components(pairs)  # returns checkpointed labels
-        _PAIR_CACHE[key] = comp
-    return pairs, comp
+        comp.write.mode("overwrite").parquet(f"{root}/data")
+        return spark.read.parquet(f"{root}/data")
+
+    return pairs, _disk_artifact(spark, sf_dir, "comp", build)
 
 
 # ---------------------------------------------------------------------------

