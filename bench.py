@@ -47,11 +47,26 @@ def run_pipeline_bench(spark) -> float:
     return time.time() - t0
 
 
+_INC_BACKLOG_TPL: str | None = None
+
+
 def run_pipeline_incremental_bench(spark) -> float:
     """Steady-state incremental run: the 3-year backlog and one
     bounds-moving batch are ingested UNTIMED, then a 28-day in-bounds
     batch is timed — load + harmonize + churn-proportional analytics,
-    the nightly-run shape this engine exists for."""
+    the nightly-run shape this engine exists for.
+
+    r14 (VERDICT r13 #7): the untimed backlog is built ONCE per process
+    into a template store and COPIED per call, so this wall finally
+    affords the min-of-2 discipline every other wall has (it drifted
+    0.69-0.74x round-over-round with untouched code as a single-shot
+    entry). The copy is faithful: the backlog feeds are deterministic and
+    the store is pure on-disk state, so every rep's timed batch starts
+    from a bit-identical pristine backlog — exactly what the old
+    build-per-call produced, minus the rebuilt ~3x untimed cost."""
+    import atexit
+    import shutil
+
     from incremental_datapipeline_using_snowflake_spark.operators import TableStore
     from incremental_datapipeline_using_snowflake_spark.plans import Orchestrator, bootstrap
 
@@ -70,12 +85,21 @@ def run_pipeline_incremental_bench(spark) -> float:
         f"2025 2 {d} 2025.1{d:02d} {405 + d * 0.01:.2f}" for d in range(1, 29)
     )
 
-    with tempfile.TemporaryDirectory(prefix="bench_iwh_") as wh:
-        store = TableStore(root=wh)
+    global _INC_BACKLOG_TPL
+    if _INC_BACKLOG_TPL is None:
+        tpl = tempfile.mkdtemp(prefix="bench_iwh_tpl_")
+        atexit.register(shutil.rmtree, tpl, ignore_errors=True)
+        store = TableStore(root=f"{tpl}/wh")
         bootstrap(store)
         orch = Orchestrator(spark, store)
         orch.run(feed_text=feed_v1)
         orch.run(feed_text=feed_v2)
+        _INC_BACKLOG_TPL = tpl
+
+    with tempfile.TemporaryDirectory(prefix="bench_iwh_") as wh:
+        shutil.copytree(f"{_INC_BACKLOG_TPL}/wh", f"{wh}/wh")
+        store = TableStore(root=f"{wh}/wh")
+        orch = Orchestrator(spark, store)
         t0 = time.time()
         res = orch.run(feed_text=feed_v3)
         dt = time.time() - t0
@@ -260,7 +284,10 @@ def main() -> None:
         # the most scheduling jitter, and one more ~10 s rep halves the
         # odds a whole session reads hot on the headline wall
         ("co2_pipeline_e2e", run_pipeline_bench, 3),
-        ("co2_pipeline_incremental", run_pipeline_incremental_bench, 1),
+        # incremental reps from a shared untimed backlog template (r14,
+        # VERDICT r13 #7): the timed batch mutates its store COPY, never
+        # the template, so min-of-2 is faithful now
+        ("co2_pipeline_incremental", run_pipeline_incremental_bench, 2),
         ("co2_pipeline_streaming", run_pipeline_streaming_bench, 2),
         # the crawl→corpus product wall (r10): fresh store per rep, so
         # min-of-2 is faithful

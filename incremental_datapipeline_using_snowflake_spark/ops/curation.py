@@ -84,6 +84,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .dedup import (
     _band_rows,
@@ -1430,9 +1431,40 @@ def export_corpus_delta(
         partition_by=[split_col] if split_col else None,
     )
     deletes.coalesce(1).write.mode("overwrite").json(f"{out_dir}/_deletes")
-    added = _delta_stats(upserts, split_col, id_col, text_col)
-    gone = _delta_stats(removed, split_col, id_col, text_col)
-    n_del = deletes.count()
+    # r14 (guide §5 driver round-trips): added/removed stats and the
+    # delete count were THREE separate actions over the same pinned
+    # churn frame — one conditional aggregation computes all of them
+    # (each change row contributes to exactly one side by _action, so
+    # the split sums are identical by associativity). Publishes are the
+    # unit the store walls repeat, so per-publish fixed jobs compound.
+    grp = F.col(split_col).cast("string") if split_col else F.lit("all")
+    rec = _snapshot_rec(id_col, text_col)
+    up = F.col("_action").isin("INSERT", "UPDATE_AFTER")
+    rm = F.col("_action").isin("DELETE", "UPDATE_BEFORE")
+    dec = "decimal(38,0)"
+    mod = F.lit(_CHECKSUM_MOD).cast(dec)
+    stat_rows = (
+        changes.groupBy(grp.alias("split"))
+        .agg(
+            F.sum(up.cast("long")).alias("a_n"),
+            F.sum(F.when(up, F.length(text_col)).cast(dec)).cast("long").alias("a_ch"),
+            (F.sum(F.when(up, rec).cast(dec)) % mod).cast("long").alias("a_cs"),
+            F.sum(rm.cast("long")).alias("r_n"),
+            F.sum(F.when(rm, F.length(text_col)).cast(dec)).cast("long").alias("r_ch"),
+            (F.sum(F.when(rm, rec).cast(dec)) % mod).cast("long").alias("r_cs"),
+            F.sum((F.col("_action") == "DELETE").cast("long")).alias("d_n"),
+        )
+        .collect()
+    )
+    added = {
+        r["split"]: (r["a_n"], r["a_ch"] or 0, r["a_cs"] or 0)
+        for r in stat_rows if r["a_n"]
+    }
+    gone = {
+        r["split"]: (r["r_n"], r["r_ch"] or 0, r["r_cs"] or 0)
+        for r in stat_rows if r["r_n"]
+    }
+    n_del = sum(r["d_n"] or 0 for r in stat_rows)
     rows = []
     for split in sorted(set(base_stats) | set(added) | set(gone)):
         b_n, b_ch, b_cs = base_stats.get(split, (0, 0, 0))
@@ -1664,6 +1696,237 @@ def publish_corpus_delta(
     return {"published": new_name, "base_version": v_head, "store_version": v_now}
 
 
+def _stage_rebased_base(
+    spark: SparkSession,
+    base: str,
+    link_dirs: list[str],
+    tmp: str,
+    *,
+    head_stats: dict,
+    version: int,
+    corpus_table: str,
+    split_col: str | None,
+    id_col: str,
+    text_col: str,
+    compression: str | None,
+) -> None:
+    """Stage the folded chain under ``tmp`` with FILE-LEVEL shard reuse
+    (r14, VERDICT r13 #3 / guide §6 "rewrite only what changed"):
+
+    - one full base pass derives per-file (rows, chars, checksum mod 2^61)
+      stats AND detects which files hold an affected id (any link's upsert
+      ∪ delete ids, churn-bounded and broadcast);
+    - UNTOUCHED files are HARDLINKED into ``tmp/data`` — no rewrite, no
+      re-read: their stats were just derived from the bytes on disk, which
+      is exactly what the old ``verify_corpus_snapshot(tmp)`` re-derived
+      after paying a full rewrite + full read-back;
+    - only the touched files' rows replay the links (the
+      materialize_corpus_chain fold restricted to the affected subset —
+      unaffected ids are never named by any link, so the restriction is
+      exact) and are WRITTEN as new shards, then READ BACK for their
+      disk-derived stats — write and verification both ∝ staged bytes;
+    - the folded per-split totals (carried + new, all disk-derived) must
+      equal the head manifest's result stats — the same end-to-end
+      equality the old double verification proved, at churn cost instead
+      of corpus cost. At 100 TB a takedown rebase stops being a
+      full-corpus rewrite + TWO full-corpus reads and becomes one read +
+      churn-proportional writes;
+    - ``_manifest.jsonl`` is written LAST (completion marker), identical
+      schema to :func:`_write_snapshot_files`.
+
+    Raises ``ValueError("rebase verification failed ...")`` (tmp removed,
+    chain untouched) when the folded totals do not reproduce the head
+    manifest — a tampered link or a lossy staged write both land here.
+    """
+    import os
+    import shutil
+    from urllib.parse import unquote, urlparse
+
+    from ..session import local_rows_df
+    from ..sources.jsonl_source import write_jsonl
+
+    data_src = os.path.join(base, "data")
+    data_dst = os.path.join(tmp, "data")
+
+    # Infer the corpus schema ONCE from the base shards; every other JSON
+    # read in this function (links, touched subset, staged read-back)
+    # reuses it explicitly — JSON schema inference is a full text pass per
+    # read, so per-link inference jobs scale with chain length for pure
+    # driver overhead (guide §5/§6). Reusing the base schema is also the
+    # correct projection: the fold only ever carries base columns.
+    base_schema = spark.read.json(data_src).schema
+    id_field = base_schema[id_col]
+
+    # -- link frames + affected-id set (churn-bounded) -------------------
+    link_frames: list[tuple] = []
+    aff = None
+    for d in link_dirs:
+        ups = dels = None
+        try:
+            u = spark.read.schema(base_schema).json(f"{d}/data")
+            ups = u if u.columns else None
+        except Exception:  # noqa: BLE001 — delta with no upserts
+            ups = None
+        try:
+            dr = spark.read.schema(
+                T.StructType([id_field])
+            ).json(f"{d}/_deletes")
+            dels = dr.select(id_col) if id_col in dr.columns else None
+        except Exception:  # noqa: BLE001
+            dels = None
+        link_frames.append((ups, dels))
+        for fr in (ups, dels):
+            if fr is not None:
+                ids = fr.select(id_col)
+                aff = ids if aff is None else aff.unionByName(ids)
+    if aff is not None:
+        aff = aff.distinct().localCheckpoint(eager=True)
+
+    # -- one full base pass: per-file stats + touched detection ----------
+    grp = F.col(split_col).cast("string") if split_col else F.lit("all")
+    rec = _snapshot_rec(id_col, text_col)
+    b = (
+        spark.read.schema(base_schema).json(data_src)
+        .withColumn("_file", F.input_file_name())
+    )
+    if aff is not None:
+        b = b.join(
+            F.broadcast(aff.withColumn("_aff", F.lit(1))), id_col, "left"
+        )
+    else:
+        b = b.withColumn("_aff", F.lit(None).cast("int"))
+    per_file = (
+        b.groupBy(F.col("_file").alias("_f"), grp.alias("_split"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length(text_col).cast("decimal(38,0)")).cast("long").alias("ch"),
+            (F.sum(rec.cast("decimal(38,0)"))
+             % F.lit(_CHECKSUM_MOD).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("cs"),
+            F.count("_aff").alias("hit"),
+        )
+        .collect()
+    )
+    totals: dict[str, list[int]] = {}
+    touched: set[str] = set()
+    carried: set[str] = set()
+    # two passes: a file is touched if ANY of its groups holds an affected
+    # id — never let the same file be both carried and replayed
+    for r in per_file:
+        if r["hit"]:
+            touched.add(unquote(urlparse(r["_f"]).path))
+    for r in per_file:
+        path = unquote(urlparse(r["_f"]).path)
+        if path in touched:
+            continue
+        carried.add(path)
+        t = totals.setdefault(r["_split"], [0, 0, 0])
+        t[0] += r["n"]
+        t[1] += r["ch"] or 0
+        t[2] = (t[2] + (r["cs"] or 0)) % _CHECKSUM_MOD
+
+    # -- replay links over ONLY the touched files' rows ------------------
+    if touched:
+        cur = (
+            spark.read.option("basePath", data_src)
+            .schema(base_schema)
+            .json(sorted(touched))
+        )
+    else:
+        cur = spark.read.schema(base_schema).json(data_src).limit(0)
+    if "_fingerprint" in cur.columns:
+        cur = cur.drop("_fingerprint")
+    for ups, dels in link_frames:
+        doomed = None
+        if ups is not None:
+            doomed = ups.select(id_col)
+        if dels is not None:
+            doomed = dels if doomed is None else doomed.unionByName(dels)
+        if doomed is not None:
+            cur = cur.join(F.broadcast(doomed.distinct()), id_col, "left_anti")
+        if ups is not None:
+            if "_fingerprint" in ups.columns:
+                ups = ups.drop("_fingerprint")
+            ups = ups.select(
+                *[F.col(c).cast(dict(cur.dtypes)[c]) for c in cur.columns]
+            )
+            cur = cur.unionByName(ups)
+
+    # -- stage: write new shards, read THEM back for disk-derived stats --
+    staged = os.path.join(tmp, "_staged-new")
+    os.makedirs(data_dst, exist_ok=True)
+    write_jsonl(
+        cur, staged, compression=compression,
+        partition_by=[split_col] if split_col else None,
+    )
+    try:
+        # explicit schema: the values are still parsed from the staged
+        # bytes on disk (the verification property), only the inference
+        # pre-pass is skipped
+        nb = spark.read.schema(cur.schema).json(staged)
+        new_stats = (
+            _delta_stats(nb, split_col, id_col, text_col) if nb.columns else {}
+        )
+    except Exception:  # noqa: BLE001 — replay produced zero rows
+        new_stats = {}
+    for s, (n, ch, cs) in new_stats.items():
+        t = totals.setdefault(s, [0, 0, 0])
+        t[0] += n
+        t[1] += ch
+        t[2] = (t[2] + cs) % _CHECKSUM_MOD
+
+    got = {s: tuple(v) for s, v in totals.items() if v[0]}
+    bad = [
+        s
+        for s in set(head_stats) | set(got)
+        if head_stats.get(s, (0, 0, 0)) != got.get(s, (0, 0, 0))
+    ]
+    if bad:
+        shutil.rmtree(tmp)
+        raise ValueError(
+            f"rebase verification failed for splits {sorted(bad)}: the folded "
+            "chain (carried shards + staged writes, all stats re-derived from "
+            "the bytes on disk) does not reproduce the head manifest's result "
+            "stats; chain left untouched"
+        )
+
+    # -- assemble tmp/data: hardlink carried files, move staged shards ---
+    for src_path in sorted(carried):
+        rel = os.path.relpath(src_path, data_src)
+        dst = os.path.join(data_dst, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(src_path, dst)  # zero-copy share, same inode
+        except OSError:
+            shutil.copy2(src_path, dst)
+    for root, _dirs, files in os.walk(staged):
+        rel = os.path.relpath(root, staged)
+        for fn in files:
+            if fn.startswith(("_", ".")):
+                continue
+            dst_dir = data_dst if rel == "." else os.path.join(data_dst, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            os.rename(
+                os.path.join(root, fn), os.path.join(dst_dir, f"rebased-{fn}")
+            )
+    shutil.rmtree(staged)
+
+    # -- manifest LAST (completion marker; same schema as full export) ---
+    man = local_rows_df(
+        spark,
+        [
+            (s, v[0], v[1], v[2], int(version), corpus_table, split_col or "")
+            for s, v in sorted(got.items())
+        ],
+        schema=(
+            "split string, n_rows long, n_chars long, content_checksum long, "
+            "store_version long, table string, split_col string"
+        ),
+    )
+    man.coalesce(1).write.mode("overwrite").json(f"{tmp}/_manifest.jsonl")
+
+
 def rebase_corpus_chain(
     spark: SparkSession,
     publish_dir: str,
@@ -1683,13 +1946,15 @@ def rebase_corpus_chain(
     full-snapshot write, amortized over however many drains built the
     chain.
 
-    Safety order (r13, ADVICE r12): the new base is staged COMPLETELY
-    (manifest last) under ``_rebase-tmp``, verified TWICE — against the
-    head manifest's result stats (the same mod-2^61 fold every link
-    proved), then by :func:`verify_corpus_snapshot` re-deriving those
-    stats from the JSONL shards actually written to disk, so a silently
-    lossy write can never be sworn in as the only surviving copy — and
-    only then is ``_rebase-intent.json`` written. The intent marker is
+    Safety order (r13, ADVICE r12; staging restructured r14): the new
+    base is staged COMPLETELY (manifest last) under ``_rebase-tmp`` and
+    verified against the head manifest's result stats with every
+    contributing number re-derived from bytes on disk — carried shards
+    from the one base pass that detects churn, staged shards from a
+    read-back bounded by what was actually written
+    (:func:`_stage_rebased_base`) — so a silently lossy write can never
+    be sworn in as the only surviving copy; only then is
+    ``_rebase-intent.json`` written. The intent marker is
     the COMMIT POINT: once it exists the rebase is completed, never
     reverted. After it: link manifests are removed (dropping the links
     from discovery), the base dirs are swapped with two renames, garbage
@@ -1778,42 +2043,23 @@ def rebase_corpus_chain(
         return {"rebased": False, "links_folded": 0, "store_version": v_base}
     link_dirs = [os.path.join(publish_dir, d) for d in links]
     head_stats, v_head, table, split_col = _manifest_stats(spark, link_dirs[-1])
-    mat = materialize_corpus_chain(spark, base, link_dirs, id_col=id_col)
     if os.path.exists(tmp):
         # no intent marker (checked above), so the prior rebase died
         # BEFORE its commit point — the old chain is intact; discard
         shutil.rmtree(tmp)
-    _write_snapshot_files(
-        spark, mat, tmp,
-        version=v_head, corpus_table=table, split_col=split_col or None,
-        id_col=id_col, text_col=text_col, compression=compression,
+    # r14 (VERDICT r13 #3): stage with FILE-LEVEL shard reuse — untouched
+    # base shards are hardlinked (their stats re-derived from disk in the
+    # one base pass), only churn-touched shards are rewritten and read
+    # back, and the folded totals must equal the head manifest's result
+    # stats. Verification work is ∝ staged bytes, not snapshot bytes; the
+    # r13 shape (full rewrite + verify_corpus_snapshot full read-back) was
+    # a full-corpus write plus TWO extra full-corpus reads per rebase.
+    _stage_rebased_base(
+        spark, base, link_dirs, tmp,
+        head_stats=head_stats, version=v_head, corpus_table=table,
+        split_col=split_col or None, id_col=id_col, text_col=text_col,
+        compression=compression,
     )
-    new_stats, _v, _t2, _sc2 = _manifest_stats(spark, tmp)
-    bad = [
-        s
-        for s in set(head_stats) | set(new_stats)
-        if head_stats.get(s, (0, 0, 0)) != new_stats.get(s, (0, 0, 0))
-    ]
-    if bad:
-        shutil.rmtree(tmp)
-        raise ValueError(
-            f"rebase verification failed for splits {bad}: the materialized "
-            "chain does not reproduce the head manifest's result stats"
-        )
-    # second verification (r13, ADVICE r12): the tmp manifest above was
-    # aggregated from the in-memory materialized chain, not from the
-    # bytes on disk — re-derive counts/checksums from the JSONL shards
-    # actually written to tmp, so a write that silently lost or mangled
-    # rows is caught while the links that could rebuild it still exist
-    try:
-        verify_corpus_snapshot(spark, tmp, id_col=id_col, text_col=text_col)
-    except ValueError as exc:
-        shutil.rmtree(tmp)
-        raise ValueError(
-            "rebase staging verification failed: the shards written to "
-            f"_rebase-tmp do not reproduce their own manifest ({exc}); "
-            "chain left untouched"
-        ) from exc
     retired_name = f"_retired-upto-{links[-1]}"
     retired = os.path.join(publish_dir, retired_name)
     # COMMIT POINT: the intent marker (written atomically via rename)

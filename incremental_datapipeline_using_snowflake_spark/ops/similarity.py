@@ -190,6 +190,7 @@ def ivf_assignments(
     n_cells: int | None = N_IVF_CELLS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    materialize_cents: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: centroids = the ``n_cells`` lowest-id vectors
     (deterministic, oracle-replayable — no iterative Lloyd refinement, the
@@ -197,6 +198,13 @@ def ivf_assignments(
     cosine. ``n_cells=None`` auto-scales via :func:`auto_n_cells` — the
     right choice whenever the corpus size isn't known a priori (declared
     queries pin an explicit count for oracle replay).
+
+    ``materialize_cents=True`` (r14, guide §1.2): eagerly pin the
+    sqrt(n)-small centroid table so consumers that EXECUTE the returned
+    frames several times (index builds: one write per table, plus every
+    broadcast of a centroid-derived relation) don't re-run the
+    corpus-wide TakeOrdered subtree per execution. Identical rows —
+    declared lazy queries keep the default and stay unmaterialized.
 
     Returns (centroids, assignments(id, vec, cell)). At scale the
     assignment is one broadcast join (centroid table is tiny) + a
@@ -211,6 +219,8 @@ def ivf_assignments(
         .select(F.col("id").alias("cell"), F.col("v").alias("cv"))
         .withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
     )
+    if materialize_cents:
+        cents = cents.localCheckpoint(eager=True)
     vecs = c.withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"))))
     # narrow-row rank window (r13, the route_assign wire discipline): the
     # old shape shipped each vector's float64 array through the id-keyed
@@ -253,6 +263,7 @@ def ivf_assignments_routed(
     r_probe: int = IVF_ROUTE_PROBES,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    materialize_cents: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """ROUTED IVF assignment — the sub-Θ(n^1.5) rebuild kernel (r12,
     VERDICT r11 #1). Same centroid set as :func:`ivf_assignments` (the
@@ -289,6 +300,13 @@ def ivf_assignments_routed(
         .select(F.col("id").alias("cell"), F.col("v").alias("cv"))
         .withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
     )
+    if materialize_cents:
+        # r14 (guide §1.2): the routed kernel broadcasts THREE relations
+        # derived from cents (seeds, routed_cents, and the seeds copy in
+        # the vector scoring) — unpinned, each broadcast build re-executes
+        # the corpus-wide TakeOrdered. Pin the sqrt(n)-small table once;
+        # rows are identical, so assignments are bit-identical.
+        cents = cents.localCheckpoint(eager=True)
     if n_route is None:
         # half-up like knn_graph_ivf2: GREATEST(4, floor(sqrt(c) + 0.5))
         n_route = max(4, int(n_cells**0.5 + 0.5))
@@ -1411,7 +1429,16 @@ def build_ivf_index(
     if n_cells is None:
         n_cells = auto_n_cells(corpus)
     assign_fn = ivf_assignments_routed if routed else ivf_assignments
-    cents, assigned = assign_fn(corpus, n_cells, vec_col=vec_col, id_col=id_col)
+    # materialize_cents (r14, guide §1.2): this builder executes the
+    # returned frames repeatedly — one write per table plus one
+    # broadcast-exchange build per centroid-derived relation in the routed
+    # kernel — and each execution of an unpinned cents re-runs the
+    # corpus-wide TakeOrdered subtree. A fired re-index
+    # (maybe_reindex_ivf) pays that over the FULL grown corpus.
+    cents, assigned = assign_fn(
+        corpus, n_cells, vec_col=vec_col, id_col=id_col,
+        materialize_cents=True,
+    )
     store.overwrite(
         cents.select("cell", F.col("cv").alias("v")), f"{name}.centroids"
     )
@@ -1479,6 +1506,11 @@ def query_ivf_index(
         qprobe.withColumn("_rk", F.row_number().over(wq))
         .filter(F.col("_rk") <= n_probe)
         .select("query_id", "qv", "cell")
+        # pin the BOUNDED probe list (≤ n_probe × |queries| rows) once:
+        # it feeds the probe-cell collect plus one broadcast per scoring
+        # stage (two in the sq8 path), and each unpinned execution re-ran
+        # the query×centroid ranking (r14, guide §1.2)
+        .localCheckpoint(eager=True)
     )
     probe_cells = [r[0] for r in probes.select("cell").distinct().collect()]
     asg = store.read(spark, f"{name}.assignments")
@@ -1620,8 +1652,21 @@ def append_to_ivf_index(
     # schema so the append's type guard sees an identical column.
     stored = {f.name: f.dataType for f in store.read(spark, f"{name}.assignments").schema.fields}
     assigned = assigned.select(*[F.col(c).cast(stored[c]).alias(c) for c in out_cols])
-    store.append(assigned, f"{name}.assignments", partition_by=["cell"])
-    return assigned.count()
+    # r14 (guide §1.2 "don't compute things you throw away"): the store
+    # append executed the assignment kernel for the write and
+    # `assigned.count()` executed the whole kernel a SECOND time for the
+    # return value — the routed kernel is 2 rank windows + 4 joins, so the
+    # append paid double compute. One persisted pass serves both; the
+    # batch-bounded frame (daily-shard appends by contract) is released
+    # before returning.
+    from pyspark import StorageLevel
+
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        store.append(assigned, f"{name}.assignments", partition_by=["cell"])
+        return assigned.count()
+    finally:
+        assigned.unpersist()
 
 
 def maybe_reindex_ivf(

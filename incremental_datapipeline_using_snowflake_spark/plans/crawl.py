@@ -58,19 +58,23 @@ def run_crawl_pipeline(
     """
     from ..ops import curation as C
     from ..ops import text as X
-    from ..sources.warc_source import (
-        read_warc,
-        warc_html_to_documents,
-        warc_quarantine_split,
-    )
+    from ..sources.warc_source import read_warc, warc_html_to_documents
 
     raw = read_warc(spark, crawl_dir, warc_types=("response",))
-    clean, bad = warc_quarantine_split(raw)
-    n_quarantined = bad.count()
-    # the regex-heavy extraction feeds 3 consumers (LID scoring, the
-    # routed-lang join, CCNet scoring) — pin it once
-    docs = warc_html_to_documents(clean, main_content=main_content)
-    docs = docs.localCheckpoint(eager=True)
+    # ONE WARC parse (r14, guide §1.2): the binary parse + regex-heavy
+    # extraction is the batch's most expensive pass, and the old
+    # quarantine-count action (`bad.count()`) re-parsed every WARC byte a
+    # second time just to count malformed records. Carry `parse_error`
+    # through the single pinned extraction instead — the quarantine count
+    # and the clean-docs branch are then free filters over the pin. The
+    # extraction expressions over the (rare) malformed rows compute
+    # garbage that the filter drops; doc_id/text values for clean rows
+    # are expression-identical to the old two-pass shape.
+    parsed = warc_html_to_documents(
+        raw, main_content=main_content, keep_cols=("parse_error",)
+    ).localCheckpoint(eager=True)
+    n_quarantined = parsed.filter(F.col("parse_error").isNotNull()).count()
+    docs = parsed.filter(F.col("parse_error").isNull()).drop("parse_error")
     n_docs = docs.count()
 
     n_unknown = 0
@@ -81,10 +85,14 @@ def run_crawl_pipeline(
         if min_grams is not None:
             kw["min_grams"] = min_grams
         skw = {"n_features": lid_n_features} if lid_n_features else {}
+        # pin the NARROW routed-language relation (id, lang): unpinned it
+        # re-ran the hashed char-ngram scoring for every downstream
+        # consumer — the unknown-count action, the CCNet bucket pass, and
+        # the curation batch cache fill (r14, guide §1.2)
         routed = X.route_lid_unknown(
             X.score_char_lid(docs, lid_model, id_col=id_col, margin=True, **skw),
             **kw,
-        ).select(id_col, "lid_lang")
+        ).select(id_col, "lid_lang").localCheckpoint(eager=True)
         labeled = docs.drop("lang").join(routed, id_col)
         n_unknown = n_docs - labeled.filter(
             F.col("lid_lang") != "unknown"
@@ -96,9 +104,12 @@ def run_crawl_pipeline(
 
     n_tail = 0
     if drop_tail:
+        # same pin for the narrow (id, bucket) relation — its perplexity
+        # scoring otherwise re-ran for the tail-count action AND the
+        # curation batch fill
         buckets = X.ccnet_buckets(docs, id_col=id_col).select(
             id_col, "bucket"
-        )
+        ).localCheckpoint(eager=True)
         gated = docs.join(buckets, id_col).filter(F.col("bucket") != "tail")
         kept = gated.drop("bucket")
         n_before = n_docs - n_unknown

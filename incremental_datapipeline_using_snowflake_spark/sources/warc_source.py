@@ -237,7 +237,9 @@ def encode_warc_responses(records: list[dict], compress: bool = False) -> bytes:
     return gzip.compress(bytes(out)) if compress else bytes(out)
 
 
-def warc_html_to_documents(df: DataFrame, main_content: bool = False) -> DataFrame:
+def warc_html_to_documents(
+    df: DataFrame, main_content: bool = False, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Raw-crawl twin of :func:`warc_to_documents` (r08): map clean WARC
     ``response`` records — whose payload is a full HTTP response carrying
     HTML — into the documents shape. Two strips, both row-local Column
@@ -260,12 +262,17 @@ def warc_html_to_documents(df: DataFrame, main_content: bool = False) -> DataFra
         F.col("text"), r"(?s)^HTTP/[^\r\n]*\r\n.*?\r\n\r\n", ""
     )
     txt = extract_main_content(body) if main_content else html_to_text(body)
+    # keep_cols (r14): pass-through source columns (e.g. parse_error) so a
+    # caller can run the parse + extraction ONCE over the unsplit record
+    # stream and derive its quarantine branch as a filter over the same
+    # relation, instead of re-parsing every WARC byte for a count
     return df.select(
         F.xxhash64("record_id", "target_uri").alias("doc_id"),
         txt.alias("text"),
         F.lit(None).cast("string").alias("lang"),
         F.coalesce("target_uri", F.lit("warc")).alias("source"),
         F.length(txt).cast("long").alias("n_chars"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

@@ -30,11 +30,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_eventlog(log_dir: str) -> list[dict]:
     evs = []
-    for fn in os.listdir(log_dir):
-        p = os.path.join(log_dir, fn)
-        if not os.path.isfile(p):
-            continue
-        with open(p) as f:
+    paths = []
+    for root, _dirs, files in os.walk(log_dir):
+        for fn in files:
+            if fn.startswith(("local-", "events_", "app-")):
+                paths.append(os.path.join(root, fn))
+    for p in paths:
+        opener = open
+        if p.endswith(".zstd") or p.endswith(".zst"):
+            continue  # compression off in our session
+        with opener(p) as f:
             for line in f:
                 try:
                     e = json.loads(line)
@@ -55,8 +60,10 @@ def census(evs: list[dict], t0_ms: float, t1_ms: float) -> dict:
     for e in evs:
         if e["Event"] == "SparkListenerJobStart" and t0_ms <= e["Submission Time"] <= t1_ms:
             props = e.get("Properties") or {}
+            stage_names = [s.get("Stage Name", "") for s in e.get("Stage Infos", [])]
             jobs[e["Job ID"]] = {
                 "t0": e["Submission Time"],
+                "callsite": stage_names[-1] if stage_names else "",
                 "desc": props.get("spark.job.description", ""),
                 "stages": [s["Stage ID"] for s in e.get("Stage Infos", [])],
                 "n_tasks_planned": sum(
@@ -74,11 +81,11 @@ def census(evs: list[dict], t0_ms: float, t1_ms: float) -> dict:
     )
     by_desc = defaultdict(lambda: [0, 0.0])
     for j in jobs.values():
-        d = (j["desc"] or "<none>")[:90]
+        d = (j["desc"] or j.get("callsite") or "<none>")[:110]
         by_desc[d][0] += 1
         if "t1" in j:
             by_desc[d][1] += (j["t1"] - j["t0"]) / 1000.0
-    top = sorted(by_desc.items(), key=lambda kv: -kv[1][1])[:15]
+    top = sorted(by_desc.items(), key=lambda kv: -kv[1][1])[:25]
     return {
         "n_jobs": n_jobs,
         "n_tasks": total_tasks,
@@ -110,6 +117,8 @@ def main() -> int:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": log_dir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     import bench

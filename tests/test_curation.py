@@ -1135,11 +1135,20 @@ def test_rebase_verification_rejects_corrupt_link(spark, tmp_path):
         "cur.docs", "reb-x",
     )
     C.publish_corpus_delta(spark, store, "cur.docs", pub, compression=None)
-    # tamper with the link's shipped upsert image
+    # tamper with the link's shipped upsert image. Drop the stale Hadoop
+    # .crc sidecar too: the tamper under test is a CONTENT substitution
+    # with intact transport (the adversarial case — a bit-rot tamper is
+    # already caught cheaper, by the filesystem CRC read error). Before
+    # r14 this distinction was invisible: the inference read swallowed
+    # the ChecksumException inside the no-upserts try/except and the
+    # stats mismatch fired for the wrong reason.
     part = sorted(glob.glob(f"{pub}/link-000001/data/**/part-*.json*", recursive=True))[0]
     rec = json.loads(open(part).readline())
     rec["text"] = rec["text"] + " TAMPERED"
     open(part, "w").write(json.dumps(rec) + "\n")
+    crc = os.path.join(os.path.dirname(part), f".{os.path.basename(part)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
 
     with _pytest.raises(ValueError, match="rebase verification failed"):
         C.rebase_corpus_chain(spark, pub, compression=None)
@@ -1165,34 +1174,60 @@ def test_rebase_requires_published_base(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+_CHAIN_TEMPLATE: dict = {}
+
+
 def _build_chain_with_takedown(spark, tmp_path):
     """store + publish dir with base, one upsert link, one takedown link.
-    Returns (store, pub, live_ids, removed_id)."""
+    Returns (store, pub, live_ids, removed_id).
+
+    r14: the four crash/verification consumers each paid the full Spark
+    build (~18 s); the chain is pure on-disk state (versioned store dirs +
+    published JSONL), so it is built ONCE per session into a template and
+    copied per test — every consumer still mutates its own private copy."""
+    import atexit
+    import shutil
+    import tempfile
+
     from incremental_datapipeline_using_snowflake_spark.operators import TableStore
     from incremental_datapipeline_using_snowflake_spark.ops import curation as C
 
-    store = TableStore(root=str(tmp_path / "store"), keep_versions=8)
-    rows, _base = _corpus_rows()
-    C.bootstrap_corpus(spark, store, spark.createDataFrame(rows, DOC_SCHEMA), "cur.docs")
-    pub = str(tmp_path / "pub")
-    C.publish_corpus_delta(spark, store, "cur.docs", pub, compression=None)
-    C.curate_append(
-        spark, store,
-        spark.createDataFrame(
-            [_mk_doc(800, "quark lepton boson gluon photon hadron meson baryon neutrino positron muon tauon".split())],
-            DOC_SCHEMA,
-        ),
-        "cur.docs", "crash-0",
+    key = spark.sparkContext.applicationId
+    tpl = _CHAIN_TEMPLATE.get(key)
+    if tpl is None:
+        root = tempfile.mkdtemp(prefix="chain_tpl_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        store = TableStore(root=f"{root}/store", keep_versions=8)
+        rows, _base = _corpus_rows()
+        C.bootstrap_corpus(spark, store, spark.createDataFrame(rows, DOC_SCHEMA), "cur.docs")
+        pub = f"{root}/pub"
+        C.publish_corpus_delta(spark, store, "cur.docs", pub, compression=None)
+        C.curate_append(
+            spark, store,
+            spark.createDataFrame(
+                [_mk_doc(800, "quark lepton boson gluon photon hadron meson baryon neutrino positron muon tauon".split())],
+                DOC_SCHEMA,
+            ),
+            "cur.docs", "crash-0",
+        )
+        C.publish_corpus_delta(spark, store, "cur.docs", pub, compression=None)
+        C.delete_docs(
+            spark, store, "cur.docs",
+            spark.createDataFrame([(0,)], "doc_id long"), run_id="crash-take",
+        )
+        C.publish_corpus_delta(spark, store, "cur.docs", pub, compression=None)
+        live = {r["doc_id"] for r in store.read(spark, "cur.docs").select("doc_id").collect()}
+        assert 0 not in live and 800 in live
+        tpl = _CHAIN_TEMPLATE[key] = (root, live)
+    root, live = tpl
+    shutil.copytree(f"{root}/store", str(tmp_path / "store"))
+    shutil.copytree(f"{root}/pub", str(tmp_path / "pub"))
+    return (
+        TableStore(root=str(tmp_path / "store"), keep_versions=8),
+        str(tmp_path / "pub"),
+        set(live),
+        0,
     )
-    C.publish_corpus_delta(spark, store, "cur.docs", pub, compression=None)
-    C.delete_docs(
-        spark, store, "cur.docs",
-        spark.createDataFrame([(0,)], "doc_id long"), run_id="crash-take",
-    )
-    C.publish_corpus_delta(spark, store, "cur.docs", pub, compression=None)
-    live = {r["doc_id"] for r in store.read(spark, "cur.docs").select("doc_id").collect()}
-    assert 0 not in live and 800 in live
-    return store, pub, live, 0
 
 
 def _assert_recovered_clean(spark, pub, live, removed_id):
@@ -1315,31 +1350,36 @@ def test_rebase_crash_mid_sweep_recovers(spark, tmp_path, monkeypatch):
 
 
 def test_rebase_lossy_staging_write_caught(spark, tmp_path, monkeypatch):
-    """ADVICE r12 (medium): the staged base's manifest is computed from
-    the in-memory chain — a write that silently loses shards must be
-    caught by re-deriving stats from the files on disk BEFORE the links
-    that could rebuild the corpus are dropped."""
+    """ADVICE r12 (medium), injection point moved with the r14 file-reuse
+    staging: a staged-shard write that silently loses a file must be
+    caught by the disk-derived read-back stats BEFORE the links that
+    could rebuild the corpus are dropped."""
     import glob
     import os as _os
 
     import pytest as _pytest
 
     from incremental_datapipeline_using_snowflake_spark.ops import curation as C
+    from incremental_datapipeline_using_snowflake_spark.sources import (
+        jsonl_source as J,
+    )
 
     _store, pub, _live, _removed = _build_chain_with_takedown(spark, tmp_path)
-    real_write = C._write_snapshot_files
+    real_write = J.write_jsonl
 
-    def lossy(spark_, corpus, out_dir, **kw):
-        man = real_write(spark_, corpus, out_dir, **kw)
-        if _os.path.basename(out_dir) == "_rebase-tmp":
-            # simulate silent data loss: drop one written data shard
-            parts = sorted(glob.glob(f"{out_dir}/data/**/part-*.json*", recursive=True))
-            assert parts, "staging wrote no data shards"
+    def lossy(df, path, **kw):
+        real_write(df, path, **kw)
+        if _os.path.basename(path) == "_staged-new":
+            # simulate silent data loss: drop one NON-EMPTY data shard
+            # (Spark leaves empty part files; removing one of those loses
+            # nothing and proves nothing)
+            parts = sorted(glob.glob(f"{path}/**/part-*.json*", recursive=True))
+            parts = [p for p in parts if _os.path.getsize(p) > 0]
+            assert parts, "staging wrote no non-empty data shards"
             _os.remove(parts[0])
-        return man
 
-    monkeypatch.setattr(C, "_write_snapshot_files", lossy)
-    with _pytest.raises(ValueError, match="rebase staging verification failed"):
+    monkeypatch.setattr(J, "write_jsonl", lossy)
+    with _pytest.raises(ValueError, match="rebase verification failed"):
         C.rebase_corpus_chain(spark, pub, compression=None)
     monkeypatch.undo()
 

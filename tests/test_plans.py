@@ -138,14 +138,39 @@ def test_merge_never_broadcasts_or_shuffles_target(spark, store):
     assert len(rows) == 10001 and rows[5] == 9.9 and rows[10_500] == 1.1
 
 
-def test_no_driver_side_loops_in_inventory(spark, sf_dir):
-    """Every declared query returns a lazy DataFrame (distributed plan), not
-    a driver-collected result."""
+def test_inventory_plan_invariants(spark, sf_dir):
+    """ONE sweep over the declared inventory asserting the three
+    engine-wide plan invariants that used to be three separate sweeps
+    (r14: each sweep re-built all ~205 query plans — store-backed queries
+    re-ran their store builds — at ~140-160 s PER SWEEP; the checks are
+    all readable off one executed-plan string, so three sweeps bought
+    nothing but 2x the driver-budget cost):
+
+    - every declared query returns a lazy DataFrame (distributed plan,
+      never a driver-collected result);
+    - no plan contains a row-at-a-time Python eval (BatchEvalPython /
+      PythonUDTF) — Arrow-vectorized exec is the allowed Python path; the
+      single exception is udtf_chunk, which exists to pin the UDTF API;
+    - no plan contains a CartesianProduct (BroadcastNestedLoopJoin is
+      allowed only as the intended non-equi broadcast shape — a cartesian
+      between two unbroadcast relations is always a bug at scale).
+    """
     from pyspark.sql import DataFrame
 
+    allowed_row_python = {"udtf_chunk"}
+    row_python, cartesians = [], []
     for name, (fn, _sql) in all_queries().items():
         df = fn(spark, sf_dir)
         assert isinstance(df, DataFrame), name
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if name not in allowed_row_python and (
+            "BatchEvalPython" in plan or "PythonUDTF" in plan
+        ):
+            row_python.append(name)
+        if "CartesianProduct" in plan:
+            cartesians.append(name)
+    assert not row_python, f"row-at-a-time Python in: {row_python}"
+    assert not cartesians, f"cartesian products in: {cartesians}"
 
 
 def test_bm25_plan_has_no_exchange(spark, sf_dir):
@@ -234,34 +259,7 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
-def test_no_row_at_a_time_python_in_inventory(spark, sf_dir):
-    """Engine-wide invariant: no declared query's plan may contain a
-    row-at-a-time Python eval (BatchEvalPython). Arrow-vectorized exec
-    (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas) is the allowed
-    Python path; the single exception is udtf_chunk, which exists
-    precisely to pin the UDTF API surface."""
-    allowed_row_python = {"udtf_chunk"}
-    offenders = []
-    for name, (fn, _sql) in all_queries().items():
-        if name in allowed_row_python:
-            continue
-        plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
-        )
-        if "BatchEvalPython" in plan or "PythonUDTF" in plan:
-            offenders.append(name)
-    assert not offenders, f"row-at-a-time Python in: {offenders}"
-
-
-def test_no_unintended_cartesian_products(spark, sf_dir):
-    """Inventory-wide invariant: no CartesianProduct in any declared plan.
-    BroadcastNestedLoopJoin is allowed only where a non-equi join against
-    a BROADCAST side is the intended shape (scalar thresholds, fuzzy
-    length-band probes, 1-row aggregates) — a cartesian between two
-    unbroadcast relations is always a bug at scale."""
-    offenders = []
-    for name, (fn, _sql) in all_queries().items():
-        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        if "CartesianProduct" in plan:
-            offenders.append(name)
-    assert not offenders, f"cartesian products in: {offenders}"
+# (test_no_row_at_a_time_python_in_inventory and
+# test_no_unintended_cartesian_products folded into
+# test_inventory_plan_invariants above — one inventory sweep instead of
+# three, identical assertions.)

@@ -131,7 +131,11 @@ import os
 from incremental_datapipeline_using_snowflake_spark.session import get_session
 from incremental_datapipeline_using_snowflake_spark.streaming import running_stats
 
-spark = get_session("rocksdb_test", rocksdb_state_store=True)
+# tiny dedicated session: the subprocess pays a full JVM spin-up already,
+# and 2 keyed micro-batches need neither 32 cores nor 32 shuffle
+# partitions — the provider under test is the same either way (r14)
+spark = get_session("rocksdb_test", rocksdb_state_store=True,
+                    master="local[2]", shuffle_partitions=2)
 assert "RocksDB" in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
 data = r"{tmp_path}/data"; os.makedirs(data)
 batches = [
