@@ -1196,6 +1196,88 @@ def export_corpus_snapshot(
     )
 
 
+def _per_file_stats(
+    spark: SparkSession,
+    data_dir: str,
+    schema,
+    *,
+    split_col: str | None,
+    id_col: str,
+    text_col: str,
+):
+    """Per-shard stats rows derived from the JSONL bytes ON DISK under
+    ``data_dir``: ``(file, split, n_rows, n_chars, checksum, min_id,
+    max_id)`` with ``file`` relative to ``data_dir``. One parse of the
+    shards; the id interval is the pruning key that lets a later rebase
+    decide file reuse without reading the corpus (non-numeric ids yield
+    NULL bounds — such files are conservatively always replayed)."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    grp = F.col(split_col).cast("string") if split_col else F.lit("all")
+    rec = _snapshot_rec(id_col, text_col)
+    rows = (
+        spark.read.schema(schema).json(data_dir)
+        .withColumn("_file", F.input_file_name())
+        .groupBy(F.col("_file").alias("_f"), grp.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.length(text_col).cast("decimal(38,0)")).cast("long").alias("n_chars"),
+            (F.sum(rec.cast("decimal(38,0)"))
+             % F.lit(_CHECKSUM_MOD).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("checksum"),
+            F.min(F.col(id_col).cast("long")).alias("min_id"),
+            F.max(F.col(id_col).cast("long")).alias("max_id"),
+        )
+        .collect()
+    )
+    out = []
+    for r in rows:
+        path = unquote(urlparse(r["_f"]).path)
+        out.append(
+            {
+                "file": os.path.relpath(path, data_dir),
+                "split": r["split"],
+                "n_rows": int(r["n_rows"]),
+                "n_chars": int(r["n_chars"] or 0),
+                "checksum": int(r["checksum"] or 0),
+                "min_id": None if r["min_id"] is None else int(r["min_id"]),
+                "max_id": None if r["max_id"] is None else int(r["max_id"]),
+            }
+        )
+    return out
+
+
+def _split_totals(file_rows) -> dict[str, tuple[int, int, int]]:
+    """Fold per-file stats rows into per-split (n, chars, checksum)
+    totals — exact under the mod-2^61 checksum (modular sums associate)."""
+    tot: dict[str, list[int]] = {}
+    for r in file_rows:
+        t = tot.setdefault(r["split"], [0, 0, 0])
+        t[0] += r["n_rows"]
+        t[1] += r["n_chars"]
+        t[2] = (t[2] + r["checksum"]) % _CHECKSUM_MOD
+    return {s: tuple(v) for s, v in tot.items() if v[0]}
+
+
+def _write_base_sidecars(out_dir: str, schema, file_rows) -> None:
+    """Persist the base-dir sidecars (BEFORE the manifest, which stays the
+    completion marker): ``_schema.json`` (the corpus schema — kills the
+    full-text JSON inference pass every later reader would pay) and
+    ``_filestats.jsonl`` (per-shard disk-derived stats + id intervals —
+    the relation that makes a rebase's carried-shard verification
+    churn-proportional instead of corpus-proportional). Driver-side
+    artifacts, written like the store's pointer files."""
+    import json as _json
+
+    with open(f"{out_dir}/_schema.json", "w") as f:
+        _json.dump(schema.jsonValue(), f)
+    with open(f"{out_dir}/_filestats.jsonl", "w") as f:
+        for r in file_rows:
+            f.write(_json.dumps(r) + "\n")
+
+
 def _write_snapshot_files(
     spark: SparkSession,
     corpus: DataFrame,
@@ -1208,14 +1290,40 @@ def _write_snapshot_files(
     text_col: str,
     compression: str | None,
 ) -> DataFrame:
-    """The write half of :func:`export_corpus_snapshot`, shared with
-    :func:`rebase_corpus_chain` (which sources the corpus from published
-    chain files rather than a store read)."""
+    """The write half of :func:`export_corpus_snapshot`.
+
+    r14 (VERDICT r13 #3): after the shard write, ONE read-back parse of
+    the written bytes derives per-file stats (+ id intervals) and the
+    manifest totals are cross-checked against the same aggregation over
+    the in-memory frame — a silently lossy write is caught AT PUBLISH,
+    while the store still holds the data (this moves the r13 rebase-time
+    ``verify_corpus_snapshot`` read-back to the one place the corpus is
+    already being read end-to-end). The per-file rows and the schema are
+    persisted as sidecars, so a later rebase can reuse untouched shards
+    (stats + hardlink) and parse only churn-touched files — verification
+    cost ∝ staged bytes. The manifest itself stays INTENT-derived (from
+    the in-memory frame): consumer-side ``verify_corpus_snapshot`` keeps
+    comparing publisher intent against bytes on disk."""
     from ..queries.util import md5_long
     from ..sources.jsonl_source import write_jsonl
 
     if "_fingerprint" in corpus.columns:
         corpus = corpus.drop("_fingerprint")
+    # id-CLUSTERED shards (r14, guide §6 "partitioning on write determines
+    # how well readers can skip data"): range-partition by id (AQE sizes
+    # the ranges; at corpus scale that is many advisory-sized shards) and
+    # sort within partitions so every written file — under ANY file
+    # splitting, incl. spark.sql.files.maxRecordsPerFile — covers a tight,
+    # near-disjoint id interval. The _filestats sidecar's intervals are
+    # then selective, and a later rebase's touched-file probe prunes to
+    # ~the shards the churn ids actually live in — without this, any
+    # scattered takedown list intersects every shard's interval and file
+    # reuse never fires. Costs one range exchange per publish; shard
+    # CONTENT and all manifest stats are unchanged (the checksum is
+    # order-independent by design).
+    corpus = corpus.repartitionByRange(F.col(id_col)).sortWithinPartitions(
+        id_col
+    )
     write_jsonl(
         corpus, f"{out_dir}/data", compression=compression,
         partition_by=[split_col] if split_col else None,
@@ -1241,8 +1349,45 @@ def _write_snapshot_files(
         .withColumn("split_col", F.lit(split_col or ""))
         .orderBy("split")
     )
-    manifest.coalesce(1).write.mode("overwrite").json(f"{out_dir}/_manifest.jsonl")
-    return manifest
+    # ONE execution of the intent aggregation: collect, verify, then write
+    # the manifest from the collected rows (the old shape executed the
+    # corpus-scan aggregation twice — once for the write, and every
+    # caller-side consumption of the returned frame re-ran it again)
+    from ..session import local_rows_df
+
+    man_rows = manifest.collect()
+    intent = {
+        str(r["split"]): (r["n_rows"], r["n_chars"] or 0, r["content_checksum"] or 0)
+        for r in man_rows
+    }
+    file_rows = _per_file_stats(
+        spark, f"{out_dir}/data", corpus.schema,
+        split_col=split_col, id_col=id_col, text_col=text_col,
+    )
+    got = _split_totals(file_rows)
+    bad = [
+        s for s in set(intent) | set(got)
+        if intent.get(s, (0, 0, 0)) != got.get(s, (0, 0, 0))
+    ]
+    if bad:
+        raise ValueError(
+            f"snapshot write verification failed for splits {sorted(bad)}: "
+            "the shards on disk do not reproduce the corpus stats — lossy "
+            "write caught at publish time; the store still holds the data"
+        )
+    _write_base_sidecars(out_dir, corpus.schema, file_rows)
+    manifest_local = local_rows_df(
+        spark,
+        [tuple(r) for r in man_rows],
+        schema=(
+            "split string, n_rows long, n_chars long, content_checksum long, "
+            "store_version long, table string, split_col string"
+        ),
+    )
+    manifest_local.coalesce(1).write.mode("overwrite").json(
+        f"{out_dir}/_manifest.jsonl"
+    )
+    return manifest_local
 
 
 def verify_corpus_snapshot(spark: SparkSession, out_dir: str,
@@ -1713,34 +1858,41 @@ def _stage_rebased_base(
     """Stage the folded chain under ``tmp`` with FILE-LEVEL shard reuse
     (r14, VERDICT r13 #3 / guide §6 "rewrite only what changed"):
 
-    - one full base pass derives per-file (rows, chars, checksum mod 2^61)
-      stats AND detects which files hold an affected id (any link's upsert
-      ∪ delete ids, churn-bounded and broadcast);
-    - UNTOUCHED files are HARDLINKED into ``tmp/data`` — no rewrite, no
-      re-read: their stats were just derived from the bytes on disk, which
-      is exactly what the old ``verify_corpus_snapshot(tmp)`` re-derived
-      after paying a full rewrite + full read-back;
+    - the base's ``_filestats.jsonl`` sidecar (written at publish, stats
+      derived from the bytes on disk then) gives per-file (rows, chars,
+      checksum mod 2^61, id interval) rows with ZERO base reads; a shard
+      is "touched" when its id interval may contain an affected id (any
+      link's upsert ∪ delete ids — churn-bounded). Pre-r14 bases without
+      the sidecar fall back to one full base pass deriving the same rows;
+    - UNTOUCHED shards are HARDLINKED into ``tmp/data`` — no rewrite, no
+      re-read: immutable published files whose stats were disk-derived
+      and loss-checked when they were published;
     - only the touched files' rows replay the links (the
       materialize_corpus_chain fold restricted to the affected subset —
-      unaffected ids are never named by any link, so the restriction is
+      unaffected ids are never named by any link, and the interval test
+      only ever over-approximates "touched", so the restriction is
       exact) and are WRITTEN as new shards, then READ BACK for their
       disk-derived stats — write and verification both ∝ staged bytes;
-    - the folded per-split totals (carried + new, all disk-derived) must
-      equal the head manifest's result stats — the same end-to-end
-      equality the old double verification proved, at churn cost instead
-      of corpus cost. At 100 TB a takedown rebase stops being a
-      full-corpus rewrite + TWO full-corpus reads and becomes one read +
-      churn-proportional writes;
-    - ``_manifest.jsonl`` is written LAST (completion marker), identical
+    - the folded per-split totals (carried + staged) must equal the head
+      manifest's result stats — the same end-to-end equality the r13
+      double verification proved, at churn cost instead of corpus cost.
+      At 100 TB a takedown rebase stops being a full-corpus rewrite +
+      TWO full-corpus reads and becomes churn-proportional reads and
+      writes (zero full-corpus passes with the sidecar, given shards
+      whose id intervals are selective — the export writes id-clustered
+      shards exactly for this);
+    - the new base's sidecars are refreshed (carried rows keep their
+      paths, staged rows enter with their post-rename names), then
+      ``_manifest.jsonl`` is written LAST (completion marker), identical
       schema to :func:`_write_snapshot_files`.
 
     Raises ``ValueError("rebase verification failed ...")`` (tmp removed,
     chain untouched) when the folded totals do not reproduce the head
     manifest — a tampered link or a lossy staged write both land here.
     """
+    import json as _json
     import os
     import shutil
-    from urllib.parse import unquote, urlparse
 
     from ..session import local_rows_df
     from ..sources.jsonl_source import write_jsonl
@@ -1748,13 +1900,20 @@ def _stage_rebased_base(
     data_src = os.path.join(base, "data")
     data_dst = os.path.join(tmp, "data")
 
-    # Infer the corpus schema ONCE from the base shards; every other JSON
-    # read in this function (links, touched subset, staged read-back)
-    # reuses it explicitly — JSON schema inference is a full text pass per
-    # read, so per-link inference jobs scale with chain length for pure
-    # driver overhead (guide §5/§6). Reusing the base schema is also the
-    # correct projection: the fold only ever carries base columns.
-    base_schema = spark.read.json(data_src).schema
+    # The corpus schema comes from the base's ``_schema.json`` sidecar
+    # when present (written at publish since r14 — zero corpus reads);
+    # pre-r14 bases pay one inference parse. Every JSON read in this
+    # function (links, touched subset, staged read-back) then reuses it
+    # explicitly — JSON schema inference is a full text pass per read, so
+    # per-link inference jobs scale with chain length for pure driver
+    # overhead (guide §5/§6). Reusing the base schema is also the correct
+    # projection: the fold only ever carries base columns.
+    schema_path = os.path.join(base, "_schema.json")
+    if os.path.exists(schema_path):
+        with open(schema_path) as f:
+            base_schema = T.StructType.fromJson(_json.load(f))
+    else:
+        base_schema = spark.read.json(data_src).schema
     id_field = base_schema[id_col]
 
     # -- link frames + affected-id set (churn-bounded) -------------------
@@ -1782,56 +1941,64 @@ def _stage_rebased_base(
     if aff is not None:
         aff = aff.distinct().localCheckpoint(eager=True)
 
-    # -- one full base pass: per-file stats + touched detection ----------
-    grp = F.col(split_col).cast("string") if split_col else F.lit("all")
-    rec = _snapshot_rec(id_col, text_col)
-    b = (
-        spark.read.schema(base_schema).json(data_src)
-        .withColumn("_file", F.input_file_name())
-    )
-    if aff is not None:
-        b = b.join(
-            F.broadcast(aff.withColumn("_aff", F.lit(1))), id_col, "left"
-        )
+    # -- per-file base stats + touched detection --------------------------
+    # Fast path (r14): the base's ``_filestats.jsonl`` sidecar carries
+    # per-shard disk-derived stats + id intervals, so touched-file
+    # detection is an interval probe over the affected-id set and carried
+    # shards contribute their stats WITHOUT a byte of the base being read
+    # — the rebase's base-side cost is ∝ churn. The interval test is a
+    # conservative superset (a shard whose [min_id, max_id] excludes every
+    # affected id cannot contain one; NULL bounds — non-numeric ids —
+    # always replay), and replaying extra files is exact: the fold only
+    # removes affected ids. Fallback for pre-r14 bases: one full base
+    # pass derives the same per-file rows from disk.
+    stats_path = os.path.join(base, "_filestats.jsonl")
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            file_rows = [_json.loads(ln) for ln in f if ln.strip()]
     else:
-        b = b.withColumn("_aff", F.lit(None).cast("int"))
-    per_file = (
-        b.groupBy(F.col("_file").alias("_f"), grp.alias("_split"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.length(text_col).cast("decimal(38,0)")).cast("long").alias("ch"),
-            (F.sum(rec.cast("decimal(38,0)"))
-             % F.lit(_CHECKSUM_MOD).cast("decimal(38,0)"))
-            .cast("long")
-            .alias("cs"),
-            F.count("_aff").alias("hit"),
+        file_rows = _per_file_stats(
+            spark, data_src, base_schema,
+            split_col=split_col, id_col=id_col, text_col=text_col,
         )
-        .collect()
-    )
-    totals: dict[str, list[int]] = {}
     touched: set[str] = set()
     carried: set[str] = set()
-    # two passes: a file is touched if ANY of its groups holds an affected
-    # id — never let the same file be both carried and replayed
-    for r in per_file:
-        if r["hit"]:
-            touched.add(unquote(urlparse(r["_f"]).path))
-    for r in per_file:
-        path = unquote(urlparse(r["_f"]).path)
-        if path in touched:
+    if aff is not None and file_rows:
+        aff_ids = [
+            r[0]
+            for r in aff.select(F.col(id_col).cast("long")).collect()
+        ]
+        aff_sorted = sorted(x for x in aff_ids if x is not None)
+        have_null_aff = any(x is None for x in aff_ids)
+        import bisect
+
+        def _interval_hit(lo, hi) -> bool:
+            if lo is None or hi is None or have_null_aff:
+                return True  # unknown bounds: conservatively replay
+            i = bisect.bisect_left(aff_sorted, lo)
+            return i < len(aff_sorted) and aff_sorted[i] <= hi
+
+        for r in file_rows:
+            if _interval_hit(r["min_id"], r["max_id"]):
+                touched.add(r["file"])
+    totals: dict[str, list[int]] = {}
+    carried_rows = []
+    for r in file_rows:
+        if r["file"] in touched:
             continue
-        carried.add(path)
-        t = totals.setdefault(r["_split"], [0, 0, 0])
-        t[0] += r["n"]
-        t[1] += r["ch"] or 0
-        t[2] = (t[2] + (r["cs"] or 0)) % _CHECKSUM_MOD
+        carried.add(r["file"])
+        carried_rows.append(r)
+        t = totals.setdefault(r["split"], [0, 0, 0])
+        t[0] += r["n_rows"]
+        t[1] += r["n_chars"]
+        t[2] = (t[2] + r["checksum"]) % _CHECKSUM_MOD
 
     # -- replay links over ONLY the touched files' rows ------------------
     if touched:
         cur = (
             spark.read.option("basePath", data_src)
             .schema(base_schema)
-            .json(sorted(touched))
+            .json(sorted(os.path.join(data_src, f) for f in touched))
         )
     else:
         cur = spark.read.schema(base_schema).json(data_src).limit(0)
@@ -1857,20 +2024,21 @@ def _stage_rebased_base(
     staged = os.path.join(tmp, "_staged-new")
     os.makedirs(data_dst, exist_ok=True)
     write_jsonl(
-        cur, staged, compression=compression,
+        # churn-sized relation; id-clustered like the export's shards so
+        # the NEXT rebase's interval probe stays selective over them too
+        cur.repartitionByRange(F.col(id_col)).sortWithinPartitions(id_col),
+        staged, compression=compression,
         partition_by=[split_col] if split_col else None,
     )
-    try:
-        # explicit schema: the values are still parsed from the staged
-        # bytes on disk (the verification property), only the inference
-        # pre-pass is skipped
-        nb = spark.read.schema(cur.schema).json(staged)
-        new_stats = (
-            _delta_stats(nb, split_col, id_col, text_col) if nb.columns else {}
-        )
-    except Exception:  # noqa: BLE001 — replay produced zero rows
-        new_stats = {}
-    for s, (n, ch, cs) in new_stats.items():
+    # per-file read-back (explicit schema: the values are still parsed
+    # from the staged bytes on disk — the verification property; only the
+    # inference pre-pass is skipped). The same rows feed the staged-split
+    # totals AND the new base's _filestats sidecar.
+    staged_rows = _per_file_stats(
+        spark, staged, cur.schema,
+        split_col=split_col, id_col=id_col, text_col=text_col,
+    )
+    for s, (n, ch, cs) in _split_totals(staged_rows).items():
         t = totals.setdefault(s, [0, 0, 0])
         t[0] += n
         t[1] += ch
@@ -1887,19 +2055,20 @@ def _stage_rebased_base(
         raise ValueError(
             f"rebase verification failed for splits {sorted(bad)}: the folded "
             "chain (carried shards + staged writes, all stats re-derived from "
-            "the bytes on disk) does not reproduce the head manifest's result "
-            "stats; chain left untouched"
+            "the bytes on disk at their publish) does not reproduce the head "
+            "manifest's result stats; chain left untouched"
         )
 
     # -- assemble tmp/data: hardlink carried files, move staged shards ---
-    for src_path in sorted(carried):
-        rel = os.path.relpath(src_path, data_src)
+    for rel in sorted(carried):
+        src_path = os.path.join(data_src, rel)
         dst = os.path.join(data_dst, rel)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         try:
             os.link(src_path, dst)  # zero-copy share, same inode
         except OSError:
             shutil.copy2(src_path, dst)
+    staged_rel: dict[str, str] = {}
     for root, _dirs, files in os.walk(staged):
         rel = os.path.relpath(root, staged)
         for fn in files:
@@ -1910,9 +2079,20 @@ def _stage_rebased_base(
             os.rename(
                 os.path.join(root, fn), os.path.join(dst_dir, f"rebased-{fn}")
             )
+            old_rel = fn if rel == "." else os.path.join(rel, fn)
+            staged_rel[old_rel] = (
+                f"rebased-{fn}" if rel == "."
+                else os.path.join(rel, f"rebased-{fn}")
+            )
     shutil.rmtree(staged)
 
-    # -- manifest LAST (completion marker; same schema as full export) ---
+    # -- sidecars for the NEW base (carried rows keep their paths, staged
+    # rows get their post-rename names), then manifest LAST --------------
+    new_file_rows = carried_rows + [
+        {**r, "file": staged_rel.get(r["file"], r["file"])}
+        for r in staged_rows
+    ]
+    _write_base_sidecars(tmp, cur.schema, new_file_rows)
     man = local_rows_df(
         spark,
         [
