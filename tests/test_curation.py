@@ -1394,35 +1394,57 @@ def test_rebase_lossy_staging_write_caught(spark, tmp_path, monkeypatch):
     assert C.rebase_corpus_chain(spark, pub, compression=None)["rebased"] is True
 
 
+_SIDECAR_TEMPLATE: dict = {}
+
+
 def _mk_sidecar_chain(spark, tmp_path, kill_ids):
     """base (many id-ranged shards via maxRecordsPerFile) + one takedown
-    link over ``kill_ids``. Returns (store, pub). Restores the conf."""
+    link over ``kill_ids``. Built once per (session, kill set) — pure
+    on-disk state, copied per consumer (the _CHAIN_TEMPLATE pattern).
+    Returns (store, pub)."""
+    import atexit
+    import shutil
+    import tempfile
+
     from incremental_datapipeline_using_snowflake_spark.operators import TableStore
     from incremental_datapipeline_using_snowflake_spark.ops import curation as C
 
-    docs = spark.createDataFrame(
-        [
-            (i, f"alpha beta gamma delta epsilon zeta {i} eta theta iota", "en", "s", 50)
-            for i in range(200)
-        ],
-        "doc_id long, text string, lang string, source string, n_chars long",
-    )
-    store = TableStore(root=str(tmp_path / "store"), keep_versions=8)
-    C.bootstrap_corpus(spark, store, docs, "sc.docs")
-    pub = str(tmp_path / "pub")
-    old = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
-    spark.conf.set("spark.sql.files.maxRecordsPerFile", "25")
-    try:
-        C.publish_corpus_delta(spark, store, "sc.docs", pub, compression=None)
-        C.delete_docs(
-            spark, store, "sc.docs",
-            spark.createDataFrame([(i,) for i in kill_ids], "doc_id long"),
-            run_id="sc-take",
+    key = (spark.sparkContext.applicationId, tuple(kill_ids))
+    root = _SIDECAR_TEMPLATE.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="sidecar_tpl_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        docs = spark.createDataFrame(
+            [
+                (i, f"alpha beta gamma delta epsilon zeta {i} eta theta iota", "en", "s", 50)
+                for i in range(200)
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
         )
-        C.publish_corpus_delta(spark, store, "sc.docs", pub, compression=None)
-    finally:
-        spark.conf.set("spark.sql.files.maxRecordsPerFile", old)
-    return store, pub
+        store = TableStore(root=f"{root}/store", keep_versions=8)
+        C.bootstrap_corpus(spark, store, docs, "sc.docs")
+        pub = f"{root}/pub"
+        old = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "25")
+        try:
+            C.publish_corpus_delta(spark, store, "sc.docs", pub, compression=None)
+            C.delete_docs(
+                spark, store, "sc.docs",
+                spark.createDataFrame([(i,) for i in kill_ids], "doc_id long"),
+                run_id="sc-take",
+            )
+            C.publish_corpus_delta(spark, store, "sc.docs", pub, compression=None)
+        finally:
+            spark.conf.set("spark.sql.files.maxRecordsPerFile", old)
+        _SIDECAR_TEMPLATE[key] = root
+    import shutil as _sh
+
+    _sh.copytree(f"{root}/store", str(tmp_path / "store"))
+    _sh.copytree(f"{root}/pub", str(tmp_path / "pub"))
+    return (
+        TableStore(root=str(tmp_path / "store"), keep_versions=8),
+        str(tmp_path / "pub"),
+    )
 
 
 def test_rebase_reuses_untouched_shards(spark, tmp_path):
